@@ -1,0 +1,156 @@
+"""Datetime-string parsing with format search + mergeable format cache.
+
+Reimplements the reference's date mini-type-system (Profiler.py:96-200)
+Ray-natively: instead of trying ~10^4 strftime permutations row-by-row in
+pandas, we (1) keep a deterministic candidate list (common formats first,
+then generated permutations), (2) search for the winning format on a small
+SAMPLE of each batch with ``pyarrow.compute.strptime``, then (3) parse the
+full column vectorized with the winner. The per-column winning format is
+cached in a counter that merges across actors/batches (counter sum — the
+distributed analog of the reference's pickled ``format_cache``,
+Profiler.py:126-135), and the winner is resolved deterministically
+(highest count, then candidate-list order) so distributed runs are
+reproducible (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Common formats tried first (mirrors the spirit of Profiler.py:161-178).
+COMMON_FORMATS = [
+    "%Y-%m-%d",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y/%m/%d",
+    "%Y/%m/%d %H:%M:%S",
+    "%m/%d/%Y",
+    "%m/%d/%Y %H:%M:%S",
+    "%d/%m/%Y",
+    "%d/%m/%Y %H:%M:%S",
+    "%m-%d-%Y",
+    "%d-%m-%Y",
+    "%d-%m-%Y %H:%M:%S",
+    "%Y%m%d",
+    "%d %b %Y",
+    "%d %B %Y",
+    "%b %d, %Y",
+    "%B %d, %Y",
+    "%Y-%m-%d %H:%M",
+    "%m/%d/%y",
+    "%d.%m.%Y",
+    "%Y.%m.%d",
+    "%H:%M:%S",
+]
+
+
+def _generated_formats() -> list[str]:
+    """Deterministic permutation list (date orders × separators × time
+    suffixes) — the scale-down of the reference's ~10^4 permutations
+    (Profiler.py:96-123)."""
+    out = []
+    date_parts = [
+        ("%Y", "%m", "%d"),
+        ("%d", "%m", "%Y"),
+        ("%m", "%d", "%Y"),
+        ("%Y", "%d", "%m"),
+    ]
+    seps = ["-", "/", ".", " "]
+    times = ["", " %H:%M:%S", " %H:%M", "T%H:%M:%S", " %I:%M:%S %p", " %H:%M:%S.%f"]
+    for p in date_parts:
+        for s in seps:
+            base = s.join(p)
+            for t in times:
+                out.append(base + t)
+    seen = set(COMMON_FORMATS)
+    return [f for f in out if not (f in seen or seen.add(f))]
+
+
+ALL_FORMATS = COMMON_FORMATS + _generated_formats()
+
+
+def _valid_years(ts: pa.Array) -> bool:
+    """Semantic validation from the reference (validate_date,
+    Profiler.py:139-144): accept only years in [1900, 2100]."""
+    if len(ts) == 0:
+        return False
+    y = pc.year(ts)
+    ok = pc.and_(pc.greater_equal(y, 1900), pc.less_equal(y, 2100))
+    return pc.all(ok).as_py() is True
+
+
+def parse_with_format(arr: pa.Array | pa.ChunkedArray, fmt: str) -> pa.Array | None:
+    """Parse fully; None unless every non-null value parses with valid years."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        parsed = pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
+    except pa.ArrowInvalid:
+        return None
+    if parsed.null_count > arr.null_count:
+        return None
+    nn = parsed.drop_null()
+    if len(nn) == 0 or not _valid_years(nn):
+        return None
+    return parsed
+
+
+def find_format(sample: pa.Array | pa.ChunkedArray, candidates=None) -> str | None:
+    """First format (in deterministic candidate order) that parses the
+    whole sample with valid years."""
+    if isinstance(sample, pa.ChunkedArray):
+        sample = sample.combine_chunks()
+    sample = sample.drop_null()
+    if len(sample) == 0:
+        return None
+    for fmt in candidates or ALL_FORMATS:
+        if parse_with_format(sample, fmt) is not None:
+            return fmt
+    return None
+
+
+def try_parse_datetime_strings(
+    arr: pa.Array | pa.ChunkedArray, sample_size: int = 64
+) -> pa.Array | None:
+    """Format-search on a sample, then vectorized full parse with the
+    winner. Returns the parsed timestamp[us] array or None."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nn = arr.drop_null()
+    if len(nn) == 0:
+        return None
+    fmt = find_format(nn.slice(0, sample_size))
+    if fmt is None:
+        return None
+    return parse_with_format(arr, fmt)
+
+
+@dataclass
+class FormatCache:
+    """Mergeable (column, format) hit counter — distributed stand-in for
+    the reference's pickled global ``format_cache`` (Profiler.py:126-135).
+    """
+
+    hits: Counter = field(default_factory=Counter)
+
+    def record(self, column: str, fmt: str, n: int = 1) -> None:
+        self.hits[(column, fmt)] += n
+
+    def merge(self, other: "FormatCache") -> "FormatCache":
+        return FormatCache(self.hits + other.hits)
+
+    def candidates_for(self, column: str) -> list[str]:
+        """Cache-frequency-ordered candidates (deterministic tie-break by
+        canonical list order), then the full list — the distributed analog
+        of Profiler.py:181-193."""
+        ranked = sorted(
+            ((f, c) for (col, f), c in self.hits.items() if col == column),
+            key=lambda fc: (-fc[1], ALL_FORMATS.index(fc[0]) if fc[0] in ALL_FORMATS else 1 << 30),
+        )
+        cached = [f for f, _ in ranked]
+        rest = [f for f in ALL_FORMATS if f not in set(cached)]
+        return cached + rest

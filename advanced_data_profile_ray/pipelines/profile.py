@@ -1,0 +1,119 @@
+"""Table profiling pipeline: read → one map_batches partial pass →
+tree merge → TableProfile.
+
+Replaces the reference's phase 1-4 single-process pandas flow
+(Profiler.py:514-916). The whole profile is ONE streaming pass over the
+data (no shuffle): each batch emits pickled sketch partials per column,
+a repartition+map_batches level merges them (bounded fan-in, still
+distributed), and the driver folds the ≤ fanin×(n_cols+1) survivors.
+At 10^12 rows the driver never sees more than fanin×cols tiny rows.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pickle
+from dataclasses import dataclass
+
+from ..stages.profile_partial import (
+    ColumnProfile,
+    ProfileConfig,
+    make_partial_fn,
+    merge_partial_rows,
+    merge_stage,
+)
+
+DEFAULT_BATCH_SIZE = 16384
+MERGE_FANIN = 32
+
+
+@dataclass
+class TableProfile:
+    columns: dict            # name -> ColumnProfile
+    row_count: int
+    byte_size: int
+
+    def finalize(self, top_k: int = 10) -> dict:
+        cols = [self.columns[n].finalize(top_k) for n in self.columns]
+        type_census: dict = {}
+        for c in cols:
+            type_census[c["logical_type"]] = type_census.get(c["logical_type"], 0) + 1
+        total_cells = self.row_count * len(cols)
+        total_nulls = sum(c["null_count"] for c in cols)
+        return {
+            "table": {
+                "row_count": self.row_count,
+                "column_count": len(cols),
+                "byte_size": self.byte_size,
+                "total_null_values": total_nulls,
+                "total_not_null_values": total_cells - total_nulls,
+                "type_census": type_census,  # phase-2 column census, Profiler.py:608-622
+                "zero_pct_columns": sum(
+                    1 for c in cols if c["null_count"] == c["total"]
+                ),
+                "full_pct_columns": sum(1 for c in cols if c["null_count"] == 0),
+            },
+            "columns": cols,
+        }
+
+    def to_json(self, path: str, top_k: int = 10) -> None:
+        with open(path, "w") as f:
+            json.dump(self.finalize(top_k), f, indent=2, default=_json_default)
+
+
+def _json_default(o):
+    import numpy as np
+
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        v = float(o)
+        return None if math.isnan(v) else v
+    if isinstance(o, float) and math.isnan(o):
+        return None
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    return str(o)
+
+
+def profile_dataset(ds, cfg: ProfileConfig | None = None,
+                    batch_size: int = DEFAULT_BATCH_SIZE,
+                    fanin: int = MERGE_FANIN) -> TableProfile:
+    """Profile a ray.data.Dataset in one streaming pass.
+
+    ``fanin`` bounds both the distributed merge level's output block count
+    and the number of partial rows the driver folds; at genuinely huge
+    block counts add more merge levels by lowering target block counts in
+    a loop — the merge body (`merge_stage`) is level-agnostic.
+    """
+    cfg = cfg or ProfileConfig()
+    parts = ds.map_batches(
+        make_partial_fn(cfg), batch_format="pyarrow", batch_size=batch_size
+    )
+    # distributed merge level: coalesce partial blocks (no shuffle) and
+    # merge within each coalesced block
+    parts = parts.repartition(fanin).map_batches(
+        merge_stage, batch_format="pyarrow", batch_size=None
+    )
+    rows = parts.take_all()
+    names, blobs = merge_partial_rows(
+        [r["column"] for r in rows], [r["state"] for r in rows]
+    )
+    merged = dict(zip(names, (pickle.loads(b) for b in blobs)))
+    table_meta = merged.pop("__table__", {"row_count": 0, "byte_size": 0})
+    return TableProfile(
+        columns=merged,
+        row_count=table_meta["row_count"],
+        byte_size=table_meta["byte_size"],
+    )
+
+
+def profile_parquet(path: str, columns: list | None = None,
+                    cfg: ProfileConfig | None = None, **kw) -> TableProfile:
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, columns=columns)
+    if cfg is None and columns:
+        cfg = ProfileConfig(columns=columns)
+    return profile_dataset(ds, cfg, **kw)

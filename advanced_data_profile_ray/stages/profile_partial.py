@@ -1,0 +1,283 @@
+"""The single-pass profiling stage: one Arrow batch in → one pickled
+sketch-bundle row per column out.
+
+This is the distributed re-expression of the reference's phases 1-4
+(Profiler.py:514-916): instead of whole-column pandas calls, every batch
+contributes an algebraic/sketch partial per column; partials merge
+associatively (tree merge — no shuffle) and finalize into the same
+statistics the reference reports.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import logical_type_of
+from ..state import (
+    FixedHistogram,
+    HeavyHitters,
+    HyperLogLog,
+    MaxLen,
+    MinMax,
+    Moments,
+    NullBlank,
+    TDigest,
+    TypeVote,
+    ValueCounts,
+)
+from ..state.hll import hash64
+
+
+@dataclass
+class ProfileConfig:
+    columns: list | None = None          # None → all columns
+    hll_p: int = 12
+    tdigest_delta: int = 300
+    hh_capacity: int = 512
+    vc_cap: int = 4096
+    top_k: int = 10
+    # per-column fixed histogram edges; string columns get a histogram of
+    # utf8 lengths (the "turn-length" drift histogram for `text`)
+    histogram_edges: dict = field(default_factory=dict)
+    # columns to skip exact value counts / heavy hitters on (e.g. huge blobs)
+    skip_values: tuple = ()
+
+
+@dataclass
+class ColumnProfile:
+    """Mergeable bundle of all per-column partials."""
+
+    name: str
+    typevote: TypeVote = field(default_factory=TypeVote)
+    nullblank: NullBlank = field(default_factory=NullBlank)
+    maxlen: MaxLen = field(default_factory=MaxLen)
+    moments: Moments = field(default_factory=Moments)       # values (numeric) or utf8 lengths (string)
+    tdigest: TDigest | None = None
+    histogram: FixedHistogram | None = None
+    hll: HyperLogLog | None = None
+    vc: ValueCounts | None = None
+    hh: HeavyHitters | None = None
+    minmax: MinMax = field(default_factory=MinMax)          # raw values (strings / ts int64)
+    ts_minmax: MinMax = field(default_factory=MinMax)       # int64 µs, temporal columns only
+    non_ascii: bool = False
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_batch(cls, name: str, col: pa.ChunkedArray | pa.Array, cfg: ProfileConfig) -> "ColumnProfile":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        p = cls(name)
+        n = len(col)
+        nulls = col.null_count
+        t = col.type
+        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+
+        blank = 0
+        if is_str and n > nulls:
+            trimmed = pc.utf8_trim_whitespace(col)
+            blank = int(pc.sum(pc.equal(trimmed, "")).as_py() or 0)
+        p.nullblank = NullBlank(total=n, null_count=nulls, blank_count=blank)
+        p.typevote = TypeVote(logical_type_of(col))
+
+        nn = col.drop_null()
+        if len(nn) == 0:
+            return p
+
+        edges = cfg.histogram_edges.get(name)
+        skip_vals = name in cfg.skip_values
+
+        if pa.types.is_boolean(t):
+            nn = pc.cast(nn, pa.int8())
+            t = nn.type
+
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            vals = nn.to_numpy(zero_copy_only=False).astype(np.float64)
+            p.moments = Moments.from_array(vals)
+            p.tdigest = TDigest.from_array(vals, cfg.tdigest_delta)
+            if edges is not None:
+                p.histogram = FixedHistogram.from_array(vals, np.asarray(edges))
+            p.hll = HyperLogLog.from_hashes(hash64(vals), cfg.hll_p)
+            if not skip_vals:
+                p.hh = HeavyHitters.from_array(vals, cfg.hh_capacity)
+                # entropy domain: floats rounded to 2dp then stringified
+                # (categorical_confidence, Profiler.py:274-276)
+                if pa.types.is_floating(t):
+                    p.vc = ValueCounts.from_array(
+                        np.round(vals, 2).astype(str), cfg.vc_cap
+                    )
+                else:
+                    p.vc = ValueCounts.from_array(vals.astype(np.int64), cfg.vc_cap)
+                if pa.types.is_floating(t):
+                    p.maxlen = MaxLen(0, _max_decimal_places(vals))
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            ts = pc.cast(nn, pa.timestamp("us")) if pa.types.is_date(t) else nn
+            ivals = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            p.minmax = MinMax.from_array(ivals)
+            p.ts_minmax = MinMax.from_array(ivals)
+            p.moments = Moments.from_array(ivals.astype(np.float64))
+            if edges is not None:
+                p.histogram = FixedHistogram.from_array(
+                    ivals.astype(np.float64), np.asarray(edges)
+                )
+            p.hll = HyperLogLog.from_hashes(hash64(ivals), cfg.hll_p)
+            if not skip_vals:
+                p.vc = ValueCounts.from_array(ivals, cfg.vc_cap)
+                p.hh = HeavyHitters.from_array(ivals, cfg.hh_capacity)
+        elif is_str:
+            lens = pc.utf8_length(nn).to_numpy(zero_copy_only=False).astype(np.float64)
+            p.moments = Moments.from_array(lens)  # turn-length stats for `text`
+            p.tdigest = TDigest.from_array(lens, cfg.tdigest_delta)
+            p.maxlen = MaxLen(int(lens.max()) if lens.size else 0, 0)
+            if edges is not None:
+                p.histogram = FixedHistogram.from_array(lens, np.asarray(edges))
+            # non-ASCII flag (contains_non_english_characters, Profiler.py:226-228)
+            p.non_ascii = bool(
+                pc.any(pc.match_substring_regex(nn, r"[^\x00-\x7F]")).as_py()
+            )
+            svals = nn.to_numpy(zero_copy_only=False)
+            p.hll = HyperLogLog.from_hashes(hash64(svals), cfg.hll_p)
+            if not skip_vals:
+                p.vc = ValueCounts.from_array(svals, cfg.vc_cap)
+                p.hh = HeavyHitters.from_array(svals, cfg.hh_capacity)
+            p.minmax = MinMax.from_array(svals)
+        return p
+
+    # ------------------------------------------------------------------
+    def merge(self, o: "ColumnProfile") -> "ColumnProfile":
+        def m2(a, b):
+            return a if b is None else (b if a is None else a.merge(b))
+
+        out = ColumnProfile(self.name)
+        out.typevote = self.typevote.merge(o.typevote)
+        out.nullblank = self.nullblank.merge(o.nullblank)
+        out.maxlen = self.maxlen.merge(o.maxlen)
+        out.moments = self.moments.merge(o.moments)
+        out.tdigest = m2(self.tdigest, o.tdigest)
+        out.histogram = m2(self.histogram, o.histogram)
+        out.hll = m2(self.hll, o.hll)
+        out.vc = m2(self.vc, o.vc)
+        out.hh = m2(self.hh, o.hh)
+        out.minmax = self.minmax.merge(o.minmax)
+        out.ts_minmax = self.ts_minmax.merge(o.ts_minmax)
+        out.non_ascii = self.non_ascii or o.non_ascii
+        return out
+
+    # ------------------------------------------------------------------
+    def finalize(self, top_k: int = 10) -> dict:
+        """Per-column stats dict mirroring the reference's phase-2/3/4
+        fields (nulls, distinct, top-10, quantiles, skew/kurt, max len,
+        min/max, entropy/categorical confidence)."""
+        nb = self.nullblank.finalize()
+        out = {
+            "column": self.name,
+            "logical_type": self.typevote.logical_type,
+            **nb,
+        }
+        total_nn = nb["non_null_count"]
+        distinct = self.vc.distinct() if self.vc is not None else None
+        if distinct is None and self.hll is not None:
+            distinct = int(round(self.hll.estimate()))
+            out["distinct_is_estimate"] = True
+        out["distinct_count"] = distinct
+        if distinct is not None and nb["total"]:
+            # HLL estimates can exceed the row count by sketch error; cap at 100
+            out["uniqueness_index"] = min(100.0, round(100.0 * distinct / nb["total"], 2))
+        if self.hh is not None:
+            out["top_values"] = self.hh.finalize(top_k)
+        if self.moments.n:
+            out["stats"] = self.moments.finalize()
+        if self.tdigest is not None and self.tdigest.means.size:
+            out["quantiles"] = self.tdigest.finalize()
+        if self.histogram is not None:
+            out["histogram"] = self.histogram.finalize()
+        if self.ts_minmax.min is not None:
+            out["min_ts_us"] = int(self.ts_minmax.min)
+            out["max_ts_us"] = int(self.ts_minmax.max)
+        elif self.minmax.min is not None and self.typevote.logical_type == "string":
+            out["min_value"] = self.minmax.min
+            out["max_value"] = self.minmax.max
+        if self.maxlen.max_len:
+            out["max_length"] = self.maxlen.max_len
+        if self.maxlen.max_decimal_places:
+            out["max_decimal_places"] = self.maxlen.max_decimal_places
+            if self.maxlen.max_decimal_places > 6:
+                out["subtype"] = "double"  # Profiler.py:584-588
+        out["has_non_ascii"] = self.non_ascii
+        # categorical confidence (Profiler.py:268-282)
+        conf = 0.0
+        if self.vc is not None and distinct is not None and nb["total"]:
+            ratio = distinct / nb["total"]
+            if distinct > 1 and ratio < 0.1 and not self.vc.overflow:
+                ent = self.vc.entropy()
+                conf = round(max(0.0, 100.0 - ent * 10.0), 2)
+        out["categorical_confidence"] = conf
+        return out
+
+
+def _max_decimal_places(vals: np.ndarray) -> int:
+    """Max digits after the decimal point of the repr — the reference
+    splits str(value) on '.' (Profiler.py:584-588, 652-654)."""
+    if vals.size == 0:
+        return 0
+    import pandas as pd
+
+    s = pd.Series(vals).astype(str)
+    frac = s.str.partition(".")[2].str.rstrip("0")
+    return int(frac.str.len().max() or 0)
+
+
+def make_partial_fn(cfg: ProfileConfig):
+    """Returns the stateless map_batches body: pa.Table -> pa.Table of
+    (column:string, state:binary) partial rows, plus a __table__ row
+    carrying the batch row count."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cols = cfg.columns or batch.column_names
+        names, states = [], []
+        for name in cols:
+            prof = ColumnProfile.from_batch(name, batch[name], cfg)
+            names.append(name)
+            states.append(pickle.dumps(prof, protocol=pickle.HIGHEST_PROTOCOL))
+        names.append("__table__")
+        states.append(
+            pickle.dumps({"row_count": batch.num_rows, "byte_size": batch.nbytes})
+        )
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "state": pa.array(states, pa.binary())})
+
+    return _partials
+
+
+def merge_partial_rows(names: list, blobs: list) -> tuple[list, list]:
+    """Merge pickled partial rows grouped by column; returns merged
+    (names, blobs). Used by the tree-merge stage and the driver fold."""
+    acc: dict = {}
+    for name, blob in zip(names, blobs):
+        st = pickle.loads(blob)
+        if name == "__table__":
+            if "__table__" in acc:
+                prev = acc["__table__"]
+                st = {
+                    "row_count": prev["row_count"] + st["row_count"],
+                    "byte_size": prev["byte_size"] + st["byte_size"],
+                }
+            acc["__table__"] = st
+        else:
+            acc[name] = st if name not in acc else acc[name].merge(st)
+    out_names = list(acc.keys())
+    out_blobs = [pickle.dumps(acc[n], protocol=pickle.HIGHEST_PROTOCOL) for n in out_names]
+    return out_names, out_blobs
+
+
+def merge_stage(batch: pa.Table) -> pa.Table:
+    """map_batches body for the tree-merge levels."""
+    names, blobs = merge_partial_rows(
+        batch["column"].to_pylist(), batch["state"].to_pylist()
+    )
+    return pa.table({"column": pa.array(names, pa.string()),
+                     "state": pa.array(blobs, pa.binary())})
