@@ -1,0 +1,79 @@
+"""Referential-integrity checking via broadcast-hash semi/anti-join.
+
+The reference has no joins (SURVEY.md §2.4); the north rule adds
+referential integrity of fact columns (``conv_id``, ``tool``) against
+dimension tables. Dimension sides are small, so this is never a shuffle
+join: the key set is ``ray.put`` once on the driver and each actor in the
+``map_batches`` pool materializes the hash set ONCE in ``__init__``
+(SURVEY.md §2.3 ST4), then filters batches with ``pc.is_in`` (vectorized).
+
+Relational twin for the oracle:
+``SELECT f.* FROM fact f LEFT JOIN dim d ON f.k = d.k WHERE d.k IS NULL``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _build_value_set(valid_ref) -> pa.Array:
+    import ray
+
+    vals = ray.get(valid_ref) if not isinstance(valid_ref, (set, list, tuple)) else valid_ref
+    return pa.array(sorted(set(vals)))
+
+
+def _typed_set(value_set: pa.Array, col) -> pa.Array:
+    """is_in needs the value set typed like the column (an empty python
+    list builds a null-typed array, and dim key ints may be narrower)."""
+    if value_set.type != col.type:
+        return value_set.cast(col.type)
+    return value_set
+
+
+class AntiJoinFilter:
+    """Actor-pool stage: keep rows whose ``column`` value is non-null and
+    NOT in the broadcast key set (the violation rows)."""
+
+    def __init__(self, column: str, valid_ref):
+        self.column = column
+        self.value_set = _build_value_set(valid_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        if len(self.value_set) == 0:
+            return batch.filter(col.is_valid())  # everything non-null is an orphan
+        bad = pc.and_(
+            col.is_valid(),
+            pc.invert(pc.is_in(col, value_set=_typed_set(self.value_set, col))),
+        )
+        return batch.filter(bad)
+
+
+class SemiJoinCounter:
+    """Actor-pool stage emitting per-batch (matched, orphan, null) counts
+    for a fact column vs the broadcast key set — the 'pass counts' side of
+    the referential verdict; sums merge downstream."""
+
+    def __init__(self, column: str, valid_ref):
+        self.column = column
+        self.value_set = _build_value_set(valid_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        valid = col.is_valid()
+        if len(self.value_set):
+            inset = pc.is_in(col, value_set=_typed_set(self.value_set, col))
+            matched = pc.sum(pc.and_(valid, inset)).as_py() or 0
+        else:
+            matched = 0
+        nulls = len(col) - (pc.sum(valid).as_py() or 0)
+        orphan = len(col) - matched - nulls
+        return pa.table(
+            {
+                "matched": pa.array([matched], pa.int64()),
+                "orphan": pa.array([orphan], pa.int64()),
+                "null": pa.array([nulls], pa.int64()),
+            }
+        )

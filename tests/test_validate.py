@@ -1,0 +1,215 @@
+"""Constraint-validation engine vs DuckDB oracles on synthesized
+transcripts (SURVEY.md §5.4): injected violations must produce exact
+pass/fail verdicts and byte-identical violation rows under stable
+(conv_id, turn_idx) ordering."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from advanced_data_profile_ray.sources.transcripts import (
+    CLEAN,
+    DIRTY,
+    TOOL_CATALOG,
+    ViolationConfig,
+    dim_conv_roster,
+    dim_tool_catalog,
+    gen_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty_table():
+    return gen_transcripts(n_convs=500, seed=7, cfg=DIRTY)
+
+
+@pytest.fixture(scope="module")
+def clean_table():
+    return gen_transcripts(n_convs=500, seed=7, cfg=CLEAN)
+
+
+@pytest.fixture(scope="module")
+def ddb(dirty_table):
+    con = duckdb.connect()
+    con.register("t", dirty_table)
+    return con
+
+
+def test_generator_deterministic():
+    a = gen_transcripts(100, seed=3, cfg=DIRTY)
+    b = gen_transcripts(100, seed=3, cfg=DIRTY)
+    assert a.equals(b)
+    c = gen_transcripts(100, seed=4, cfg=DIRTY)
+    assert not a.equals(c)
+
+
+def test_clean_passes_everything(ray_session, clean_table):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+
+    roster = dim_conv_roster(500)["conv_id"].to_pylist()
+    report = validate_transcripts(
+        rd.from_arrow(clean_table),
+        valid_conv_ids=roster,
+        valid_tools=TOOL_CATALOG,
+    )
+    assert report.passed, [v.to_dict() for v in report.verdicts if not v.passed]
+
+
+def test_uniqueness_matches_oracle(ray_session, dirty_table, ddb):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import uniqueness_check
+
+    v = uniqueness_check(rd.from_arrow(dirty_table))
+    oracle = ddb.execute(
+        """SELECT COUNT(*) AS groups, SUM(n - 1) AS surplus FROM
+           (SELECT conv_id, turn_idx, COUNT(*) n FROM t
+            GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1)"""
+    ).fetchone()
+    assert not v.passed
+    assert v.stats["duplicate_key_groups"] == oracle[0]
+    assert v.stats["surplus_rows"] == oracle[1]
+    # violation ROWS: exact equality incl. per-turn text, stable order
+    got = v.violations.to_pandas()
+    want = ddb.execute(
+        """SELECT t.* FROM t
+           JOIN (SELECT conv_id, turn_idx FROM t GROUP BY conv_id, turn_idx
+                 HAVING COUNT(*) > 1) d USING (conv_id, turn_idx)
+           ORDER BY conv_id, turn_idx"""
+    ).fetch_df()
+    got = got.sort_values(["conv_id", "turn_idx", "text"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx", "text"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_referential_matches_oracle(ray_session, dirty_table, ddb):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import referential_check
+
+    roster = dim_conv_roster(500)["conv_id"].to_pylist()
+    v = referential_check(rd.from_arrow(dirty_table), "conv_id", roster)
+    orphan = ddb.execute(
+        "SELECT COUNT(*) FROM t WHERE conv_id IS NOT NULL AND conv_id NOT LIKE 'c%'"
+    ).fetchone()[0]
+    assert v.violation_count == orphan
+    assert not v.passed
+    rows = v.violations.to_pandas()
+    assert len(rows) == orphan
+    assert rows["conv_id"].str.startswith("zz_orphan_").all()
+    # stable ordering check
+    assert rows[["conv_id", "turn_idx"]].equals(
+        rows[["conv_id", "turn_idx"]].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+    v2 = referential_check(rd.from_arrow(dirty_table), "tool", TOOL_CATALOG)
+    orphan_tools = ddb.execute(
+        "SELECT COUNT(*) FROM t WHERE tool IS NOT NULL AND tool LIKE 'ghost_tool_%'"
+    ).fetchone()[0]
+    assert v2.violation_count == orphan_tools
+    matched = ddb.execute(
+        "SELECT COUNT(*) FROM t WHERE tool IS NOT NULL AND tool NOT LIKE 'ghost_tool_%'"
+    ).fetchone()[0]
+    assert v2.stats["matched"] == matched
+
+
+def test_ts_range_matches_oracle(ray_session, dirty_table, ddb):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import ts_range_check
+
+    v = ts_range_check(rd.from_arrow(dirty_table))
+    oor = ddb.execute(
+        """SELECT COUNT(*) FROM t
+           WHERE ts < TIMESTAMP '1900-01-01'
+              OR ts > TIMESTAMP '2100-12-31 23:59:59.999999'"""
+    ).fetchone()[0]
+    assert v.violation_count == oor
+    assert not v.passed
+
+
+def test_null_blank_check(ray_session, dirty_table, ddb):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.pipelines.validate import (
+        null_blank_check,
+        transcript_profile_config,
+    )
+
+    prof = profile_dataset(rd.from_arrow(dirty_table), transcript_profile_config())
+    v = null_blank_check(prof, "text", max_null_pct=50, max_blank_pct=50)
+    nulls = ddb.execute("SELECT COUNT(*) FROM t WHERE text IS NULL").fetchone()[0]
+    # engine blank = trims to empty under unicode whitespace; spell the
+    # whitespace set explicitly for DuckDB (bare TRIM strips spaces only)
+    blanks = ddb.execute(
+        "SELECT COUNT(*) FROM t WHERE text IS NOT NULL AND TRIM(text, ' \t\n\r') = ''"
+    ).fetchone()[0]
+    assert v.stats["null_count"] == nulls
+    assert v.stats["blank_count"] == blanks
+    assert v.passed  # generous thresholds
+
+    v2 = null_blank_check(prof, "text", max_null_pct=0.0)
+    assert not v2.passed
+
+
+def test_drift_detects_shift(ray_session, clean_table):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.pipelines.validate import (
+        drift_check,
+        transcript_profile_config,
+    )
+
+    cfg = transcript_profile_config()
+    base = profile_dataset(rd.from_arrow(clean_table), cfg)
+
+    # same distribution, different seed → no drift
+    same = profile_dataset(
+        rd.from_arrow(gen_transcripts(500, seed=99, cfg=CLEAN)), cfg
+    )
+    v_same = drift_check(same, base)
+    assert v_same.passed, v_same.stats
+
+    # shifted text length + role frequencies → drift
+    shifted_cfg = ViolationConfig(
+        text_len_scale=2.5, role_probs=np.array([0.10, 0.70, 0.05, 0.15])
+    )
+    shifted = profile_dataset(
+        rd.from_arrow(gen_transcripts(500, seed=99, cfg=shifted_cfg)), cfg
+    )
+    v_shift = drift_check(shifted, base)
+    assert not v_shift.passed
+    assert v_shift.stats["ks_statistic"] > 0.1
+    assert v_shift.stats["role_psi"] > 0.2
+
+
+def test_full_report_on_dirty(ray_session, dirty_table):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+
+    roster = dim_conv_roster(500)["conv_id"].to_pylist()
+    report = validate_transcripts(
+        rd.from_arrow(dirty_table),
+        valid_conv_ids=roster,
+        valid_tools=TOOL_CATALOG,
+    )
+    d = report.to_dict()
+    assert not d["passed"]
+    by_name = {v["check"]: v for v in d["verdicts"]}
+    assert not by_name["unique(conv_id, turn_idx)"]["passed"]
+    assert not by_name["referential(conv_id)"]["passed"]
+    assert not by_name["referential(tool)"]["passed"]
+    assert not by_name["ts_in_range(ts)"]["passed"]
+    assert by_name["null_blank(text)"]["passed"]
+
+
+def test_dim_tables():
+    assert dim_tool_catalog().num_rows == len(TOOL_CATALOG)
+    assert dim_conv_roster(10)["conv_id"].to_pylist()[0] == "c00000000"
