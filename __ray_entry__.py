@@ -1,44 +1,59 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — derive the transcript fact table from
+  sf0.001 events (sessionization window), run the full validation engine
+  (profile pass + uniqueness shuffle + referential broadcast joins +
+  drift), return the verdict table.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2), each ``sf_dir -> DataFrame/Table/Dataset``.
+- ``oracle_sql()``: DuckDB twins with identical column names; entries
+  without a twin get the driver's weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pandas as pd
+
+    from advanced_data_profile_ray.pipelines.queries import q_transcripts
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+    from advanced_data_profile_ray.sources.transcripts import TOOL_CATALOG
+
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = q_transcripts(sf_dir)
+    # roster: every derived conv_id is valid; tool catalog: event types +
+    # the synthetic catalog (so the checks exercise the broadcast path)
+    roster = [f"c{i:08d}" for i in range(200)]
+    report = validate_transcripts(
+        transcripts,
+        valid_conv_ids=roster,
+        valid_tools=["error"] + TOOL_CATALOG,
+        max_text_null_pct=100.0,
+        max_text_blank_pct=100.0,
+    )
+    return pd.DataFrame([v.to_dict() | {"stats": str(v.stats)} for v in report.verdicts])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from advanced_data_profile_ray.pipelines.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,487 @@
+"""The oracle-checked query suite over the driver's testdata tables.
+
+Each entry couples a Ray-Data-first pipeline (``QUERIES[name]``, callable
+``sf_dir -> DataFrame/Table/Dataset``) with an equivalent DuckDB SQL
+string (``ORACLE[name]``) run side-by-side by the external driver at
+sf=0.01 (row-count + schema + order-insensitive value-hash). Column names
+are kept identical on both sides; float aggregates are rounded identically
+on both sides so value hashes match.
+
+These queries exercise every operator family from SURVEY.md §2 on real
+tables: profile partials (nulls/stats/distinct/top-k), partial-aggregate
+groupbys, uniqueness, referential semi/anti-joins, window functions
+(sessionization), tumbling windows, dedup, text token stats, correlation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+LINEITEM_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# profile-derived queries
+
+
+def q_profile_null_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-column null / non-null counts of lineitem from the single
+    profile pass (A4/A5, Profiler.py:604-605,630-632)."""
+    from .profile import profile_dataset
+
+    prof = profile_dataset(_read(sf_dir, "lineitem"))
+    rows = []
+    for name in sorted(prof.columns):
+        f = prof.columns[name].finalize()
+        rows.append(
+            {"column": name, "null_count": f["null_count"],
+             "non_null_count": f["non_null_count"]}
+        )
+    return pd.DataFrame(rows)
+
+
+def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
+    """min/max/mean/std/count per numeric lineitem column from merged
+    Moments partials (A9, Profiler.py:706-721)."""
+    from .profile import profile_dataset
+    from ..stages.profile_partial import ProfileConfig
+
+    prof = profile_dataset(
+        _read(sf_dir, "lineitem", LINEITEM_NUMERIC),
+        ProfileConfig(columns=LINEITEM_NUMERIC),
+    )
+    rows = []
+    for name in LINEITEM_NUMERIC:
+        m = prof.columns[name].moments
+        rows.append(
+            {
+                "column": name,
+                "n": m.n,
+                "avg_val": round(m.mean, 6),
+                "std_val": round(m.std(), 6),
+                "min_val": round(m.min, 6),
+                "max_val": round(m.max, 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-column distinct counts (A6) — the exact shuffle path the
+    profile's HLL approximates."""
+    cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", cols)
+    rows = [
+        {"column": c, "distinct_count": len(ds.unique(c))}
+        for c in cols
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_top_orderpriority(sf_dir: str) -> pd.DataFrame:
+    """Full frequency table of a low-cardinality column (top-k A7 without
+    tie ambiguity: k >= distinct)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    out = ds.groupby("o_orderpriority").count().to_pandas()
+    return out.rename(columns={"count()": "n"})
+
+
+# ---------------------------------------------------------------------------
+# partial-aggregate groupbys (pre-aggregate per batch, then tiny shuffle)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary: per-batch pandas pre-aggregation
+    inside map_batches, then a groupby-sum over the tiny partials — the
+    canonical scale pattern for low-cardinality groupbys."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(_partial, batch_format="pandas", batch_size=16384)
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+              "sum_disc", "count_order"])
+        .to_pandas()
+    )
+    final.columns = [c.replace("sum(", "").replace(")", "") for c in final.columns]
+    n = final["count_order"]
+    out = pd.DataFrame(
+        {
+            "l_returnflag": final["l_returnflag"],
+            "l_linestatus": final["l_linestatus"],
+            "sum_qty": final["sum_qty"].round(2),
+            "sum_base_price": final["sum_base_price"].round(2),
+            "sum_disc_price": final["sum_disc_price"].round(2),
+            "sum_charge": final["sum_charge"].round(2),
+            "avg_qty": (final["sum_qty"] / n).round(6),
+            "avg_price": (final["sum_base_price"] / n).round(6),
+            "avg_disc": (final["sum_disc"] / n).round(6),
+            "count_order": n.astype("int64"),
+        }
+    )
+    return out
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate: events per (event_type, hour) with value
+    sums — per-batch pre-aggregation then groupby-sum (SURVEY.md §2.9:
+    windows live in batch land, not event-time streaming)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pandas", batch_size=16384)
+    out = (
+        partials.groupby(["event_type", "hour"]).sum(["n", "sum_value"]).to_pandas()
+    )
+    out = out.rename(columns={"sum(n)": "n", "sum(sum_value)": "sum_value"})
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / referential
+
+
+def q_dup_custkeys(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-key detection (A2 generalized): o_custkey groups with
+    more than one order."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = ds.groupby("o_custkey").count()
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    out = dups.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+REF_PAIRS = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_referential_counts(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-hash semi-join pass counts for each fact→dim pair
+    (SURVEY.md §2.4: small side broadcast, never a shuffle join)."""
+    import ray
+
+    from ..stages.referential import SemiJoinCounter
+
+    rows = []
+    for name, fact, fcol, dim, dcol in REF_PAIRS:
+        dim_vals = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[dcol])[dcol].to_pylist()
+        ref = ray.put(dim_vals)
+        counts = _read(sf_dir, fact, [fcol]).map_batches(
+            SemiJoinCounter,
+            fn_constructor_args=(fcol, ref),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        agg = counts.sum(["matched", "orphan", "null"])
+        rows.append(
+            {
+                "relation": name,
+                "matched": int(agg["sum(matched)"]),
+                "orphan": int(agg["sum(orphan)"]),
+                "null_count": int(agg["sum(null)"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# transcripts (sessionization window + per-conv stats)
+
+
+def q_transcripts(sf_dir: str):
+    """The transcript fact table derived from events (window function +
+    projection). Per-turn text equality under stable (conv_id, turn_idx)
+    ordering is exactly the north-rule row invariant."""
+    from ..stages.window import sessionize_events
+
+    ds = sessionize_events(_read(sf_dir, "events"))
+    return ds.sort(["conv_id", "turn_idx"])
+
+
+def q_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation aggregate over the derived transcripts (the
+    skewed-key groupby: conv sizes are non-uniform)."""
+    from ..stages.window import sessionize_events
+
+    ds = sessionize_events(_read(sf_dir, "events"))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size"),
+            max_turn_idx=("turn_idx", "max"),
+            n_tool_turns=("tool", "count"),
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    final = (
+        partials.groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Max("max_turn_idx", alias_name="max_turn_idx"),
+            Sum("n_tool_turns", alias_name="n_tool_turns"),
+        )
+        .to_pandas()
+    )
+    final["n_turns"] = final["n_turns"].astype("int64")
+    final["n_tool_turns"] = final["n_tool_turns"].astype("int64")
+    final["max_turn_idx"] = final["max_turn_idx"].astype("int32")
+    return final[["conv_id", "n_turns", "max_turn_idx", "n_tool_turns"]]
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup, tokens, stats
+
+
+def q_docs_stats(sf_dir: str) -> pd.DataFrame:
+    """Single-row document-table census from the profile pass."""
+    from .profile import profile_dataset
+
+    prof = profile_dataset(_read(sf_dir, "documents", ["text", "lang"]))
+    text = prof.columns["text"].finalize()
+    lang = prof.columns["lang"].finalize()
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": text["total"],
+                "null_text": text["null_count"],
+                "blank_text": text["blank_count"],
+                "distinct_langs": lang["distinct_count"],
+                "max_text_len": text["max_length"],
+            }
+        ]
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup keep-first: min doc_id per distinct text (hash
+    partition on content, per-group first — SURVEY.md §2.7)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").min("doc_id").to_pandas()
+    out = out.rename(columns={"min(doc_id)": "doc_id"})[["doc_id"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_docs_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token/char counts (token counting — whitespace tokens),
+    vectorized pandas str ops inside map_batches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "token_count": df["text"].str.count(r"\S+").fillna(0).astype("int64"),
+                "char_count": df["text"].str.len().fillna(0).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_tok, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# correlation
+
+
+def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of numeric lineitem pairs from streaming
+    Gram-matrix partials (A17, Profiler.py:1019-1028)."""
+    from ..state.corr import CorrState
+
+    cols = LINEITEM_NUMERIC
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
+        import pickle
+
+        return pd.DataFrame({"state": [pickle.dumps(st)]})
+
+    import pickle
+
+    blobs = ds.map_batches(_partial, batch_format="pandas", batch_size=16384).take_all()
+    st = None
+    for r in blobs:
+        s = pickle.loads(r["state"])
+        st = s if st is None else st.merge(s)
+    corr = st.corr_matrix()
+    rows = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                rows.append({"col_x": a, "col_y": b, "corr": round(float(corr[i, j]), 6)})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+
+
+_NULLCOUNT_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, COUNT(*) - COUNT({c}) AS null_count, "
+    f"COUNT({c}) AS non_null_count FROM lineitem"
+    for c in sorted(LINEITEM_COLS)
+)
+
+_NUMSTATS_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, COUNT({c}) AS n, ROUND(AVG({c}), 6) AS avg_val, "
+    f"ROUND(STDDEV({c}), 6) AS std_val, ROUND(MIN({c}), 6) AS min_val, "
+    f"ROUND(MAX({c}), 6) AS max_val FROM lineitem"
+    for c in LINEITEM_NUMERIC
+)
+
+_DISTINCT_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, COUNT(DISTINCT {c}) AS distinct_count FROM lineitem"
+    for c in ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey", "l_suppkey"]
+)
+
+_REF_UNION = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+       COUNT(*) FILTER (f.{fcol} IS NOT NULL AND d.{dcol} IS NOT NULL) AS matched,
+       COUNT(*) FILTER (f.{fcol} IS NOT NULL AND d.{dcol} IS NULL) AS orphan,
+       COUNT(*) FILTER (f.{fcol} IS NULL) AS null_count
+       FROM {fact} f LEFT JOIN {dim} d ON f.{fcol} = d.{dcol}"""
+    for name, fact, fcol, dim, dcol in REF_PAIRS
+)
+
+_TRANSCRIPTS_SQL = """
+SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
+            WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
+            WHEN 'error' THEN 'tool' ELSE 'user' END AS role,
+       props AS text,
+       CASE WHEN event_type = 'error' THEN event_type END AS tool,
+       ts
+FROM events
+"""
+
+ORACLE: dict[str, str] = {
+    "profile_null_counts": _NULLCOUNT_UNION,
+    "numeric_stats": _NUMSTATS_UNION,
+    "distinct_counts": _DISTINCT_UNION,
+    "top_orderpriority": (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+    ),
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+               ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "dup_custkeys": (
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING COUNT(*) > 1"
+    ),
+    "referential_counts": _REF_UNION,
+    "transcripts": _TRANSCRIPTS_SQL + " ORDER BY conv_id, turn_idx",
+    "conv_stats": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL})
+        SELECT conv_id, COUNT(*) AS n_turns,
+               CAST(MAX(turn_idx) AS INTEGER) AS max_turn_idx,
+               COUNT(tool) AS n_tool_turns
+        FROM t GROUP BY conv_id
+    """,
+    "docs_stats": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(*) - COUNT(text) AS null_text,
+               COUNT(*) FILTER (text IS NOT NULL AND TRIM(text, ' \t\n\r') = '') AS blank_text,
+               COUNT(DISTINCT lang) AS distinct_langs,
+               MAX(LENGTH(text)) AS max_text_len
+        FROM documents
+    """,
+    "dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+    ),
+    "docs_tokens": """
+        SELECT doc_id,
+               CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,
+               CAST(LENGTH(text) AS BIGINT) AS char_count
+        FROM documents
+    """,
+    "corr_lineitem": "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for i, a in enumerate(LINEITEM_NUMERIC)
+        for j, b in enumerate(LINEITEM_NUMERIC)
+        if i < j
+    ),
+}
+
+QUERIES = {
+    "profile_null_counts": q_profile_null_counts,
+    "numeric_stats": q_numeric_stats,
+    "distinct_counts": q_distinct_counts,
+    "top_orderpriority": q_top_orderpriority,
+    "q1_pricing_summary": q1_pricing_summary,
+    "events_hourly": q_events_hourly,
+    "dup_custkeys": q_dup_custkeys,
+    "referential_counts": q_referential_counts,
+    "transcripts": q_transcripts,
+    "conv_stats": q_conv_stats,
+    "docs_stats": q_docs_stats,
+    "dedup_exact": q_dedup_exact,
+    "docs_tokens": q_docs_tokens,
+    "corr_lineitem": q_corr_lineitem,
+}

