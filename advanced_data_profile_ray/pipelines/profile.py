@@ -24,7 +24,8 @@ from ..stages.profile_partial import (
     merge_stage,
 )
 
-DEFAULT_BATCH_SIZE = 16384
+DEFAULT_BATCH_SIZE = 32768  # larger batches amortize per-batch sketch builds;
+# kept below 64k so batch × concurrency of wide text columns stays in heap
 MERGE_FANIN = 32
 
 

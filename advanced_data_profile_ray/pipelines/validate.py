@@ -35,7 +35,13 @@ TS_MAX_US = 4133980799999999   # 2100-12-31 23:59:59.999999
 
 
 def transcript_profile_config() -> ProfileConfig:
-    return ProfileConfig(histogram_edges={"text": TEXT_LEN_EDGES})
+    # skip exact value-count/heavy-hitter maps on the free-text column:
+    # its per-batch np.unique would sort multi-KB strings for a map that
+    # overflows immediately anyway (HLL still tracks text cardinality;
+    # length moments/histogram/t-digest still computed)
+    return ProfileConfig(
+        histogram_edges={"text": TEXT_LEN_EDGES}, skip_values=("text",)
+    )
 
 
 @dataclass
@@ -65,14 +71,15 @@ def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 
     conv_ids do NOT skew this shuffle (SURVEY.md §4). Violation rows are
     recovered with a broadcast semi-join of the (small) duplicate key set —
     no second shuffle."""
+    from ..stages.fast_ops import duplicate_keys
+
     keys = list(keys)
-    counts = ds.groupby(keys).count()
-    dups = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-    )
-    dup_rows = dups.take(materialize_limit)
+    # vectorized sort-based group count (fast_ops) over ONLY the key
+    # columns — never pushes the wide text column through the exchange
+    dup_table = duplicate_keys(ds, keys, limit=materialize_limit)
+    dup_rows = dup_table.to_pylist() if dup_table is not None else []
     n_dup_groups = len(dup_rows)
-    extra = sum(r["count()"] - 1 for r in dup_rows)
+    extra = sum(r["n"] - 1 for r in dup_rows)
 
     verdict = CheckVerdict(
         check=f"unique({', '.join(keys)})",
@@ -83,8 +90,10 @@ def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 
     if n_dup_groups:
         import ray
 
+        # NB: "\x1f" separator, not "\x00" — pandas' hashtable paths
+        # (factorize/groupby) silently truncate strings at embedded NULs
         keyset = {tuple(r[k] for k in keys) for r in dup_rows}
-        packed = pa.array(["\x00".join(map(str, t)) for t in sorted(keyset, key=str)])
+        packed = pa.array(["\x1f".join(map(str, t)) for t in sorted(keyset, key=str)])
         ref = ray.put(packed)
 
         class _DupFilter:
@@ -95,7 +104,7 @@ def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 
                 parts = [pc.cast(batch[k], pa.string()) for k in keys]
                 combined = parts[0]
                 for p in parts[1:]:
-                    combined = pc.binary_join_element_wise(combined, p, "\x00")
+                    combined = pc.binary_join_element_wise(combined, p, "\x1f")
                 return batch.filter(pc.is_in(combined, value_set=self.keyset))
 
         verdict.violations = ds.map_batches(
@@ -112,10 +121,12 @@ def referential_check(ds, column: str, dim_values, check_name: str | None = None
 
     vals = list(dim_values)
     ref = ray.put(vals)
-    counts = ds.map_batches(
+    # pass counts only need the fact column; violations (below) keep full rows
+    counts = ds.select_columns([column]).map_batches(
         SemiJoinCounter,
         fn_constructor_args=(column, ref),
         batch_format="pyarrow",
+        batch_size=65536,  # fewer is_in calls: arrow re-hashes the value set per call
         concurrency=(1, 4),
     )
     agg = counts.sum(["matched", "orphan", "null"])
@@ -154,8 +165,18 @@ def ts_range_check(ds, column: str = "ts", lo_us: int = TS_MIN_US, hi_us: int = 
         )
         return batch.filter(bad)
 
+    def _bad_count(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        bad = pc.and_(col.is_valid(), pc.or_(pc.less(col, lo), pc.greater(col, hi)))
+        return pa.table({"n": pa.array([pc.sum(bad).as_py() or 0], pa.int64())})
+
     violations = ds.map_batches(_bad, batch_format="pyarrow")
-    n = violations.count()
+    # count over the narrow column only; the violation row Dataset stays lazy
+    n = int(
+        ds.select_columns([column])
+        .map_batches(_bad_count, batch_format="pyarrow")
+        .sum("n")
+    )
     verdict = CheckVerdict(
         check=f"ts_in_range({column})",
         passed=n == 0,

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Headline: end-to-end transcript validation throughput (profiled
+turns/sec) over a deterministic synthetic transcript table sized to the
+scale factor, plus per-query timings of the oracle-checked suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": n, "turns_per_sec": r}
+
+``--scaling`` runs the headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (north-rule two-cluster-size criterion,
+evidenced at two parallelism levels per driver instruction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.environ.get("ADP_BENCH_CACHE", "/tmp/adp_bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_transcripts_dir() -> tuple[str, int]:
+    """Deterministic synthetic transcript parquet sized to the sf dir
+    (cached across runs so both scaling levels read identical input)."""
+    import pyarrow.parquet as pq
+
+    lineitem_rows = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
+    n_convs = max(1000, lineitem_rows // 2)
+    out_dir = os.path.join(CACHE_ROOT, f"transcripts_c{n_convs}_s42_dirty")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        from advanced_data_profile_ray.sources.transcripts import (
+            DIRTY,
+            write_transcript_dataset,
+        )
+
+        t0 = time.time()
+        write_transcript_dataset(out_dir, n_convs=n_convs, seed=42, cfg=DIRTY,
+                                 n_files=max(16, NUM_CPUS))
+        open(marker, "w").close()
+        log(f"generated bench transcripts in {time.time()-t0:.1f}s -> {out_dir}")
+    total = 0
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+    return out_dir, total
+
+
+def run_headline() -> dict:
+    import ray
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+    from advanced_data_profile_ray.sources.transcripts import TOOL_CATALOG
+
+    data_dir, n_turns = bench_transcripts_dir()
+    n_convs = max(1000, n_turns // 2)  # roster upper bound (clean ids are c0..c{n_convs})
+
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    rd.read_parquet(data_dir).count()
+
+    roster = [f"c{i:08d}" for i in range(n_convs)]
+    t0 = time.time()
+    ds = rd.read_parquet(data_dir)
+    report = validate_transcripts(
+        ds, valid_conv_ids=roster, valid_tools=TOOL_CATALOG,
+        max_text_null_pct=5.0, max_text_blank_pct=5.0,
+    )
+    # force verdict computation (validation engine already consumed the
+    # pipelines; to_dict touches every verdict)
+    _ = report.to_dict()
+    wall = time.time() - t0
+    return {"seconds": wall, "turns": n_turns, "turns_per_sec": n_turns / wall}
+
+
+def run_queries() -> dict:
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
+
+    import ray.data
+
+    timings = {}
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # force execution
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline()
+    queries = {} if os.environ.get("ADP_BENCH_SKIP_QUERIES") else run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "transcript_validation_wall_seconds",
+                "value": round(headline["seconds"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "turns": headline["turns"],
+                "turns_per_sec": round(headline["turns_per_sec"], 1),
+            }
+        )
+    )
+
+
+def scaling():
+    """Same headline job in fresh processes at 8 and 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            ADP_BENCH_SKIP_QUERIES="1",
+            PYTHONPATH=REPO,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "turns": lo["turns"],
+                "turns_per_sec_8": lo["turns_per_sec"],
+                "turns_per_sec_32": hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
