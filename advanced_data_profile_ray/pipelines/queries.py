@@ -364,6 +364,96 @@ def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup / ANN / text-analysis queries (training-data extensions)
+
+
+def q_dedup_exact_hash(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup via 64-bit content hash + vectorized sorted_groupby
+    (the scale path; q_dedup_exact is the direct-groupby twin)."""
+    from .dedup import exact_dedup_table
+
+    out = exact_dedup_table(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "doc_id", "text").to_pandas()
+    return out.astype("int64")
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the first 3 embeddings as queries;
+    output (qid, id) only — ranks are float-stable, raw cosines are not
+    bit-identical across engines."""
+    from .ann import brute_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(v) for v in q.sort_by("vec_id")["embedding"].to_pylist()[:3]])
+    out = brute_topk(_read(sf_dir, "embeddings"), "vec_id", "embedding", qm, k=10)
+    return out[["qid", "id"]]
+
+
+def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k (rows-only check: recall-bounded, not exact)."""
+    from .ann import ivf_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(v) for v in q.sort_by("vec_id")["embedding"].to_pylist()[:3]])
+    return ivf_topk(_read(sf_dir, "embeddings"), "vec_id", "embedding", qm, k=10)
+
+
+def q_word_freqs(sf_dir: str) -> pd.DataFrame:
+    from .text import word_frequencies
+
+    return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=50)
+
+
+def q_docs_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality features (SQL-checkable subset)."""
+    from .text import quality_scores
+
+    out = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         "doc_id", "text").to_pandas()
+    return out[["doc_id", "char_count", "token_count", "punct_ratio",
+                "digit_ratio", "upper_ratio"]]
+
+
+def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    from .dedup import minhash_near_dups
+
+    return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             "doc_id", "text", threshold=0.7)
+
+
+def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    from .dedup import simhash_near_dups
+
+    return simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    from .dedup import embedding_near_dups
+
+    return embedding_near_dups(_read(sf_dir, "embeddings"), "vec_id",
+                               "embedding", threshold=0.95)
+
+
+def q_tfidf_top_ngrams(sf_dir: str) -> pd.DataFrame:
+    from .text import tfidf_top_ngrams
+
+    return tfidf_top_ngrams(_read(sf_dir, "documents", ["text"]), top_k=20)
+
+
+def q_lang_histogram(sf_dir: str) -> pd.DataFrame:
+    from .text import language_histogram
+
+    return language_histogram(_read(sf_dir, "documents", ["text"]))
+
+
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    from .text import readability_aggregate
+
+    return pd.DataFrame([readability_aggregate(_read(sf_dir, "documents", ["text"]))])
+
+
+# ---------------------------------------------------------------------------
 # registry + oracle SQL
 
 
@@ -460,6 +550,35 @@ ORACLE: dict[str, str] = {
                CAST(LENGTH(text) AS BIGINT) AS char_count
         FROM documents
     """,
+    "dedup_exact_hash": (
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents "
+        "GROUP BY text ORDER BY keep_id"
+    ),
+    "ann_topk": """
+        SELECT q.vec_id AS qid, e.vec_id AS id
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                          e.vec_id) <= 10
+    """,
+    "word_freqs": """
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY n DESC, w LIMIT 50
+    """,
+    "docs_quality": """
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS char_count,
+               CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,
+               ROUND(LENGTH(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0
+                     / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+               ROUND(LENGTH(regexp_extract_all(text, '[0-9]')) * 1.0
+                     / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+               ROUND(LENGTH(regexp_extract_all(text, '[A-Z]')) * 1.0
+                     / GREATEST(LENGTH(text), 1), 6) AS upper_ratio
+        FROM documents
+    """,
     "corr_lineitem": "\nUNION ALL\n".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
         f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
@@ -484,4 +603,18 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,
     "corr_lineitem": q_corr_lineitem,
+    # dedup / similarity / text extensions (entries without an ORACLE twin
+    # get the driver's rows-only check; each is oracle-tested in pytest on
+    # corpora with known duplicate structure instead)
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "word_freqs": q_word_freqs,
+    "docs_quality": q_docs_quality,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "tfidf_top_ngrams": q_tfidf_top_ngrams,
+    "lang_histogram": q_lang_histogram,
+    "readability": q_readability,
 }

@@ -1,0 +1,152 @@
+"""Dedup + ANN pipelines on corpora with KNOWN duplicate structure,
+plus DuckDB cross-checks where SQL can express the op."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def make_corpus():
+    """60 base docs; ids 1000+ are exact copies, 2000+ near-dup mutations."""
+    rng = np.random.default_rng(5)
+    words = ["data", "model", "stream", "batch", "merge", "shard", "table",
+             "query", "filter", "vector", "column", "window", "group"]
+    docs = {}
+    for i in range(60):
+        docs[i] = " ".join(rng.choice(words, 40))
+    for i in range(10):  # exact copies of docs 0..9
+        docs[1000 + i] = docs[i]
+    for i in range(10):  # near-dups of docs 20..29: change last two words
+        base = docs[20 + i].split()
+        base[-2:] = ["changed", "tail"]
+        docs[2000 + i] = " ".join(base)
+    ids = sorted(docs)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array([docs[i] for i in ids], pa.string())})
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus()
+
+
+def test_exact_dedup(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import exact_dedup_table
+
+    out = exact_dedup_table(rd.from_arrow(corpus), "doc_id", "text").to_pandas()
+    con = duckdb.connect()
+    con.register("c", corpus)
+    want = con.execute(
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM c GROUP BY text ORDER BY keep_id"
+    ).fetch_df()
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), want.astype("int64")
+    )
+    # the 10 exact copies dedup away
+    assert out["n"].sum() == corpus.num_rows
+    assert (out["n"] > 1).sum() == 10
+
+
+def test_minhash_near_dups(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(
+        rd.from_arrow(corpus), "doc_id", "text", threshold=0.6
+    )
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every exact copy pair and every near-dup pair must be found
+    for i in range(10):
+        assert (i, 1000 + i) in found, f"exact pair {i} missed"
+    for i in range(10):
+        assert (20 + i, 2000 + i) in found, f"near pair {i} missed"
+    # jaccard estimates are sane
+    exact_pairs = pairs[(pairs["id_a"] < 60) & (pairs["id_b"] >= 1000) & (pairs["id_b"] < 2000)]
+    assert (exact_pairs["jaccard"] == 1.0).all()
+    near = pairs[pairs["id_b"] >= 2000]
+    assert ((near["jaccard"] > 0.6) & (near["jaccard"] < 1.0)).all()
+    assert (abs(pairs["est_jaccard"] - pairs["jaccard"]) < 0.25).all()
+
+
+def test_simhash_near_dups(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(rd.from_arrow(corpus), "doc_id", "text", max_hamming=3)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(10):  # identical docs → hamming 0
+        assert (i, 1000 + i) in found
+    zero = pairs[pairs["hamming"] == 0]
+    assert len(zero) >= 10
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 32)).astype(np.float32)
+    # ids 1000+ are tiny perturbations of ids 0..19 → cosine ≈ 1
+    near = base[:20] + rng.normal(scale=0.01, size=(20, 32)).astype(np.float32)
+    vecs = np.concatenate([base, near])
+    ids = list(range(200)) + [1000 + i for i in range(20)]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    pairs = embedding_near_dups(rd.from_arrow(t), "vec_id", "embedding",
+                                threshold=0.98)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    hits = sum((i, 1000 + i) in found for i in range(20))
+    assert hits >= 18  # LSH recall near 1 at cosine≈1
+
+
+def test_brute_topk_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.ann import brute_topk
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = np.stack(emb["embedding"].head(3).to_numpy())
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    got = brute_topk(ds, "vec_id", "embedding", queries, k=5)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW e AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')")
+    want = con.execute(
+        """SELECT q.vec_id AS qid, e.vec_id AS id,
+                  list_cosine_similarity(e.embedding, q.embedding) AS cosine
+           FROM e, (SELECT * FROM e WHERE vec_id < 3) q
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 5
+           ORDER BY qid, cosine DESC, id"""
+    ).fetch_df()
+    assert list(got["id"]) == list(want["id"])
+    np.testing.assert_allclose(got["cosine"], want["cosine"], atol=1e-5)
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.ann import brute_topk, ivf_topk
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = np.stack(emb["embedding"].head(5).to_numpy())
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = brute_topk(ds, "vec_id", "embedding", queries, k=10)
+    approx = ivf_topk(ds, "vec_id", "embedding", queries, k=10,
+                      n_centroids=8, nprobe=3)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["qid"] == qi]["id"])
+        a = set(approx[approx["qid"] == qi]["id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls

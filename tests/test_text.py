@@ -1,0 +1,175 @@
+"""Text-analysis pipelines: language ID, quality, readability, TF-IDF,
+word frequencies, fingerprints — against pure-pandas/Counter ground
+truth."""
+
+import collections
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from advanced_data_profile_ray.functions.langid import detect_language
+from advanced_data_profile_ray.functions.textstats import (
+    count_syllables,
+    doc_text_counts,
+    flesch_reading_ease,
+)
+
+
+class TestLangId:
+    def test_scripts(self):
+        assert detect_language("привет как дела сегодня")[0] == "Russian"
+        assert detect_language("你好世界这是测试")[0] == "Chinese"
+        assert detect_language("مرحبا بالعالم")[0] == "Arabic"
+        assert detect_language("こんにちは")[0] == "Japanese"
+
+    def test_latin(self):
+        assert detect_language("the quick brown fox is in the barn and it was fast")[0] == "English"
+        assert detect_language("el perro y el gato en la casa con los niños para que")[0] == "Spanish"
+        assert detect_language("der Hund ist mit den Kindern auf der Straße und nicht im Haus")[0] == "German"
+
+    def test_empty_and_none(self):
+        assert detect_language("")[0] == "English"
+        assert detect_language("12345 !!!")[0] == "English"
+
+    def test_deterministic(self):
+        t = "le chat est dans la maison et il est pour les enfants"
+        assert detect_language(t) == detect_language(t)
+
+
+class TestTextStats:
+    def test_syllables(self):
+        assert count_syllables("cat") == 1
+        assert count_syllables("table") == 2
+        assert count_syllables("beautiful") >= 3
+
+    def test_flesch_bounds(self):
+        easy = flesch_reading_ease(words=100, sentences=10, syllables=120)
+        hard = flesch_reading_ease(words=100, sentences=3, syllables=220)
+        assert easy > hard
+        assert flesch_reading_ease(0, 0, 0) == 0.0
+
+    def test_doc_counts(self):
+        c = doc_text_counts("The cat sat. The dog ran!")
+        assert c["words"] == 6
+        assert c["sentences"] == 2
+        assert c["monosyllables"] == 6
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "data systems scale with careful partitioning and streaming merges",
+        "1234 5678 9999 @@@ ### $$$ %%%",
+        "the the the the the the the the",
+        None,
+        "short",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_quality_scores(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import quality_scores
+
+    out = quality_scores(rd.from_arrow(_docs_table()), "doc_id", "text").to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[2, "quality_score"]  # prose > garbage
+    assert out.loc[2, "digit_ratio"] > 0.3
+    assert out.loc[4, "char_count"] == 0  # null text
+    assert out.loc[0, "token_count"] == 13
+
+
+def test_readability_aggregate(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import readability_aggregate
+
+    agg = readability_aggregate(rd.from_arrow(_docs_table()))
+    # direct computation
+    texts = [t for t in _docs_table()["text"].to_pylist() if t is not None]
+    want_chars = sum(len(t) for t in texts)
+    assert agg["char_count"] == want_chars
+    assert agg["docs"] == len(texts)
+    # >=5 whitespace tokens (reference splits on whitespace, so the
+    # digit/punct doc with 7 tokens counts as valid too)
+    assert agg["valid_docs"] == 4
+    assert agg["mean_flesch_reading_ease"] != 0.0
+
+
+def test_word_frequencies(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import word_frequencies
+
+    out = word_frequencies(rd.from_arrow(_docs_table()), top_k=100)
+    counter = collections.Counter()
+    for t in _docs_table()["text"].to_pylist():
+        if t:
+            counter.update(re.findall(r"[a-z']+", t.lower()))
+    got = dict(zip(out["word"], out["n"]))
+    assert got == dict(counter)
+
+
+def test_tfidf_top_ngrams(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import tfidf_top_ngrams
+
+    tbl = _docs_table()
+    out = tfidf_top_ngrams(rd.from_arrow(tbl), ngram_range=(1, 2), top_k=10)
+    # pure-pandas ground truth
+    texts = tbl["text"].to_pylist()
+    n_docs = len(texts)
+    tf, dfreq = collections.Counter(), collections.Counter()
+    for t in texts:
+        if not t:
+            continue
+        toks = re.findall(r"[a-z0-9']+", t.lower())
+        grams = toks + [" ".join(toks[i:i+2]) for i in range(len(toks)-1)]
+        tf.update(grams)
+        dfreq.update(set(grams))
+    scores = {
+        g: round(tf[g] * (math.log((1 + n_docs) / (1 + dfreq[g])) + 1) / n_docs, 8)
+        for g in tf
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["ngram"], out["mean_tfidf"]))
+    assert got == [(g, pytest.approx(s, abs=1e-8)) for g, s in want]
+
+
+def test_fingerprints_overlap(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    shifted = "PREFIX ADDED " + base  # same content, shifted alignment
+    other = "completely different content about ray data pipelines " * 10
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([base, shifted, other], pa.string())})
+    fp = fingerprints(rd.from_arrow(t), "doc_id", "text").to_pandas()
+    sets = {i: set(fp[fp["doc_id"] == i]["fp_hash"]) for i in (1, 2, 3)}
+    overlap_12 = len(sets[1] & sets[2]) / max(1, len(sets[1] | sets[2]))
+    overlap_13 = len(sets[1] & sets[3]) / max(1, len(sets[1] | sets[3]))
+    assert overlap_12 >= 0.7         # shifted copy shares fingerprints
+    assert overlap_13 < 0.05         # unrelated doc doesn't
+
+
+def test_language_histogram(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import language_histogram
+
+    t = pa.table({"text": pa.array(
+        ["hello world this is fine"] * 3 + ["привет мир сегодня"] * 2 + [None],
+        pa.string())})
+    hist = language_histogram(rd.from_arrow(t))
+    got = dict(zip(hist["detected_lang"], hist["n"]))
+    # unique-domain counting: 1 distinct English text, 1 distinct Russian
+    assert got == {"English": 1, "Russian": 1}
