@@ -364,6 +364,131 @@ def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# higher moments / outliers / decimal places / date parts / sort
+
+
+def q_moments(sf_dir: str) -> pd.DataFrame:
+    """Sample-adjusted skewness/kurtosis per numeric column from streaming
+    M1..M4 partials (A10, Profiler.py:725-726; bias corrections match
+    pandas and DuckDB)."""
+    from .profile import profile_dataset
+    from ..stages.profile_partial import ProfileConfig
+
+    prof = profile_dataset(
+        _read(sf_dir, "lineitem", LINEITEM_NUMERIC),
+        ProfileConfig(columns=LINEITEM_NUMERIC),
+    )
+    rows = []
+    for name in LINEITEM_NUMERIC:
+        m = prof.columns[name].moments
+        rows.append(
+            {"column": name, "skew": round(m.skew(), 6),
+             "kurt": round(m.kurtosis(), 6)}
+        )
+    return pd.DataFrame(rows)
+
+
+def q_outlier_pct(sf_dir: str) -> pd.DataFrame:
+    """Two-pass z-score outlier share (A11, Profiler.py:359-362,727):
+    pass 1 merged moments → broadcast (mu, sigma); pass 2 vectorized
+    |x-mu|/sigma > 3 count."""
+    from .profile import profile_dataset
+    from ..stages.profile_partial import ProfileConfig
+
+    cols = LINEITEM_NUMERIC
+    prof = profile_dataset(_read(sf_dir, "lineitem", cols), ProfileConfig(columns=cols))
+    stats = {c: (prof.columns[c].moments.mean, prof.columns[c].moments.std())
+             for c in cols}
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for c in cols:
+            mu, sd = stats[c]
+            z = (df[c] - mu).abs() / sd
+            row[c] = int((z > 3).sum())
+        row["__n"] = len(df)
+        return pd.DataFrame([row])
+
+    parts = _read(sf_dir, "lineitem", cols).map_batches(
+        _count, batch_format="pandas", batch_size=65536
+    ).to_pandas().sum()
+    n = parts["__n"]
+    return pd.DataFrame(
+        [{"column": c, "outlier_pct": round(100.0 * parts[c] / n, 6)} for c in cols]
+    )
+
+
+def q_decimal_places(sf_dir: str) -> pd.DataFrame:
+    """Max decimal places per float column (A13, Profiler.py:584-588)."""
+    from .profile import profile_dataset
+    from ..stages.profile_partial import ProfileConfig
+
+    cols = ["l_extendedprice", "l_discount", "l_tax"]
+    prof = profile_dataset(_read(sf_dir, "lineitem", cols), ProfileConfig(columns=cols))
+    return pd.DataFrame(
+        [
+            {"column": c, "max_decimal_places": prof.columns[c].maxlen.max_decimal_places}
+            for c in cols
+        ]
+    )
+
+
+def q_shipdate_parts(sf_dir: str) -> pd.DataFrame:
+    """Date-part histogram (A24, Profiler.py:780-794): counts by
+    (year, month) of l_shipdate via per-batch pre-aggregation."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            [df["l_shipdate"].dt.year.rename("y"), df["l_shipdate"].dt.month.rename("m")]
+        ).size().reset_index(name="n")
+        return g
+
+    parts = ds.map_batches(_parts, batch_format="pandas", batch_size=65536)
+    out = parts.groupby(["y", "m"]).sum(["n"]).to_pandas()
+    out = out.rename(columns={"sum(n)": "n"})
+    out["y"] = out["y"].astype("int64")
+    out["m"] = out["m"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_sample_sorted(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (§2.6: genuine global top-k path)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = ds.sort(["l_orderkey", "l_linenumber"]).limit(100).to_pandas()
+    out["l_quantity"] = out["l_quantity"].round(2)
+    return out
+
+
+def q_pca_importance(sf_dir: str) -> pd.DataFrame:
+    """PCA feature importance from the merged correlation partials (A18,
+    Profiler.py:1033-1065) — eigendecomposition on the driver, rows never
+    leave the cluster unaggregated. Rows-only check (not SQL-expressible)."""
+    import pickle
+
+    from ..state.corr import CorrState
+
+    cols = LINEITEM_NUMERIC
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
+        return pd.DataFrame({"state": [pickle.dumps(st)]})
+
+    blobs = ds.map_batches(_partial, batch_format="pandas", batch_size=65536).take_all()
+    st = None
+    for r in blobs:
+        s = pickle.loads(r["state"])
+        st = s if st is None else st.merge(s)
+    imp = st.pca_importance(n_components=4)
+    return pd.DataFrame(
+        sorted(({"column": c, "importance": round(v, 6)} for c, v in imp.items()),
+               key=lambda r: -r["importance"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup / ANN / text-analysis queries (training-data extensions)
 
 
@@ -550,6 +675,33 @@ ORACLE: dict[str, str] = {
                CAST(LENGTH(text) AS BIGINT) AS char_count
         FROM documents
     """,
+    "moments": "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, ROUND(skewness({c}), 6) AS skew, "
+        f"ROUND(kurtosis({c}), 6) AS kurt FROM lineitem"
+        for c in LINEITEM_NUMERIC
+    ),
+    "outlier_pct": "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column,
+            ROUND(100.0 * COUNT(*) FILTER (
+              ABS({c} - (SELECT AVG({c}) FROM lineitem))
+                / (SELECT STDDEV({c}) FROM lineitem) > 3) / COUNT(*), 6) AS outlier_pct
+            FROM lineitem"""
+        for c in LINEITEM_NUMERIC
+    ),
+    "decimal_places": "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, CAST(MAX(LENGTH(RTRIM(SPLIT_PART(CAST({c} AS VARCHAR), '.', 2), '0'))) AS BIGINT) AS max_decimal_places FROM lineitem"
+        for c in ["l_extendedprice", "l_discount", "l_tax"]
+    ),
+    "shipdate_parts": """
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+               CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "sample_sorted": """
+        SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
     "dedup_exact_hash": (
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents "
         "GROUP BY text ORDER BY keep_id"
@@ -603,6 +755,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,
     "corr_lineitem": q_corr_lineitem,
+    "moments": q_moments,
+    "outlier_pct": q_outlier_pct,
+    "decimal_places": q_decimal_places,
+    "shipdate_parts": q_shipdate_parts,
+    "sample_sorted": q_sample_sorted,
+    "pca_importance": q_pca_importance,
     # dedup / similarity / text extensions (entries without an ORACLE twin
     # get the driver's rows-only check; each is oracle-tested in pytest on
     # corpora with known duplicate structure instead)
