@@ -488,6 +488,56 @@ def q_pca_importance(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the value distribution per low-cardinality
+    column (A16, Profiler.py:262-282): distributed groupby-count builds
+    the (small) histogram, entropy folds on the driver."""
+    specs = [
+        ("orders", "o_orderpriority"),
+        ("lineitem", "l_returnflag"),
+        ("lineitem", "l_linestatus"),
+        ("customer", "c_mktsegment"),
+    ]
+    rows = []
+    for table, col in specs:
+        hist = _read(sf_dir, table, [col]).groupby(col).count().to_pandas()
+        p = hist["count()"].to_numpy(dtype=np.float64)
+        p = p / p.sum()
+        rows.append({"column": col,
+                     "entropy": round(float(-(p * np.log2(p)).sum()), 6)})
+    return pd.DataFrame(rows)
+
+
+def q_minmax_ts(sf_dir: str) -> pd.DataFrame:
+    """Min/max datetime per event_type (A15, Profiler.py:675-679) via
+    distributed groupby min/max aggregates."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    out = ds.groupby("event_type").min("ts").to_pandas().merge(
+        ds.groupby("event_type").max("ts").to_pandas(), on="event_type"
+    )
+    out = out.rename(columns={"min(ts)": "min_ts", "max(ts)": "max_ts"})
+    return out
+
+
+def q_non_ascii(sf_dir: str) -> pd.DataFrame:
+    """Per-lang count of documents containing non-ASCII characters (M5,
+    Profiler.py:226-228): vectorized Arrow regex per batch, pre-aggregated
+    per (batch, lang), then a tiny groupby-sum."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flag = pc.match_substring_regex(batch["text"], r"[^\x00-\x7F]")
+        t = pa.table({"lang": batch["lang"],
+                      "na": pc.cast(flag, pa.int64()),
+                      "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+        df = t.to_pandas().groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+    out = parts.groupby("lang").sum(["na", "one"]).to_pandas()
+    return out.rename(columns={"sum(na)": "non_ascii_docs", "sum(one)": "docs"})
+
+
 # ---------------------------------------------------------------------------
 # dedup / ANN / text-analysis queries (training-data extensions)
 
@@ -702,6 +752,26 @@ ORACLE: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
     """,
+    "entropy": "\nUNION ALL\n".join(
+        f"""SELECT '{col}' AS column, ROUND(-SUM(p * LOG2(p)), 6) AS entropy
+            FROM (SELECT COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM {table}) AS p
+                  FROM {table} GROUP BY {col})"""
+        for table, col in [("orders", "o_orderpriority"),
+                           ("lineitem", "l_returnflag"),
+                           ("lineitem", "l_linestatus"),
+                           ("customer", "c_mktsegment")]
+    ),
+    "minmax_ts": """
+        SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM events GROUP BY event_type
+    """,
+    "non_ascii": r"""
+        SELECT lang,
+               CAST(COUNT(*) FILTER (regexp_matches(text, '[^\x00-\x7F]')) AS BIGINT)
+                 AS non_ascii_docs,
+               COUNT(*) AS docs
+        FROM documents GROUP BY lang
+    """,
     "dedup_exact_hash": (
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents "
         "GROUP BY text ORDER BY keep_id"
@@ -761,6 +831,9 @@ QUERIES = {
     "shipdate_parts": q_shipdate_parts,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
+    "entropy": q_entropy,
+    "minmax_ts": q_minmax_ts,
+    "non_ascii": q_non_ascii,
     # dedup / similarity / text extensions (entries without an ORACLE twin
     # get the driver's rows-only check; each is oracle-tested in pytest on
     # corpora with known duplicate structure instead)
