@@ -94,6 +94,7 @@ def cmd_validate(args) -> int:
         ds, valid_conv_ids=roster,
         valid_tools=TOOL_CATALOG if args.check_tools else None,
         baseline=baseline,
+        paths=[p for p in args.paths if p.endswith(".parquet")] or None,
     )
     with open(os.path.join(args.output, "verdicts.json"), "w") as f:
         json.dump(report.to_dict(), f, indent=2)

@@ -65,18 +65,28 @@ class CheckVerdict:
 # individual checks
 
 
-def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 1_000_000):
-    """Hash-partitioned groupby on the key; groups with n>1 are duplicate
+def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 1_000_000,
+                     paths: list | None = None):
+    """Hash-partitioned exchange on the key; groups with n>1 are duplicate
     keys. The key pair is fine-grained (hash(conv_id, turn_idx)), so hot
     conv_ids do NOT skew this shuffle (SURVEY.md §4). Violation rows are
     recovered with a broadcast semi-join of the (small) duplicate key set —
-    no second shuffle."""
-    from ..stages.fast_ops import duplicate_keys
+    no second shuffle.
+
+    ``paths``: when the dataset is a plain Parquet read, pass its file
+    list to take the raw-task hash-shuffle fast path (fixed bucket
+    boundaries, no sort, reads only the key columns). Callers passing a
+    DERIVED dataset must leave paths=None (the files wouldn't reflect the
+    transformed rows)."""
+    from ..stages.fast_ops import duplicate_keys, duplicate_keys_from_files
 
     keys = list(keys)
-    # vectorized sort-based group count (fast_ops) over ONLY the key
-    # columns — never pushes the wide text column through the exchange
-    dup_table = duplicate_keys(ds, keys, limit=materialize_limit)
+    # vectorized group count over ONLY the key columns — never pushes the
+    # wide text column through the exchange
+    if paths:
+        dup_table = duplicate_keys_from_files(paths, keys, limit=materialize_limit)
+    else:
+        dup_table = duplicate_keys(ds, keys, limit=materialize_limit)
     dup_rows = dup_table.to_pylist() if dup_table is not None else []
     n_dup_groups = len(dup_rows)
     extra = sum(r["n"] - 1 for r in dup_rows)
@@ -108,7 +118,7 @@ def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 
                 return batch.filter(pc.is_in(combined, value_set=self.keyset))
 
         verdict.violations = ds.map_batches(
-            _DupFilter, batch_format="pyarrow", concurrency=(1, 4)
+            _DupFilter, batch_format="pyarrow", concurrency=(1, _cluster_cpus())
         ).sort(keys)
     return verdict
 
@@ -127,7 +137,7 @@ def referential_check(ds, column: str, dim_values, check_name: str | None = None
         fn_constructor_args=(column, ref),
         batch_format="pyarrow",
         batch_size=65536,  # fewer is_in calls: arrow re-hashes the value set per call
-        concurrency=(1, 4),
+        concurrency=(1, _cluster_cpus()),
     )
     agg = counts.sum(["matched", "orphan", "null"])
     matched, orphan, nulls = (
@@ -146,7 +156,7 @@ def referential_check(ds, column: str, dim_values, check_name: str | None = None
             AntiJoinFilter,
             fn_constructor_args=(column, ref),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=(1, _cluster_cpus()),
         ).sort(["conv_id", "turn_idx"])
     return verdict
 
@@ -233,6 +243,182 @@ def drift_check(current: TableProfile, baseline: TableProfile,
 
 
 # ---------------------------------------------------------------------------
+# fused single-pass: profile partials + ts-range count + referential
+# counters in ONE wide map_batches (saves the extra narrow passes —
+# at 100 TB that is 3 fewer scans of the fact table's key/ts columns and
+# 3 fewer rounds of task scheduling over ~10^5 blocks)
+
+
+class FusedValidationStage:
+    """Actor-pool stage emitting (column, state) partial rows: per-column
+    ColumnProfile partials PLUS SumState counters for the ts-range check
+    and each broadcast referential check. Rows ride the same tree-merge
+    as the plain profile pass (merge_stage is state-agnostic)."""
+
+    def __init__(self, cfg: ProfileConfig, ref_specs, ts_col: str | None,
+                 lo_us: int = TS_MIN_US, hi_us: int = TS_MAX_US):
+        import ray
+
+        self.cfg = cfg
+        self.ts_col = ts_col
+        self.lo = pa.scalar(lo_us, pa.timestamp("us"))
+        self.hi = pa.scalar(hi_us, pa.timestamp("us"))
+        # ref_specs: [(check_name, column, ObjectRef | list)] — value sets
+        # materialized ONCE per actor (broadcast-hash, never a shuffle)
+        self.checks = []
+        for name, column, ref in ref_specs:
+            vals = ray.get(ref) if not isinstance(ref, (set, list, tuple)) else ref
+            self.checks.append((name, column, pa.array(sorted(set(vals)))))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.profile_partial import ColumnProfile, SumState
+        from ..stages.referential import _typed_set
+
+        names, states = [], []
+        cols = self.cfg.columns or batch.column_names
+        for name in cols:
+            prof = ColumnProfile.from_batch(name, batch[name], self.cfg)
+            names.append(name)
+            states.append(pickle.dumps(prof, protocol=pickle.HIGHEST_PROTOCOL))
+        names.append("__table__")
+        states.append(
+            pickle.dumps({"row_count": batch.num_rows, "byte_size": batch.nbytes})
+        )
+        if self.ts_col is not None and self.ts_col in batch.column_names:
+            col = batch[self.ts_col]
+            bad = pc.and_(
+                col.is_valid(),
+                pc.or_(pc.less(col, self.lo), pc.greater(col, self.hi)),
+            )
+            names.append(f"__check__ts_in_range({self.ts_col})")
+            states.append(pickle.dumps(
+                SumState({"out_of_range": int(pc.sum(bad).as_py() or 0)})
+            ))
+        for name, column, value_set in self.checks:
+            col = batch[column]
+            valid = col.is_valid()
+            if len(value_set):
+                inset = pc.is_in(col, value_set=_typed_set(value_set, col))
+                matched = int(pc.sum(pc.and_(valid, inset)).as_py() or 0)
+            else:
+                matched = 0
+            nulls = len(col) - int(pc.sum(valid).as_py() or 0)
+            names.append(f"__check__{name}")
+            states.append(pickle.dumps(
+                SumState({"matched": matched, "null": nulls,
+                          "orphan": len(col) - matched - nulls})
+            ))
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "state": pa.array(states, pa.binary())})
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:
+        return 8
+
+
+# worker-process-global cache of broadcast value sets, keyed by ObjectRef.
+# Ray reuses worker processes across tasks, so a plain task-pool stage gets
+# actor-style once-per-worker init WITHOUT actor-pool scheduling (autoscaling
+# actor pools ramp up slowly and serialized this stage; task pools schedule
+# at full cluster width immediately).
+_VALUESET_CACHE: dict = {}
+
+
+def _cached_value_set(ref) -> pa.Array:
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _VALUESET_CACHE:
+        vals = ray.get(ref) if not isinstance(ref, (set, list, tuple)) else ref
+        _VALUESET_CACHE[key] = pa.array(sorted(set(vals)))
+    return _VALUESET_CACHE[key]
+
+
+def _make_fused_fn(cfg: ProfileConfig, ref_specs, ts_col: str | None,
+                   lo_us: int = TS_MIN_US, hi_us: int = TS_MAX_US):
+    """Task-pool body for the fused pass (closure captures ObjectRefs —
+    Ray serializes them into each task; value sets build once per worker
+    via _VALUESET_CACHE)."""
+    lo = pa.scalar(lo_us, pa.timestamp("us"))
+    hi = pa.scalar(hi_us, pa.timestamp("us"))
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        from ..stages.profile_partial import ColumnProfile, SumState
+        from ..stages.referential import _typed_set
+
+        names, states = [], []
+        cols = cfg.columns or batch.column_names
+        for name in cols:
+            prof = ColumnProfile.from_batch(name, batch[name], cfg)
+            names.append(name)
+            states.append(pickle.dumps(prof, protocol=pickle.HIGHEST_PROTOCOL))
+        names.append("__table__")
+        states.append(
+            pickle.dumps({"row_count": batch.num_rows, "byte_size": batch.nbytes})
+        )
+        if ts_col is not None and ts_col in batch.column_names:
+            col = batch[ts_col]
+            bad = pc.and_(
+                col.is_valid(), pc.or_(pc.less(col, lo), pc.greater(col, hi))
+            )
+            names.append(f"__check__ts_in_range({ts_col})")
+            states.append(pickle.dumps(
+                SumState({"out_of_range": int(pc.sum(bad).as_py() or 0)})
+            ))
+        for name, column, ref in ref_specs:
+            value_set = _cached_value_set(ref)
+            col = batch[column]
+            valid = col.is_valid()
+            if len(value_set):
+                inset = pc.is_in(col, value_set=_typed_set(value_set, col))
+                matched = int(pc.sum(pc.and_(valid, inset)).as_py() or 0)
+            else:
+                matched = 0
+            nulls = len(col) - int(pc.sum(valid).as_py() or 0)
+            names.append(f"__check__{name}")
+            states.append(pickle.dumps(
+                SumState({"matched": matched, "null": nulls,
+                          "orphan": len(col) - matched - nulls})
+            ))
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "state": pa.array(states, pa.binary())})
+
+    return _fn
+
+
+def _fused_pass(ds, cfg: ProfileConfig, ref_specs, ts_col,
+                batch_size: int = 32768, fanin: int = 32):
+    """Run the fused stage + tree merge; returns (TableProfile, counters)
+    where counters maps '__check__*' names to their summed dicts."""
+    from ..stages.profile_partial import merge_partial_rows, merge_stage
+
+    parts = ds.map_batches(
+        _make_fused_fn(cfg, ref_specs, ts_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    parts = parts.repartition(fanin).map_batches(
+        merge_stage, batch_format="pyarrow", batch_size=None
+    )
+    rows = parts.take_all()
+    names, blobs = merge_partial_rows(
+        [r["column"] for r in rows], [r["state"] for r in rows]
+    )
+    merged = dict(zip(names, (pickle.loads(b) for b in blobs)))
+    table_meta = merged.pop("__table__", {"row_count": 0, "byte_size": 0})
+    counters = {n[len("__check__"):]: merged.pop(n).d
+                for n in [k for k in merged if k.startswith("__check__")]}
+    profile = TableProfile(columns=merged, row_count=table_meta["row_count"],
+                           byte_size=table_meta["byte_size"])
+    return profile, counters
+
+
+# ---------------------------------------------------------------------------
 # the full engine
 
 
@@ -273,17 +459,86 @@ def validate_transcripts(
     baseline: TableProfile | None = None,
     max_text_null_pct: float = 5.0,
     max_text_blank_pct: float = 5.0,
+    fused: bool = True,
+    paths: list | None = None,
 ) -> ValidationReport:
-    profile = profile_dataset(ds, transcript_profile_config())
+    """Full engine. ``fused=True`` (default) computes profile partials,
+    the ts-range count, and both referential counters in ONE wide pass;
+    only the uniqueness shuffle (narrow: key columns) is a second pass.
+    Violation rows are constructed lazily and only for failing checks.
+    ``fused=False`` keeps the one-pass-per-check layout (same verdicts)."""
+    if not fused:
+        profile = profile_dataset(ds, transcript_profile_config())
+        verdicts = [
+            uniqueness_check(ds, paths=paths),
+            ts_range_check(ds),
+            null_blank_check(profile, "text", max_text_null_pct, max_text_blank_pct),
+        ]
+        if valid_conv_ids is not None:
+            verdicts.append(referential_check(ds, "conv_id", valid_conv_ids))
+        if valid_tools is not None:
+            verdicts.append(referential_check(ds, "tool", valid_tools))
+        if baseline is not None:
+            verdicts.append(drift_check(profile, baseline))
+        return ValidationReport(profile=profile, verdicts=verdicts)
+
+    import ray
+
+    ref_specs = []
+    refs = {}
+    if valid_conv_ids is not None:
+        refs["conv_id"] = ray.put(list(valid_conv_ids))
+        ref_specs.append(("referential(conv_id)", "conv_id", refs["conv_id"]))
+    if valid_tools is not None:
+        refs["tool"] = ray.put(list(valid_tools))
+        ref_specs.append(("referential(tool)", "tool", refs["tool"]))
+
+    profile, counters = _fused_pass(ds, transcript_profile_config(),
+                                    ref_specs, ts_col="ts")
     verdicts = [
-        uniqueness_check(ds),
-        ts_range_check(ds),
+        uniqueness_check(ds, paths=paths),
         null_blank_check(profile, "text", max_text_null_pct, max_text_blank_pct),
     ]
-    if valid_conv_ids is not None:
-        verdicts.append(referential_check(ds, "conv_id", valid_conv_ids))
-    if valid_tools is not None:
-        verdicts.append(referential_check(ds, "tool", valid_tools))
+
+    ts_stats = counters.get("ts_in_range(ts)", {"out_of_range": 0})
+    n_bad_ts = int(ts_stats["out_of_range"])
+    ts_verdict = CheckVerdict(
+        check="ts_in_range(ts)", passed=n_bad_ts == 0,
+        stats={"out_of_range": n_bad_ts}, violation_count=n_bad_ts,
+    )
+    if n_bad_ts:
+        lo = pa.scalar(TS_MIN_US, pa.timestamp("us"))
+        hi = pa.scalar(TS_MAX_US, pa.timestamp("us"))
+
+        def _bad(batch: pa.Table) -> pa.Table:
+            col = batch["ts"]
+            return batch.filter(pc.and_(
+                col.is_valid(), pc.or_(pc.less(col, lo), pc.greater(col, hi))
+            ))
+
+        ts_verdict.violations = (
+            ds.map_batches(_bad, batch_format="pyarrow")
+            .sort(["conv_id", "turn_idx"])
+        )
+    verdicts.insert(1, ts_verdict)
+
+    for name, column, _ref in ref_specs:
+        st = counters.get(name, {"matched": 0, "orphan": 0, "null": 0})
+        v = CheckVerdict(
+            check=name, passed=st["orphan"] == 0,
+            stats={"matched": int(st["matched"]), "orphan": int(st["orphan"]),
+                   "null": int(st["null"])},
+            violation_count=int(st["orphan"]),
+        )
+        if st["orphan"]:
+            v.violations = ds.map_batches(
+                AntiJoinFilter,
+                fn_constructor_args=(column, refs[column]),
+                batch_format="pyarrow",
+                concurrency=(1, _cluster_cpus()),
+            ).sort(["conv_id", "turn_idx"])
+        verdicts.append(v)
+
     if baseline is not None:
         verdicts.append(drift_check(profile, baseline))
     return ValidationReport(profile=profile, verdicts=verdicts)

@@ -116,7 +116,14 @@ def sorted_groupby(ds, keys: list, aggs: list, batch_size: int | None = 65536):
         edge[last] = True
         return batch.append_column("__edge", pa.array(edge, pa.bool_()))
 
-    tagged = merged.map_batches(_tag_edges, batch_format="pyarrow", batch_size=None)
+    # materialize ONCE before the inner/edge split: both consumers below
+    # would otherwise re-execute the lazy pipeline independently — and each
+    # re-execution re-samples sort boundaries, so the edge set of one run
+    # would not match the block layout of the other (loses straddling
+    # groups) and the whole shuffle would run twice.
+    tagged = merged.map_batches(
+        _tag_edges, batch_format="pyarrow", batch_size=None
+    ).materialize()
     inner = tagged.map_batches(
         lambda t: t.filter(pc.invert(t["__edge"])).drop_columns(["__edge"]),
         batch_format="pyarrow", batch_size=None,
@@ -145,27 +152,202 @@ def sorted_group_counts(ds, keys: list):
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
 
 
+def _mix_key_hashes(batch: pa.Table, keys: list) -> "np.ndarray":
+    """Deterministic 64-bit hash of the key tuple per row (numpy uint64,
+    wrap-around mixing; identical across processes via pandas SipHash)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..state.hll import hash64_arrow
+
+    acc = None
+    C = np.uint64(0x9E3779B97F4A7C15)
+    for k in keys:
+        col = batch[k]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash64_arrow(col).astype(np.uint64)
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+        acc = h if acc is None else (acc * C + h)  # wrapping mul/add
+    return acc
+
+
+def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = None,
+                              limit: int = 2_000_000):
+    """File-backed uniqueness fast path: a TRUE hash-partition exchange
+    with raw Ray tasks (the one place the Dataset API can't express the
+    semantics — Ray Data has no hash repartition, and its sort-based
+    groupby re-samples boundaries per execution).
+
+    map (1 task / file): read ONLY the key columns, hash each key tuple
+    to uint64, split by the top hash bits into ``n_reducers`` buckets
+    (fixed boundaries — no sampling, deterministic, no skew: hashes are
+    uniform). reduce (1 task / bucket): concat + np.unique(counts) →
+    duplicate hashes. No edges, no stitching: each hash lands in exactly
+    one reducer, so counts are exact by construction.
+
+    Returns a pyarrow.Table (keys..., n) of exact duplicate key groups
+    (hash collisions resolved by an exact verify pass over the files).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if n_reducers is None:
+        n_reducers = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    # power of two for cheap top-bit bucketing
+    K = 1 << (n_reducers - 1).bit_length()
+    shift = np.uint64(64 - (K - 1).bit_length()) if K > 1 else np.uint64(63)
+
+    @ray.remote(num_returns=K)
+    def _map_hashes(path):
+        t = pq.read_table(path, columns=keys)
+        h = _mix_key_hashes(t, keys)
+        b = (h >> shift).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        hb = h[order]
+        bounds = np.searchsorted(b[order], np.arange(K + 1))
+        out = tuple(hb[bounds[i]:bounds[i + 1]] for i in range(K))
+        return out if K > 1 else out[0]
+
+    @ray.remote
+    def _reduce_dups(*parts):
+        allh = np.concatenate([p for p in parts if p.size]) if parts else np.empty(0, np.uint64)
+        if allh.size == 0:
+            return np.empty(0, np.uint64)
+        u, c = np.unique(allh, return_counts=True)
+        return u[c > 1]
+
+    @ray.remote
+    def _verify(path, dup_ref):
+        dups = dup_ref
+        t = pq.read_table(path, columns=keys)
+        h = _mix_key_hashes(t, keys)
+        if dups.size == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(dups, h)
+        pos[pos == dups.size] = 0
+        return t.filter(pa.array(dups[pos] == h))
+
+    map_refs = [_map_hashes.remote(p) for p in paths]
+    if K == 1:
+        map_refs = [[r] for r in map_refs]
+    dup_parts = ray.get(
+        [_reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
+         for k in range(K)]
+    )
+    dup_hashes = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.uint64)
+    if dup_hashes.size == 0:
+        return None
+    dup_ref = ray.put(dup_hashes)
+    hits = pa.concat_tables(ray.get([_verify.remote(p, dup_ref) for p in paths]))
+    g = hits.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+    g = g.rename_columns([("n" if c == "count_all" else c) for c in g.column_names])
+    out = g.filter(pc.greater(g["n"], 1))
+    if out.num_rows == 0:
+        return None
+    if out.num_rows > limit:
+        out = out.slice(0, limit)
+    return out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])
+
+
 def duplicate_keys(ds, keys: list, limit: int = 2_000_000):
     """Keys whose group count > 1 — the uniqueness-check core. Returns a
     pyarrow.Table (keys..., n) materialized on the driver (duplicate sets
     are assumed small; counts are exact regardless).
 
-    At 10^12 rows the edge set is 2×num_blocks rows and the inner dup set
-    is the true violation count — both tiny relative to input.
+    Two narrow passes, both over ONLY the key columns:
+
+    1. hash pass — mix the key tuple to uint64 per row, pre-aggregate per
+       batch (np.unique), exchange + sort the (hash, n) pairs (an int64
+       sort, ~5× cheaper than sorting string tuples), re-aggregate per
+       sorted block, keep rows with n>1 plus the 2 block-edge rows; the
+       driver merges edges → candidate duplicate-hash set.
+    2. verify pass — broadcast the candidate hash set, pull the actual
+       key rows whose hash is in it, and group them EXACTLY on the driver
+       (the candidate set is tiny: true dups + ~0 hash collisions at
+       2^-64 pair rate), so collisions never inflate the result.
     """
-    inner, edge = sorted_group_counts(ds.select_columns(keys), keys)
-    inner_dups = inner.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow",
-        batch_size=None,
+    import numpy as np
+
+    import ray
+
+    narrow = ds.select_columns(keys)
+
+    def _hash_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = _mix_key_hashes(batch, keys)
+        uniq, counts = np.unique(h, return_counts=True)
+        # int64 view of the uint64 hash: keeps every downstream layer
+        # (arrow sort, from_pylist inference) in signed-int territory
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    pre = narrow.map_batches(_hash_counts, batch_format="pyarrow", batch_size=65536)
+    s = pre.sort("h")
+
+    def _reagg_and_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__edge", pa.array([], pa.bool_()))
+        g = batch.group_by(["h"], use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns([("n" if c == "n_sum" else c) for c in g.column_names])
+        idx = pc.sort_indices(g, sort_keys=[("h", "ascending")])
+        first, last = idx[0].as_py(), idx[-1].as_py()
+        edge = [False] * g.num_rows
+        edge[first] = True
+        edge[last] = True
+        edge_arr = pa.array(edge, pa.bool_())
+        return g.append_column("__edge", edge_arr).filter(
+            pc.or_(edge_arr, pc.greater(g["n"], 1))
+        )
+
+    # limit covers dups + 2 edge rows per block (num_blocks() would
+    # trigger an extra execution, so the slack is folded into limit)
+    rows = s.map_batches(
+        _reagg_and_filter, batch_format="pyarrow", batch_size=None
     ).take(limit)
-    parts = []
-    if inner_dups:
-        parts.append(pa.Table.from_pylist(inner_dups))
-    if edge is not None:
-        edge_dups = edge.filter(pc.greater(edge["n"], 1))
-        if edge_dups.num_rows:
-            parts.append(edge_dups)
-    if not parts:
+    if not rows:
         return None
-    out = pa.concat_tables([p.select(keys + ["n"]) for p in parts])
-    return out.sort_by([(k, "ascending") for k in keys])
+    t = pa.Table.from_pylist(rows)
+    edge_t = t.filter(t["__edge"])
+    inner = t.filter(pc.invert(t["__edge"]))
+    cand = {}
+    for h, n in zip(inner["h"].to_pylist(), inner["n"].to_pylist()):
+        cand[h] = cand.get(h, 0) + n
+    for h, n in zip(edge_t["h"].to_pylist(), edge_t["n"].to_pylist()):
+        cand[h] = cand.get(h, 0) + n
+    dup_hashes = np.array(sorted(h for h, n in cand.items() if n > 1),
+                          dtype=np.int64)
+    if dup_hashes.size == 0:
+        return None
+
+    # pass 2: exact verification — recover the key rows behind the
+    # candidate hashes and count them exactly on the driver
+    ref = ray.put(dup_hashes)
+
+    def _recover(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hs = ray.get(ref)
+        h = _mix_key_hashes(batch, keys).view(np.int64)
+        pos = np.searchsorted(hs, h)
+        pos[pos == hs.size] = 0
+        mask = hs[pos] == h
+        return batch.filter(pa.array(mask))
+
+    hit_rows = narrow.map_batches(
+        _recover, batch_format="pyarrow", batch_size=65536
+    ).take(limit)
+    if not hit_rows:
+        return None
+    ht = pa.Table.from_pylist(hit_rows)
+    g = ht.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+    g = g.rename_columns([("n" if c == "count_all" else c) for c in g.column_names])
+    out = g.filter(pc.greater(g["n"], 1))
+    if out.num_rows == 0:
+        return None
+    return out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])

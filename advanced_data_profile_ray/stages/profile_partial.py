@@ -30,7 +30,7 @@ from ..state import (
     TypeVote,
     ValueCounts,
 )
-from ..state.hll import hash64
+from ..state.hll import hash64, hash64_arrow
 
 
 @dataclass
@@ -139,12 +139,19 @@ class ColumnProfile:
             p.non_ascii = bool(
                 pc.any(pc.match_substring_regex(nn, r"[^\x00-\x7F]")).as_py()
             )
-            svals = nn.to_numpy(zero_copy_only=False)
-            p.hll = HyperLogLog.from_hashes(hash64(svals), cfg.hll_p)
+            # hash the Arrow buffers directly (hash64_arrow) — no Python
+            # string materialization on the wide-text hot path
+            p.hll = HyperLogLog.from_hashes(hash64_arrow(nn), cfg.hll_p)
+            mm = pc.min_max(nn)
+            p.minmax = MinMax(mm["min"].as_py(), mm["max"].as_py())
             if not skip_vals:
-                p.vc = ValueCounts.from_array(svals, cfg.vc_cap)
-                p.hh = HeavyHitters.from_array(svals, cfg.hh_capacity)
-            p.minmax = MinMax.from_array(svals)
+                # one arrow C++ value_counts feeds both sketches (np.unique
+                # over Python strings was the hot spot here)
+                vcs = pc.value_counts(nn)
+                vals = vcs.field("values").to_pylist()
+                cnts = vcs.field("counts").to_pylist()
+                p.vc = ValueCounts.from_pairs(vals, cnts, cfg.vc_cap)
+                p.hh = HeavyHitters.from_pairs(vals, cnts, cfg.hh_capacity)
         return p
 
     # ------------------------------------------------------------------
@@ -229,6 +236,23 @@ def _max_decimal_places(vals: np.ndarray) -> int:
     s = pd.Series(vals).astype(str)
     frac = s.str.partition(".")[2].str.rstrip("0")
     return int(frac.str.len().max() or 0)
+
+
+class SumState:
+    """Mergeable dict-of-number counters — lets fused pipeline stages ride
+    the same (column, state) partial-row protocol as ColumnProfile (any
+    named state with a ``.merge`` slots into merge_partial_rows)."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d: dict):
+        self.d = dict(d)
+
+    def merge(self, o: "SumState") -> "SumState":
+        out = dict(self.d)
+        for k, v in o.d.items():
+            out[k] = out.get(k, 0) + v
+        return SumState(out)
 
 
 def make_partial_fn(cfg: ProfileConfig):

@@ -103,6 +103,18 @@ class ValueCounts:
         vc.counts = Counter(dict(zip(vals.tolist(), cnts.tolist())))
         return vc
 
+    @classmethod
+    def from_pairs(cls, vals: list, cnts: list, cap: int = 4096) -> "ValueCounts":
+        """From precomputed (values, counts) — lets the batch fn reuse one
+        arrow ``pc.value_counts`` call for both ValueCounts and
+        HeavyHitters instead of np.unique over Python objects."""
+        vc = cls(cap)
+        if len(vals) > cap:
+            vc.overflow = True
+            return vc
+        vc.counts = Counter(dict(zip(vals, cnts)))
+        return vc
+
     def merge(self, o: "ValueCounts") -> "ValueCounts":
         out = ValueCounts(self.cap)
         out.overflow = self.overflow or o.overflow

@@ -34,6 +34,13 @@ class HeavyHitters:
         sk._trim()
         return sk
 
+    @classmethod
+    def from_pairs(cls, vals: list, cnts: list, capacity: int = 512) -> "HeavyHitters":
+        sk = cls(capacity)
+        sk.counts = Counter(dict(zip(vals, cnts)))
+        sk._trim()
+        return sk
+
     def _trim(self) -> None:
         if len(self.counts) <= self.capacity:
             return

@@ -6,24 +6,43 @@ whole column. Standard HLL (Flajolet et al. 2007) with linear-counting
 small-range correction; merge = elementwise register max, which is
 associative and commutative so partials merge in any order.
 
-Hashing uses ``pandas.util.hash_array`` (SipHash-based, 64-bit, fixed key)
-— deterministic across processes and vectorized for both numeric and
-object/string arrays.
+Hashing: numeric arrays via ``pandas.util.hash_array`` (SipHash, fixed
+key); string arrays via polars' vectorized xxhash-family ``Series.hash``
+(~50× faster than pandas on multi-KB strings — pandas walks Python
+objects, polars hashes the Arrow buffers directly). Both deterministic
+across processes within one environment. POLARS_MAX_THREADS is pinned to
+1 before first import so Ray workers (1 CPU each) don't oversubscribe.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
 
 
+def _polars():
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    return pl
+
+
 def hash64(values: np.ndarray) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a numpy array (any dtype)."""
     if values.dtype == object:
-        values = values.astype(str).astype(object)
+        pl = _polars()
+        return pl.Series(values.astype(str)).hash(seed=0).to_numpy()
     return pd.util.hash_array(values, categorize=False)
+
+
+def hash64_arrow(arr) -> np.ndarray:
+    """64-bit hash of a pyarrow (chunked) array without materializing
+    Python strings (polars reads the Arrow buffers zero-copy)."""
+    pl = _polars()
+    return pl.from_arrow(arr).hash(seed=0).to_numpy()
 
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}

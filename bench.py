@@ -46,7 +46,11 @@ def bench_transcripts_dir() -> tuple[str, int]:
 
     lineitem_rows = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
     n_convs = max(1000, lineitem_rows // 2)
-    out_dir = os.path.join(CACHE_ROOT, f"transcripts_c{n_convs}_s42_dirty")
+    # 64 files regardless of NUM_CPUS: both scaling levels must read the
+    # IDENTICAL input, and 2×max-parallelism map tasks keep the uniqueness
+    # hash-shuffle fast path fully wide at 32 CPUs
+    n_files = 64
+    out_dir = os.path.join(CACHE_ROOT, f"transcripts_c{n_convs}_s42_f{n_files}_dirty")
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         from advanced_data_profile_ray.sources.transcripts import (
@@ -56,7 +60,7 @@ def bench_transcripts_dir() -> tuple[str, int]:
 
         t0 = time.time()
         write_transcript_dataset(out_dir, n_convs=n_convs, seed=42, cfg=DIRTY,
-                                 n_files=max(16, NUM_CPUS))
+                                 n_files=n_files)
         open(marker, "w").close()
         log(f"generated bench transcripts in {time.time()-t0:.1f}s -> {out_dir}")
     total = 0
@@ -80,11 +84,15 @@ def run_headline() -> dict:
     rd.read_parquet(data_dir).count()
 
     roster = [f"c{i:08d}" for i in range(n_convs)]
+    paths = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
     t0 = time.time()
     ds = rd.read_parquet(data_dir)
     report = validate_transcripts(
         ds, valid_conv_ids=roster, valid_tools=TOOL_CATALOG,
-        max_text_null_pct=5.0, max_text_blank_pct=5.0,
+        max_text_null_pct=5.0, max_text_blank_pct=5.0, paths=paths,
     )
     # force verdict computation (validation engine already consumed the
     # pipelines; to_dict touches every verdict)

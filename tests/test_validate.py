@@ -213,3 +213,37 @@ def test_full_report_on_dirty(ray_session, dirty_table):
 def test_dim_tables():
     assert dim_tool_catalog().num_rows == len(TOOL_CATALOG)
     assert dim_conv_roster(10)["conv_id"].to_pylist()[0] == "c00000000"
+
+
+def test_file_backed_uniqueness_matches_sort_path(ray_session, dirty_table, tmp_path_factory):
+    """duplicate_keys_from_files (raw-task hash shuffle) must agree
+    exactly with the Dataset sort path AND the DuckDB oracle."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import (
+        duplicate_keys,
+        duplicate_keys_from_files,
+    )
+    from advanced_data_profile_ray.sources.transcripts import write_transcript_dataset
+
+    out = tmp_path_factory.mktemp("uniq_files")
+    paths = write_transcript_dataset(str(out), n_convs=500, seed=7, cfg=DIRTY,
+                                     n_files=5)
+    keys = ["conv_id", "turn_idx"]
+    via_files = duplicate_keys_from_files(paths, keys)
+    via_sort = duplicate_keys(rd.read_parquet(paths), keys)
+    assert via_files is not None and via_sort is not None
+    # file path preserves parquet's int32 turn_idx; sort path promotes to
+    # int64 via from_pylist — compare values, not physical types
+    for col in ("conv_id", "turn_idx", "n"):
+        assert via_files[col].to_pylist() == via_sort[col].to_pylist()
+
+    con = duckdb.connect()
+    con.register("t", dirty_table)
+    truth = con.execute(
+        "SELECT conv_id, turn_idx, COUNT(*) AS n FROM t GROUP BY 1,2 "
+        "HAVING COUNT(*) > 1 ORDER BY 1,2"
+    ).fetch_arrow_table()
+    assert via_files.num_rows == truth.num_rows
+    assert via_files["n"].to_pylist() == truth["n"].to_pylist()
+    assert via_files["conv_id"].to_pylist() == truth["conv_id"].to_pylist()
