@@ -71,6 +71,10 @@ class ColumnProfile:
     def from_batch(cls, name: str, col: pa.ChunkedArray | pa.Array, cfg: ProfileConfig) -> "ColumnProfile":
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_floating(col.type):
+            # reference parity: pandas isnull() counts NaN payloads as
+            # null (Profiler.py:630); arrow keeps NaN as a value
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
         p = cls(name)
         n = len(col)
         nulls = col.null_count
