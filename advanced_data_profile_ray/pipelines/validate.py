@@ -87,6 +87,10 @@ def uniqueness_check(ds, keys=("conv_id", "turn_idx"), materialize_limit: int = 
         dup_table = duplicate_keys_from_files(paths, keys, limit=materialize_limit)
     else:
         dup_table = duplicate_keys(ds, keys, limit=materialize_limit)
+    return _uniqueness_verdict(ds, keys, dup_table)
+
+
+def _uniqueness_verdict(ds, keys: list, dup_table) -> CheckVerdict:
     dup_rows = dup_table.to_pylist() if dup_table is not None else []
     n_dup_groups = len(dup_rows)
     extra = sum(r["n"] - 1 for r in dup_rows)
@@ -329,14 +333,47 @@ def _cluster_cpus() -> int:
 _VALUESET_CACHE: dict = {}
 
 
-def _cached_value_set(ref) -> pa.Array:
+def _cached_value_set(ref) -> "np.ndarray":
+    """Worker-cached broadcast value set as a SORTED numpy array (see
+    broadcast_value_set). Accepts legacy list/pa.Array refs too."""
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _VALUESET_CACHE:
-        vals = ray.get(ref) if not isinstance(ref, (set, list, tuple)) else ref
-        _VALUESET_CACHE[key] = pa.array(sorted(set(vals)))
+        vals = ray.get(ref) if not isinstance(ref, (set, list, tuple, pa.Array, np.ndarray)) else ref
+        if isinstance(vals, np.ndarray):
+            arr = vals  # pre-sorted by broadcast_value_set
+        else:
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if isinstance(vals, pa.Array):
+                arr = pc.unique(vals).to_numpy(zero_copy_only=False)
+            else:
+                arr = np.asarray(list(dict.fromkeys(vals)))
+            if arr.dtype == object:
+                arr = arr.astype(np.str_)
+            arr = np.sort(arr)
+        _VALUESET_CACHE[key] = arr
     return _VALUESET_CACHE[key]
+
+
+def broadcast_value_set(vals) -> "object":
+    """ray.put a SORTED numpy array dimension side for the fused
+    referential membership test. Sorted-array + np.searchsorted per batch
+    is exact and O(batch·log|dim|) with NO per-batch hash-table build —
+    pc.is_in re-hashes the whole value set on every call, which costs
+    ~0.5s/batch against a multi-million-key roster."""
+    import ray
+
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if isinstance(vals, pa.Array):
+        arr = pc.unique(vals).to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(list(dict.fromkeys(vals)))
+    if arr.dtype == object:
+        arr = arr.astype(np.str_)
+    return ray.put(np.sort(arr))
 
 
 def _make_fused_fn(cfg: ProfileConfig, ref_specs, ts_col: str | None,
@@ -371,15 +408,19 @@ def _make_fused_fn(cfg: ProfileConfig, ref_specs, ts_col: str | None,
                 SumState({"out_of_range": int(pc.sum(bad).as_py() or 0)})
             ))
         for name, column, ref in ref_specs:
-            value_set = _cached_value_set(ref)
+            value_set = _cached_value_set(ref)  # sorted numpy array
             col = batch[column]
-            valid = col.is_valid()
-            if len(value_set):
-                inset = pc.is_in(col, value_set=_typed_set(value_set, col))
-                matched = int(pc.sum(pc.and_(valid, inset)).as_py() or 0)
+            nvalid = len(col) - col.null_count
+            nulls = len(col) - nvalid
+            if value_set.size and nvalid:
+                vals = col.drop_null().to_numpy(zero_copy_only=False)
+                if vals.dtype == object:
+                    vals = vals.astype(np.str_)
+                pos = np.searchsorted(value_set, vals)
+                pos_c = np.minimum(pos, value_set.size - 1)
+                matched = int((value_set[pos_c] == vals).sum())
             else:
                 matched = 0
-            nulls = len(col) - int(pc.sum(valid).as_py() or 0)
             names.append(f"__check__{name}")
             states.append(pickle.dumps(
                 SumState({"matched": matched, "null": nulls,
@@ -392,7 +433,7 @@ def _make_fused_fn(cfg: ProfileConfig, ref_specs, ts_col: str | None,
 
 
 def _fused_pass(ds, cfg: ProfileConfig, ref_specs, ts_col,
-                batch_size: int = 32768, fanin: int = 32):
+                batch_size: int | None = 262144, fanin: int = 32):
     """Run the fused stage + tree merge; returns (TableProfile, counters)
     where counters maps '__check__*' names to their summed dicts."""
     from ..stages.profile_partial import merge_partial_rows, merge_stage
@@ -401,9 +442,13 @@ def _fused_pass(ds, cfg: ProfileConfig, ref_specs, ts_col,
         _make_fused_fn(cfg, ref_specs, ts_col),
         batch_format="pyarrow",
         batch_size=batch_size,
+        zero_copy_batch=True,
     )
-    parts = parts.repartition(fanin).map_batches(
-        merge_stage, batch_format="pyarrow", batch_size=None
+    # distributed merge level WITHOUT a repartition barrier: batch_size
+    # coalescing pulls ~4k partial rows per merge task (order-agnostic,
+    # associative merge), so the driver folds ≤ cols×num_merge_tasks rows
+    parts = parts.map_batches(
+        merge_stage, batch_format="pyarrow", batch_size=4096
     )
     rows = parts.take_all()
     names, blobs = merge_partial_rows(
@@ -487,16 +532,33 @@ def validate_transcripts(
     ref_specs = []
     refs = {}
     if valid_conv_ids is not None:
-        refs["conv_id"] = ray.put(list(valid_conv_ids))
+        refs["conv_id"] = broadcast_value_set(valid_conv_ids)
         ref_specs.append(("referential(conv_id)", "conv_id", refs["conv_id"]))
     if valid_tools is not None:
-        refs["tool"] = ray.put(list(valid_tools))
+        refs["tool"] = broadcast_value_set(valid_tools)
         ref_specs.append(("referential(tool)", "tool", refs["tool"]))
+
+    # kick off the uniqueness hash exchange BEFORE the fused pass — the
+    # raw tasks run concurrently with the Dataset pipeline, so the job's
+    # wall time is max(pass, exchange) + verify instead of their sum
+    uniq_handle = None
+    if paths:
+        from ..stages.fast_ops import (
+            finish_duplicate_keys_from_files,
+            start_duplicate_keys_from_files,
+        )
+
+        uniq_handle = start_duplicate_keys_from_files(paths, ["conv_id", "turn_idx"])
 
     profile, counters = _fused_pass(ds, transcript_profile_config(),
                                     ref_specs, ts_col="ts")
+    if uniq_handle is not None:
+        dup_table = finish_duplicate_keys_from_files(uniq_handle)
+        uniq_verdict = _uniqueness_verdict(ds, ["conv_id", "turn_idx"], dup_table)
+    else:
+        uniq_verdict = uniqueness_check(ds)
     verdicts = [
-        uniqueness_check(ds, paths=paths),
+        uniq_verdict,
         null_blank_check(profile, "text", max_text_null_pct, max_text_blank_pct),
     ]
 

@@ -71,7 +71,11 @@ def gen_transcripts(
     seed: int = 42,
     cfg: ViolationConfig | None = None,
     mean_turns: float = 10.0,
+    conv_offset: int = 0,
 ) -> pa.Table:
+    """``conv_offset`` shifts the conv-id range to [offset, offset+n_convs)
+    so independent shards can be generated in parallel with disjoint
+    conversations (see write_transcript_dataset_sharded)."""
     cfg = cfg or CLEAN
     rng = np.random.default_rng(seed)
 
@@ -80,7 +84,7 @@ def gen_transcripts(
     sizes = np.maximum(sizes, 1)
     n = int(sizes.sum())
 
-    conv_ord = np.repeat(np.arange(n_convs), sizes)
+    conv_ord = np.repeat(np.arange(conv_offset, conv_offset + n_convs), sizes)
     conv_id = np.char.add("c", np.char.zfill(conv_ord.astype(str), 8))
     # contiguous 0..k-1 turn_idx within each conversation
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
@@ -195,4 +199,40 @@ def write_transcript_dataset(
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
         pq.write_table(table.slice(lo, hi - lo), path)
         paths.append(path)
+    return paths
+
+
+def write_transcript_dataset_sharded(
+    out_dir: str,
+    n_convs: int,
+    seed: int = 42,
+    cfg: ViolationConfig | None = None,
+    n_files: int = 64,
+    parallel: bool = True,
+) -> list[str]:
+    """Shard-independent generation: each file covers a disjoint conv-id
+    range and is generated from its own derived seed, so (a) driver RAM is
+    bounded by ONE shard regardless of total size, and (b) shards generate
+    in parallel as Ray tasks. Deterministic: same (n_convs, seed, cfg,
+    n_files) → identical bytes, any parallelism."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = [n_convs * (i + 1) // n_files - n_convs * i // n_files for i in range(n_files)]
+    offsets = [n_convs * i // n_files for i in range(n_files)]
+    paths = [os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(n_files)]
+
+    def _write_one(i: int) -> str:
+        t = gen_transcripts(per[i], seed=seed * 100003 + i, cfg=cfg,
+                            conv_offset=offsets[i])
+        pq.write_table(t, paths[i])
+        return paths[i]
+
+    if parallel:
+        import ray
+
+        if ray.is_initialized():
+            fn = ray.remote(_write_one)
+            ray.get([fn.remote(i) for i in range(n_files)])
+            return paths
+    for i in range(n_files):
+        _write_one(i)
     return paths

@@ -173,12 +173,13 @@ def _mix_key_hashes(batch: pa.Table, keys: list) -> "np.ndarray":
     return acc
 
 
-def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = None,
-                              limit: int = 2_000_000):
-    """File-backed uniqueness fast path: a TRUE hash-partition exchange
-    with raw Ray tasks (the one place the Dataset API can't express the
-    semantics — Ray Data has no hash repartition, and its sort-based
-    groupby re-samples boundaries per execution).
+def start_duplicate_keys_from_files(paths: list, keys: list,
+                                    n_reducers: int | None = None) -> dict:
+    """Launch the uniqueness hash-partition exchange WITHOUT blocking:
+    returns a handle whose pending reduce futures run concurrently with
+    whatever Dataset pipeline the caller executes next (the two passes
+    of the validation engine are independent — overlapping them removes
+    one full pipeline latency from the job's critical path).
 
     map (1 task / file): read ONLY the key columns, hash each key tuple
     to uint64, split by the top hash bits into ``n_reducers`` buckets
@@ -186,9 +187,6 @@ def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = 
     uniform). reduce (1 task / bucket): concat + np.unique(counts) →
     duplicate hashes. No edges, no stitching: each hash lands in exactly
     one reducer, so counts are exact by construction.
-
-    Returns a pyarrow.Table (keys..., n) of exact duplicate key groups
-    (hash collisions resolved by an exact verify pass over the files).
     """
     import numpy as np
     import pyarrow.parquet as pq
@@ -220,9 +218,34 @@ def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = 
         u, c = np.unique(allh, return_counts=True)
         return u[c > 1]
 
+    map_refs = [_map_hashes.remote(p) for p in paths]
+    if K == 1:
+        map_refs = [[r] for r in map_refs]
+    reduce_refs = [
+        _reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
+        for k in range(K)
+    ]
+    return {"reduce_refs": reduce_refs, "paths": paths, "keys": keys}
+
+
+def finish_duplicate_keys_from_files(handle: dict, limit: int = 2_000_000):
+    """Collect the exchange started by start_duplicate_keys_from_files
+    and run the exact verify pass (hash collisions resolved by grouping
+    the recovered key rows exactly). Returns pa.Table (keys..., n) or
+    None when no duplicates exist."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    paths, keys = handle["paths"], handle["keys"]
+    dup_parts = ray.get(handle["reduce_refs"])
+    dup_hashes = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.uint64)
+    if dup_hashes.size == 0:
+        return None
+
     @ray.remote
-    def _verify(path, dup_ref):
-        dups = dup_ref
+    def _verify(path, dups):
         t = pq.read_table(path, columns=keys)
         h = _mix_key_hashes(t, keys)
         if dups.size == 0:
@@ -231,16 +254,6 @@ def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = 
         pos[pos == dups.size] = 0
         return t.filter(pa.array(dups[pos] == h))
 
-    map_refs = [_map_hashes.remote(p) for p in paths]
-    if K == 1:
-        map_refs = [[r] for r in map_refs]
-    dup_parts = ray.get(
-        [_reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
-         for k in range(K)]
-    )
-    dup_hashes = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.uint64)
-    if dup_hashes.size == 0:
-        return None
     dup_ref = ray.put(dup_hashes)
     hits = pa.concat_tables(ray.get([_verify.remote(p, dup_ref) for p in paths]))
     g = hits.group_by(keys, use_threads=False).aggregate([([], "count_all")])
@@ -251,6 +264,15 @@ def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = 
     if out.num_rows > limit:
         out = out.slice(0, limit)
     return out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])
+
+
+def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = None,
+                              limit: int = 2_000_000):
+    """Blocking wrapper: start + finish the file-backed uniqueness
+    exchange (see start_duplicate_keys_from_files for the design)."""
+    return finish_duplicate_keys_from_files(
+        start_duplicate_keys_from_files(paths, keys, n_reducers), limit
+    )
 
 
 def duplicate_keys(ds, keys: list, limit: int = 2_000_000):

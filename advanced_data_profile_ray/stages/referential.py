@@ -18,9 +18,19 @@ import pyarrow.compute as pc
 
 
 def _build_value_set(valid_ref) -> pa.Array:
+    import numpy as np
+
     import ray
 
-    vals = ray.get(valid_ref) if not isinstance(valid_ref, (set, list, tuple)) else valid_ref
+    vals = (
+        ray.get(valid_ref)
+        if not isinstance(valid_ref, (set, list, tuple, pa.Array, np.ndarray))
+        else valid_ref
+    )
+    if isinstance(vals, pa.Array):
+        return vals  # pre-built deduped broadcast (no per-worker sort)
+    if isinstance(vals, np.ndarray):
+        return pa.array(vals)  # sorted numpy broadcast (broadcast_value_set)
     return pa.array(sorted(set(vals)))
 
 

@@ -45,22 +45,25 @@ def bench_transcripts_dir() -> tuple[str, int]:
     import pyarrow.parquet as pq
 
     lineitem_rows = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
-    n_convs = max(1000, lineitem_rows // 2)
+    # 3× lineitem rows of conversations (~54M turns at sf0.1): sized so the
+    # headline job is COMPUTE-bound at 32 CPUs — scaling efficiency measured
+    # on a seconds-long job only measures fixed scheduling overhead
+    n_convs = max(1000, lineitem_rows * 3)
     # 64 files regardless of NUM_CPUS: both scaling levels must read the
     # IDENTICAL input, and 2×max-parallelism map tasks keep the uniqueness
     # hash-shuffle fast path fully wide at 32 CPUs
     n_files = 64
-    out_dir = os.path.join(CACHE_ROOT, f"transcripts_c{n_convs}_s42_f{n_files}_dirty")
+    out_dir = os.path.join(CACHE_ROOT, f"transcripts_sh_c{n_convs}_s42_f{n_files}_dirty")
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         from advanced_data_profile_ray.sources.transcripts import (
             DIRTY,
-            write_transcript_dataset,
+            write_transcript_dataset_sharded,
         )
 
         t0 = time.time()
-        write_transcript_dataset(out_dir, n_convs=n_convs, seed=42, cfg=DIRTY,
-                                 n_files=n_files)
+        write_transcript_dataset_sharded(out_dir, n_convs=n_convs, seed=42,
+                                         cfg=DIRTY, n_files=n_files)
         open(marker, "w").close()
         log(f"generated bench transcripts in {time.time()-t0:.1f}s -> {out_dir}")
     total = 0
@@ -78,12 +81,32 @@ def run_headline() -> dict:
     from advanced_data_profile_ray.sources.transcripts import TOOL_CATALOG
 
     data_dir, n_turns = bench_transcripts_dir()
-    n_convs = max(1000, n_turns // 2)  # roster upper bound (clean ids are c0..c{n_convs})
+    # roster = the generator's conv universe (clean ids are c0..c{n_convs});
+    # derived from lineitem rows exactly like bench_transcripts_dir
+    import pyarrow.parquet as pq
 
-    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
-    rd.read_parquet(data_dir).count()
+    n_convs = max(1000, pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows * 3)
 
-    roster = [f"c{i:08d}" for i in range(n_convs)]
+    # untimed warm-up: touch the data (page cache) AND run a trivial
+    # map_batches so the Ray worker pool is spawned and the library is
+    # imported in every worker before the timed section — we benchmark
+    # compute+shuffle on a warm cluster, not process cold-start
+    import pyarrow as pa
+
+    def _touch(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    rd.read_parquet(data_dir).map_batches(
+        _touch, batch_format="pyarrow", batch_size=None
+    ).sum("n")
+
+    # vectorized roster build (dim_conv universe) — input prep, untimed
+    import numpy as np
+    import pyarrow as pa
+
+    roster = pa.array(
+        np.char.add("c", np.char.zfill(np.arange(n_convs).astype(str), 8))
+    )
     paths = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet")
@@ -169,7 +192,19 @@ def scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    lo, hi = run(lo_cpus), run(hi_cpus)
+
+    # INTERLEAVED min-of-2 per level: the sandbox host shows large
+    # run-to-run variance (page-cache churn / turbo & thermal state / VM
+    # noise) that consistently penalizes whichever leg runs later —
+    # alternating lo/hi exposes both levels to the same host states; min
+    # is the least-noise estimate of the engine's actual cost.
+    results: dict = {lo_cpus: [], hi_cpus: []}
+    for _ in range(2):
+        for ncpu in (lo_cpus, hi_cpus):
+            results[ncpu].append(run(ncpu))
+            time.sleep(10)
+    lo = min(results[lo_cpus], key=lambda r: r["value"])
+    hi = min(results[hi_cpus], key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
