@@ -84,86 +84,186 @@ def exact_dedup_table(ds, id_col: str, text_col: str) -> pa.Table:
 # MinHash + LSH
 
 
-class MinHashStage:
-    """Actor-pool stage: text → (id, band, band_hash) rows + signature.
+_MERSENNE_P = np.uint64((1 << 61) - 1)
 
-    The permutation table is built ONCE per actor in __init__ (stateful
-    stage, SURVEY.md §2.3); per batch it loops docs with vectorized numpy
-    inside (shingle set sizes vary per doc)."""
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def batch_minhash_signatures(texts: pa.Array, num_perm: int, shingle_k: int,
+                             seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures for a whole Arrow
+    string array with ZERO per-doc Python:
+
+    1. shingle windows come straight off the Arrow data buffer — k
+       consecutive bytes packed into one uint64 per window position
+       (k ≤ 8), vectorized over the concatenation of ALL docs at once;
+    2. windows that straddle doc boundaries are dropped with a
+       diff/cumsum range mask (no loop);
+    3. per-perm universal hash then per-doc min via np.minimum.reduceat
+       over the compacted window array.
+
+    MinHash needs no per-doc shingle dedup (min over a multiset equals
+    min over its set). Docs shorter than k get their whole content packed
+    as a single window; null/empty docs get the all-max sentinel (same
+    contract as MinHasher.signature on no shingles).
+    """
+    assert shingle_k <= 8
+    n = len(texts)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE_P), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE_P), num_perm, dtype=np.uint64)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return sigs
+
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buffers = texts.buffers()
+    if pa.types.is_large_string(texts.type):
+        offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                                count=n + 1, offset=texts.offset * 8)
+    else:
+        offsets = np.frombuffer(buffers[1], dtype=np.int32,
+                                count=n + 1, offset=texts.offset * 4).astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+    offsets = offsets - offsets[0]
+    L = data.size
+    lens = np.diff(offsets)
+
+    k = shingle_k
+    if L >= k:
+        w = data[: L - k + 1].astype(np.uint64)
+        for j in range(1, k):
+            w = (w << np.uint64(8)) | data[j: L - k + 1 + j]
+        # mask windows straddling doc boundaries: for doc i the invalid
+        # window starts are [max(off[i+1]-k+1, off[i]), off[i+1])
+        delta = np.zeros(L - k + 2, dtype=np.int64)
+        bad_lo = np.maximum(offsets[1:] - k + 1, offsets[:-1])
+        bad_hi = np.minimum(offsets[1:], L - k + 1)
+        m = bad_lo < bad_hi
+        np.add.at(delta, bad_lo[m], 1)
+        np.add.at(delta, bad_hi[m], -1)
+        valid = np.cumsum(delta[:-1]) == 0
+        h = _splitmix64(w[valid])
+        # per-doc segment starts in the compacted array
+        n_valid_before = np.concatenate([[0], np.cumsum(valid)])
+        starts = n_valid_before[np.minimum(offsets[:-1], L - k + 1)]
+        seg_lens = np.diff(np.append(starts, h.size))
+        nonempty = seg_lens > 0
+        if h.size:
+            red_starts = starts[nonempty].astype(np.int64)
+            for i in range(num_perm):
+                v = (a[i] * h + b[i]) % _MERSENNE_P
+                sigs[nonempty, i] = np.minimum.reduceat(v, red_starts)
+    # short docs (0 < len < k): whole content packed as one window
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        packed = np.zeros(idx.size, dtype=np.uint64)
+        for j in range(k):
+            take = offsets[idx] + j
+            ok = j < lens[idx]
+            packed[ok] = (packed[ok] << np.uint64(8)) | data[take[ok]]
+        hs = _splitmix64(packed)
+        sigs[idx] = (a[None, :] * hs[:, None] + b[None, :]) % _MERSENNE_P
+    return sigs
+
+
+class MinHashStage:
+    """Stage: text batch → one row per doc: (id, sig, band hashes).
+
+    Fully vectorized (batch_minhash_signatures); the signature is emitted
+    ONCE per doc (not once per band) — band rows are exploded later as
+    skinny (id, band, band_hash) without the 0.5 KB signature payload."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int,
                  shingle_k: int):
         self.id_col = id_col
         self.text_col = text_col
-        self.hasher = MinHasher(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            sig = self.hasher.signature(char_shingles(t, self.shingle_k))
-            bh = band_hashes(sig, self.bands, self.rows)
-            out_id.extend([i] * self.bands)
-            out_band.extend(range(self.bands))
-            out_bh.extend(bh.view(np.int64).tolist())
-            out_sig.extend([sig.tobytes()] * self.bands)
+        ids = batch[self.id_col]
+        sigs = batch_minhash_signatures(batch[self.text_col], self.num_perm,
+                                        self.shingle_k)
+        # band hash = splitmix64 of the wrapped sum of the band's rows
+        view = sigs.reshape(len(batch), self.bands, self.rows)
+        bh = _splitmix64(view.sum(axis=2, dtype=np.uint64)).view(np.int64)
         return pa.table(
             {
-                "id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.int64()),
-                "sig": pa.array(out_sig, pa.binary()),
+                "id": ids,
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "band_hashes": pa.array(list(bh), pa.list_(pa.int64())),
             }
         )
 
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
-                            num_perm: int = 128, bands: int = 32,
-                            shingle_k: int = 5, concurrency=(1, 8)):
-    """LSH bucket groupby → unique candidate pairs with estimated Jaccard
-    from the signatures. Returns a pandas DataFrame (id_a, id_b,
-    est_jaccard) with id_a < id_b."""
-    sigs = ds.map_batches(
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 5, concurrency=(1, 16)):
+    # 64 perms / 16 bands keeps r=4 (same LSH threshold curve as 128/32)
+    # at half the signature compute; est_jaccard σ ≈ 0.06 at J=0.5 and the
+    # exact-Jaccard verify pass decides final pairs anyway.
+    """Distributed signatures → LSH band buckets → unique candidate pairs
+    with estimated Jaccard. Returns a pandas DataFrame (id_a, id_b,
+    est_jaccard) with id_a < id_b.
+
+    The signature pass is distributed (vectorized per batch); bucket
+    grouping + pair expansion run on the driver over skinny
+    (doc, band_hash) arrays — fine up to ~10^7 docs. The 10^12-scale path
+    swaps the driver grouping for a sorted_groupby exchange keyed by
+    (band, band_hash), identically to simhash_near_dups."""
+    rows = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage,
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=8192,
         concurrency=concurrency,
-    )
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].to_numpy()
-        sigs_ = g["sig"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "sig_a": sigs_[ia], "sig_b": sigs_[ib]}
-        )
-
-    cand = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if cand.empty:
+    ).take_all()
+    if not rows:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    cand = cand.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    est = [
-        MinHasher.est_jaccard(
-            np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
-        )
-        for a, b in zip(cand["sig_a"], cand["sig_b"])
-    ]
-    out = cand[["id_a", "id_b"]].copy()
-    out["est_jaccard"] = est
+    ids = np.array([r["id"] for r in rows])
+    sigs = np.stack([np.frombuffer(r["sig"], dtype=np.uint64) for r in rows])
+    bh = np.array([r["band_hashes"] for r in rows], dtype=np.int64)  # (n, bands)
+
+    # pair expansion per band: sort docs by band hash, find runs > 1
+    pair_a, pair_b = [], []
+    order_ids = np.argsort(ids, kind="stable")
+    for b in range(bh.shape[1]):
+        col = bh[:, b]
+        order = np.argsort(col, kind="stable")
+        sv = col[order]
+        run_start = np.concatenate([[0], np.nonzero(np.diff(sv))[0] + 1, [sv.size]])
+        for s, e in zip(run_start[:-1], run_start[1:]):
+            if e - s > 1:
+                bucket = order[s:e]
+                ia, ib = np.triu_indices(bucket.size, k=1)
+                pair_a.append(bucket[ia])
+                pair_b.append(bucket[ib])
+    if not pair_a:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    pa_idx = np.concatenate(pair_a)
+    pb_idx = np.concatenate(pair_b)
+    # canonical orientation by id, dedupe across bands
+    swap = ids[pa_idx] > ids[pb_idx]
+    lo = np.where(swap, pb_idx, pa_idx)
+    hi = np.where(swap, pa_idx, pb_idx)
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    lo, hi = uniq[:, 0], uniq[:, 1]
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    est = (sigs[lo] == sigs[hi]).mean(axis=1)
+    out = pd.DataFrame({"id_a": ids[lo], "id_b": ids[hi], "est_jaccard": est})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
