@@ -90,12 +90,14 @@ def profile_dataset(ds, cfg: ProfileConfig | None = None,
     """
     cfg = cfg or ProfileConfig()
     parts = ds.map_batches(
-        make_partial_fn(cfg), batch_format="pyarrow", batch_size=batch_size
+        make_partial_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
-    # distributed merge level: coalesce partial blocks (no shuffle) and
-    # merge within each coalesced block
-    parts = parts.repartition(fanin).map_batches(
-        merge_stage, batch_format="pyarrow", batch_size=None
+    # distributed merge level WITHOUT a repartition barrier: batch_size
+    # coalescing pulls ~4k partial rows per merge task (order-agnostic,
+    # associative merge), so the driver folds ≤ cols×num_merge_tasks rows
+    parts = parts.map_batches(
+        merge_stage, batch_format="pyarrow", batch_size=4096
     )
     rows = parts.take_all()
     names, blobs = merge_partial_rows(

@@ -206,19 +206,33 @@ REF_PAIRS = [
 def q_referential_counts(sf_dir: str) -> pd.DataFrame:
     """Broadcast-hash semi-join pass counts for each fact→dim pair
     (SURVEY.md §2.4: small side broadcast, never a shuffle join)."""
-    import ray
-
-    from ..stages.referential import SemiJoinCounter
+    from ..pipelines.validate import _cached_value_set, broadcast_value_set
 
     rows = []
     for name, fact, fcol, dim, dcol in REF_PAIRS:
-        dim_vals = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[dcol])[dcol].to_pylist()
-        ref = ray.put(dim_vals)
+        dim_vals = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[dcol])[dcol]
+        ref = broadcast_value_set(dim_vals.combine_chunks())
+
+        def _count(batch: pa.Table, fcol=fcol, ref=ref) -> pa.Table:
+            vs = _cached_value_set(ref)  # sorted numpy, built once/worker
+            col = batch[fcol]
+            nvalid = len(col) - col.null_count
+            nulls = len(col) - nvalid
+            matched = 0
+            if vs.size and nvalid:
+                vals = col.drop_null().to_numpy(zero_copy_only=False)
+                if vals.dtype == object:
+                    vals = vals.astype(np.str_)
+                else:
+                    vals = vals.astype(vs.dtype, copy=False)
+                pos = np.minimum(np.searchsorted(vs, vals), vs.size - 1)
+                matched = int((vs[pos] == vals).sum())
+            return pa.table({"matched": pa.array([matched], pa.int64()),
+                             "orphan": pa.array([nvalid - matched], pa.int64()),
+                             "null": pa.array([nulls], pa.int64())})
+
         counts = _read(sf_dir, fact, [fcol]).map_batches(
-            SemiJoinCounter,
-            fn_constructor_args=(fcol, ref),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            _count, batch_format="pyarrow", batch_size=65536
         )
         agg = counts.sum(["matched", "orphan", "null"])
         rows.append(
