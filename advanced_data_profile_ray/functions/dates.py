@@ -113,19 +113,47 @@ def find_format(sample: pa.Array | pa.ChunkedArray, candidates=None) -> str | No
     return None
 
 
+# Worker-process-global cache: each Ray worker accumulates (column, fmt)
+# hits across the batches it sees, so repeat batches of the same column
+# try the known-winning format FIRST (the live analog of the reference's
+# consulted-on-every-parse pickled cache, Profiler.py:181-193). Merge
+# across workers happens through checkpoint metadata when callers pass
+# the cache explicitly.
+WORKER_FORMAT_CACHE = None
+
+
+def get_worker_format_cache() -> "FormatCache":
+    global WORKER_FORMAT_CACHE
+    if WORKER_FORMAT_CACHE is None:
+        WORKER_FORMAT_CACHE = FormatCache()
+    return WORKER_FORMAT_CACHE
+
+
 def try_parse_datetime_strings(
-    arr: pa.Array | pa.ChunkedArray, sample_size: int = 64
+    arr: pa.Array | pa.ChunkedArray, sample_size: int = 64,
+    column: str | None = None, cache: "FormatCache | None" = None,
 ) -> pa.Array | None:
     """Format-search on a sample, then vectorized full parse with the
-    winner. Returns the parsed timestamp[us] array or None."""
+    winner. Returns the parsed timestamp[us] array or None.
+
+    When ``column`` is given, the search consults the (worker-global or
+    provided) FormatCache first — cache-frequency-ordered candidates —
+    and records the winner back, so subsequent batches of the same
+    column skip the format search almost entirely."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     nn = arr.drop_null()
     if len(nn) == 0:
         return None
-    fmt = find_format(nn.slice(0, sample_size))
+    candidates = None
+    if column is not None:
+        cache = cache if cache is not None else get_worker_format_cache()
+        candidates = cache.candidates_for(column)
+    fmt = find_format(nn.slice(0, sample_size), candidates)
     if fmt is None:
         return None
+    if column is not None and cache is not None:
+        cache.record(column, fmt)
     return parse_with_format(arr, fmt)
 
 

@@ -41,8 +41,11 @@ def _all_midnight(ts: pa.ChunkedArray | pa.Array) -> bool:
     return res.as_py() is not False  # all-null counts as True, like pandas .all()
 
 
-def logical_type_of(arr: pa.ChunkedArray | pa.Array, sample_for_dates: int = 200) -> str:
-    """Classify one batch's column; merge across batches via TypeVote."""
+def logical_type_of(arr: pa.ChunkedArray | pa.Array, sample_for_dates: int = 200,
+                    column: str | None = None) -> str:
+    """Classify one batch's column; merge across batches via TypeVote.
+    ``column`` keys the worker-global date-format cache so repeat batches
+    of one column try the known-winning strptime format first."""
     if len(arr) == 0 or arr.null_count == len(arr):
         return "empty"
     t = arr.type
@@ -63,7 +66,7 @@ def logical_type_of(arr: pa.ChunkedArray | pa.Array, sample_for_dates: int = 200
         from .functions.dates import try_parse_datetime_strings
 
         sample = arr.drop_null().slice(0, sample_for_dates)
-        parsed = try_parse_datetime_strings(sample)
+        parsed = try_parse_datetime_strings(sample, column=column)
         if parsed is not None:
             return "date" if _all_midnight(parsed) else "timestamp"
         return "string"

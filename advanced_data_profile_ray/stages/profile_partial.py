@@ -86,7 +86,7 @@ class ColumnProfile:
             trimmed = pc.utf8_trim_whitespace(col)
             blank = int(pc.sum(pc.equal(trimmed, "")).as_py() or 0)
         p.nullblank = NullBlank(total=n, null_count=nulls, blank_count=blank)
-        p.typevote = TypeVote(logical_type_of(col))
+        p.typevote = TypeVote(logical_type_of(col, column=name))
 
         nn = col.drop_null()
         if len(nn) == 0:

@@ -173,3 +173,33 @@ def test_language_histogram(ray_session):
     got = dict(zip(hist["detected_lang"], hist["n"]))
     # unique-domain counting: 1 distinct English text, 1 distinct Russian
     assert got == {"English": 1, "Russian": 1}
+
+
+def test_format_cache_orders_candidates_and_records():
+    """S4 parity: the format cache is consulted first and updated on every
+    winning parse (Profiler.py:126-135,181-193 as a mergeable counter)."""
+    import pyarrow as pa
+
+    from advanced_data_profile_ray.functions.dates import (
+        ALL_FORMATS,
+        FormatCache,
+        try_parse_datetime_strings,
+    )
+
+    cache = FormatCache()
+    arr = pa.array(["12/31/2021 10:00:00", "01/02/2022 11:30:00"])
+    out = try_parse_datetime_strings(arr, column="ts_col", cache=cache)
+    assert out is not None
+    [(key, n)] = cache.hits.items()
+    assert key[0] == "ts_col" and n == 1
+    fmt = key[1]
+    # cache-first candidate ordering on the next call
+    assert cache.candidates_for("ts_col")[0] == fmt
+    # second parse bumps the counter
+    try_parse_datetime_strings(arr, column="ts_col", cache=cache)
+    assert cache.hits[key] == 2
+    # merge = counter sum (checkpoint metadata contract)
+    merged = cache.merge(cache)
+    assert merged.hits[key] == 4
+    # unknown column falls back to canonical order
+    assert cache.candidates_for("other")[: len(ALL_FORMATS)] == ALL_FORMATS
