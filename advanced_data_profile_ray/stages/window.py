@@ -45,18 +45,25 @@ def sessionize_events(ds):
         ds, "user_id", ["ts", "event_id"], out_col="turn_idx"
     )
 
-    def _shape(df: pd.DataFrame) -> pd.DataFrame:
+    def _shape(df: pd.DataFrame) -> pa.Table:
         role = df["event_type"].map(ROLE_MAP).fillna("user")
-        out = pd.DataFrame(
+        # explicit Arrow types: a batch with no tool turns would otherwise
+        # infer an all-NaN float64 `tool` column (block schema divergence
+        # + NaN-vs-null mismatches downstream)
+        tool = np.where(role.to_numpy() == "tool",
+                        df["event_type"].to_numpy(dtype=object), None)
+        return pa.table(
             {
-                "conv_id": "c" + df["user_id"].astype(str).str.zfill(8),
-                "turn_idx": df["turn_idx"].astype("int32"),
-                "role": role,
-                "text": df["props"],
-                "tool": df["event_type"].where(role == "tool"),
-                "ts": df["ts"],
+                "conv_id": pa.array(
+                    ("c" + df["user_id"].astype(str).str.zfill(8)).to_numpy(dtype=object),
+                    pa.string(),
+                ),
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(), pa.int32()),
+                "role": pa.array(role.to_numpy(dtype=object), pa.string()),
+                "text": pa.array(df["props"].to_numpy(dtype=object), pa.string()),
+                "tool": pa.array(tool, pa.string()),
+                "ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
             }
         )
-        return out
 
     return numbered.map_batches(_shape, batch_format="pandas")
