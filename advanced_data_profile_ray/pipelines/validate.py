@@ -206,6 +206,14 @@ def null_blank_check(profile: TableProfile, column: str,
                      max_null_pct: float = 100.0, max_blank_pct: float = 100.0):
     """Verdict over the profile pass's null/blank partials — no extra
     data pass (the north rule names null/blank counts as separate stats)."""
+    if column not in profile.columns:
+        # zero-row input produces zero partial batches → no columns;
+        # the check passes vacuously
+        return CheckVerdict(
+            check=f"null_blank({column})", passed=True,
+            stats={"null_count": 0, "blank_count": 0,
+                   "null_pct": 0.0, "blank_pct": 0.0},
+        )
     f = profile.columns[column].finalize()
     total = max(1, f["total"])
     null_pct = 100.0 * f["null_count"] / total

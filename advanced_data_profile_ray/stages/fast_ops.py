@@ -212,7 +212,8 @@ def start_duplicate_keys_from_files(paths: list, keys: list,
 
     @ray.remote
     def _reduce_dups(*parts):
-        allh = np.concatenate([p for p in parts if p.size]) if parts else np.empty(0, np.uint64)
+        nonempty = [p for p in parts if p.size]
+        allh = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
         if allh.size == 0:
             return np.empty(0, np.uint64)
         u, c = np.unique(allh, return_counts=True)

@@ -247,3 +247,47 @@ def test_file_backed_uniqueness_matches_sort_path(ray_session, dirty_table, tmp_
     assert via_files.num_rows == truth.num_rows
     assert via_files["n"].to_pylist() == truth["n"].to_pylist()
     assert via_files["conv_id"].to_pylist() == truth["conv_id"].to_pylist()
+
+
+def test_empty_dataset_validation(ray_session, tmp_path):
+    """Zero-row input: profile has no columns (documented contract),
+    every check passes vacuously, nothing crashes."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+    from advanced_data_profile_ray.sources.transcripts import gen_transcripts
+
+    empty = gen_transcripts(2, seed=1).slice(0, 0)
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, p)
+    report = validate_transcripts(
+        rd.read_parquet(p), valid_conv_ids=["c00000000"], valid_tools=["t"],
+        paths=[p],
+    )
+    assert report.passed, [v.to_dict() for v in report.verdicts if not v.passed]
+    assert all(v.violation_count == 0 for v in report.verdicts)
+
+
+def test_all_null_tool_column(ray_session):
+    """A batch column that is entirely null must not break the fused
+    referential counter (nulls are counted separately, not as orphans)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import validate_transcripts
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user"]),
+        "text": pa.array(["a", "b", "c"]),
+        "tool": pa.array([None, None, None], pa.string()),
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+    })
+    report = validate_transcripts(rd.from_arrow(t), valid_conv_ids=["c1", "c2"],
+                                  valid_tools=["tool_000"])
+    d = {v.check: v for v in report.verdicts}
+    assert d["referential(tool)"].passed
+    assert d["referential(tool)"].stats == {"matched": 0, "orphan": 0, "null": 3}
+    assert d["referential(conv_id)"].stats["matched"] == 3
