@@ -89,6 +89,88 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def batch_window_hashes(texts, k: int):
+    """64-bit polynomial hashes of every k-byte window of every doc in an
+    Arrow string array, with ZERO per-doc Python: one pass over the
+    concatenated data buffer, boundary-straddling windows masked via a
+    diff/cumsum range trick, splitmix64 finalizer.
+
+    Returns (hashes, doc_idx, seg_starts):
+      hashes    — uint64, all valid windows in document order,
+      doc_idx   — int64 doc index per hash,
+      seg_starts — int64 start offset of each doc's (possibly empty)
+                   hash segment; docs shorter than k contribute ONE hash
+                   of their whole content.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, wrapping
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), z, z
+
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buffers = texts.buffers()
+    if pa.types.is_large_string(texts.type):
+        offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                                count=n + 1, offset=texts.offset * 8)
+    else:
+        offsets = np.frombuffer(buffers[1], dtype=np.int32,
+                                count=n + 1, offset=texts.offset * 4).astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
+    offsets = offsets - offsets[0]
+    L = data.size
+    lens = np.diff(offsets)
+
+    # per-doc window counts: full windows for len>=k, one whole-doc hash
+    # for 0<len<k (parity with the single-doc rolling_fingerprint)
+    counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    hashes = np.empty(total, np.uint64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    if L >= k:
+        w = np.zeros(L - k + 1, dtype=np.uint64)
+        for j in range(k):
+            w = w * C + data[j: L - k + 1 + j]
+        delta = np.zeros(L - k + 2, dtype=np.int64)
+        bad_lo = np.maximum(offsets[1:] - k + 1, offsets[:-1])
+        bad_hi = np.minimum(offsets[1:], L - k + 1)
+        m = bad_lo < bad_hi
+        np.add.at(delta, bad_lo[m], 1)
+        np.add.at(delta, bad_hi[m], -1)
+        valid = np.cumsum(delta[:-1]) == 0
+        full = lens >= k
+        hv = splitmix64(w[valid])
+        # valid windows are already in document order; they fill the
+        # segments of full-length docs exactly
+        fill = np.repeat(full, counts)
+        hashes[fill] = hv
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        packed = np.zeros(idx.size, dtype=np.uint64)
+        for j in range(int(lens[idx].max())):
+            take = offsets[idx] + j
+            ok = j < lens[idx]
+            packed[ok] = packed[ok] * C + data[take[ok]]
+        hashes[seg_starts[idx]] = splitmix64(packed)
+    return hashes, doc_idx, seg_starts
+
+
 def rolling_fingerprint(text: str, window: int = 16, keep_mod: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: hash every char window and
     keep hashes ≡ 0 (mod keep_mod) — a deterministic, alignment-robust

@@ -630,6 +630,20 @@ def q_tfidf_top_ngrams(sf_dir: str) -> pd.DataFrame:
     return tfidf_top_ngrams(_read(sf_dir, "documents", ["text"]), top_k=20)
 
 
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint counts per doc (rows-only check: hash values
+    are engine-internal; the per-doc count is stable and the containment
+    primitive is oracle-tested in pytest on known-overlap corpora)."""
+    from .text import fingerprints
+
+    fp = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      "doc_id", "text")
+    out = fp.groupby("doc_id").count().to_pandas()
+    out = out.rename(columns={"count()": "n_fingerprints"})
+    out["n_fingerprints"] = out["n_fingerprints"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_histogram(sf_dir: str) -> pd.DataFrame:
     from .text import language_histogram
 
@@ -861,5 +875,6 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "tfidf_top_ngrams": q_tfidf_top_ngrams,
     "lang_histogram": q_lang_histogram,
+    "doc_fingerprints": q_doc_fingerprints,
     "readability": q_readability,
 }

@@ -240,17 +240,23 @@ def word_frequencies(ds, text_col: str = "text", top_k: int = 50) -> pd.DataFram
 def fingerprints(ds, id_col: str, text_col: str, window: int = 16,
                  keep_mod: int = 8):
     """Per-doc winnowing fingerprints as (id, fingerprint_hash) rows —
-    the containment-detection primitive."""
-    from ..functions.hashing import rolling_fingerprint
+    the containment-detection primitive. Fully vectorized: window hashes
+    come straight off the Arrow string buffers (batch_window_hashes),
+    mod-p selection + per-doc dedup via one np.unique over (doc, hash)
+    pairs — no per-doc Python."""
+    import pyarrow as pa
 
-    def _fp(df: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
-        for i, t in zip(df[id_col], df[text_col]):
-            fps = rolling_fingerprint(t or "", window, keep_mod)
-            ids.extend([i] * len(fps))
-            hashes.extend(fps.view(np.int64).tolist())
-        return pd.DataFrame({id_col: ids, "fp_hash": hashes})
+    from ..functions.hashing import batch_window_hashes
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        h, doc_idx, _ = batch_window_hashes(batch[text_col], window)
+        keep = h % np.uint64(keep_mod) == 0
+        pairs = np.stack([doc_idx[keep], h[keep].view(np.int64)], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        ids = batch[id_col].take(pa.array(pairs[:, 0]))
+        return pa.table({id_col: ids,
+                         "fp_hash": pa.array(pairs[:, 1], pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        _fp, batch_format="pandas", batch_size=4096
+        _fp, batch_format="pyarrow", batch_size=8192
     )

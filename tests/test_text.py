@@ -148,9 +148,17 @@ def test_fingerprints_overlap(ray_session):
 
     from advanced_data_profile_ray.pipelines.text import fingerprints
 
-    base = "the quick brown fox jumps over the lazy dog " * 10
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "tokens", "stream", "merge",
+             "window", "sketch", "verify", "buffer", "anchor", "winnow"]
+    # non-repetitive text → many distinct windows → stable Jaccard
+    base = " ".join(rng.choice(words, 400))
     shifted = "PREFIX ADDED " + base  # same content, shifted alignment
-    other = "completely different content about ray data pipelines " * 10
+    other_words = ["zulu", "quark", "nimbus", "osprey", "jackal", "vortex",
+                   "rhubarb", "kelp", "umber", "pylon", "crag", "fjord"]
+    other = " ".join(rng.choice(other_words, 400))
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                   "text": pa.array([base, shifted, other], pa.string())})
     fp = fingerprints(rd.from_arrow(t), "doc_id", "text").to_pandas()
