@@ -98,22 +98,17 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def batch_minhash_signatures(texts: pa.Array, num_perm: int, shingle_k: int,
                              seed: int = 1) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures for a whole Arrow
-    string array with ZERO per-doc Python:
-
-    1. shingle windows come straight off the Arrow data buffer — k
-       consecutive bytes packed into one uint64 per window position
-       (k ≤ 8), vectorized over the concatenation of ALL docs at once;
-    2. windows that straddle doc boundaries are dropped with a
-       diff/cumsum range mask (no loop);
-    3. per-perm universal hash then per-doc min via np.minimum.reduceat
-       over the compacted window array.
-
-    MinHash needs no per-doc shingle dedup (min over a multiset equals
-    min over its set). Docs shorter than k get their whole content packed
-    as a single window; null/empty docs get the all-max sentinel (same
+    string array with ZERO per-doc Python: k-byte shingle window hashes
+    come straight off the Arrow data buffers (functions.hashing.
+    batch_window_hashes — shared with document fingerprinting), then one
+    universal hash + np.minimum.reduceat per permutation gives per-doc
+    minima. MinHash needs no per-doc shingle dedup (min over a multiset
+    equals min over its set). Docs shorter than k contribute one
+    whole-content hash; null/empty docs get the all-max sentinel (same
     contract as MinHasher.signature on no shingles).
     """
-    assert shingle_k <= 8
+    from ..functions.hashing import batch_window_hashes
+
     n = len(texts)
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE_P), num_perm, dtype=np.uint64)
@@ -122,57 +117,15 @@ def batch_minhash_signatures(texts: pa.Array, num_perm: int, shingle_k: int,
     if n == 0:
         return sigs
 
-    texts = pc.fill_null(texts, "")
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    buffers = texts.buffers()
-    if pa.types.is_large_string(texts.type):
-        offsets = np.frombuffer(buffers[1], dtype=np.int64,
-                                count=n + 1, offset=texts.offset * 8)
-    else:
-        offsets = np.frombuffer(buffers[1], dtype=np.int32,
-                                count=n + 1, offset=texts.offset * 4).astype(np.int64)
-    data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0]:offsets[-1]]
-    offsets = offsets - offsets[0]
-    L = data.size
-    lens = np.diff(offsets)
-
-    k = shingle_k
-    if L >= k:
-        w = data[: L - k + 1].astype(np.uint64)
-        for j in range(1, k):
-            w = (w << np.uint64(8)) | data[j: L - k + 1 + j]
-        # mask windows straddling doc boundaries: for doc i the invalid
-        # window starts are [max(off[i+1]-k+1, off[i]), off[i+1])
-        delta = np.zeros(L - k + 2, dtype=np.int64)
-        bad_lo = np.maximum(offsets[1:] - k + 1, offsets[:-1])
-        bad_hi = np.minimum(offsets[1:], L - k + 1)
-        m = bad_lo < bad_hi
-        np.add.at(delta, bad_lo[m], 1)
-        np.add.at(delta, bad_hi[m], -1)
-        valid = np.cumsum(delta[:-1]) == 0
-        h = _splitmix64(w[valid])
-        # per-doc segment starts in the compacted array
-        n_valid_before = np.concatenate([[0], np.cumsum(valid)])
-        starts = n_valid_before[np.minimum(offsets[:-1], L - k + 1)]
-        seg_lens = np.diff(np.append(starts, h.size))
-        nonempty = seg_lens > 0
-        if h.size:
-            red_starts = starts[nonempty].astype(np.int64)
-            for i in range(num_perm):
-                v = (a[i] * h + b[i]) % _MERSENNE_P
-                sigs[nonempty, i] = np.minimum.reduceat(v, red_starts)
-    # short docs (0 < len < k): whole content packed as one window
-    short = (lens > 0) & (lens < k)
-    if short.any():
-        idx = np.nonzero(short)[0]
-        packed = np.zeros(idx.size, dtype=np.uint64)
-        for j in range(k):
-            take = offsets[idx] + j
-            ok = j < lens[idx]
-            packed[ok] = (packed[ok] << np.uint64(8)) | data[take[ok]]
-        hs = _splitmix64(packed)
-        sigs[idx] = (a[None, :] * hs[:, None] + b[None, :]) % _MERSENNE_P
+    h, doc_idx, seg_starts = batch_window_hashes(texts, shingle_k)
+    if h.size == 0:
+        return sigs
+    seg_lens = np.diff(np.append(seg_starts, h.size))
+    nonempty = seg_lens > 0
+    red_starts = seg_starts[nonempty].astype(np.int64)
+    for i in range(num_perm):
+        v = (a[i] * h + b[i]) % _MERSENNE_P
+        sigs[nonempty, i] = np.minimum.reduceat(v, red_starts)
     return sigs
 
 
