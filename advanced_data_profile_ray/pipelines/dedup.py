@@ -26,13 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import (
-    MinHasher,
-    band_hashes,
-    char_shingles,
-    hash_strings,
-    simhash64,
-)
+from ..functions.hashing import char_shingles, hash_strings
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +169,7 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     grouping + pair expansion run on the driver over skinny
     (doc, band_hash) arrays — fine up to ~10^7 docs. The 10^12-scale path
     swaps the driver grouping for a sorted_groupby exchange keyed by
-    (band, band_hash), identically to simhash_near_dups."""
+    (band, band_hash); simhash_near_dups shares the same structure."""
     rows = ds.select_columns([id_col, text_col]).map_batches(
         MinHashStage,
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
@@ -272,35 +266,67 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
 
 
 class SimHashStage:
-    """Per-doc 64-bit SimHash over word-token hashes + 16-bit band chunks."""
+    """64-bit SimHash per doc + 16-bit band chunks, fully vectorized:
+    arrow lowercase + whitespace tokenization, one polars hash over the
+    flattened token array, ±1 bit votes summed per doc with
+    np.add.reduceat — no per-doc Python."""
 
     def __init__(self, id_col: str, text_col: str):
-        import re
-
         self.id_col = id_col
         self.text_col = text_col
-        self.token_re = re.compile(r"\S+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out = {"id": [], "chunk": [], "chunk_val": [], "simhash": []}
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            toks = np.array(self.token_re.findall(t.lower()), dtype=object)
-            h = simhash64(hash_strings(toks)) if toks.size else 0
-            for c in range(4):
-                out["id"].append(i)
-                out["chunk"].append(c)
-                out["chunk_val"].append((h >> (16 * c)) & 0xFFFF)
-                out["simhash"].append(np.int64(np.uint64(h).view(np.int64)))
+        from ..state.hll import hash64_arrow
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = col.is_valid()
+        ids = batch[self.id_col].filter(keep)
+        texts = col.drop_null()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"id": pa.array([], batch[self.id_col].type),
+                             "chunk": pa.array([], pa.int32()),
+                             "chunk_val": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            th = hash64_arrow(flat).astype(np.uint64)
+            # zero-weight empty tokens (split artifacts) so they don't vote
+            w = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0).astype(np.int64)
+            seg_starts = np.minimum(offsets[:-1], len(flat) - 1)
+            tokcnt = np.add.reduceat(w, seg_starts)
+            nonempty = np.diff(offsets) > 0
+            # one reduceat per bit plane (bit = ones*2 > tokens, i.e.
+            # majority vote; ties -> 0) — O(64·tokens) without the
+            # (tokens × 64) vote matrix
+            packed = np.zeros(n, dtype=np.uint64)
+            for j in range(64):
+                ones = np.add.reduceat(((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * w,
+                                       seg_starts)
+                packed |= ((ones * 2 > tokcnt).astype(np.uint64) << np.uint64(j))
+            sims[nonempty] = packed[nonempty]
+        ids_arr = pa.concat_arrays(ids.chunks) if isinstance(ids, pa.ChunkedArray) else ids
+        out_id = pa.concat_arrays([ids_arr] * 4)
+        chunk = np.repeat(np.arange(4, dtype=np.int32), n)
+        chunk_val = np.concatenate(
+            [((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+             for c in range(4)]
+        )
+        sim_i64 = np.tile(sims.view(np.int64), 4)
         return pa.table(
             {
-                "id": pa.array(out["id"]),
-                "chunk": pa.array(out["chunk"], pa.int32()),
-                "chunk_val": pa.array(out["chunk_val"], pa.int64()),
-                "simhash": pa.array(out["simhash"], pa.int64()),
+                "id": out_id,
+                "chunk": pa.array(chunk, pa.int32()),
+                "chunk_val": pa.array(chunk_val, pa.int64()),
+                "simhash": pa.array(sim_i64, pa.int64()),
             }
         )
 
@@ -310,40 +336,53 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
     """Docs within ``max_hamming`` bits of each other. By pigeonhole, any
     pair ≤3 bits apart shares at least one of the 4 16-bit chunks — the
     banding is exact, not probabilistic, for max_hamming ≤ 3."""
-    from ..functions.hashing import hamming64
-
-    sigs = ds.map_batches(
+    rows = ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage,
         fn_constructor_args=(id_col, text_col),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=8192,
         concurrency=concurrency,
-    )
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "h_a": [], "h_b": []})
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "h_a": hs[ia], "h_b": hs[ib]})
-
-    cand = (
-        sigs.groupby(["chunk", "chunk_val"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if cand.empty:
+    ).take_all()
+    if not rows:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    cand = cand.drop_duplicates(["id_a", "id_b"])
-    ham = [
-        hamming64(int(np.uint64(np.int64(a))), int(np.uint64(np.int64(b))))
-        for a, b in zip(cand["h_a"], cand["h_b"])
-    ]
-    out = cand[["id_a", "id_b"]].copy()
-    out["hamming"] = ham
-    out = out[out["hamming"] <= max_hamming]
+    # skinny (id, chunk, chunk_val, simhash) rows; pair expansion on the
+    # driver exactly like minhash (distributed map_groups over thousands
+    # of tiny buckets pays ~50µs/row Python merge — this is 4 rows/doc)
+    ids = np.array([r["id"] for r in rows])
+    chunk = np.array([r["chunk"] for r in rows], dtype=np.int64)
+    cval = np.array([r["chunk_val"] for r in rows], dtype=np.int64)
+    sims = np.array([r["simhash"] for r in rows], dtype=np.int64)
+    key = (chunk << np.int64(16)) | cval
+    pair_a, pair_b = [], []
+    order = np.argsort(key, kind="stable")
+    sv = key[order]
+    run_start = np.concatenate([[0], np.nonzero(np.diff(sv))[0] + 1, [sv.size]])
+    for s, e in zip(run_start[:-1], run_start[1:]):
+        if e - s > 1:
+            bucket = order[s:e]
+            ia, ib = np.triu_indices(bucket.size, k=1)
+            pair_a.append(bucket[ia])
+            pair_b.append(bucket[ib])
+    if not pair_a:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    pa_i = np.concatenate(pair_a)
+    pb_i = np.concatenate(pair_b)
+    swap = ids[pa_i] > ids[pb_i]
+    lo = np.where(swap, pb_i, pa_i)
+    hi = np.where(swap, pa_i, pb_i)
+    uniq_pairs = np.unique(np.stack([ids[lo], ids[hi]], axis=1), axis=0)
+    # map ids back to one simhash per id
+    first_idx = {i: j for j, i in reversed(list(enumerate(ids)))}
+    ha = np.array([sims[first_idx[a]] for a in uniq_pairs[:, 0]], dtype=np.int64)
+    hb = np.array([sims[first_idx[b]] for b in uniq_pairs[:, 1]], dtype=np.int64)
+    x = ha.view(np.uint64) ^ hb.view(np.uint64)
+    ham = np.zeros(x.size, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    keep = (ham <= max_hamming) & (uniq_pairs[:, 0] != uniq_pairs[:, 1])
+    out = pd.DataFrame({"id_a": uniq_pairs[keep, 0], "id_b": uniq_pairs[keep, 1],
+                        "hamming": ham[keep]})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
