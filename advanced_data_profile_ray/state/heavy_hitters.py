@@ -30,8 +30,15 @@ class HeavyHitters:
         if arr.size == 0:
             return sk
         vals, cnts = np.unique(arr, return_counts=True)
+        if len(vals) > capacity:
+            # keep only the top-capacity survivors vectorized (argpartition)
+            # instead of building a full Counter then trimming — the trim
+            # semantics are identical: error = max dropped count
+            part = np.argpartition(cnts, -capacity)
+            kept, dropped = part[-capacity:], part[:-capacity]
+            sk.error = int(cnts[dropped].max())
+            vals, cnts = vals[kept], cnts[kept]
         sk.counts = Counter(dict(zip(vals.tolist(), cnts.tolist())))
-        sk._trim()
         return sk
 
     @classmethod
