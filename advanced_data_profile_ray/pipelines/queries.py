@@ -184,13 +184,12 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
 
 def q_dup_custkeys(sf_dir: str) -> pd.DataFrame:
     """Duplicate-key detection (A2 generalized): o_custkey groups with
-    more than one order."""
-    ds = _read(sf_dir, "orders", ["o_custkey"])
-    counts = ds.groupby("o_custkey").count()
-    dups = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    out = dups.rename(columns={"count()": "n"})
+    more than one order — the file-backed hash-partition exchange
+    (uniqueness fast path)."""
+    from ..stages.fast_ops import duplicate_keys_from_files
+
+    dups = duplicate_keys_from_files([f"{sf_dir}/orders.parquet"], ["o_custkey"])
+    out = dups.to_pandas()
     out["n"] = out["n"].astype("int64")
     return out
 
