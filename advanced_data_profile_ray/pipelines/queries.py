@@ -115,22 +115,30 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
          "l_discount", "l_tax"],
     )
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
-            charge=df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]),
+    def _partial(batch: pa.Table) -> pa.Table:
+        one_minus_disc = pc.subtract(1.0, batch["l_discount"])
+        disc_price = pc.multiply(batch["l_extendedprice"], one_minus_disc)
+        charge = pc.multiply(disc_price, pc.add(1.0, batch["l_tax"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "l_extendedprice": batch["l_extendedprice"],
+            "disc_price": disc_price,
+            "charge": charge,
+            "l_discount": batch["l_discount"],
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("charge", "sum"),
+             ("l_discount", "sum"), ([], "count_all")]
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return g
+        rename = {"l_quantity_sum": "sum_qty", "l_extendedprice_sum": "sum_base_price",
+                  "disc_price_sum": "sum_disc_price", "charge_sum": "sum_charge",
+                  "l_discount_sum": "sum_disc", "count_all": "count_order"}
+        return g.rename_columns([rename.get(c, c) for c in g.column_names])
 
-    partials = ds.map_batches(_partial, batch_format="pandas", batch_size=16384)
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
     final = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .sum(["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
@@ -162,13 +170,19 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     windows live in batch land, not event-time streaming)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"))
-        return df.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+    def _partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"event_type": batch["event_type"], "hour": hour,
+                      "value": batch["value"]})
+        g = t.group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return g.rename_columns(
+            [{"count_all": "n", "value_sum": "sum_value"}.get(c, c)
+             for c in g.column_names]
         )
 
-    partials = ds.map_batches(_partial, batch_format="pandas", batch_size=16384)
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
     out = (
         partials.groupby(["event_type", "hour"]).sum(["n", "sum_value"]).to_pandas()
     )
