@@ -66,6 +66,11 @@ def fit_centroids(ds, vec_col: str, n_centroids: int = 16, sample_n: int = 4096,
     normalized vectors — centroids ≪ rows, so this is a driver op)."""
     rows = ds.select_columns([vec_col]).take(sample_n)
     mat = _normalize(np.stack([np.asarray(r[vec_col]) for r in rows]).astype(np.float64))
+    # Ray Data's take() returns blocks in nondeterministic arrival order;
+    # canonicalize the sample (lexicographic row sort) so the seeded
+    # k-means init — and therefore the IVF index — is run-reproducible
+    # (SURVEY §4 determinism requirement)
+    mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):

@@ -118,7 +118,9 @@ def batch_minhash_signatures(texts: pa.Array, num_perm: int, shingle_k: int,
     nonempty = seg_lens > 0
     red_starts = seg_starts[nonempty].astype(np.int64)
     for i in range(num_perm):
-        v = (a[i] * h + b[i]) % _MERSENNE_P
+        # wrapping multiply-add (mod 2^64) — a modulo-p universal family
+        # costs ~2× in uint64 modulo ops and buys nothing for min-ranking
+        v = a[i] * h + b[i]
         sigs[nonempty, i] = np.minimum.reduceat(v, red_starts)
     return sigs
 
@@ -157,7 +159,8 @@ class MinHashStage:
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
-                            shingle_k: int = 5, concurrency=(1, 16)):
+                            shingle_k: int = 5, concurrency=(1, 16),
+                            max_bucket: int = 64):
     # 64 perms / 16 bands keeps r=4 (same LSH threshold curve as 128/32)
     # at half the signature compute; est_jaccard σ ≈ 0.06 at J=0.5 and the
     # exact-Jaccard verify pass decides final pairs anyway.
@@ -170,13 +173,22 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     (doc, band_hash) arrays — fine up to ~10^7 docs. The 10^12-scale path
     swaps the driver grouping for a sorted_groupby exchange keyed by
     (band, band_hash); simhash_near_dups shares the same structure."""
-    rows = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=concurrency,
-    ).take_all()
+    # task-pool stage: the "state" is a seeded permutation table that
+    # costs microseconds to rebuild, so a plain function schedules at
+    # full width with no actor-pool ramp-up
+    import ray
+
+    stage = MinHashStage(id_col, text_col, num_perm, bands, shingle_k)
+    # repartition before the signature stage: its cost is
+    # O(num_perm × total_bytes) and map task count is bounded by input
+    # block count — a single-file corpus would otherwise run serially
+    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    rows = (
+        ds.select_columns([id_col, text_col])
+        .repartition(n_blocks)
+        .map_batches(stage.__call__, batch_format="pyarrow", batch_size=2048)
+        .take_all()
+    )
     if not rows:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
     ids = np.array([r["id"] for r in rows])
@@ -185,7 +197,7 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
     # pair expansion per band: sort docs by band hash, find runs > 1
     pair_a, pair_b = [], []
-    order_ids = np.argsort(ids, kind="stable")
+    skipped_buckets = 0
     for b in range(bh.shape[1]):
         col = bh[:, b]
         order = np.argsort(col, kind="stable")
@@ -193,10 +205,24 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
         run_start = np.concatenate([[0], np.nonzero(np.diff(sv))[0] + 1, [sv.size]])
         for s, e in zip(run_start[:-1], run_start[1:]):
             if e - s > 1:
+                if e - s > max_bucket:
+                    # giant buckets are boilerplate/template collisions:
+                    # pairs grow quadratically with bucket size while the
+                    # true near-dups inside are still caught by their
+                    # other bands (exact dups by exact_dedup). Standard
+                    # LSH bucket-size cap; count is surfaced, not silent.
+                    skipped_buckets += 1
+                    continue
                 bucket = order[s:e]
                 ia, ib = np.triu_indices(bucket.size, k=1)
                 pair_a.append(bucket[ia])
                 pair_b.append(bucket[ib])
+    if skipped_buckets:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "minhash LSH: skipped %d buckets larger than %d docs",
+            skipped_buckets, max_bucket)
     if not pair_a:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
     pa_idx = np.concatenate(pair_a)
@@ -336,12 +362,11 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
     """Docs within ``max_hamming`` bits of each other. By pigeonhole, any
     pair ≤3 bits apart shares at least one of the 4 16-bit chunks — the
     banding is exact, not probabilistic, for max_hamming ≤ 3."""
+    stage = SimHashStage(id_col, text_col)  # stateless: task pool
     rows = ds.select_columns([id_col, text_col]).map_batches(
-        SimHashStage,
-        fn_constructor_args=(id_col, text_col),
+        stage.__call__,
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
