@@ -274,35 +274,24 @@ def q_transcripts(sf_dir: str):
 
 
 def q_conv_stats(sf_dir: str) -> pd.DataFrame:
-    """Per-conversation aggregate over the derived transcripts (the
-    skewed-key groupby: conv sizes are non-uniform)."""
+    """Per-conversation aggregate over the derived transcripts — THE
+    skewed-key groupby (conv sizes are Zipf-ish), routed through the
+    salted two-stage exchange (north rule: salted repartition of hot
+    conv_ids; fast_ops.salted_groupby)."""
+    from ..stages.fast_ops import salted_groupby
     from ..stages.window import sessionize_events
 
     ds = sessionize_events(_read(sf_dir, "events"))
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("conv_id", as_index=False).agg(
-            n_turns=("turn_idx", "size"),
-            max_turn_idx=("turn_idx", "max"),
-            n_tool_turns=("tool", "count"),
-        )
-
-    from ray.data.aggregate import Max, Sum
-
-    partials = ds.map_batches(_partial, batch_format="pandas")
-    final = (
-        partials.groupby("conv_id")
-        .aggregate(
-            Sum("n_turns", alias_name="n_turns"),
-            Max("max_turn_idx", alias_name="max_turn_idx"),
-            Sum("n_tool_turns", alias_name="n_tool_turns"),
-        )
-        .to_pandas()
-    )
-    final["n_turns"] = final["n_turns"].astype("int64")
-    final["n_tool_turns"] = final["n_tool_turns"].astype("int64")
-    final["max_turn_idx"] = final["max_turn_idx"].astype("int32")
-    return final[["conv_id", "n_turns", "max_turn_idx", "n_tool_turns"]]
+    out = salted_groupby(
+        ds, ["conv_id"],
+        [(None, "count_all", "n_turns"), ("turn_idx", "max", "max_turn_idx"),
+         ("tool", "count", "n_tool_turns")],
+        salt_buckets=16,
+    ).to_pandas()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_tool_turns"] = out["n_tool_turns"].astype("int64")
+    out["max_turn_idx"] = out["max_turn_idx"].astype("int32")
+    return out[["conv_id", "n_turns", "max_turn_idx", "n_tool_turns"]]
 
 
 # ---------------------------------------------------------------------------

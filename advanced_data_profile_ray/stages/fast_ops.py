@@ -128,13 +128,18 @@ def sorted_groupby(ds, keys: list, aggs: list, batch_size: int | None = 65536):
         lambda t: t.filter(pc.invert(t["__edge"])).drop_columns(["__edge"]),
         batch_format="pyarrow", batch_size=None,
     )
-    edge_rows = tagged.map_batches(
-        lambda t: t.filter(t["__edge"]).drop_columns(["__edge"]),
-        batch_format="pyarrow", batch_size=None,
-    ).take_all()
+    # schema-preserving edge collection (take_all→from_pylist would
+    # promote int32 aggregates to int64 and break later unions)
+    edge_blocks = ray.get(
+        tagged.map_batches(
+            lambda t: t.filter(t["__edge"]).drop_columns(["__edge"]),
+            batch_format="pyarrow", batch_size=None,
+        ).to_arrow_refs()
+    )
+    edge_blocks = [b for b in edge_blocks if b.num_rows]
 
-    if edge_rows:
-        et = pa.Table.from_pylist(edge_rows)
+    if edge_blocks:
+        et = pa.concat_tables(edge_blocks)
         spec = [(out, _AGG_MERGE[fn]) for _, fn, out in aggs]
         eg = et.group_by(keys, use_threads=False).aggregate(spec)
         rename = {f"{out}_{_AGG_MERGE[fn]}": out for _, fn, out in aggs}
@@ -150,6 +155,65 @@ def sorted_groupby(ds, keys: list, aggs: list, batch_size: int | None = 65536):
 def sorted_group_counts(ds, keys: list):
     """Grouped row counts via sorted_groupby (null-safe count_all)."""
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
+
+
+def salted_groupby(ds, keys: list, aggs: list, salt_buckets: int = 16,
+                   batch_size: int = 65536) -> pa.Table:
+    """Two-stage SALTED aggregation for skewed keys (north rule: 'salted
+    repartition of hot conv_ids'): stage 1 groups by (keys..., __salt) so
+    one hot key's rows spread over ``salt_buckets`` reducers in the
+    exchange; stage 2 merges the ≤ salt_buckets partial rows per true key.
+
+    Note on when to reach for this: every aggregation in this engine
+    already pre-aggregates per batch (arrow group_by inside map_batches),
+    which bounds a hot key's exchange contribution to one row per batch —
+    usually enough. Salting is the belt-and-braces path for skew so
+    extreme that even per-batch partials overload one reducer, and the
+    named technique for non-algebraic per-key work.
+
+    aggs: list of (src_col, fn, out_name), fn in {count, count_all, sum,
+    min, max}. Returns the fully-merged pa.Table (keys..., outs...).
+    """
+    import numpy as np
+
+    def _add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic uniform salt (row position, not RNG — identical
+        # results run-to-run regardless of block arrival order)
+        salt = np.arange(batch.num_rows, dtype=np.int32) % salt_buckets
+        return batch.append_column("__salt", pa.array(salt, pa.int32()))
+
+    cols_needed = list(dict.fromkeys(keys + [a[0] for a in aggs if a[0]]))
+    salted = ds.select_columns(cols_needed).map_batches(
+        _add_salt, batch_format="pyarrow", batch_size=batch_size
+    )
+    # stage 1: exchange keyed by (keys, salt) — hot keys fan out over
+    # salt_buckets reducers
+    inner1, edge1 = sorted_groupby(salted, keys + ["__salt"], aggs,
+                                   batch_size=batch_size)
+    sel = keys + ["__salt"] + [a[2] for a in aggs]
+    stage2_in = inner1.select_columns(sel)
+    if edge1 is not None and edge1.num_rows:
+        import ray.data as rd
+
+        stage2_in = stage2_in.union(rd.from_arrow(edge1.select(sel)))
+    # stage 2: unsalt — a second (distributed) exchange merges the
+    # ≤ salt_buckets partial rows per true key; the driver only sees the
+    # final result
+    merge_aggs = [(out, _AGG_MERGE[fn], out) for _, fn, out in aggs]
+    inner2, edge2 = sorted_groupby(stage2_in.drop_columns(["__salt"]),
+                                   keys, merge_aggs, batch_size=batch_size)
+    import ray as _ray
+
+    parts = [b for b in _ray.get(inner2.to_arrow_refs()) if b.num_rows]
+    if edge2 is not None and edge2.num_rows:
+        parts.append(edge2)
+    if not parts:
+        return None
+    out = pa.concat_tables(
+        [p.select(keys + [a[2] for a in aggs]) for p in parts],
+        promote_options="default",
+    )
+    return out.sort_by([(k, "ascending") for k in keys])
 
 
 def _mix_key_hashes(batch: pa.Table, keys: list) -> "np.ndarray":

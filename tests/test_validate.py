@@ -291,3 +291,30 @@ def test_all_null_tool_column(ray_session):
     assert d["referential(tool)"].passed
     assert d["referential(tool)"].stats == {"matched": 0, "orphan": 0, "null": 3}
     assert d["referential(conv_id)"].stats["matched"] == 3
+
+
+def test_salted_groupby_matches_oracle(ray_session, dirty_table, ddb):
+    """Salted two-stage aggregation (north rule: salted repartition of
+    hot conv_ids) must agree exactly with DuckDB on the Zipf-skewed
+    per-conv aggregation, for any salt_buckets."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import salted_groupby
+
+    want = ddb.execute(
+        """SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn,
+                  COUNT(tool) AS n_tool
+           FROM t GROUP BY conv_id ORDER BY conv_id"""
+    ).fetch_df()
+    for buckets in (1, 16):
+        got = salted_groupby(
+            rd.from_arrow(dirty_table), ["conv_id"],
+            [(None, "count_all", "n_turns"), ("turn_idx", "max", "max_turn"),
+             ("tool", "count", "n_tool")],
+            salt_buckets=buckets,
+        ).to_pandas()
+        assert len(got) == len(want)
+        assert got["conv_id"].tolist() == want["conv_id"].tolist()
+        assert got["n_turns"].astype("int64").tolist() == want["n_turns"].astype("int64").tolist()
+        assert got["max_turn"].astype("int64").tolist() == want["max_turn"].astype("int64").tolist()
+        assert got["n_tool"].astype("int64").tolist() == want["n_tool"].astype("int64").tolist()
