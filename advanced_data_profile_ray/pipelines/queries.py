@@ -72,7 +72,7 @@ def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
             {
                 "column": name,
                 "n": m.n,
-                "avg_val": round(m.mean, 6),
+                "avg_val": round(m.avg, 6),
                 "std_val": round(m.std(), 6),
                 "min_val": round(m.min, 6),
                 "max_val": round(m.max, 6),
@@ -413,7 +413,7 @@ def q_outlier_pct(sf_dir: str) -> pd.DataFrame:
 
     cols = LINEITEM_NUMERIC
     prof = profile_dataset(_read(sf_dir, "lineitem", cols), ProfileConfig(columns=cols))
-    stats = {c: (prof.columns[c].moments.mean, prof.columns[c].moments.std())
+    stats = {c: (prof.columns[c].moments.avg, prof.columns[c].moments.std())
              for c in cols}
 
     def _count(df: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,11 @@ class Moments:
     m4: float = 0.0
     min: float = math.inf
     max: float = -math.inf
+    # Exact accumulated sum (Neumaier-compensated across merges).  The
+    # incremental ``mean`` drifts ulps from plain sum/n, which flips a
+    # 6-dp round against DuckDB's AVG(); ``avg`` derives from this sum.
+    xsum: float = 0.0
+    xc: float = 0.0
 
     @classmethod
     def from_array(cls, arr: np.ndarray) -> "Moments":
@@ -35,6 +40,11 @@ class Moments:
         mean = float(x.mean())
         d = x - mean
         d2 = d * d
+        # 80-bit accumulation, stored as a double-double pair: the batch
+        # partial is exact to ~1e-19 relative, so the merged total collapses
+        # to the correctly-rounded double sum (fsum semantics).
+        ld = x.astype(np.longdouble).sum()
+        xs = float(ld)
         return cls(
             n=n,
             mean=mean,
@@ -43,6 +53,8 @@ class Moments:
             m4=float((d2 * d2).sum()),
             min=float(x.min()),
             max=float(x.max()),
+            xsum=xs,
+            xc=float(ld - xs),
         )
 
     def merge(self, o: "Moments") -> "Moments":
@@ -69,16 +81,29 @@ class Moments:
             + 6.0 * (delta ** 2) * (na * na * o.m2 + nb * nb * self.m2) / (n * n)
             + 4.0 * delta * (na * o.m3 - nb * self.m3) / n
         )
+        # Neumaier-compensated sum: exact regardless of merge order, so
+        # the finalized avg rounds identically to a single plain sum.
+        s = self.xsum + o.xsum
+        if abs(self.xsum) >= abs(o.xsum):
+            c = self.xc + o.xc + ((self.xsum - s) + o.xsum)
+        else:
+            c = self.xc + o.xc + ((o.xsum - s) + self.xsum)
         return Moments(
             n=n, mean=mean, m2=m2, m3=m3, m4=m4,
             min=min(self.min, o.min), max=max(self.max, o.max),
+            xsum=s, xc=c,
         )
 
     # ---- finalized statistics ------------------------------------------
 
     @property
     def sum(self) -> float:
-        return self.mean * self.n
+        return self.xsum + self.xc
+
+    @property
+    def avg(self) -> float:
+        """Mean derived from the exact sum — matches SQL AVG() = SUM()/COUNT()."""
+        return (self.xsum + self.xc) / self.n if self.n else float("nan")
 
     def var(self, ddof: int = 1) -> float:
         if self.n - ddof <= 0:
@@ -108,7 +133,7 @@ class Moments:
     def finalize(self) -> dict:
         return {
             "count": self.n,
-            "mean": self.mean if self.n else float("nan"),
+            "mean": self.avg,
             "std": self.std(),
             "min": self.min if self.n else float("nan"),
             "max": self.max if self.n else float("nan"),
