@@ -157,6 +157,159 @@ class MinHashStage:
         )
 
 
+def _run_starts(key: np.ndarray) -> np.ndarray:
+    """Boundaries of equal-key runs in a sorted int64 array (incl. 0, n)."""
+    return np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
+
+
+def _expand_runs(order_ids: np.ndarray, starts: np.ndarray, lo_run: int,
+                 hi_run: int, max_bucket: int):
+    """Upper-triangle pair expansion for runs [lo_run, hi_run); oversize
+    buckets are skipped (template collisions grow pairs quadratically
+    while true near-dups are still caught via their other bands).
+    Returns (id_a_parts, id_b_parts, n_skipped)."""
+    pair_a, pair_b, skipped = [], [], 0
+    for r in range(lo_run, hi_run):
+        s, e = starts[r], starts[r + 1]
+        if e - s < 2:
+            continue
+        if e - s > max_bucket:
+            skipped += 1
+            continue
+        ia, ib = np.triu_indices(e - s, k=1)
+        pair_a.append(order_ids[s + ia])
+        pair_b.append(order_ids[s + ib])
+    return pair_a, pair_b, skipped
+
+
+def lsh_bucket_pairs(exploded, max_bucket: int = 64) -> pd.DataFrame:
+    """Distributed LSH bucket → candidate-pair expansion.
+
+    ``exploded`` is a Dataset of skinny rows (key: int64 bucket key,
+    id: doc id). ONE sort exchange co-locates each bucket; every run that
+    is interior to a sorted block expands to pairs inside the map task.
+    Only the (≤2 per block) runs touching block edges ship to the driver
+    — clipped at ``max_bucket + 1`` rows each, which preserves the
+    oversize-skip decision exactly (clipped counts still sum past the
+    cap) while bounding driver memory to O(blocks × max_bucket). This is
+    the 10^12-scale path the round-1 driver-side expansion deferred.
+
+    Returns a deduplicated DataFrame (id_a, id_b), id_a < id_b.
+    """
+    s = exploded.sort("key").materialize()  # fixed block layout for both consumers
+
+    def _interior(batch: pa.Table) -> pa.Table:
+        id_t = batch.schema.field("id").type
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
+        key = batch["key"].to_numpy()
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(key)
+        n_runs = starts.size - 1
+        pair_a, pair_b, skipped = _expand_runs(ids, starts, 1, n_runs - 1, max_bucket)
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "LSH: skipped %d buckets larger than %d docs", skipped, max_bucket)
+        if not pair_a:
+            return pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
+        return pa.table({"id_a": pa.array(np.concatenate(pair_a)).cast(id_t),
+                         "id_b": pa.array(np.concatenate(pair_b)).cast(id_t)})
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        key = batch["key"].to_numpy()
+        starts = _run_starts(key)
+        n_runs = starts.size - 1
+        take = []
+        for r in {0, n_runs - 1}:
+            s_, e_ = int(starts[r]), int(starts[r + 1])
+            take.extend(range(s_, min(e_, s_ + max_bucket + 1)))
+        return batch.take(pa.array(take, pa.int64()))
+
+    # interior pairs: the final candidate set (assumed ≪ corpus) — the
+    # only full-size materialization is the skinny pair list itself
+    inner_tables = [t for t in _collect_tables(s.map_batches(
+        _interior, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    edge_tables = [t for t in _collect_tables(s.map_batches(
+        _edges, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+
+    pair_a, pair_b = [], []
+    for t in inner_tables:
+        pair_a.append(t["id_a"].to_numpy(zero_copy_only=False))
+        pair_b.append(t["id_b"].to_numpy(zero_copy_only=False))
+    skipped = 0
+    if edge_tables:
+        et = pa.concat_tables(edge_tables).sort_by("key")
+        key = et["key"].to_numpy()
+        ids = et["id"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(key)
+        ea, eb, skipped = _expand_runs(ids, starts, 0, starts.size - 1, max_bucket)
+        pair_a.extend(ea)
+        pair_b.extend(eb)
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "LSH edge stitch: skipped %d buckets larger than %d docs",
+            skipped, max_bucket)
+    if not pair_a:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    swap = a > b
+    lo = np.where(swap, b, a)
+    hi = np.where(swap, a, b)
+    out = pd.DataFrame({"id_a": lo, "id_b": hi})
+    return (out[out["id_a"] != out["id_b"]]
+            .drop_duplicates()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
+def _collect_tables(ds) -> list:
+    """Materialize a Dataset's blocks as pyarrow Tables (schema-exact;
+    take_all→from_pylist would re-infer types)."""
+    import ray
+
+    return ray.get(ds.to_arrow_refs())
+
+
+def _fetch_rows_for_ids(ds, id_col: str, ids_needed) -> pa.Table:
+    """Broadcast-filter: collect only the rows whose id is in the (small)
+    candidate set. pc.is_in is fine here — the value set is tiny, unlike
+    the referential dims where searchsorted replaces it."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(set(ids_needed))))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(ref)))
+
+    tables = [t for t in _collect_tables(
+        ds.map_batches(_filter, batch_format="pyarrow")) if t.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _sig_input_blocks(ds) -> int:
+    """Block count for the signature stage: its cost is O(num_perm ×
+    total_bytes) and map width is bounded by input BLOCK count, so a
+    single-file corpus must be split — but a tiny corpus should not pay
+    64 task launches. Parquet row counts are metadata-only (free)."""
+    import ray
+
+    try:
+        rows = ds.count()
+    except Exception:
+        rows = None
+    cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    if rows is None:
+        return cap
+    return int(min(cap, max(4, rows // 2048 + 1)))
+
+
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 16),
@@ -164,80 +317,60 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     # 64 perms / 16 bands keeps r=4 (same LSH threshold curve as 128/32)
     # at half the signature compute; est_jaccard σ ≈ 0.06 at J=0.5 and the
     # exact-Jaccard verify pass decides final pairs anyway.
-    """Distributed signatures → LSH band buckets → unique candidate pairs
-    with estimated Jaccard. Returns a pandas DataFrame (id_a, id_b,
+    """Distributed signatures → LSH band-bucket exchange → unique candidate
+    pairs with estimated Jaccard. Returns a pandas DataFrame (id_a, id_b,
     est_jaccard) with id_a < id_b.
 
-    The signature pass is distributed (vectorized per batch); bucket
-    grouping + pair expansion run on the driver over skinny
-    (doc, band_hash) arrays — fine up to ~10^7 docs. The 10^12-scale path
-    swaps the driver grouping for a sorted_groupby exchange keyed by
-    (band, band_hash); simhash_near_dups shares the same structure."""
+    Fully distributed: the signature pass is vectorized per batch; bucket
+    co-location is one sort exchange over skinny (key, id) rows
+    (lsh_bucket_pairs); signatures for est_jaccard are fetched only for
+    candidate ids (candidates ≪ corpus). simhash_near_dups shares the
+    same expansion."""
     # task-pool stage: the "state" is a seeded permutation table that
     # costs microseconds to rebuild, so a plain function schedules at
     # full width with no actor-pool ramp-up
-    import ray
-
     stage = MinHashStage(id_col, text_col, num_perm, bands, shingle_k)
-    # repartition before the signature stage: its cost is
-    # O(num_perm × total_bytes) and map task count is bounded by input
-    # block count — a single-file corpus would otherwise run serially
-    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    rows = (
+    sig_ds = (
         ds.select_columns([id_col, text_col])
-        .repartition(n_blocks)
+        .repartition(_sig_input_blocks(ds))
         .map_batches(stage.__call__, batch_format="pyarrow", batch_size=2048)
-        .take_all()
+        .materialize()  # consumed twice: band explode + candidate sig fetch
     )
-    if not rows:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    ids = np.array([r["id"] for r in rows])
-    sigs = np.stack([np.frombuffer(r["sig"], dtype=np.uint64) for r in rows])
-    bh = np.array([r["band_hashes"] for r in rows], dtype=np.int64)  # (n, bands)
 
-    # pair expansion per band: sort docs by band hash, find runs > 1
-    pair_a, pair_b = [], []
-    skipped_buckets = 0
-    for b in range(bh.shape[1]):
-        col = bh[:, b]
-        order = np.argsort(col, kind="stable")
-        sv = col[order]
-        run_start = np.concatenate([[0], np.nonzero(np.diff(sv))[0] + 1, [sv.size]])
-        for s, e in zip(run_start[:-1], run_start[1:]):
-            if e - s > 1:
-                if e - s > max_bucket:
-                    # giant buckets are boilerplate/template collisions:
-                    # pairs grow quadratically with bucket size while the
-                    # true near-dups inside are still caught by their
-                    # other bands (exact dups by exact_dedup). Standard
-                    # LSH bucket-size cap; count is surfaced, not silent.
-                    skipped_buckets += 1
-                    continue
-                bucket = order[s:e]
-                ia, ib = np.triu_indices(bucket.size, k=1)
-                pair_a.append(bucket[ia])
-                pair_b.append(bucket[ib])
-    if skipped_buckets:
-        import logging
+    C = np.uint64(0x9E3779B97F4A7C15)
 
-        logging.getLogger(__name__).info(
-            "minhash LSH: skipped %d buckets larger than %d docs",
-            skipped_buckets, max_bucket)
-    if not pair_a:
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id": pa.array([], batch.schema.field("id").type)})
+        bh_col = batch["band_hashes"]
+        if isinstance(bh_col, pa.ChunkedArray):
+            bh_col = bh_col.combine_chunks()
+        flat = bh_col.flatten().to_numpy().view(np.uint64)  # row-major (n × bands)
+        band = np.tile(np.arange(bands, dtype=np.uint64) + np.uint64(1), n)
+        # remix band index into the hash → one int64 key preserves the
+        # (band, band_hash) bucket identity up to a 2^-64 collision
+        key = _splitmix64(flat ^ (band * C)).view(np.int64)
+        ids = batch["id"].take(pa.array(np.repeat(np.arange(n), bands), pa.int64()))
+        return pa.table({"key": pa.array(key, pa.int64()), "id": ids})
+
+    exploded = sig_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+    pairs = lsh_bucket_pairs(exploded, max_bucket=max_bucket)
+    if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    pa_idx = np.concatenate(pair_a)
-    pb_idx = np.concatenate(pair_b)
-    # canonical orientation by id, dedupe across bands
-    swap = ids[pa_idx] > ids[pb_idx]
-    lo = np.where(swap, pb_idx, pa_idx)
-    hi = np.where(swap, pa_idx, pb_idx)
-    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    lo, hi = uniq[:, 0], uniq[:, 1]
-    keep = lo != hi
-    lo, hi = lo[keep], hi[keep]
-    est = (sigs[lo] == sigs[hi]).mean(axis=1)
-    out = pd.DataFrame({"id_a": ids[lo], "id_b": ids[hi], "est_jaccard": est})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
+    sig_rows = _fetch_rows_for_ids(sig_ds.select_columns(["id", "sig"]), "id", need)
+    sig_of = {
+        i: np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(sig_rows["id"].to_pylist(), sig_rows["sig"].to_pylist())
+    }
+    sa = np.stack([sig_of[i] for i in pairs["id_a"]])
+    sb = np.stack([sig_of[i] for i in pairs["id_b"]])
+    out = pairs.copy()
+    out["est_jaccard"] = (sa == sb).mean(axis=1)
+    return out.reset_index(drop=True)
 
 
 def verify_jaccard(ds, id_col: str, text_col: str, pairs: pd.DataFrame,
@@ -292,10 +425,13 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
 
 
 class SimHashStage:
-    """64-bit SimHash per doc + 16-bit band chunks, fully vectorized:
+    """64-bit SimHash per doc — one output row per doc, fully vectorized:
     arrow lowercase + whitespace tokenization, one polars hash over the
     flattened token array, ±1 bit votes summed per doc with
-    np.add.reduceat — no per-doc Python."""
+    np.add.reduceat — no per-doc Python. Zero-token docs (null, blank,
+    whitespace-only) are DROPPED here: simhash 0 carries no signal, and
+    emitting them would glue every blank doc into one giant bucket
+    (quadratic pair expansion) reported as hamming-0 "near-dups"."""
 
     def __init__(self, id_col: str, text_col: str):
         self.id_col = id_col
@@ -311,10 +447,9 @@ class SimHashStage:
         ids = batch[self.id_col].filter(keep)
         texts = col.drop_null()
         n = len(texts)
+        id_t = batch.schema.field(self.id_col).type
         if n == 0:
-            return pa.table({"id": pa.array([], batch[self.id_col].type),
-                             "chunk": pa.array([], pa.int32()),
-                             "chunk_val": pa.array([], pa.int64()),
+            return pa.table({"id": pa.array([], id_t),
                              "simhash": pa.array([], pa.int64())})
         toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
         if isinstance(toks, pa.ChunkedArray):
@@ -323,13 +458,13 @@ class SimHashStage:
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = offsets - offsets[0]
         sims = np.zeros(n, dtype=np.uint64)
+        nonempty = np.diff(offsets) > 0
         if len(flat):
             th = hash64_arrow(flat).astype(np.uint64)
             # zero-weight empty tokens (split artifacts) so they don't vote
             w = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0).astype(np.int64)
             seg_starts = np.minimum(offsets[:-1], len(flat) - 1)
             tokcnt = np.add.reduceat(w, seg_starts)
-            nonempty = np.diff(offsets) > 0
             # one reduceat per bit plane (bit = ones*2 > tokens, i.e.
             # majority vote; ties -> 0) — O(64·tokens) without the
             # (tokens × 64) vote matrix
@@ -338,75 +473,67 @@ class SimHashStage:
                 ones = np.add.reduceat(((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * w,
                                        seg_starts)
                 packed |= ((ones * 2 > tokcnt).astype(np.uint64) << np.uint64(j))
+            nonempty = nonempty & (tokcnt > 0)
             sims[nonempty] = packed[nonempty]
         ids_arr = pa.concat_arrays(ids.chunks) if isinstance(ids, pa.ChunkedArray) else ids
-        out_id = pa.concat_arrays([ids_arr] * 4)
-        chunk = np.repeat(np.arange(4, dtype=np.int32), n)
-        chunk_val = np.concatenate(
-            [((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-             for c in range(4)]
-        )
-        sim_i64 = np.tile(sims.view(np.int64), 4)
+        mask = pa.array(sims != 0)
         return pa.table(
             {
-                "id": out_id,
-                "chunk": pa.array(chunk, pa.int32()),
-                "chunk_val": pa.array(chunk_val, pa.int64()),
-                "simhash": pa.array(sim_i64, pa.int64()),
+                "id": ids_arr.filter(mask),
+                "simhash": pa.array(sims[sims != 0].view(np.int64), pa.int64()),
             }
         )
 
 
 def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
-                      concurrency=(1, 8)) -> pd.DataFrame:
+                      max_bucket: int = 64, concurrency=(1, 8)) -> pd.DataFrame:
     """Docs within ``max_hamming`` bits of each other. By pigeonhole, any
     pair ≤3 bits apart shares at least one of the 4 16-bit chunks — the
-    banding is exact, not probabilistic, for max_hamming ≤ 3."""
+    banding is exact, not probabilistic, for max_hamming ≤ 3. Bucket
+    co-location + pair expansion run through the same distributed sort
+    exchange as MinHash (lsh_bucket_pairs), with the same oversize-bucket
+    cap; simhashes for Hamming verify are fetched only for candidates."""
     stage = SimHashStage(id_col, text_col)  # stateless: task pool
-    rows = ds.select_columns([id_col, text_col]).map_batches(
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
         stage.__call__,
         batch_format="pyarrow",
         batch_size=8192,
-    ).take_all()
-    if not rows:
+    ).materialize()  # consumed twice: chunk explode + candidate fetch
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_t = batch.schema.field("id").type
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id": pa.array([], id_t)})
+        sims = batch["simhash"].to_numpy().view(np.uint64)
+        # 4 rows/doc: key = (chunk << 16) | 16-bit chunk value — exact
+        # bucket identity, no remix needed (fits in 18 bits)
+        key = np.concatenate(
+            [(np.int64(c) << np.int64(16))
+             | ((sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+             for c in range(4)]
+        )
+        ids = batch["id"].take(pa.array(np.tile(np.arange(n), 4), pa.int64()))
+        return pa.table({"key": pa.array(key, pa.int64()), "id": ids})
+
+    exploded = sig_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+    pairs = lsh_bucket_pairs(exploded, max_bucket=max_bucket)
+    if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    # skinny (id, chunk, chunk_val, simhash) rows; pair expansion on the
-    # driver exactly like minhash (distributed map_groups over thousands
-    # of tiny buckets pays ~50µs/row Python merge — this is 4 rows/doc)
-    ids = np.array([r["id"] for r in rows])
-    chunk = np.array([r["chunk"] for r in rows], dtype=np.int64)
-    cval = np.array([r["chunk_val"] for r in rows], dtype=np.int64)
-    sims = np.array([r["simhash"] for r in rows], dtype=np.int64)
-    key = (chunk << np.int64(16)) | cval
-    pair_a, pair_b = [], []
-    order = np.argsort(key, kind="stable")
-    sv = key[order]
-    run_start = np.concatenate([[0], np.nonzero(np.diff(sv))[0] + 1, [sv.size]])
-    for s, e in zip(run_start[:-1], run_start[1:]):
-        if e - s > 1:
-            bucket = order[s:e]
-            ia, ib = np.triu_indices(bucket.size, k=1)
-            pair_a.append(bucket[ia])
-            pair_b.append(bucket[ib])
-    if not pair_a:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    pa_i = np.concatenate(pair_a)
-    pb_i = np.concatenate(pair_b)
-    swap = ids[pa_i] > ids[pb_i]
-    lo = np.where(swap, pb_i, pa_i)
-    hi = np.where(swap, pa_i, pb_i)
-    uniq_pairs = np.unique(np.stack([ids[lo], ids[hi]], axis=1), axis=0)
-    # map ids back to one simhash per id
-    first_idx = {i: j for j, i in reversed(list(enumerate(ids)))}
-    ha = np.array([sims[first_idx[a]] for a in uniq_pairs[:, 0]], dtype=np.int64)
-    hb = np.array([sims[first_idx[b]] for b in uniq_pairs[:, 1]], dtype=np.int64)
+
+    need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
+    sig_rows = _fetch_rows_for_ids(sig_ds, "id", need)
+    sim_of = dict(zip(sig_rows["id"].to_pylist(), sig_rows["simhash"].to_pylist()))
+    ha = np.array([sim_of[i] for i in pairs["id_a"]], dtype=np.int64)
+    hb = np.array([sim_of[i] for i in pairs["id_b"]], dtype=np.int64)
     x = ha.view(np.uint64) ^ hb.view(np.uint64)
     ham = np.zeros(x.size, dtype=np.int64)
     for _ in range(64):
         ham += (x & np.uint64(1)).astype(np.int64)
         x = x >> np.uint64(1)
-    keep = (ham <= max_hamming) & (uniq_pairs[:, 0] != uniq_pairs[:, 1])
-    out = pd.DataFrame({"id_a": uniq_pairs[keep, 0], "id_b": uniq_pairs[keep, 1],
+    keep = ham <= max_hamming
+    out = pd.DataFrame({"id_a": pairs["id_a"][keep], "id_b": pairs["id_b"][keep],
                         "hamming": ham[keep]})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
