@@ -269,8 +269,10 @@ def q_transcripts(sf_dir: str):
     ordering is exactly the north-rule row invariant."""
     from ..stages.window import sessionize_events
 
-    ds = sessionize_events(_read(sf_dir, "events"))
-    return ds.sort(["conv_id", "turn_idx"])
+    # sessionize_events emits blocks already ordered by (conv_id,
+    # turn_idx) — conv_id is order-isomorphic to the user_id sort key —
+    # so no second sort exchange is needed for the ORDER BY twin.
+    return sessionize_events(_read(sf_dir, "events"))
 
 
 def q_conv_stats(sf_dir: str) -> pd.DataFrame:

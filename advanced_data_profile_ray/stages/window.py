@@ -1,69 +1,189 @@
-"""Windowed / partitioned-order operators (row_number, per-group sort).
+"""Windowed / partitioned-order operators (row_number, sessionization).
 
-Ray Data has no window functions; the portable pattern (ray_guide.md
-"Streaming-shaped workloads") is ``groupby(key).map_groups(fn)`` with the
-ordering done per group in pandas. The groupby is a hash shuffle on the
-partition key — the one place transcript skew (hot conv_ids) matters, so
-group bodies must be O(group) with vectorized pandas, never quadratic.
+Ray Data has no window functions. The naive portable pattern —
+``groupby(key).map_groups(fn)`` — pays Ray's ~50µs/row Python reduce and
+lands every hot key on one reducer. The scale path used here instead:
+
+1. ONE global ``sort`` by (partition_key, *order_keys) — the only
+   exchange; range partitioning spreads hot keys across block boundaries.
+2. Per sorted block, row numbers are computed vectorized from the key's
+   run boundaries (np.arange - repeat of segment starts): zero per-row
+   Python.
+3. A partition that straddles block edges is stitched by a driver carry
+   scan over per-block boundary tuples (first/last key + segment sizes —
+   2 tiny rows per block, never the data), exactly like
+   ``fast_ops.sorted_groupby`` stitches edge groups.
+
+Raw block-ref tasks (not map_batches) are used for steps 2-3 because
+map_batches exposes no block ordinal, and the carry offset is per block.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _carry_offsets(infos: list) -> list:
+    """Driver stitch: running row-count carry for partitions straddling
+    consecutive sorted blocks. ``infos`` rows: (first_key, last_key,
+    n_first_seg, n_last_seg, n_total) per block, in sorted block order.
+    In sorted data first_key == last_key ⟹ the whole block is one
+    partition, so the carry accumulates across any number of blocks."""
+    offsets = []
+    carry_key, carry_n = object(), 0  # sentinel unequal to any key
+    for first, last, n_first, n_last, n_total in infos:
+        if n_total == 0:
+            offsets.append(0)
+            continue
+        off = carry_n if first == carry_key else 0
+        offsets.append(off)
+        if first == last:
+            carry_key, carry_n = last, off + n_total
+        else:
+            carry_key, carry_n = last, n_last
+    return offsets
+
+
+def _run_bounds(keys: np.ndarray):
+    """(starts, widths) of equal-key runs in a sorted 1-D array."""
+    n = keys.size
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    widths = np.diff(np.append(starts, n))
+    return starts, widths
+
+
+def _block_row_numbers(keys: np.ndarray, offset: int, start: int) -> np.ndarray:
+    """Vectorized per-partition row numbers for one sorted block; the
+    first segment continues from ``offset`` rows in previous blocks."""
+    starts, widths = _run_bounds(keys)
+    n = keys.size
+    rn = np.arange(n, dtype=np.int64) - np.repeat(starts, widths) + start
+    if n and offset:
+        rn[: widths[0]] += offset
+    return rn
 
 
 def row_number_within(ds, partition_key: str, order_keys: list, out_col: str = "row_number",
                       start: int = 0):
     """SQL ``ROW_NUMBER() OVER (PARTITION BY partition_key ORDER BY
-    order_keys) - 1 + start`` as a Ray Data operator."""
+    order_keys) - 1 + start`` as a distributed operator (see module doc)."""
+    import ray
+    import ray.data as rd
 
-    def _number(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_keys, kind="mergesort")
-        g[out_col] = range(start, start + len(g))
-        return g
+    s = ds.sort([partition_key] + order_keys).materialize()
+    refs = s.to_arrow_refs()  # sorted block order
+    if not refs:
+        return s.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
 
-    return ds.groupby(partition_key).map_groups(_number, batch_format="pandas")
+    @ray.remote
+    def _bounds(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0, 0)
+        k = block[partition_key].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        return (k[0], k[-1], int(widths[0]), int(widths[-1]), n)
+
+    @ray.remote
+    def _number(block: pa.Table, offset: int):
+        k = block[partition_key].to_numpy(zero_copy_only=False)
+        rn = _block_row_numbers(k, offset, start)
+        return block.append_column(out_col, pa.array(rn, pa.int64()))
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    offsets = _carry_offsets(infos)
+    out_refs = [_number.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _shape_transcript_block(block: pa.Table, rn: np.ndarray) -> pa.Table:
+    """Arrow-vectorized projection of a numbered events block into the
+    transcript layout (conv_id from user_id, role/tool from event_type)."""
+    ev = block["event_type"]
+    if isinstance(ev, pa.ChunkedArray):
+        ev = ev.combine_chunks()
+    evn = ev.to_numpy(zero_copy_only=False)
+    role = np.full(evn.size, "user", dtype=object)
+    role[evn == "signup"] = "system"
+    role[evn == "purchase"] = "assistant"
+    err = evn == "error"
+    role[err] = "tool"
+    tool = np.where(err, evn, None)
+    conv = pc.binary_join_element_wise(
+        pa.scalar("c"),
+        pc.utf8_lpad(pc.cast(block["user_id"], pa.string()), 8, padding="0"),
+        pa.scalar(""),
+    )
+    return pa.table(
+        {
+            "conv_id": pc.cast(conv, pa.string()),
+            "turn_idx": pa.array(rn.astype(np.int32), pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pc.cast(block["props"], pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pc.cast(block["ts"], pa.timestamp("us")),
+        }
+    )
 
 
 def sessionize_events(ds):
     """Derive the transcript fact table from the ``events`` table —
     deterministic and SQL-expressible (window-function twin in
     queries.ORACLE): conv_id from user_id, turn_idx by event order
-    within user, role/tool mapped from event_type, text from props."""
-    import numpy as np
-    import pyarrow as pa
+    within user, role/tool mapped from event_type, text from props.
 
-    ROLE_MAP = {
-        "click": "user",
-        "view": "user",
-        "signup": "system",
-        "purchase": "assistant",
-        "error": "tool",
-    }
+    One sort exchange; numbering + projection are fused into a single
+    vectorized task per sorted block, so the output is ALREADY ordered by
+    (conv_id, turn_idx): conv_id is order-isomorphic to user_id (zero-pad)
+    and turn_idx follows the physical (ts, event_id) order within user.
+    """
+    import ray
+    import ray.data as rd
 
-    numbered = row_number_within(
-        ds, "user_id", ["ts", "event_id"], out_col="turn_idx"
-    )
+    s = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(_SESSION_SCHEMA.empty_table())
 
-    def _shape(df: pd.DataFrame) -> pa.Table:
-        role = df["event_type"].map(ROLE_MAP).fillna("user")
-        # explicit Arrow types: a batch with no tool turns would otherwise
-        # infer an all-NaN float64 `tool` column (block schema divergence
-        # + NaN-vs-null mismatches downstream)
-        tool = np.where(role.to_numpy() == "tool",
-                        df["event_type"].to_numpy(dtype=object), None)
-        return pa.table(
-            {
-                "conv_id": pa.array(
-                    ("c" + df["user_id"].astype(str).str.zfill(8)).to_numpy(dtype=object),
-                    pa.string(),
-                ),
-                "turn_idx": pa.array(df["turn_idx"].to_numpy(), pa.int32()),
-                "role": pa.array(role.to_numpy(dtype=object), pa.string()),
-                "text": pa.array(df["props"].to_numpy(dtype=object), pa.string()),
-                "tool": pa.array(tool, pa.string()),
-                "ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
-            }
-        )
+    @ray.remote
+    def _bounds(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0, 0)
+        k = block["user_id"].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        return (k[0], k[-1], int(widths[0]), int(widths[-1]), n)
 
-    return numbered.map_batches(_shape, batch_format="pandas")
+    @ray.remote
+    def _number_and_shape(block: pa.Table, offset: int):
+        if block.num_rows == 0:
+            return _SESSION_SCHEMA.empty_table()
+        k = block["user_id"].to_numpy(zero_copy_only=False)
+        rn = _block_row_numbers(k, offset, start=0)
+        return _shape_transcript_block(block, rn)
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    offsets = _carry_offsets(infos)
+    out_refs = [_number_and_shape.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
