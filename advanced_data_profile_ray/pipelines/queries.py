@@ -83,14 +83,55 @@ def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
 
 def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
     """Exact per-column distinct counts (A6) — the exact shuffle path the
-    profile's HLL approximates."""
+    profile's HLL approximates. ONE scan for all columns: per batch each
+    column dedups to unique 64-bit value hashes, the skinny (col, h) rows
+    go through one sorted_groupby exchange, and the distinct count per
+    column is the group count — counted inside the blocks, never shipping
+    values (or hashes) to the driver."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..state.hll import hash64_arrow
+
     cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey", "l_suppkey"]
     ds = _read(sf_dir, "lineitem", cols)
-    rows = [
-        {"column": c, "distinct_count": len(ds.unique(c))}
-        for c in cols
-    ]
-    return pd.DataFrame(rows)
+
+    def _col_hashes(batch: pa.Table) -> pa.Table:
+        outs_c, outs_h = [], []
+        for ci, c in enumerate(cols):
+            col = batch[c]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                h = hash64_arrow(col.drop_null()).view(np.int64)
+            else:
+                vals = col.to_numpy(zero_copy_only=False)
+                vals = vals[~pd.isna(vals)]
+                h = pd.util.hash_array(vals, categorize=False).view(np.int64)
+            u = np.unique(h)
+            outs_c.append(np.full(u.size, ci, dtype=np.int8))
+            outs_h.append(u)
+        return pa.table({
+            "c": pa.array(np.concatenate(outs_c), pa.int8()),
+            "h": pa.array(np.concatenate(outs_h), pa.int64()),
+        })
+
+    pre = ds.map_batches(_col_hashes, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["c", "h"], [(None, "count_all", "n")])
+
+    def _group_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    counts = inner.map_batches(
+        _group_counts, batch_format="pyarrow", batch_size=None
+    ).to_pandas().groupby("c")["n"].sum()
+    if edge is not None and edge.num_rows:
+        for ci, n in edge.to_pandas().groupby("c").size().items():
+            counts[ci] = counts.get(ci, 0) + n
+    return pd.DataFrame(
+        [{"column": c, "distinct_count": int(counts.get(ci, 0))}
+         for ci, c in enumerate(cols)]
+    )
 
 
 def q_top_orderpriority(sf_dir: str) -> pd.DataFrame:
@@ -511,15 +552,37 @@ def q_entropy(sf_dir: str) -> pd.DataFrame:
     column (A16, Profiler.py:262-282): distributed groupby-count builds
     the (small) histogram, entropy folds on the driver."""
     specs = [
-        ("orders", "o_orderpriority"),
-        ("lineitem", "l_returnflag"),
-        ("lineitem", "l_linestatus"),
-        ("customer", "c_mktsegment"),
+        ("orders", ["o_orderpriority"]),
+        ("lineitem", ["l_returnflag", "l_linestatus"]),
+        ("customer", ["c_mktsegment"]),
     ]
+    ordered = ["o_orderpriority", "l_returnflag", "l_linestatus", "c_mktsegment"]
+    hists: dict = {}
+    for table, cols in specs:
+        # one scan per table: per-batch value_counts for every requested
+        # column at once, merged on the driver (low-cardinality histograms)
+        def _partial(batch: pa.Table, cols=cols) -> pa.Table:
+            vals, ns, cs = [], [], []
+            for c in cols:
+                col = batch[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                vc = pc.value_counts(col)
+                vals.append(vc.field("values").cast(pa.string()))
+                ns.append(vc.field("counts"))
+                cs.extend([c] * len(vc))
+            return pa.table({"column": pa.array(cs, pa.string()),
+                             "value": pa.concat_arrays(vals),
+                             "n": pa.concat_arrays(ns)})
+
+        parts = _read(sf_dir, table, cols).map_batches(
+            _partial, batch_format="pyarrow", batch_size=131072
+        ).to_pandas()
+        for c, grp in parts.groupby("column"):
+            hists[c] = grp.groupby("value")["n"].sum()
     rows = []
-    for table, col in specs:
-        hist = _read(sf_dir, table, [col]).groupby(col).count().to_pandas()
-        p = hist["count()"].to_numpy(dtype=np.float64)
+    for col in ordered:
+        p = hists[col].to_numpy(dtype=np.float64)
         p = p / p.sum()
         rows.append({"column": col,
                      "entropy": round(float(-(p * np.log2(p)).sum()), 6)})
@@ -527,14 +590,26 @@ def q_entropy(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minmax_ts(sf_dir: str) -> pd.DataFrame:
-    """Min/max datetime per event_type (A15, Profiler.py:675-679) via
-    distributed groupby min/max aggregates."""
+    """Min/max datetime per event_type (A15, Profiler.py:675-679): ONE
+    scan emitting both aggregates per batch (arrow group_by), driver-
+    merged over the tiny (event_type × blocks) partials."""
     ds = _read(sf_dir, "events", ["event_type", "ts"])
-    out = ds.groupby("event_type").min("ts").to_pandas().merge(
-        ds.groupby("event_type").max("ts").to_pandas(), on="event_type"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"], use_threads=False).aggregate(
+            [("ts", "min"), ("ts", "max")]
+        )
+        return g.rename_columns(
+            [{"ts_min": "min_ts", "ts_max": "max_ts"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=131072
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        min_ts=("min_ts", "min"), max_ts=("max_ts", "max")
     )
-    out = out.rename(columns={"min(ts)": "min_ts", "max(ts)": "max_ts"})
-    return out
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def q_non_ascii(sf_dir: str) -> pd.DataFrame:

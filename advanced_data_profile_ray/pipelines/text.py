@@ -62,23 +62,69 @@ def detect_languages(ds, text_col: str = "text", concurrency=(1, 8)):
     )
 
 
+# per-worker-process LangIdStage cache: a plain map_batches fn with a
+# process-global stage gives actor-style once-per-worker init while
+# scheduling at full task-pool width (no actor-pool ramp-up)
+_PROC_LANG_STAGES: dict = {}
+
+
+def _proc_lang_stage(text_col: str) -> "LangIdStage":
+    st = _PROC_LANG_STAGES.get(text_col)
+    if st is None:
+        st = _PROC_LANG_STAGES[text_col] = LangIdStage(text_col)
+    return st
+
+
 def language_histogram(ds, text_col: str = "text") -> pd.DataFrame:
     """(detected_lang, n) over the distinct text domain — dedup first like
-    the reference (unique values, Profiler.py:663)."""
-    from .dedup import exact_dedup  # noqa: F401 (conceptual link)
+    the reference (unique values, Profiler.py:663), but fully distributed:
+    content-hash per batch → one sorted_groupby exchange keeps one text
+    per distinct content → language ID runs in map tasks over the deduped
+    Dataset → per-batch lang counts merge into a tiny histogram. No
+    ``ds.unique()``: the driver only ever sees (lang, n) partials."""
+    import ray.data as rd
 
-    uniq = ds.select_columns([text_col]).unique(text_col)
-    df = pd.DataFrame({text_col: [u for u in uniq if u is not None]})
-    stage = LangIdStage(text_col)
-    out = stage(df)
-    hist = (
-        out.groupby("detected_lang", as_index=False)
-        .size()
-        .rename(columns={"size": "n"})
-        .sort_values(["n", "detected_lang"], ascending=[False, True])
+    from ..functions.hashing import hash_strings
+    from ..stages.fast_ops import sorted_groupby
+
+    def _hash_dedup(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.drop_null()
+        if len(texts) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
+        tn = texts.to_numpy(zero_copy_only=False)
+        h = hash_strings(tn).view(np.int64)
+        uniq_h, first = np.unique(h, return_index=True)
+        return pa.table({"h": pa.array(uniq_h, pa.int64()),
+                         text_col: pa.array(tn[first], pa.string())})
+
+    hashed = ds.select_columns([text_col]).map_batches(
+        _hash_dedup, batch_format="pyarrow", batch_size=8192
+    )
+    # one exchange: hash-keyed dedup (min(text) is a deterministic pick;
+    # all texts in a group are equal modulo a 2^-64 hash collision)
+    inner, edge = sorted_groupby(hashed, ["h"], [(text_col, "min", text_col)])
+    uniq_ds = inner.select_columns([text_col])
+    if edge is not None and edge.num_rows:
+        uniq_ds = uniq_ds.union(rd.from_arrow(edge.select([text_col])))
+
+    def _lang_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = _proc_lang_stage(text_col)(df)
+        vc = out["detected_lang"].value_counts()
+        return pd.DataFrame({"detected_lang": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    parts = uniq_ds.map_batches(
+        _lang_counts, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    hist = parts.groupby("detected_lang", as_index=False)["n"].sum()
+    return (
+        hist.sort_values(["n", "detected_lang"], ascending=[False, True])
         .reset_index(drop=True)
     )
-    return hist
 
 
 def quality_scores(ds, id_col: str, text_col: str):
