@@ -45,9 +45,35 @@ def _write_atomic(path: str, payload: bytes) -> None:
     os.replace(tmp, path)
 
 
+def _input_fingerprint(input_path: str) -> dict:
+    """Lineage identity of an input parquet file: size + mtime_ns + a
+    footer-metadata hash. Size alone misses same-size rewrites (common
+    for fixed-width / regenerated data); the footer hash covers even a
+    same-size same-mtime rewrite, at the cost of one metadata read."""
+    st = os.stat(input_path)
+    fp = {"input_size": st.st_size, "input_mtime_ns": st.st_mtime_ns}
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(input_path)
+        fp["footer_sha1"] = hashlib.sha1(
+            b"|".join([
+                str(md.num_rows).encode(),
+                str(md.num_row_groups).encode(),
+                md.created_by.encode() if md.created_by else b"",
+                str(md.serialized_size).encode(),
+                str([md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups)]).encode(),
+            ])
+        ).hexdigest()
+    except Exception:
+        fp["footer_sha1"] = None
+    return fp
+
+
 def load_checkpoint(checkpoint_dir: str, input_path: str) -> dict | None:
     """Returns the checkpoint dict if present AND its lineage still
-    matches the input file (size check), else None."""
+    matches the input file (size + mtime + footer hash), else None."""
     p = _ckpt_path(checkpoint_dir, input_path)
     if not os.path.exists(p):
         return None
@@ -56,8 +82,11 @@ def load_checkpoint(checkpoint_dir: str, input_path: str) -> dict | None:
             ck = pickle.load(f)
     except Exception:
         return None
-    if ck.get("lineage", {}).get("input_size") != os.path.getsize(input_path):
-        return None  # input changed since checkpoint → recompute
+    lin = ck.get("lineage", {})
+    fp = _input_fingerprint(input_path)
+    for k, v in fp.items():
+        if lin.get(k) != v:
+            return None  # input changed since checkpoint → recompute
     return ck
 
 
@@ -67,8 +96,8 @@ def save_checkpoint(checkpoint_dir: str, input_path: str,
     ck = {
         "lineage": {
             "input_path": input_path,
-            "input_size": os.path.getsize(input_path),
             "engine_version": __version__,
+            **_input_fingerprint(input_path),
         },
         "metrics": {"row_count": row_count, "byte_size": byte_size},
         "columns": columns,  # name -> ColumnProfile (picklable sketches)

@@ -244,6 +244,9 @@ def q_dup_custkeys(sf_dir: str) -> pd.DataFrame:
     from ..stages.fast_ops import duplicate_keys_from_files
 
     dups = duplicate_keys_from_files([f"{sf_dir}/orders.parquet"], ["o_custkey"])
+    if dups is None:  # clean input: no duplicate keys at all
+        return pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
     out = dups.to_pandas()
     out["n"] = out["n"].astype("int64")
     return out

@@ -50,7 +50,10 @@ def _block_group_agg(keys: list, aggs: list):
             for src, fn, out in aggs
         }
         g = g.rename_columns([rename.get(c, c) for c in g.column_names])
-        return g
+        # canonical column order: arrow emits aggregates before keys, while
+        # _empty_out builds keys first — normalize so empty and non-empty
+        # blocks unify under Ray's schema check on sort/union/take
+        return g.select(keys + [out for _, _, out in aggs])
 
     return _fn
 
@@ -290,45 +293,77 @@ def start_duplicate_keys_from_files(paths: list, keys: list,
         _reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
         for k in range(K)
     ]
-    return {"reduce_refs": reduce_refs, "paths": paths, "keys": keys}
+    return {"reduce_refs": reduce_refs, "paths": paths, "keys": keys,
+            "K": K, "shift": int(shift)}
 
 
 def finish_duplicate_keys_from_files(handle: dict, limit: int = 2_000_000):
     """Collect the exchange started by start_duplicate_keys_from_files
     and run the exact verify pass (hash collisions resolved by grouping
-    the recovered key rows exactly). Returns pa.Table (keys..., n) or
-    None when no duplicates exist."""
+    the recovered key rows exactly). The verify hits are re-bucketed by
+    the same top hash bits, and each bucket reducer groups, filters n>1,
+    key-sorts and applies ``limit`` BEFORE anything reaches the driver —
+    a pathological dup rate is bounded at K×limit driver rows instead of
+    the full hit volume. Per-reducer limit is exact: every key lives in
+    exactly one bucket, and the globally-first ``limit`` key-sorted
+    groups are each among their own reducer's first ``limit``.
+    Returns pa.Table (keys..., n) or None when no duplicates exist."""
     import numpy as np
     import pyarrow.parquet as pq
 
     import ray
 
     paths, keys = handle["paths"], handle["keys"]
+    K, shift = handle["K"], np.uint64(handle["shift"])
     dup_parts = ray.get(handle["reduce_refs"])
     dup_hashes = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.uint64)
     if dup_hashes.size == 0:
         return None
 
-    @ray.remote
-    def _verify(path, dups):
+    @ray.remote(num_returns=K)
+    def _verify_split(path, dups):
         t = pq.read_table(path, columns=keys)
         h = _mix_key_hashes(t, keys)
-        if dups.size == 0:
-            return t.slice(0, 0)
         pos = np.searchsorted(dups, h)
         pos[pos == dups.size] = 0
-        return t.filter(pa.array(dups[pos] == h))
+        mask = dups[pos] == h
+        t = t.filter(pa.array(mask))
+        h = h[mask]
+        b = (h >> shift).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(K + 1))
+        idx = pa.array(order, pa.int64())
+        ts = t.take(idx)
+        out = tuple(ts.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(K))
+        return out if K > 1 else out[0]
+
+    @ray.remote
+    def _group_limit(*parts):
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return None
+        t = pa.concat_tables(nonempty)
+        g = t.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns([("n" if c == "count_all" else c) for c in g.column_names])
+        out = g.filter(pc.greater(g["n"], 1))
+        if out.num_rows == 0:
+            return None
+        out = out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])
+        return out.slice(0, limit)
 
     dup_ref = ray.put(dup_hashes)
-    hits = pa.concat_tables(ray.get([_verify.remote(p, dup_ref) for p in paths]))
-    g = hits.group_by(keys, use_threads=False).aggregate([([], "count_all")])
-    g = g.rename_columns([("n" if c == "count_all" else c) for c in g.column_names])
-    out = g.filter(pc.greater(g["n"], 1))
-    if out.num_rows == 0:
+    ver_refs = [_verify_split.remote(p, dup_ref) for p in paths]
+    if K == 1:
+        ver_refs = [[r] for r in ver_refs]
+    bucket_refs = [
+        _group_limit.remote(*[ver_refs[m][k] for m in range(len(paths))])
+        for k in range(K)
+    ]
+    buckets = [b for b in ray.get(bucket_refs) if b is not None]
+    if not buckets:
         return None
-    if out.num_rows > limit:
-        out = out.slice(0, limit)
-    return out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])
+    out = pa.concat_tables(buckets).sort_by([(k, "ascending") for k in keys])
+    return out.slice(0, limit)
 
 
 def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = None,

@@ -75,7 +75,41 @@ def test_changed_input_invalidates(ray_session, shards, tmp_path):
         assert load_checkpoint(ckdir, shards[0]) is None
     finally:
         os.truncate(shards[0], stat.st_size)
+        # content and size are back to the original: restore mtime so the
+        # full fingerprint (size + mtime + footer) matches again
+        os.utime(shards[0], ns=(stat.st_atime_ns, stat.st_mtime_ns))
     assert load_checkpoint(ckdir, shards[0]) is not None
+
+
+def test_same_size_rewrite_invalidates(ray_session, shards, tmp_path):
+    """A same-size rewrite with different content must NOT resume stale
+    sketches — the mtime/footer legs of the fingerprint catch what a
+    size-only check misses."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.checkpoint import load_checkpoint, profile_partitioned
+
+    ckdir = str(tmp_path / "ck")
+    profile_partitioned(shards[:1], ckdir, None)
+    assert load_checkpoint(ckdir, shards[0]) is not None
+    stat = os.stat(shards[0])
+    backup = str(tmp_path / "backup.parquet")
+    shutil.copy2(shards[0], backup)
+    try:
+        # rewrite with different content, then pad to the exact old size
+        # and restore the old mtime — only the footer hash can tell
+        t = pq.read_table(shards[0])
+        pq.write_table(t.slice(0, max(1, t.num_rows // 2)), shards[0])
+        with open(shards[0], "ab") as f:
+            f.write(b"\0" * max(0, stat.st_size - os.path.getsize(shards[0])))
+        os.utime(shards[0], ns=(stat.st_atime_ns, stat.st_mtime_ns))
+        assert load_checkpoint(ckdir, shards[0]) is None
+    finally:
+        shutil.copy2(backup, shards[0])
+        os.utime(shards[0], ns=(stat.st_atime_ns, stat.st_mtime_ns))
 
 
 def test_partition_verdicts(ray_session, shards, tmp_path):
