@@ -515,6 +515,22 @@ def q_shipdate_parts(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_events_hour_hist(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day histogram of events.ts through the profile's
+    DatePartCounts sketch (A24 full date-part coverage,
+    Profiler.py:780-794) — exercises the same single-pass partial that
+    feeds the report's six per-component count plots."""
+    from .profile import profile_dataset
+    from ..stages.profile_partial import ProfileConfig
+
+    prof = profile_dataset(_read(sf_dir, "events", ["ts"]),
+                           ProfileConfig(columns=["ts"]))
+    hours = prof.columns["ts"].date_parts.finalize()["hour"]
+    return pd.DataFrame(
+        [{"hour": h, "n": n} for h, n in hours.items()]
+    ).astype({"hour": "int64", "n": "int64"})
+
+
 def q_sample_sorted(sf_dir: str) -> pd.DataFrame:
     """Global sort + limit (§2.6: genuine global top-k path)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
@@ -858,6 +874,10 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n
         FROM lineitem GROUP BY 1, 2
     """,
+    "events_hour_hist": """
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "sample_sorted": """
         SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
@@ -939,6 +959,7 @@ QUERIES = {
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,
     "shipdate_parts": q_shipdate_parts,
+    "events_hour_hist": q_events_hour_hist,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

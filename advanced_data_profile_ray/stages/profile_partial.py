@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 from ..schema import logical_type_of
 from ..state import (
+    DatePartCounts,
     FixedHistogram,
     HeavyHitters,
     HyperLogLog,
@@ -64,6 +65,7 @@ class ColumnProfile:
     hh: HeavyHitters | None = None
     minmax: MinMax = field(default_factory=MinMax)          # raw values (strings / ts int64)
     ts_minmax: MinMax = field(default_factory=MinMax)       # int64 µs, temporal columns only
+    date_parts: DatePartCounts | None = None                # temporal columns only (A24)
     non_ascii: bool = False
 
     # ------------------------------------------------------------------
@@ -135,6 +137,7 @@ class ColumnProfile:
                     ivals.astype(np.float64), np.asarray(edges)
                 )
             p.hll = HyperLogLog.from_hashes(hash64(ivals), cfg.hll_p)
+            p.date_parts = DatePartCounts.from_timestamp(ts)
             if not skip_vals:
                 p.vc = ValueCounts.from_array(ivals, cfg.vc_cap)
                 p.hh = HeavyHitters.from_array(ivals, cfg.hh_capacity)
@@ -181,6 +184,7 @@ class ColumnProfile:
         out.hh = m2(self.hh, o.hh)
         out.minmax = self.minmax.merge(o.minmax)
         out.ts_minmax = self.ts_minmax.merge(o.ts_minmax)
+        out.date_parts = m2(self.date_parts, o.date_parts)
         out.non_ascii = self.non_ascii or o.non_ascii
         return out
 
@@ -215,6 +219,8 @@ class ColumnProfile:
         if self.ts_minmax.min is not None:
             out["min_ts_us"] = int(self.ts_minmax.min)
             out["max_ts_us"] = int(self.ts_minmax.max)
+        if self.date_parts is not None:
+            out["date_parts"] = self.date_parts.finalize()
         elif self.minmax.min is not None and self.typevote.logical_type == "string":
             out["min_value"] = self.minmax.min
             out["max_value"] = self.minmax.max

@@ -14,6 +14,7 @@ from .heavy_hitters import HeavyHitters
 from .histogram import FixedHistogram
 from .basic import NullBlank, MaxLen, MinMax, ValueCounts, TypeVote
 from .corr import CorrState
+from .dateparts import DatePartCounts
 
 __all__ = [
     "Moments",
@@ -27,4 +28,5 @@ __all__ = [
     "ValueCounts",
     "TypeVote",
     "CorrState",
+    "DatePartCounts",
 ]

@@ -242,3 +242,26 @@ class TestCorrState:
         imp = st.pca_importance()
         assert set(imp) == {"a", "b", "c"}
         assert all(v > 0 for v in imp.values())
+
+
+class TestDatePartCounts:
+    def test_matches_pandas_and_merges(self):
+        import pandas as pd
+        import pyarrow as pa
+
+        from advanced_data_profile_ray.state import DatePartCounts
+
+        ts = pd.to_datetime(
+            RNG.integers(1_577_836_800, 1_700_000_000, 5000), unit="s"
+        )
+        arr = pa.array(ts, pa.timestamp("us"))
+        one = DatePartCounts.from_timestamp(arr)
+        merged = DatePartCounts.from_timestamp(arr.slice(0, 2000)).merge(
+            DatePartCounts.from_timestamp(arr.slice(2000))
+        )
+        for part, attr in [("year", "year"), ("month", "month"), ("day", "day"),
+                           ("hour", "hour"), ("minute", "minute"), ("second", "second")]:
+            want = ts.to_series().dt.__getattribute__(attr).value_counts().sort_index()
+            got = one.finalize()[part]
+            assert got == {int(k): int(v) for k, v in want.items()}, part
+            assert merged.finalize()[part] == got, part
