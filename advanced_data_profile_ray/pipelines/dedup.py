@@ -293,23 +293,6 @@ def _fetch_rows_for_ids(ds, id_col: str, ids_needed) -> pa.Table:
     return pa.concat_tables(tables) if tables else None
 
 
-def _sig_input_blocks(ds) -> int:
-    """Block count for the signature stage: its cost is O(num_perm ×
-    total_bytes) and map width is bounded by input BLOCK count, so a
-    single-file corpus must be split — but a tiny corpus should not pay
-    64 task launches. Parquet row counts are metadata-only (free)."""
-    import ray
-
-    try:
-        rows = ds.count()
-    except Exception:
-        rows = None
-    cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    if rows is None:
-        return cap
-    return int(min(cap, max(4, rows // 2048 + 1)))
-
-
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 16),
@@ -329,11 +312,12 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     # task-pool stage: the "state" is a seeded permutation table that
     # costs microseconds to rebuild, so a plain function schedules at
     # full width with no actor-pool ramp-up
+    from ..stages.fast_ops import spread_blocks
+
     stage = MinHashStage(id_col, text_col, num_perm, bands, shingle_k)
     sig_ds = (
-        ds.select_columns([id_col, text_col])
-        .repartition(_sig_input_blocks(ds))
-        .map_batches(stage.__call__, batch_format="pyarrow", batch_size=2048)
+        spread_blocks(ds.select_columns([id_col, text_col]))
+        .map_batches(stage.__call__, batch_format="pyarrow", batch_size=None)
         .materialize()  # consumed twice: band explode + candidate sig fetch
     )
 
@@ -493,11 +477,13 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
     co-location + pair expansion run through the same distributed sort
     exchange as MinHash (lsh_bucket_pairs), with the same oversize-bucket
     cap; simhashes for Hamming verify are fetched only for candidates."""
+    from ..stages.fast_ops import spread_blocks
+
     stage = SimHashStage(id_col, text_col)  # stateless: task pool
-    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+    sig_ds = spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
         stage.__call__,
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
     ).materialize()  # consumed twice: chunk explode + candidate fetch
 
     def _explode(batch: pa.Table) -> pa.Table:

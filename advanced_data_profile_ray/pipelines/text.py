@@ -139,8 +139,10 @@ def quality_scores(ds, id_col: str, text_col: str):
         out["quality_score"] = quality_score(feats, sr)
         return out
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        _score, batch_format="pandas", batch_size=8192
+    from ..stages.fast_ops import spread_blocks
+
+    return spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+        _score, batch_format="pandas", batch_size=None
     )
 
 
@@ -149,27 +151,54 @@ def readability_aggregate(ds, text_col: str = "text") -> dict:
     docs — phase-4 string stats (Profiler.py:857-864) without ever
     concatenating text."""
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"chars": 0, "words": 0, "sentences": 0, "syllables": 0,
-                "monosyllables": 0, "polysyllables": 0,
-                "flesch_sum": 0.0, "valid_docs": 0, "docs": 0}
-        for t in df[text_col]:
-            if t is None:
-                continue
-            rows["docs"] += 1
-            c = doc_text_counts(t)
-            for k in ("chars", "words", "sentences", "syllables",
-                      "monosyllables", "polysyllables"):
-                rows[k] += c[k]
-            if is_valid_text(t):
-                rows["valid_docs"] += 1
-                rows["flesch_sum"] += flesch_reading_ease(
-                    c["words"], c["sentences"], c["syllables"]
-                )
-        return pd.DataFrame([rows])
+    from ..functions.textstats import SENT_RE, TOKEN_RE, VOWEL_GROUP_RE, WORD_RE
 
-    parts = ds.select_columns([text_col]).map_batches(
-        _partial, batch_format="pandas", batch_size=4096
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized twin of doc_text_counts/is_valid_text/flesch over the
+        # whole batch: per-doc counts via pandas str kernels, per-word
+        # syllables on the exploded word array, per-doc sums via reduceat
+        t = df[text_col].dropna()
+        n_docs = len(t)
+        if n_docs == 0:
+            return pd.DataFrame([{
+                "chars": 0, "words": 0, "sentences": 0, "syllables": 0,
+                "monosyllables": 0, "polysyllables": 0,
+                "flesch_sum": 0.0, "valid_docs": 0, "docs": 0}])
+        chars = t.str.len().to_numpy()
+        sentences = t.str.count(SENT_RE.pattern).clip(lower=1).to_numpy()
+        valid = (t.str.count(TOKEN_RE.pattern) >= 5).to_numpy()
+        word_lists = t.str.findall(WORD_RE).to_numpy()
+        wcount = np.fromiter((len(w) for w in word_lists), np.int64, n_docs)
+        syl_doc = np.zeros(n_docs, np.int64)
+        mono_doc = np.zeros(n_docs, np.int64)
+        poly_doc = np.zeros(n_docs, np.int64)
+        total_w = int(wcount.sum())
+        if total_w:
+            flat = pd.Series(np.concatenate(word_lists)).str.lower()
+            groups = flat.str.count(VOWEL_GROUP_RE.pattern).to_numpy()
+            drop_e = (groups > 1) & flat.str.endswith("e").to_numpy() \
+                & ~flat.str.endswith("le").to_numpy()
+            syl = np.maximum(1, groups - drop_e)
+            nonempty = wcount > 0
+            starts = np.concatenate([[0], np.cumsum(wcount)[:-1]])[nonempty]
+            syl_doc[nonempty] = np.add.reduceat(syl, starts)
+            mono_doc[nonempty] = np.add.reduceat((syl == 1).astype(np.int64), starts)
+            poly_doc[nonempty] = np.add.reduceat((syl >= 3).astype(np.int64), starts)
+        ok = valid & (wcount > 0) & (sentences > 0)
+        w = wcount[ok].astype(np.float64)
+        flesch = 206.835 - 1.015 * (w / sentences[ok]) - 84.6 * (syl_doc[ok] / w)
+        return pd.DataFrame([{
+            "chars": int(chars.sum()), "words": total_w,
+            "sentences": int(sentences.sum()), "syllables": int(syl_doc.sum()),
+            "monosyllables": int(mono_doc.sum()),
+            "polysyllables": int(poly_doc.sum()),
+            "flesch_sum": float(flesch.sum()), "valid_docs": int(valid.sum()),
+            "docs": n_docs}])
+
+    from ..stages.fast_ops import spread_blocks
+
+    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+        _partial, batch_format="pandas", batch_size=None
     ).to_pandas()
     total = parts.sum()
     mean_flesch = (
@@ -205,33 +234,52 @@ def tfidf_top_ngrams(ds, text_col: str = "text", ngram_range=(1, 3),
     n_docs = ds.count()
 
     def _counts(df: pd.DataFrame) -> pd.DataFrame:
-        tf: dict = {}
-        dfreq: dict = {}
-        for t in df[text_col]:
-            if not t:
-                continue
-            toks = _TOKEN_RE.findall(t.lower())
-            grams = []
-            for n in range(ngram_range[0], ngram_range[1] + 1):
-                grams.extend(
-                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-                )
-            seen = set()
-            for g in grams:
-                tf[g] = tf.get(g, 0) + 1
-                if g not in seen:
-                    dfreq[g] = dfreq.get(g, 0) + 1
-                    seen.add(g)
-        if not tf:
-            return pd.DataFrame({"ngram": [], "tf": [], "df": []})
-        grams = list(tf)
+        # vectorized n-gram counting: tokenize the whole batch with one
+        # pandas findall, build n-grams by shifted elementwise joins over
+        # the flattened token array (masking grams that straddle doc
+        # boundaries), then tf = value_counts and df = value_counts of
+        # the deduped (doc, gram) pairs — no per-doc Python loop
+        empty = pd.DataFrame({"ngram": [], "tf": [], "df": []})
+        tok_lists = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+        wcount = tok_lists.str.len().to_numpy()
+        total = int(wcount.sum())
+        if total == 0:
+            return empty
+        # object dtype: np.concatenate would infer fixed-width unicode,
+        # which numpy refuses to `+`-join elementwise
+        flat = np.concatenate(tok_lists.to_numpy()).astype(object)
+        doc_idx = np.repeat(np.arange(len(tok_lists)), wcount)
+        gram_parts, gdoc_parts = [], []
+        for n in range(ngram_range[0], ngram_range[1] + 1):
+            if n > total:
+                break
+            L = total - n + 1
+            g = flat[:L].copy()
+            for k in range(1, n):
+                g = g + " "
+                g = g + flat[k : L + k]
+            same_doc = doc_idx[:L] == doc_idx[n - 1 :]
+            gram_parts.append(g[same_doc])
+            gdoc_parts.append(doc_idx[:L][same_doc])
+        if not gram_parts:
+            return empty
+        grams = np.concatenate(gram_parts)
+        gdocs = np.concatenate(gdoc_parts)
+        tf = pd.Series(grams).value_counts()
+        dfreq = (
+            pd.DataFrame({"ngram": grams, "doc": gdocs})
+            .drop_duplicates()["ngram"]
+            .value_counts()
+        )
         return pd.DataFrame(
-            {"ngram": grams, "tf": [tf[g] for g in grams],
-             "df": [dfreq[g] for g in grams]}
+            {"ngram": tf.index, "tf": tf.to_numpy(),
+             "df": dfreq.reindex(tf.index).to_numpy()}
         )
 
-    parts = ds.select_columns([text_col]).map_batches(
-        _counts, batch_format="pandas", batch_size=4096
+    from ..stages.fast_ops import spread_blocks
+
+    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+        _counts, batch_format="pandas", batch_size=None
     )
     inner, edge = sorted_groupby(
         parts, ["ngram"], [("tf", "sum", "tf"), ("df", "sum", "df")]
@@ -266,8 +314,10 @@ def word_frequencies(ds, text_col: str = "text", top_k: int = 50) -> pd.DataFram
         vc = exploded.value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.values})
 
-    parts = ds.select_columns([text_col]).map_batches(
-        _words, batch_format="pandas", batch_size=8192
+    from ..stages.fast_ops import spread_blocks
+
+    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+        _words, batch_format="pandas", batch_size=None
     )
     inner, edge = sorted_groupby(parts, ["word"], [("n", "sum", "n")])
     rows = inner.take_all()
@@ -303,6 +353,8 @@ def fingerprints(ds, id_col: str, text_col: str, window: int = 16,
         return pa.table({id_col: ids,
                          "fp_hash": pa.array(pairs[:, 1], pa.int64())})
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        _fp, batch_format="pyarrow", batch_size=8192
+    from ..stages.fast_ops import spread_blocks
+
+    return spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+        _fp, batch_format="pyarrow", batch_size=None
     )

@@ -155,6 +155,33 @@ def sorted_groupby(ds, keys: list, aggs: list, batch_size: int | None = 65536):
     return inner, edge_table
 
 
+def spread_blocks(ds, min_rows_per_block: int = 256):
+    """Widen task parallelism for CPU-heavy stages over small inputs.
+
+    map_batches width is bounded by input BLOCK count, not batch_size — a
+    small single-file corpus reads as a handful of blocks and runs heavy
+    per-batch stages nearly serially. Repartition to ~rows/min_rows
+    blocks (capped at 2×CPU). Large inputs (rows ≫ cap×min_rows) are
+    returned untouched: the parquet reader already splits them into many
+    blocks, and a repartition there would be a pointless full exchange.
+    Parquet row counts are metadata-only, so ``count()`` is free on a
+    fresh read.
+
+    IMPORTANT: downstream map_batches must use ``batch_size=None``
+    (batch = block) — any positive batch_size re-BUNDLES the spread
+    blocks back into few fat batches and undoes the parallelism."""
+    import ray
+
+    cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    try:
+        rows = ds.count()
+    except Exception:
+        return ds
+    if rows is None or rows >= cap * min_rows_per_block * 16:
+        return ds
+    return ds.repartition(int(max(4, min(cap, rows // min_rows_per_block + 1))))
+
+
 def sorted_group_counts(ds, keys: list):
     """Grouped row counts via sorted_groupby (null-safe count_all)."""
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
