@@ -528,20 +528,34 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
 # embedding cosine near-dup
 
 
+_PLANE_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded random hyperplanes, cached per worker process."""
+    key = (dim, n_planes, seed)
+    p = _PLANE_CACHE.get(key)
+    if p is None:
+        rng = np.random.default_rng(seed)
+        p = _PLANE_CACHE[key] = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    return p
+
+
 def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
                         n_planes: int = 12, seed: int = 7) -> pd.DataFrame:
     """Random-hyperplane LSH bucket → in-bucket cosine pairs ≥ threshold.
     The scale path for embedding near-dup (brute force is ann.brute_topk).
-    High thresholds → tiny angles → high bucket-collision recall."""
-    first = ds.take(1)
-    if not first:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    dim = len(first[0][vec_col])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    High thresholds → tiny angles → high bucket-collision recall.
+
+    The plane matrix is built lazily inside each map task from the
+    batch's own vector dim (seeded → identical across tasks), so no
+    ``ds.take(1)`` driver sniff triggers an extra partial execution."""
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id": [], "bucket": [], "vec": []})
         mat = np.stack(df[vec_col].to_numpy())
+        planes = _hyperplanes(mat.shape[1], n_planes, seed)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
         signs = (mat @ planes) > 0

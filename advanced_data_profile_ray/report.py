@@ -58,6 +58,37 @@ def cdf_plot_data(col, n_points: int = 100) -> dict | None:
     return {"value": [td.quantile(p) for p in probs], "cum_freq": probs.tolist()}
 
 
+def date_part_plot_data(col) -> dict | None:
+    """Six bar-chart series (year/month/day/hour/minute/second counts)
+    for temporal columns — the reference's per-component count plots
+    (Profiler.py:780-794) as plot-ready payloads."""
+    if col.date_parts is None:
+        return None
+    return {
+        part: {"x": list(hist.keys()), "y": list(hist.values())}
+        for part, hist in col.date_parts.finalize().items()
+    }
+
+
+def wordcloud_payload(freqs, max_words: int = 50,
+                      min_size: int = 12, max_size: int = 64) -> list:
+    """Word-cloud payload from a (word, n) frequency frame — the
+    renderable stand-in for the reference's WordCloud image
+    (Profiler.py:813-850; the wordcloud lib is absent here, so the
+    payload carries (word, count, font size) for any front-end)."""
+    rows = freqs.head(max_words)
+    if len(rows) == 0:
+        return []
+    n = rows["n"].to_numpy(dtype=np.float64)
+    lo, hi = float(n.min()), float(n.max())
+    span = (hi - lo) or 1.0
+    sizes = min_size + (max_size - min_size) * (n - lo) / span
+    return [
+        {"word": w, "count": int(c), "size": round(float(s), 1)}
+        for w, c, s in zip(rows["word"], rows["n"], sizes)
+    ]
+
+
 def _norm_ppf(p: float) -> float:
     """Standard normal inverse CDF (Peter Acklam's rational approximation,
     max abs error ~1.15e-9 — plenty for plot data)."""
@@ -95,7 +126,8 @@ def full_report_dict(profile: TableProfile, verdicts: list | None = None,
         col = profile.columns[col_dict["column"]]
         plots = {}
         for name, fn in (("box", box_plot_data), ("qq", qq_plot_data),
-                         ("cdf", cdf_plot_data)):
+                         ("cdf", cdf_plot_data),
+                         ("date_parts", date_part_plot_data)):
             data = fn(col)
             if data is not None:
                 plots[name] = data

@@ -134,13 +134,20 @@ def run_queries() -> dict:
 
     import ray.data
 
+    # min-of-2 per query: host noise spikes (±30% run-to-run, documented
+    # in BASELINE.md) can triple a single-run number; min is the
+    # least-noise estimate of engine cost
     timings = {}
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if isinstance(res, ray.data.Dataset):
-            res.count()  # force execution
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # force execution
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     return timings
 
 
