@@ -150,3 +150,50 @@ def test_ivf_recall(ray_session):
         a = set(approx[approx["qid"] == qi]["id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lsh_bucket_pairs_edge_stitching(ray_session):
+    """Buckets that straddle sorted-block boundaries must still pair up:
+    compare the distributed expansion against a naive single-process
+    reference over many tiny blocks (every bucket forced to the edges)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import lsh_bucket_pairs
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    keys = rng.integers(0, 150, n)          # ~13 ids per bucket on average
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"key": pa.array(keys, pa.int64()),
+                  "id": pa.array(ids, pa.int64())})
+    # 40 blocks of 50 rows: nearly every bucket crosses a block boundary
+    ds = rd.from_arrow(t).repartition(40)
+    got = lsh_bucket_pairs(ds, max_bucket=64)
+
+    naive = []
+    for k in np.unique(keys):
+        members = np.sort(ids[keys == k])
+        if 2 <= members.size <= 64:
+            ia, ib = np.triu_indices(members.size, k=1)
+            naive.extend(zip(members[ia], members[ib]))
+    want = pd.DataFrame(sorted(set(naive)), columns=["id_a", "id_b"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64"))
+
+
+def test_lsh_bucket_pairs_oversize_cap(ray_session):
+    """A bucket above max_bucket is skipped even when it spans blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import lsh_bucket_pairs
+
+    n_big, n_small = 300, 5
+    t = pa.table({
+        "key": pa.array([7] * n_big + [9] * n_small, pa.int64()),
+        "id": pa.array(np.arange(n_big + n_small), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(20)
+    got = lsh_bucket_pairs(ds, max_bucket=64)
+    # only the small bucket pairs survive: C(5,2) = 10
+    assert len(got) == 10
+    assert set(got["id_a"]).issubset(set(range(n_big, n_big + n_small)))
