@@ -525,6 +525,178 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram (rare-word) Jaccard near-dup
+
+
+_JACCARD_TOKEN_RE = __import__("re").compile(r"[a-z0-9']+")
+
+
+def jaccard_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.5,
+                      max_df: int = 64) -> pd.DataFrame:
+    """EXACT Jaccard near-dup over each doc's distinct rare-word set
+    (words with document frequency ≤ ``max_df`` — the classic rare-token
+    inverted index; common words carry no dedup signal and would blow the
+    index up quadratically). Unlike MinHash/SimHash this is deterministic
+    and SQL-expressible, so it gets a DuckDB oracle twin (queries.ORACLE
+    ['jaccard_near_dups']).
+
+    Distributed shape: (word-hash, doc) rows → ONE sort exchange
+    co-locates each word's postings; interior runs emit pair rows (one
+    per shared rare word) and per-doc size contributions inside the map
+    tasks; edge runs (clipped at max_df+1 rows — exact, see
+    lsh_bucket_pairs) stitch on the driver. Intersection counts and doc
+    sizes then merge through sorted_groupby; sizes are fetched only for
+    candidate docs. jaccard = i / (|A| + |B| - i).
+    """
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby, spread_blocks
+    from ..state.hll import hash64_arrow
+
+    def _doc_words(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tok = col.to_pandas().fillna("").str.lower().str.findall(_JACCARD_TOKEN_RE)
+        wcount = tok.str.len().to_numpy()
+        id_t = batch.schema.field(id_col).type
+        if wcount.sum() == 0:
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "doc": pa.array([], id_t)})
+        flat = pa.array(np.concatenate(tok.to_numpy()).astype(object), pa.string())
+        h = hash64_arrow(flat).view(np.int64)
+        pos = np.repeat(np.arange(len(tok), dtype=np.int64), wcount)
+        uniq = np.unique(np.stack([pos, h], axis=1), axis=0)  # per-doc distinct
+        ids = batch[id_col].take(pa.array(uniq[:, 0], pa.int64()))
+        return pa.table({"w": pa.array(uniq[:, 1], pa.int64()), "doc": ids})
+
+    rows = spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+        _doc_words, batch_format="pyarrow", batch_size=None
+    )
+    s = rows.sort("w").materialize()
+
+    def _interior_pairs(batch: pa.Table) -> pa.Table:
+        id_t = batch.schema.field("doc").type
+        empty = pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
+        if batch.num_rows == 0:
+            return empty
+        w = batch["w"].to_numpy()
+        docs = batch["doc"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(w)
+        pa_, pb_, _ = _expand_runs(docs, starts, 1, starts.size - 2, max_df)
+        if not pa_:
+            return empty
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        swap = a > b
+        return pa.table({"id_a": pa.array(np.where(swap, b, a)).cast(id_t),
+                         "id_b": pa.array(np.where(swap, a, b)).cast(id_t)})
+
+    def _interior_sizes(batch: pa.Table) -> pa.Table:
+        id_t = batch.schema.field("doc").type
+        empty = pa.table({"doc": pa.array([], id_t), "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        w = batch["w"].to_numpy()
+        starts = _run_starts(w)
+        widths = np.diff(starts)
+        # rows of interior runs with df ≤ max_df contribute 1 per word
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for r in range(1, starts.size - 2):
+            if widths[r] <= max_df:
+                keep[starts[r]: starts[r + 1]] = True
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return empty
+        g = sub.group_by(["doc"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names]
+        ).select(["doc", "n"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        w = batch["w"].to_numpy()
+        starts = _run_starts(w)
+        n_runs = starts.size - 1
+        take = []
+        for r in {0, n_runs - 1}:
+            s_, e_ = int(starts[r]), int(starts[r + 1])
+            take.extend(range(s_, min(e_, s_ + max_df + 1)))
+        return batch.take(pa.array(take, pa.int64()))
+
+    pair_tables = [t for t in _collect_tables(s.map_batches(
+        _interior_pairs, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    size_tables = [t for t in _collect_tables(s.map_batches(
+        _interior_sizes, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    edge_tables = [t for t in _collect_tables(s.map_batches(
+        _edges, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+
+    id_t = pa.int64()
+    if edge_tables:
+        id_t = edge_tables[0].schema.field("doc").type
+        et = pa.concat_tables(edge_tables).sort_by("w")
+        w = et["w"].to_numpy()
+        docs = et["doc"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(w)
+        pa_, pb_, _ = _expand_runs(docs, starts, 0, starts.size - 1, max_df)
+        if pa_:
+            a = np.concatenate(pa_)
+            b = np.concatenate(pb_)
+            swap = a > b
+            pair_tables.append(pa.table(
+                {"id_a": pa.array(np.where(swap, b, a)).cast(id_t),
+                 "id_b": pa.array(np.where(swap, a, b)).cast(id_t)}))
+        widths = np.diff(starts)
+        keep = np.zeros(et.num_rows, dtype=bool)
+        for r in range(starts.size - 1):
+            if widths[r] <= max_df:
+                keep[starts[r]: starts[r + 1]] = True
+        sub = et.filter(pa.array(keep))
+        if sub.num_rows:
+            g = sub.group_by(["doc"], use_threads=False).aggregate([([], "count_all")])
+            size_tables.append(g.rename_columns(
+                [("n" if c == "count_all" else c) for c in g.column_names]
+            ).select(["doc", "n"]))
+
+    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+    if not pair_tables:
+        return empty_out
+
+    # exchange 2: intersection counts per candidate pair
+    pair_ds = rd.from_arrow(pa.concat_tables(pair_tables))
+    inner_i, edge_i = sorted_groupby(pair_ds, ["id_a", "id_b"],
+                                     [(None, "count_all", "i")])
+    itables = [t for t in _collect_tables(inner_i) if t.num_rows]
+    if edge_i is not None and edge_i.num_rows:
+        itables.append(edge_i)
+    if not itables:
+        return empty_out
+    inter = pa.concat_tables(itables).to_pandas()
+
+    # exchange 3: per-doc rare-word set sizes, fetched only for candidates
+    sizes_ds = rd.from_arrow(pa.concat_tables(size_tables))
+    inner_s, edge_s = sorted_groupby(sizes_ds, ["doc"], [("n", "sum", "n")])
+    merged_sizes = inner_s
+    if edge_s is not None and edge_s.num_rows:
+        merged_sizes = merged_sizes.union(rd.from_arrow(edge_s))
+    need = pd.unique(pd.concat([inter["id_a"], inter["id_b"]]))
+    size_rows = _fetch_rows_for_ids(merged_sizes, "doc", need)
+    size_of = dict(zip(size_rows["doc"].to_pylist(), size_rows["n"].to_pylist()))
+
+    sa = inter["id_a"].map(size_of).to_numpy(dtype=np.float64)
+    sb = inter["id_b"].map(size_of).to_numpy(dtype=np.float64)
+    i = inter["i"].to_numpy(dtype=np.float64)
+    jac = i / (sa + sb - i)
+    out = pd.DataFrame({"id_a": inter["id_a"], "id_b": inter["id_b"],
+                        "jaccard": np.round(jac, 6)})
+    out = out[jac >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 

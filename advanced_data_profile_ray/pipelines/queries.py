@@ -664,6 +664,20 @@ def q_dedup_exact_hash(sf_dir: str) -> pd.DataFrame:
     return out.astype("int64")
 
 
+def q_jaccard_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Exact rare-word Jaccard near-dup (§2.7) — the deterministic,
+    SQL-expressible member of the near-dup family (MinHash/SimHash are
+    its probabilistic scale paths). Distributed rare-token inverted
+    index; see dedup.jaccard_near_dups."""
+    from .dedup import jaccard_near_dups
+
+    out = jaccard_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "doc_id", "text", threshold=0.5, max_df=64)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out
+
+
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 for the first 3 embeddings as queries;
     output (qid, id) only — ranks are float-stable, raw cosines are not
@@ -878,6 +892,28 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "jaccard_near_dups": """
+        WITH words AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 64),
+        rw AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rw GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM rw a JOIN rw b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "sample_sorted": """
         SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
@@ -969,6 +1005,7 @@ QUERIES = {
     # get the driver's rows-only check; each is oracle-tested in pytest on
     # corpora with known duplicate structure instead)
     "dedup_exact_hash": q_dedup_exact_hash,
+    "jaccard_near_dups": q_jaccard_near_dups,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,

@@ -197,3 +197,44 @@ def test_lsh_bucket_pairs_oversize_cap(ray_session):
     # only the small bucket pairs survive: C(5,2) = 10
     assert len(got) == 10
     assert set(got["id_a"]).issubset(set(range(n_big, n_big + n_small)))
+
+
+def test_jaccard_near_dups_oracle(ray_session, corpus):
+    """Exact rare-word Jaccard vs a DuckDB twin on the known corpus."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import jaccard_near_dups
+
+    # the corpus has a 13-word vocabulary, so df <= 64 would prune every
+    # word (80 docs); max_df=100 keeps them all and makes exact copies 1.0
+    got = jaccard_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                            threshold=0.5, max_df=100)
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    want = con.execute("""
+        WITH words AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 100),
+        rw AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rw GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                  FROM rw a JOIN rw b ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        ORDER BY id_a, id_b
+    """).df()
+    # every exact copy pair (i, 1000+i) must appear with jaccard 1.0
+    # (the tiny 13-word vocab makes many unrelated docs word-set-equal
+    # too, so presence — not exclusivity — is the invariant here)
+    idx = {(a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])}
+    for i in range(10):
+        assert idx.get((i, 1000 + i)) == 1.0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"id_a": "int64", "id_b": "int64"}).reset_index(drop=True))
