@@ -196,12 +196,20 @@ def lsh_bucket_pairs(exploded, max_bucket: int = 64) -> pd.DataFrame:
 
     Returns a deduplicated DataFrame (id_a, id_b), id_a < id_b.
     """
-    s = exploded.sort("key").materialize()  # fixed block layout for both consumers
+    s = exploded.sort("key")
 
-    def _interior(batch: pa.Table) -> pa.Table:
+    def _fused(batch: pa.Table) -> pa.Table:
+        """ONE pass per sorted block: interior-run pairs (kind=0 rows with
+        id_a/id_b set) AND clipped edge-run rows (kind=1 rows with key/id
+        set) in a union-schema table — half the dataset executions of a
+        separate interior/edge split."""
         id_t = batch.schema.field("id").type
         if batch.num_rows == 0:
-            return pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.int64()),
+                             "id": pa.array([], id_t),
+                             "id_a": pa.array([], id_t),
+                             "id_b": pa.array([], id_t)})
         key = batch["key"].to_numpy()
         ids = batch["id"].to_numpy(zero_copy_only=False)
         starts = _run_starts(key)
@@ -212,34 +220,41 @@ def lsh_bucket_pairs(exploded, max_bucket: int = 64) -> pd.DataFrame:
 
             logging.getLogger(__name__).info(
                 "LSH: skipped %d buckets larger than %d docs", skipped, max_bucket)
-        if not pair_a:
-            return pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
-        return pa.table({"id_a": pa.array(np.concatenate(pair_a)).cast(id_t),
-                         "id_b": pa.array(np.concatenate(pair_b)).cast(id_t)})
-
-    def _edges(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        key = batch["key"].to_numpy()
-        starts = _run_starts(key)
-        n_runs = starts.size - 1
         take = []
         for r in {0, n_runs - 1}:
             s_, e_ = int(starts[r]), int(starts[r + 1])
             take.extend(range(s_, min(e_, s_ + max_bucket + 1)))
-        return batch.take(pa.array(take, pa.int64()))
+        a = np.concatenate(pair_a) if pair_a else np.array([], dtype=ids.dtype)
+        b = np.concatenate(pair_b) if pair_b else np.array([], dtype=ids.dtype)
+        np_, ne = len(a), len(take)
+        take_arr = pa.array(take, pa.int64())
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(np_, np.int8), np.ones(ne, np.int8)])),
+            "key": pa.concat_arrays(
+                [pa.nulls(np_, pa.int64()),
+                 batch["key"].take(take_arr).combine_chunks()]),
+            "id": pa.concat_arrays(
+                [pa.nulls(np_, id_t), batch["id"].take(take_arr).combine_chunks()]),
+            "id_a": pa.concat_arrays([pa.array(a).cast(id_t), pa.nulls(ne, id_t)]),
+            "id_b": pa.concat_arrays([pa.array(b).cast(id_t), pa.nulls(ne, id_t)]),
+        })
 
-    # interior pairs: the final candidate set (assumed ≪ corpus) — the
-    # only full-size materialization is the skinny pair list itself
-    inner_tables = [t for t in _collect_tables(s.map_batches(
-        _interior, batch_format="pyarrow", batch_size=None)) if t.num_rows]
-    edge_tables = [t for t in _collect_tables(s.map_batches(
-        _edges, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    # one collected output: interior pairs (the final candidate set,
+    # assumed ≪ corpus) + ≤2 clipped edge runs per block
+    out_tables = [t for t in _collect_tables(s.map_batches(
+        _fused, batch_format="pyarrow", batch_size=None)) if t.num_rows]
 
-    pair_a, pair_b = [], []
-    for t in inner_tables:
-        pair_a.append(t["id_a"].to_numpy(zero_copy_only=False))
-        pair_b.append(t["id_b"].to_numpy(zero_copy_only=False))
+    pair_a, pair_b, edge_tables = [], [], []
+    for t in out_tables:
+        kinds = t["kind"].to_numpy()
+        pt = t.filter(pa.array(kinds == 0))
+        if pt.num_rows:
+            pair_a.append(pt["id_a"].to_numpy(zero_copy_only=False))
+            pair_b.append(pt["id_b"].to_numpy(zero_copy_only=False))
+        et = t.filter(pa.array(kinds == 1))
+        if et.num_rows:
+            edge_tables.append(et.select(["key", "id"]))
     skipped = 0
     if edge_tables:
         et = pa.concat_tables(edge_tables).sort_by("key")
@@ -573,64 +588,85 @@ def jaccard_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.5,
     rows = spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
         _doc_words, batch_format="pyarrow", batch_size=None
     )
-    s = rows.sort("w").materialize()
+    s = rows.sort("w")
 
-    def _interior_pairs(batch: pa.Table) -> pa.Table:
+    def _fused(batch: pa.Table) -> pa.Table:
+        """ONE pass per sorted block: interior-run pair rows (kind=0),
+        per-doc size contributions from interior runs with df ≤ max_df
+        (kind=1, grouped per block), and clipped edge-run rows (kind=2)
+        in a union-schema table."""
         id_t = batch.schema.field("doc").type
-        empty = pa.table({"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)})
+        empty = pa.table({"kind": pa.array([], pa.int8()),
+                          "w": pa.array([], pa.int64()),
+                          "doc": pa.array([], id_t),
+                          "n": pa.array([], pa.int64()),
+                          "id_a": pa.array([], id_t),
+                          "id_b": pa.array([], id_t)})
         if batch.num_rows == 0:
             return empty
         w = batch["w"].to_numpy()
         docs = batch["doc"].to_numpy(zero_copy_only=False)
         starts = _run_starts(w)
-        pa_, pb_, _ = _expand_runs(docs, starts, 1, starts.size - 2, max_df)
-        if not pa_:
-            return empty
-        a = np.concatenate(pa_)
-        b = np.concatenate(pb_)
-        swap = a > b
-        return pa.table({"id_a": pa.array(np.where(swap, b, a)).cast(id_t),
-                         "id_b": pa.array(np.where(swap, a, b)).cast(id_t)})
-
-    def _interior_sizes(batch: pa.Table) -> pa.Table:
-        id_t = batch.schema.field("doc").type
-        empty = pa.table({"doc": pa.array([], id_t), "n": pa.array([], pa.int64())})
-        if batch.num_rows == 0:
-            return empty
-        w = batch["w"].to_numpy()
-        starts = _run_starts(w)
+        n_runs = starts.size - 1
         widths = np.diff(starts)
-        # rows of interior runs with df ≤ max_df contribute 1 per word
+        pa_, pb_, _ = _expand_runs(docs, starts, 1, n_runs - 1, max_df)
+        a = np.concatenate(pa_) if pa_ else np.array([], dtype=docs.dtype)
+        b = np.concatenate(pb_) if pb_ else np.array([], dtype=docs.dtype)
+        swap = a > b
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        # interior-run rows with df ≤ max_df contribute 1 per word
         keep = np.zeros(batch.num_rows, dtype=bool)
-        for r in range(1, starts.size - 2):
+        for r in range(1, n_runs - 1):
             if widths[r] <= max_df:
                 keep[starts[r]: starts[r + 1]] = True
-        sub = batch.filter(pa.array(keep))
-        if sub.num_rows == 0:
-            return empty
-        g = sub.group_by(["doc"], use_threads=False).aggregate([([], "count_all")])
-        return g.rename_columns(
-            [("n" if c == "count_all" else c) for c in g.column_names]
-        ).select(["doc", "n"])
-
-    def _edges(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        w = batch["w"].to_numpy()
-        starts = _run_starts(w)
-        n_runs = starts.size - 1
+        sizes = batch.filter(pa.array(keep))
+        if sizes.num_rows:
+            g = sizes.group_by(["doc"], use_threads=False).aggregate([([], "count_all")])
+            g = g.rename_columns(
+                [("n" if c == "count_all" else c) for c in g.column_names])
+            size_doc = g["doc"].combine_chunks()
+            size_n = g["n"].combine_chunks()
+        else:
+            size_doc = pa.array([], id_t)
+            size_n = pa.array([], pa.int64())
         take = []
         for r in {0, n_runs - 1}:
             s_, e_ = int(starts[r]), int(starts[r + 1])
             take.extend(range(s_, min(e_, s_ + max_df + 1)))
-        return batch.take(pa.array(take, pa.int64()))
+        take_arr = pa.array(take, pa.int64())
+        np_, ns, ne = len(a), len(size_doc), len(take)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(np_, np.int8), np.ones(ns, np.int8),
+                 np.full(ne, 2, np.int8)])),
+            "w": pa.concat_arrays(
+                [pa.nulls(np_ + ns, pa.int64()),
+                 batch["w"].take(take_arr).combine_chunks()]),
+            "doc": pa.concat_arrays(
+                [pa.nulls(np_, id_t), size_doc,
+                 batch["doc"].take(take_arr).combine_chunks()]),
+            "n": pa.concat_arrays(
+                [pa.nulls(np_, pa.int64()), size_n, pa.nulls(ne, pa.int64())]),
+            "id_a": pa.concat_arrays(
+                [pa.array(a).cast(id_t), pa.nulls(ns + ne, id_t)]),
+            "id_b": pa.concat_arrays(
+                [pa.array(b).cast(id_t), pa.nulls(ns + ne, id_t)]),
+        })
 
-    pair_tables = [t for t in _collect_tables(s.map_batches(
-        _interior_pairs, batch_format="pyarrow", batch_size=None)) if t.num_rows]
-    size_tables = [t for t in _collect_tables(s.map_batches(
-        _interior_sizes, batch_format="pyarrow", batch_size=None)) if t.num_rows]
-    edge_tables = [t for t in _collect_tables(s.map_batches(
-        _edges, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    out_tables = [t for t in _collect_tables(s.map_batches(
+        _fused, batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    pair_tables, size_tables, edge_tables = [], [], []
+    for t in out_tables:
+        kinds = t["kind"].to_numpy()
+        pt = t.filter(pa.array(kinds == 0))
+        if pt.num_rows:
+            pair_tables.append(pt.select(["id_a", "id_b"]))
+        st = t.filter(pa.array(kinds == 1))
+        if st.num_rows:
+            size_tables.append(st.select(["doc", "n"]))
+        et = t.filter(pa.array(kinds == 2))
+        if et.num_rows:
+            edge_tables.append(et.select(["w", "doc"]))
 
     id_t = pa.int64()
     if edge_tables:
