@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import char_shingles, hash_strings
+from ..functions.hashing import hash_strings
 
 
 # ---------------------------------------------------------------------------
@@ -374,34 +374,74 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
 def verify_jaccard(ds, id_col: str, text_col: str, pairs: pd.DataFrame,
                    shingle_k: int = 5) -> pd.DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs: broadcast the
-    candidate id set, collect only those docs' shingle sets, verify on the
-    driver (candidates ≪ corpus)."""
+    """Exact shingle-set Jaccard for candidate pairs. Shingle sets are
+    computed vectorized in map tasks (batch_window_hashes — the SAME
+    window-hash domain the MinHash signatures use, so estimate and exact
+    are consistent) for candidate docs only, then the per-pair
+    intersection runs in parallel ray tasks over a broadcast shingle
+    dict — the driver never loops over pairs."""
     import ray
+
+    from ..functions.hashing import batch_window_hashes
 
     if pairs.empty:
         return pairs.assign(jaccard=[])
     ids_needed = set(pairs["id_a"]) | set(pairs["id_b"])
     ref = ray.put(pa.array(sorted(ids_needed)))
 
-    def _collect(batch: pa.Table) -> pa.Table:
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
         need = ray.get(ref)
         sub = batch.filter(pc.is_in(batch[id_col], value_set=need))
-        return pa.table({"id": sub[id_col], "text": sub[text_col]})
+        id_t = batch.schema.field(id_col).type
+        if sub.num_rows == 0:
+            return pa.table({"id": pa.array([], id_t),
+                             "sh": pa.array([], pa.int64())})
+        h, doc_idx, _ = batch_window_hashes(sub[text_col], shingle_k)
+        if h.size == 0:
+            return pa.table({"id": pa.array([], id_t),
+                             "sh": pa.array([], pa.int64())})
+        uniq = np.unique(np.stack([doc_idx, h.view(np.int64)], axis=1), axis=0)
+        ids = sub[id_col].take(pa.array(uniq[:, 0], pa.int64()))
+        return pa.table({"id": ids, "sh": pa.array(uniq[:, 1], pa.int64())})
 
-    docs = ds.select_columns([id_col, text_col]).map_batches(
-        _collect, batch_format="pyarrow"
-    ).take_all()
-    shingles = {r["id"]: char_shingles(r["text"] or "", shingle_k) for r in docs}
-    jac = []
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        sa, sb = shingles.get(a), shingles.get(b)
-        if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
-            jac.append(0.0)
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        jac.append(inter / union if union else 0.0)
+    sh_tables = [t for t in _collect_tables(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _shingle_rows, batch_format="pyarrow")) if t.num_rows]
+    shingles: dict = {}
+    for t in sh_tables:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        sh = t["sh"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s, sh_s = ids[order], sh[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(ids_s[1:] != ids_s[:-1])[0] + 1, [ids_s.size]])
+        for i in range(bounds.size - 1):
+            shingles[ids_s[bounds[i]]] = np.sort(sh_s[bounds[i]: bounds[i + 1]])
+
+    sh_ref = ray.put(shingles)
+    a_ids = pairs["id_a"].to_numpy()
+    b_ids = pairs["id_b"].to_numpy()
+
+    @ray.remote
+    def _verify_chunk(a_chunk, b_chunk):
+        sh = ray.get(sh_ref)
+        out = np.zeros(len(a_chunk), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_chunk, b_chunk)):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 0.0
+        return out
+
+    n_chunks = min(max(1, len(pairs) // 2048),
+                   int(ray.cluster_resources().get("CPU", 8)) * 2)
+    jac = np.concatenate(ray.get([
+        _verify_chunk.remote(a, b)
+        for a, b in zip(np.array_split(a_ids, n_chunks),
+                        np.array_split(b_ids, n_chunks))
+    ])) if len(pairs) else np.array([])
     out = pairs.copy()
     out["jaccard"] = jac
     return out
