@@ -149,9 +149,9 @@ class ColumnProfile:
             if edges is not None:
                 p.histogram = FixedHistogram.from_array(lens, np.asarray(edges))
             # non-ASCII flag (contains_non_english_characters, Profiler.py:226-228)
-            p.non_ascii = bool(
-                pc.any(pc.match_substring_regex(nn, r"[^\x00-\x7F]")).as_py()
-            )
+            # — a byte > 0x7F in the utf8 data buffer ⟺ a non-ASCII char;
+            # one memory-bound numpy scan, ~12× cheaper than the regex kernel
+            p.non_ascii = _buffer_has_non_ascii(nn)
             # hash the Arrow buffers directly (hash64_arrow) — no Python
             # string materialization on the wide-text hot path
             p.hll = HyperLogLog.from_hashes(hash64_arrow(nn), cfg.hll_p)
@@ -159,12 +159,36 @@ class ColumnProfile:
             p.minmax = MinMax(mm["min"].as_py(), mm["max"].as_py())
             if not skip_vals:
                 # one arrow C++ value_counts feeds both sketches (np.unique
-                # over Python strings was the hot spot here)
+                # over Python strings was the hot spot here). High-cardinality
+                # batches only materialize the top hh_capacity values as
+                # Python strings — to_pylist of a ~quarter-million-distinct
+                # column (conv_id) was the next hot spot.
                 vcs = pc.value_counts(nn)
-                vals = vcs.field("values").to_pylist()
-                cnts = vcs.field("counts").to_pylist()
-                p.vc = ValueCounts.from_pairs(vals, cnts, cfg.vc_cap)
-                p.hh = HeavyHitters.from_pairs(vals, cnts, cfg.hh_capacity)
+                cnts_np = vcs.field("counts").to_numpy()
+                if len(vcs) > cfg.vc_cap:
+                    p.vc = ValueCounts(cfg.vc_cap, overflow=True)
+                else:
+                    p.vc = ValueCounts.from_pairs(
+                        vcs.field("values").to_pylist(), cnts_np.tolist(),
+                        cfg.vc_cap)
+                if len(vcs) > cfg.hh_capacity:
+                    # same trim semantics as HeavyHitters.from_array:
+                    # keep top-capacity, error = max dropped count
+                    part = np.argpartition(cnts_np, -cfg.hh_capacity)
+                    kept = part[-cfg.hh_capacity:]
+                    hh = HeavyHitters(cfg.hh_capacity)
+                    hh.error = int(cnts_np[part[:-cfg.hh_capacity]].max())
+                    kept_vals = vcs.field("values").take(
+                        pa.array(kept, pa.int64())).to_pylist()
+                    from collections import Counter
+
+                    hh.counts = Counter(dict(zip(kept_vals,
+                                                 cnts_np[kept].tolist())))
+                    p.hh = hh
+                else:
+                    p.hh = HeavyHitters.from_pairs(
+                        vcs.field("values").to_pylist(), cnts_np.tolist(),
+                        cfg.hh_capacity)
         return p
 
     # ------------------------------------------------------------------
@@ -240,6 +264,28 @@ class ColumnProfile:
                 conf = round(max(0.0, 100.0 - ent * 10.0), 2)
         out["categorical_confidence"] = conf
         return out
+
+
+def _buffer_has_non_ascii(nn: pa.Array) -> bool:
+    """True iff any utf8 byte > 0x7F in a non-null string array — reads
+    the Arrow data buffer directly (zero string materialization). The
+    region [offsets[0], offsets[-1]) covers exactly the array's string
+    content (offsets are monotone with no gaps), including sliced and
+    filtered arrays."""
+    n = len(nn)
+    if n == 0:
+        return False
+    bufs = nn.buffers()
+    if bufs[2] is None:
+        return False
+    width = 8 if pa.types.is_large_string(nn.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    off = np.frombuffer(bufs[1], dtype=dt, count=n + 1, offset=nn.offset * width)
+    start, end = int(off[0]), int(off[-1])
+    if end <= start:
+        return False
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=end - start, offset=start)
+    return bool(data.max(initial=0) > 127)
 
 
 def _max_decimal_places(vals: np.ndarray) -> int:

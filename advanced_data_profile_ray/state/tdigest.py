@@ -39,9 +39,16 @@ class TDigest:
         sk = cls(delta)
         if arr.size == 0:
             return sk
-        x = np.sort(arr.astype(np.float64, copy=False))
-        sk.min = float(x[0])
-        sk.max = float(x[-1])
+        x = arr.astype(np.float64, copy=False)
+        lo, hi = float(x.min()), float(x.max())
+        sk.min, sk.max = lo, hi
+        if lo == hi:
+            # constant column (e.g. fixed-width id lengths): one centroid,
+            # no O(n log n) sort
+            sk.means = np.array([lo])
+            sk.weights = np.array([float(x.size)])
+            return sk
+        x = np.sort(x)
         sk.means, sk.weights = sk._compress(x, np.ones_like(x))
         return sk
 
