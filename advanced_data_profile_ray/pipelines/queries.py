@@ -344,6 +344,22 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
 # documents: dedup, tokens, stats
 
 
+def q_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Time-range windowed aggregate (§2 custom operator): per event, the
+    number of same-user events in the trailing hour — SQL RANGE window
+    twin. One sort exchange + vectorized per-run searchsorted; edge
+    partitions stitch on the driver (stages.window.windowed_count)."""
+    from ..stages.window import windowed_count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = windowed_count(ds, "user_id", "ts", "event_id",
+                         window_us=3_600_000_000).to_pandas()
+    out = out.rename(columns={"id": "event_id", "n_window": "n_last_hour"})
+    out["event_id"] = out["event_id"].astype("int64")
+    out["n_last_hour"] = out["n_last_hour"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Single-row document-table census from the profile pass."""
     from .profile import profile_dataset
@@ -892,6 +908,13 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "window_counts": """
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW) AS n_last_hour
+        FROM events ORDER BY event_id
+    """,
     "jaccard_near_dups": """
         WITH words AS (
           SELECT DISTINCT doc_id,
@@ -996,6 +1019,7 @@ QUERIES = {
     "decimal_places": q_decimal_places,
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
+    "window_counts": q_window_counts,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

@@ -105,6 +105,94 @@ def row_number_within(ds, partition_key: str, order_keys: list, out_col: str = "
     return rd.from_arrow_refs(out_refs)
 
 
+def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
+                   window_us: int):
+    """Time-range windowed aggregate: for every row, the number of rows
+    of the same partition with ``ts`` in ``[ts - window, ts]`` — SQL
+    ``COUNT(*) OVER (PARTITION BY part ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW)`` including equal-``ts`` peers
+    (all of them, exactly like RANGE framing).
+
+    Distributed shape: ONE sort by (part, ts, id); partitions interior
+    to a sorted block compute their counts vectorized in the block task
+    (two searchsorted per run); the ≤2 partitions touching each block's
+    edges ship their skinny (part, ts, id) rows to the driver and are
+    counted there after stitching — same edge discipline as
+    sessionize_events. Returns a Dataset of (id, n_window) rows.
+    """
+    import ray
+    import ray.data as rd
+
+    s = ds.select_columns([part_col, ts_col, id_col]).sort(
+        [part_col, ts_col, id_col]).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                       "n_window": pa.array([], pa.int64())}))
+
+    def _run_counts(ts: np.ndarray, starts: np.ndarray, widths: np.ndarray,
+                    lo_run: int, hi_run: int):
+        """Window counts for rows of runs [lo_run, hi_run); ts int64,
+        sorted within each run."""
+        outs = []
+        for r in range(lo_run, hi_run):
+            a, b = starts[r], starts[r] + widths[r]
+            seg = ts[a:b]
+            left = np.searchsorted(seg, seg - window_us, side="left")
+            right = np.searchsorted(seg, seg, side="right")  # peers included
+            outs.append(right - left)
+        return outs
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        id_t = block.schema.field(id_col).type
+        empty = pa.table({"id": pa.array([], id_t),
+                          "n_window": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty, block.select([part_col, ts_col, id_col])
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        starts, widths = _run_bounds(k)
+        n_runs = starts.size
+        counts = _run_counts(ts, starts, widths, 1, n_runs - 1)
+        interior_idx = np.concatenate(
+            [np.arange(starts[r], starts[r] + widths[r])
+             for r in range(1, n_runs - 1)]) if n_runs > 2 else np.array([], np.int64)
+        inner = pa.table({
+            "id": block[id_col].take(pa.array(interior_idx, pa.int64())),
+            "n_window": pa.array(
+                np.concatenate(counts) if counts else np.array([], np.int64),
+                pa.int64()),
+        }) if interior_idx.size else empty
+        edge_idx = []
+        for r in {0, n_runs - 1}:
+            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
+        edge = block.select([part_col, ts_col, id_col]).take(
+            pa.array(edge_idx, pa.int64()))
+        return inner, edge
+
+    results = [_block.remote(r) for r in refs]
+    inner_refs = [r[0] for r in results]
+    edge_tables = [t for t in ray.get([r[1] for r in results]) if t.num_rows]
+
+    parts = [rd.from_arrow_refs(inner_refs)]
+    if edge_tables:
+        et = pa.concat_tables(edge_tables).sort_by(
+            [(part_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")])
+        k = et[part_col].to_numpy(zero_copy_only=False)
+        ts = et[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        starts, widths = _run_bounds(k)
+        counts = _run_counts(ts, starts, widths, 0, starts.size)
+        parts.append(rd.from_arrow(pa.table({
+            "id": et[id_col],
+            "n_window": pa.array(np.concatenate(counts), pa.int64()),
+        })))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 _SESSION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
