@@ -360,6 +360,23 @@ def q_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
+    """As-of join (§2 custom operator): for each order, the latest event
+    of the same customer/user at or before the order date — sort-based
+    distributed as-of with driver carry stitching (stages.asof)."""
+    from ..stages.asof import asof_join_latest
+
+    out = asof_join_latest(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        left_key="o_custkey", right_key="user_id",
+        left_time="o_orderdate", right_time="ts", left_id="o_orderkey",
+    ).to_pandas()
+    out = out.rename(columns={"lid": "o_orderkey", "asof_ts": "last_event_ts"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Single-row document-table census from the profile pass."""
     from .profile import profile_dataset
@@ -908,6 +925,14 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "asof_last_event": """
+        SELECT o.o_orderkey,
+               e.ts AS last_event_ts
+        FROM orders o ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id
+         AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+        ORDER BY o.o_orderkey
+    """,
     "window_counts": """
         SELECT event_id,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
@@ -1020,6 +1045,7 @@ QUERIES = {
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
     "window_counts": q_window_counts,
+    "asof_last_event": q_asof_last_event,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,
