@@ -63,6 +63,13 @@ def asof_join_latest(left_ds, right_ds, left_key: str, right_key: str,
     ).union(right_ds.select_columns([right_key, right_time]).map_batches(
         _tag_right, batch_format="pyarrow"
     ))
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = left_ds.count() + right_ds.count()  # metadata-only on reads
+    except Exception:
+        rows = None
+    tagged = rightsize_blocks(tagged, rows=rows)
     s = tagged.sort(["k", "t", "side"]).materialize()
     refs = s.to_arrow_refs()
     out_schema = pa.schema([("lid", pa.int64()), ("asof_ts", pa.timestamp("us"))])

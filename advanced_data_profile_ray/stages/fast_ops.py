@@ -182,6 +182,27 @@ def spread_blocks(ds, min_rows_per_block: int = 256):
     return ds.repartition(int(max(4, min(cap, rows // min_rows_per_block + 1))))
 
 
+def rightsize_blocks(ds, rows: int | None = None, rows_per_block: int = 131072):
+    """Coalesce a SMALL dataset's many tiny blocks before a sort-based
+    operator: parquet reads split into hundreds of blocks regardless of
+    size, and sort + per-block task rounds pay scheduling per block.
+    ``rows`` may be passed when known; otherwise ``count()`` is used
+    (metadata-only on fresh parquet reads). Large inputs are returned
+    untouched — their reader blocks are already well-sized and an extra
+    exchange would be waste."""
+    import ray
+
+    cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    if rows is None:
+        try:
+            rows = ds.count()
+        except Exception:
+            return ds
+    if rows is None or rows >= cap * rows_per_block * 4:
+        return ds
+    return ds.repartition(int(max(4, min(cap, rows // rows_per_block + 1))))
+
+
 def sorted_group_counts(ds, keys: list):
     """Grouped row counts via sorted_groupby (null-safe count_all)."""
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])

@@ -123,12 +123,26 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
     import ray
     import ray.data as rd
 
-    s = ds.select_columns([part_col, ts_col, id_col]).sort(
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = ds.count()  # metadata-only on the raw read, pre-projection
+    except Exception:
+        rows = None
+    s = rightsize_blocks(ds.select_columns([part_col, ts_col, id_col]),
+                         rows=rows).sort(
         [part_col, ts_col, id_col]).materialize()
     refs = s.to_arrow_refs()
     if not refs:
         return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                        "n_window": pa.array([], pa.int64())}))
+    # types come from the DATASET schema: zero-row blocks (possible after
+    # a repartition) carry an empty per-block schema
+    ds_schema = s.schema().base_schema
+    id_t = ds_schema.field(id_col).type
+    edge_schema = pa.schema([(part_col, ds_schema.field(part_col).type),
+                             (ts_col, ds_schema.field(ts_col).type),
+                             (id_col, id_t)])
 
     def _run_counts(ts: np.ndarray, starts: np.ndarray, widths: np.ndarray,
                     lo_run: int, hi_run: int):
@@ -145,11 +159,10 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
 
     @ray.remote(num_returns=2)
     def _block(block: pa.Table):
-        id_t = block.schema.field(id_col).type
         empty = pa.table({"id": pa.array([], id_t),
                           "n_window": pa.array([], pa.int64())})
         if block.num_rows == 0:
-            return empty, block.select([part_col, ts_col, id_col])
+            return empty, edge_schema.empty_table()
         k = block[part_col].to_numpy(zero_copy_only=False)
         ts = block[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
         starts, widths = _run_bounds(k)
