@@ -111,10 +111,11 @@ def run_headline() -> dict:
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    # min-of-2: the sandbox host has high run-to-run variance (page-cache
-    # churn / VM noise); min is the least-noise estimate of engine cost
+    # min-of-3: the sandbox host has high run-to-run variance (page-cache
+    # churn / VM noise, observed 1.5x ambient swings between identical
+    # runs); min is the least-noise estimate of engine cost
     wall = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         ds = rd.read_parquet(data_dir)
         report = validate_transcripts(
