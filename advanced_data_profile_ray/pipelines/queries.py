@@ -377,6 +377,25 @@ def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_range_join_counts(sf_dir: str) -> pd.DataFrame:
+    """Range join (§2 custom operator): per order, the number of events
+    of the same customer/user within 7 days from the order date —
+    sort-based distributed interval-count (stages.window.range_count_join)."""
+    from ..stages.window import range_count_join
+
+    out = range_count_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        left_key="o_custkey", right_key="user_id",
+        left_time="o_orderdate", right_time="ts", left_id="o_orderkey",
+        window_us=7 * 86400 * 1_000_000,
+    ).to_pandas()
+    out = out.rename(columns={"id": "o_orderkey", "n_range": "n_week"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["n_week"] = out["n_week"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Single-row document-table census from the profile pass."""
     from .profile import profile_dataset
@@ -925,6 +944,14 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "range_join_counts": """
+        SELECT o.o_orderkey, COUNT(e.ts) AS n_week
+        FROM orders o LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+         AND e.ts < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
     "asof_last_event": """
         SELECT o.o_orderkey,
                e.ts AS last_event_ts
@@ -1046,6 +1073,7 @@ QUERIES = {
     "events_hour_hist": q_events_hour_hist,
     "window_counts": q_window_counts,
     "asof_last_event": q_asof_last_event,
+    "range_join_counts": q_range_join_counts,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

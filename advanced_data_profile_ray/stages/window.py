@@ -206,6 +206,131 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
     return out
 
 
+def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
+                     left_time: str, right_time: str, left_id: str,
+                     window_us: int):
+    """Range join (count form): for every left row, the number of right
+    rows with the same key and time in ``[left_t, left_t + window)`` —
+    SQL ``LEFT JOIN r ON r.k = l.k AND r.t >= l.t AND r.t < l.t + w``
+    grouped per left row.
+
+    Same distributed shape as windowed_count/asof_join_latest: tag+union
+    both sides into skinny rows, ONE sort by (key, time, side), interior
+    key-runs count vectorized in block tasks (two searchsorted against
+    the run's right times), edge runs stitch on the driver.
+    Returns a Dataset of (id, n_range) rows, one per left row.
+    """
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(batch[left_key], pa.int64()),
+            "t": pc.cast(pc.cast(batch[left_time], pa.timestamp("us")), pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            "lid": pc.cast(batch[left_id], pa.int64()),
+        })
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(batch[right_key], pa.int64()),
+            "t": pc.cast(pc.cast(batch[right_time], pa.timestamp("us")), pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "lid": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    tagged = left_ds.select_columns([left_key, left_time, left_id]).map_batches(
+        _tag_left, batch_format="pyarrow"
+    ).union(right_ds.select_columns([right_key, right_time]).map_batches(
+        _tag_right, batch_format="pyarrow"
+    ))
+    try:
+        rows = left_ds.count() + right_ds.count()
+    except Exception:
+        rows = None
+    s = rightsize_blocks(tagged, rows=rows).sort(["k", "t", "side"]).materialize()
+    refs = s.to_arrow_refs()
+    out_schema = pa.schema([("id", pa.int64()), ("n_range", pa.int64())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _count_runs(k, t, side, starts, widths, lo_run, hi_run):
+        """(ids-not-needed) per-run counts for left rows of runs
+        [lo_run, hi_run); returns (left_index_parts, count_parts).
+
+        NOTE: a window is only complete for runs fully inside the block —
+        callers route edge runs through the driver stitch. Unlike the
+        trailing-window count, this looks FORWARD, so a run's tail could
+        in principle need the next block; but since runs here are whole
+        key-runs (interior to the block), all of the key's rows are
+        present and the forward window is complete."""
+        idx_parts, cnt_parts = [], []
+        for r in range(lo_run, hi_run):
+            a, b = starts[r], starts[r] + widths[r]
+            seg_t = t[a:b]
+            seg_side = side[a:b]
+            rt = seg_t[seg_side == 0]
+            lmask = seg_side == 1
+            lt = seg_t[lmask]
+            lo = np.searchsorted(rt, lt, side="left")
+            hi = np.searchsorted(rt, lt + window_us, side="left")
+            idx_parts.append(np.flatnonzero(lmask) + a)
+            cnt_parts.append(hi - lo)
+        return idx_parts, cnt_parts
+
+    ds_schema = s.schema().base_schema  # zero-row blocks have empty schemas
+    edge_schema = pa.schema([(f, ds_schema.field(f).type)
+                             for f in ("k", "t", "side", "lid")])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), edge_schema.empty_table()
+        k = block["k"].to_numpy()
+        t = block["t"].to_numpy()
+        side = block["side"].to_numpy()
+        starts, widths = _run_bounds(k)
+        n_runs = starts.size
+        idx_parts, cnt_parts = _count_runs(k, t, side, starts, widths, 1, n_runs - 1)
+        if idx_parts and sum(p.size for p in idx_parts):
+            idx = np.concatenate(idx_parts)
+            inner = pa.table({
+                "id": block["lid"].take(pa.array(idx, pa.int64())),
+                "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
+            })
+        else:
+            inner = out_schema.empty_table()
+        edge_idx = []
+        for r in {0, n_runs - 1}:
+            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
+        return inner, block.take(pa.array(edge_idx, pa.int64()))
+
+    results = [_block.remote(r) for r in refs]
+    inner_refs = [r[0] for r in results]
+    edge_tables = [t for t in ray.get([r[1] for r in results]) if t.num_rows]
+    parts = [rd.from_arrow_refs(inner_refs)]
+    if edge_tables:
+        et = pa.concat_tables(edge_tables).sort_by(
+            [("k", "ascending"), ("t", "ascending"), ("side", "ascending")])
+        k = et["k"].to_numpy()
+        t = et["t"].to_numpy()
+        side = et["side"].to_numpy()
+        starts, widths = _run_bounds(k)
+        idx_parts, cnt_parts = _count_runs(k, t, side, starts, widths, 0, starts.size)
+        if idx_parts and sum(p.size for p in idx_parts):
+            idx = np.concatenate(idx_parts)
+            parts.append(rd.from_arrow(pa.table({
+                "id": et["lid"].take(pa.array(idx, pa.int64())),
+                "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
+            })))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 _SESSION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -58,3 +58,42 @@ def test_windowed_count_equal_ts_peers(ray_session):
         .to_pandas().sort_values("id").reset_index(drop=True)
     )
     assert got["n_window"].tolist() == [3, 3, 3, 1]
+
+
+def test_range_count_join_matches_duckdb(ray_session):
+    """Interval-count join vs DuckDB, keys forced across block edges."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import range_count_join
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 2000, 3000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 20, n_l), pa.int64()),
+        "lt": pa.array(pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+                       pa.timestamp("us")),
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 20, n_r), pa.int64()),
+        "rt": pa.array(pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+                       pa.timestamp("us")),
+    })
+    got = (
+        range_count_join(rd.from_arrow(left).repartition(15),
+                         rd.from_arrow(right).repartition(11),
+                         "k", "k", "lt", "rt", "lid",
+                         window_us=86_400_000_000)
+        .to_pandas().rename(columns={"id": "lid", "n_range": "n"})
+        .sort_values("lid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.lid, COUNT(r.rt) AS n
+        FROM l LEFT JOIN r ON r.k = l.k
+          AND r.rt >= l.lt AND r.rt < l.lt + INTERVAL 1 DAY
+        GROUP BY l.lid ORDER BY l.lid
+    """).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
