@@ -38,6 +38,37 @@ STOPWORDS = {
 }
 
 
+def load_fasttext_model(model_path: str | None = None):
+    """MODEL SWAP POINT (Profiler.py:85-91): returns a fastText lid.176
+    model when the library AND weight file are available, else None.
+    ``LangIdStage.__init__`` calls this once per actor/worker — dropping
+    the real model into a container with ``fasttext`` installed and
+    ``FASTTEXT_LID_PATH`` (or the default path) present upgrades every
+    language-ID pipeline with zero code changes; this container has
+    neither, so the deterministic heuristic below stands in."""
+    import os
+
+    path = model_path or os.environ.get("FASTTEXT_LID_PATH", "lid.176.ftz")
+    try:
+        import fasttext  # not in this container
+
+        if os.path.exists(path):
+            return fasttext.load_model(path)
+    except ImportError:
+        pass
+    return None
+
+
+def detect_language_fasttext(model, text: str) -> tuple[str, float]:
+    """fastText prediction in the same (language, confidence%) shape as
+    detect_language; reference maps ISO codes via pycountry
+    (Profiler.py:246-252) — here the raw __label__ code is surfaced."""
+    labels, probs = model.predict(text.replace("\n", " "))
+    if not labels:
+        return ("English", 100.0)
+    return (labels[0].replace("__label__", ""), round(float(probs[0]) * 100.0, 2))
+
+
 def detect_language(text: str) -> tuple[str, float]:
     """(language, confidence%) for one document."""
     if not text:

@@ -31,13 +31,23 @@ from ..functions.textstats import (
 
 class LangIdStage:
     """Actor-pool language-ID stage with a per-actor LRU cache
-    (the reference's @lru_cache, per actor instead of per process)."""
+    (the reference's @lru_cache, per actor instead of per process).
+
+    Model swap point: ``__init__`` loads fastText lid.176 when the lib +
+    weights exist (functions.langid.load_fasttext_model) and falls back
+    to the deterministic heuristic otherwise — a real model drops in
+    with zero changes to any pipeline."""
 
     def __init__(self, text_col: str = "text", cache_size: int = 4096):
         import functools
 
+        from ..functions.langid import detect_language_fasttext, load_fasttext_model
+
         self.text_col = text_col
-        self.detect = functools.lru_cache(maxsize=cache_size)(detect_language)
+        model = load_fasttext_model()
+        base = (functools.partial(detect_language_fasttext, model)
+                if model is not None else detect_language)
+        self.detect = functools.lru_cache(maxsize=cache_size)(base)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         langs, confs = [], []
