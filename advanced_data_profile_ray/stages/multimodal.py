@@ -42,29 +42,85 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
 
 
-class ImageDecode:
-    """Actor-pool stage: binary payload → decoded pixel tensor column.
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for binary PPM (P6) — pure numpy, no codec lib.
+    Returns (h, w, 3) uint8, or None when the payload isn't P6."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    data = payload[pos + 1: pos + 1 + w * h * 3]  # single whitespace after maxval
+    if len(data) < w * h * 3:
+        return None
+    return np.frombuffer(data, np.uint8).reshape(h, w, 3)
 
-    ``strict=True`` raises NotImplementedError at the codec boundary —
-    the behavior a production build replaces with a real decoder (PIL /
-    torchvision); ``strict=False`` substitutes the deterministic fake so
-    downstream stages stay testable."""
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM payload (test/synthesis helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """REAL nearest-neighbor resize — one fancy-index, no loops."""
+    sh, sw = img.shape[:2]
+    rows = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    cols = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageDecode:
+    """Actor-pool stage: binary payload → decoded + resized pixel tensor.
+
+    The codec boundary is REAL for binary PPM (decode_ppm — pure numpy)
+    with nearest-neighbor resize to ``target_size``. Other formats
+    (JPEG/PNG) need a codec lib absent from this container:
+    ``strict=True`` raises NotImplementedError on the first such payload
+    (production replaces the fallback with PIL/torchvision);
+    ``strict=False`` substitutes the deterministic fake so downstream
+    stages stay testable."""
 
     def __init__(self, strict: bool = False, target_size: tuple = (32, 32)):
         self.strict = strict
         self.h, self.w = target_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image codec not available in this environment; install a "
-                "decoder (PIL/libjpeg) and replace ImageDecode._decode"
-            )
         payloads = batch["payload"].to_pylist()
-        pixels = np.stack(
-            [_fake_pixels(p or b"", self.h, self.w) for p in payloads]
-        )
-        flat = pixels.reshape(len(payloads), -1)
+        out = []
+        for p in payloads:
+            img = decode_ppm(p or b"")
+            if img is not None:
+                out.append(nearest_resize(img, self.h, self.w))
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-PPM image codec not available in this environment; "
+                    "install a decoder (PIL/libjpeg) and extend ImageDecode"
+                )
+            else:
+                out.append(_fake_pixels(p or b"", self.w, self.h))
+        flat = np.stack(out).reshape(len(payloads), -1)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -73,6 +129,62 @@ class ImageDecode:
                 ),
                 "height": pa.array([self.h] * len(payloads), pa.int32()),
                 "width": pa.array([self.w] * len(payloads), pa.int32()),
+            }
+        )
+
+
+class AudioDecode:
+    """Actor-pool stage: WAV payload → sample stats. REAL decode via the
+    stdlib ``wave`` module + numpy (PCM 16-bit mono/stereo): no external
+    codec needed. Non-WAV payloads raise in strict mode or emit nulls.
+
+    Emits (media_id, sample_rate, n_samples, duration_ms, rms, zcr) —
+    the feature shape a real embedding stage would extend in __init__."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        rates, counts, durs, rms, zcr = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                with wave.open(io.BytesIO(p or b"")) as wf:
+                    rate = wf.getframerate()
+                    n = wf.getnframes()
+                    raw = wf.readframes(n)
+                    width = wf.getsampwidth()
+                    ch = wf.getnchannels()
+                dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+                x = np.frombuffer(raw, dt).astype(np.float64)
+                if ch > 1:
+                    x = x.reshape(-1, ch).mean(axis=1)
+                rates.append(rate)
+                counts.append(x.size)
+                durs.append(int(1000 * x.size / rate) if rate else 0)
+                rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+                zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                           if x.size > 1 else 0.0)
+            except Exception:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio codec not available; install a decoder "
+                        "(soundfile/ffmpeg) and extend AudioDecode")
+                rates.append(None)
+                counts.append(None)
+                durs.append(None)
+                rms.append(None)
+                zcr.append(None)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int32()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
             }
         )
 

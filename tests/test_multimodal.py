@@ -84,3 +84,70 @@ def test_strict_mode_raises(ray_session):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_real_ppm_decode_and_resize(ray_session):
+    """ImageDecode really decodes binary PPM and nearest-resizes it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        nearest_resize,
+    )
+
+    img = np.zeros((8, 6, 3), np.uint8)
+    img[:4, :, 0] = 200  # top half red
+    img[4:, :, 2] = 123  # bottom half blue
+    payload = encode_ppm(img)
+    assert (decode_ppm(payload) == img).all()
+    # comments + arbitrary whitespace in the header
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n  ")
+    assert (decode_ppm(commented) == img).all()
+
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        ImageDecode, fn_constructor_kwargs={"target_size": (4, 4)},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).to_pandas()
+    px = np.asarray(out["pixels"][0], dtype=np.uint8).reshape(4, 4, 3)
+    assert (px == nearest_resize(img, 4, 4)).all()
+    assert (px[0, :, 0] == 200).all() and (px[3, :, 2] == 123).all()
+
+
+def test_real_wav_decode(ray_session):
+    """AudioDecode really decodes PCM WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.multimodal import AudioDecode
+
+    rate = 8000
+    tgrid = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * tgrid / rate) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(sine.tobytes())
+    t = pa.table({
+        "media_id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([buf.getvalue(), b"not a wav"], pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        AudioDecode, batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).to_pandas().set_index("media_id")
+    assert out.loc[7, "sample_rate"] == rate
+    assert out.loc[7, "duration_ms"] == 1000
+    assert abs(out.loc[7, "rms"] - 20000 / np.sqrt(2)) < 100
+    # 440 Hz crosses zero ~880 times/sec -> zcr ~ 0.11
+    assert 0.09 < out.loc[7, "zcr"] < 0.13
+    assert np.isnan(out.loc[8, "rms"])  # non-WAV -> nulls (non-strict)
