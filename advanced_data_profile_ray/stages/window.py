@@ -184,26 +184,29 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
             pa.array(edge_idx, pa.int64()))
         return inner, edge
 
-    results = [_block.remote(r) for r in refs]
-    inner_refs = [r[0] for r in results]
-    edge_tables = [t for t in ray.get([r[1] for r in results]) if t.num_rows]
-
-    parts = [rd.from_arrow_refs(inner_refs)]
-    if edge_tables:
-        et = pa.concat_tables(edge_tables).sort_by(
+    @ray.remote
+    def _edge_stitch(*tables):
+        """Edge runs re-assemble + count in a TASK, never on the driver —
+        a hot partition straddling many blocks stays off driver heap."""
+        nonempty = [t_ for t_ in tables if t_.num_rows]
+        if not nonempty:
+            return pa.table({"id": pa.array([], id_t),
+                             "n_window": pa.array([], pa.int64())})
+        et = pa.concat_tables(nonempty).sort_by(
             [(part_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")])
         k = et[part_col].to_numpy(zero_copy_only=False)
         ts = et[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
         starts, widths = _run_bounds(k)
         counts = _run_counts(ts, starts, widths, 0, starts.size)
-        parts.append(rd.from_arrow(pa.table({
+        return pa.table({
             "id": et[id_col],
             "n_window": pa.array(np.concatenate(counts), pa.int64()),
-        })))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+        })
+
+    results = [_block.remote(r) for r in refs]
+    inner_refs = [r[0] for r in results]
+    edge_ref = _edge_stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs(inner_refs + [edge_ref])
 
 
 def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
@@ -307,28 +310,32 @@ def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
             edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
         return inner, block.take(pa.array(edge_idx, pa.int64()))
 
-    results = [_block.remote(r) for r in refs]
-    inner_refs = [r[0] for r in results]
-    edge_tables = [t for t in ray.get([r[1] for r in results]) if t.num_rows]
-    parts = [rd.from_arrow_refs(inner_refs)]
-    if edge_tables:
-        et = pa.concat_tables(edge_tables).sort_by(
+    @ray.remote
+    def _edge_stitch(*tables):
+        """Edge runs re-assemble + count in a TASK, never on the driver —
+        a hot partition straddling many blocks stays off driver heap."""
+        nonempty = [t_ for t_ in tables if t_.num_rows]
+        if not nonempty:
+            return out_schema.empty_table()
+        et = pa.concat_tables(nonempty).sort_by(
             [("k", "ascending"), ("t", "ascending"), ("side", "ascending")])
         k = et["k"].to_numpy()
         t = et["t"].to_numpy()
         side = et["side"].to_numpy()
         starts, widths = _run_bounds(k)
         idx_parts, cnt_parts = _count_runs(k, t, side, starts, widths, 0, starts.size)
-        if idx_parts and sum(p.size for p in idx_parts):
-            idx = np.concatenate(idx_parts)
-            parts.append(rd.from_arrow(pa.table({
-                "id": et["lid"].take(pa.array(idx, pa.int64())),
-                "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
-            })))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+        if not idx_parts or not sum(p.size for p in idx_parts):
+            return out_schema.empty_table()
+        idx = np.concatenate(idx_parts)
+        return pa.table({
+            "id": et["lid"].take(pa.array(idx, pa.int64())),
+            "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
+        })
+
+    results = [_block.remote(r) for r in refs]
+    inner_refs = [r[0] for r in results]
+    edge_ref = _edge_stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs(inner_refs + [edge_ref])
 
 
 _SESSION_SCHEMA = pa.schema(
