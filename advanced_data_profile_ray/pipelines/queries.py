@@ -344,6 +344,25 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
 # documents: dedup, tokens, stats
 
 
+def q_customer_nations(sf_dir: str) -> pd.DataFrame:
+    """Broadcast enrichment (lookup) join (§2.4): append nation name to
+    every customer row from the tiny nation dim — ray.put once, one
+    sorted-key searchsorted per batch, no shuffle
+    (stages.referential.broadcast_lookup_join)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.referential import broadcast_lookup_join
+
+    dim = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    out = broadcast_lookup_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_nationkey", dim, "n_nationkey", ["n_name"],
+    ).to_pandas()
+    out = out[["c_custkey", "n_name"]]
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_window_counts(sf_dir: str) -> pd.DataFrame:
     """Time-range windowed aggregate (§2 custom operator): per event, the
     number of same-user events in the trailing hour — SQL RANGE window
@@ -944,6 +963,11 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "customer_nations": """
+        SELECT c.c_custkey, n.n_name
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_custkey
+    """,
     "range_join_counts": """
         SELECT o.o_orderkey, COUNT(e.ts) AS n_week
         FROM orders o LEFT JOIN events e
@@ -1074,6 +1098,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
+    "customer_nations": q_customer_nations,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

@@ -87,3 +87,62 @@ class SemiJoinCounter:
                 "null": pa.array([nulls], pa.int64()),
             }
         )
+
+
+# worker-process-global broadcast dim cache (keyed by ObjectRef hex):
+# task-pool stages get actor-style once-per-worker init at full width
+_DIM_CACHE: dict = {}
+
+
+def _cached_dim(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _DIM_CACHE:
+        import ray
+
+        _DIM_CACHE[key] = ray.get(ref) if hasattr(ref, "hex") else ref
+    return _DIM_CACHE[key]
+
+
+def broadcast_lookup_join(ds, fact_key: str, dim_table: pa.Table,
+                          dim_key: str, value_cols: list):
+    """Map-side enrichment (lookup) join: append ``value_cols`` from a
+    SMALL dimension table to every fact row — broadcast once via
+    ``ray.put``, resolved per batch with one sorted-key searchsorted
+    (exact; no per-batch hash build, no shuffle). Unmatched/null fact
+    keys get nulls, i.e. SQL ``fact LEFT JOIN dim`` with a unique dim key.
+
+    The broadcast-small-side assumption is the scale contract: dims here
+    are catalog-sized (nation/region/tool rosters). A big-big join needs
+    a shuffle join, which nothing in this engine's surface requires."""
+    import numpy as np
+
+    import ray
+
+    order = pc.sort_indices(dim_table[dim_key])
+    sorted_dim = dim_table.take(order)
+    keys_np = sorted_dim[dim_key].to_numpy(zero_copy_only=False)
+    payload = {c: sorted_dim[c].combine_chunks() for c in value_cols}
+    ref = ray.put((keys_np, payload))
+
+    def _enrich(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys, vals = _cached_dim(ref)
+        fk = batch[fact_key].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(fk)
+        pos = np.zeros(len(batch), dtype=np.int64)
+        hit = np.zeros(len(batch), dtype=bool)
+        if valid.any():
+            fv = fk[valid]
+            p = np.searchsorted(keys, fv)
+            p_c = np.minimum(p, keys.size - 1)
+            pos[valid] = p_c
+            hit[valid] = keys[p_c] == fv
+        # null-masked indices: a miss takes a NULL payload (LEFT JOIN)
+        take_idx = pa.array(pos, pa.int64(), mask=~hit)
+        out = batch
+        for c in value_cols:
+            out = out.append_column(c, vals[c].take(take_idx))
+        return out
+
+    return ds.map_batches(_enrich, batch_format="pyarrow", batch_size=131072)

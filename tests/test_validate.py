@@ -318,3 +318,19 @@ def test_salted_groupby_matches_oracle(ray_session, dirty_table, ddb):
         assert got["n_turns"].astype("int64").tolist() == want["n_turns"].astype("int64").tolist()
         assert got["max_turn"].astype("int64").tolist() == want["max_turn"].astype("int64").tolist()
         assert got["n_tool"].astype("int64").tolist() == want["n_tool"].astype("int64").tolist()
+
+
+def test_broadcast_lookup_join_nulls(ray_session):
+    """Missing and null fact keys take NULL payloads (LEFT JOIN)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.referential import broadcast_lookup_join
+
+    fact = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "k": pa.array([10, 99, None, 20], pa.int64())})
+    dim = pa.table({"dk": pa.array([20, 10], pa.int64()),
+                    "name": pa.array(["twenty", "ten"], pa.string())})
+    out = broadcast_lookup_join(rd.from_arrow(fact), "k", dim, "dk", ["name"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["name"].tolist() == ["ten", None, None, "twenty"]
