@@ -76,3 +76,19 @@ def psi_from_value_counts(current: ValueCounts, baseline: ValueCounts,
     if current.overflow or baseline.overflow:
         return float("nan")
     return psi_from_counts(dict(current.counts), dict(baseline.counts), eps)
+
+
+def exact_ks_from_value_counts(current: dict, baseline: dict) -> float:
+    """EXACT two-sample KS from full per-value count maps — identical to
+    the raw-sample statistic whenever the value domain is bounded enough
+    for exact counts (low-cardinality columns; the continuous path stays
+    ks_statistic over fixed-bin sketches). max over the union domain of
+    |ECDF1 - ECDF2| evaluated at each distinct value."""
+    keys = sorted(set(current) | set(baseline))
+    if not keys:
+        return float("nan")
+    c = np.array([current.get(k, 0) for k in keys], dtype=np.float64)
+    b = np.array([baseline.get(k, 0) for k in keys], dtype=np.float64)
+    if c.sum() == 0 or b.sum() == 0:
+        return float("nan")
+    return float(np.max(np.abs(np.cumsum(c) / c.sum() - np.cumsum(b) / b.sum())))

@@ -344,6 +344,32 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
 # documents: dedup, tokens, stats
 
 
+def q_ks_drift(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample KS drift statistic (A26 with an oracle): the
+    l_quantity distribution of open vs finished lineitems. One scan of
+    per-batch (group, value) counts merges into exact ECDFs — the
+    distributed path for low-cardinality drift columns; continuous
+    columns use the fixed-bin sketch KS (functions.drift)."""
+    from ..functions.drift import exact_ks_from_value_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_linestatus", "l_quantity"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=131072
+    ).to_pandas()
+    merged = parts.groupby(["l_linestatus", "l_quantity"])["n"].sum()
+    cur = merged.get("O", pd.Series(dtype="int64")).to_dict()
+    base = merged.get("F", pd.Series(dtype="int64")).to_dict()
+    ks = exact_ks_from_value_counts(cur, base)
+    return pd.DataFrame([{"ks": round(ks, 6)}])
+
+
 def q_customer_nations(sf_dir: str) -> pd.DataFrame:
     """Broadcast enrichment (lookup) join (§2.4): append nation name to
     every customer row from the tiny nation dim — ray.put once, one
@@ -963,6 +989,23 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "ks_drift": """
+        WITH x AS (
+          SELECT l_quantity AS v,
+                 CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS g
+          FROM lineitem WHERE l_linestatus IN ('O', 'F')
+        ),
+        tot AS (SELECT SUM(g) AS n1, SUM(1 - g) AS n0 FROM x),
+        s AS (
+          SELECT v,
+                 SUM(g)     OVER (ORDER BY v) AS c1,
+                 SUM(1 - g) OVER (ORDER BY v) AS c0
+          FROM x
+        )
+        SELECT ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / (SELECT n1 FROM tot)
+                           - CAST(c0 AS DOUBLE) / (SELECT n0 FROM tot))), 6) AS ks
+        FROM s
+    """,
     "customer_nations": """
         SELECT c.c_custkey, n.n_name
         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1099,6 +1142,7 @@ QUERIES = {
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "customer_nations": q_customer_nations,
+    "ks_drift": q_ks_drift,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

@@ -334,3 +334,25 @@ def test_broadcast_lookup_join_nulls(ray_session):
     out = broadcast_lookup_join(rd.from_arrow(fact), "k", dim, "dk", ["name"]) \
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert out["name"].tolist() == ["ten", None, None, "twenty"]
+
+
+def test_exact_ks_from_value_counts_matches_scipy_formula():
+    """Exact KS from count maps equals the brute ECDF max-diff."""
+    import numpy as np
+
+    from advanced_data_profile_ray.functions.drift import exact_ks_from_value_counts
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 30, 4000)
+    b = np.concatenate([rng.integers(0, 30, 3000), rng.integers(10, 40, 1000)])
+    cur = dict(zip(*np.unique(a, return_counts=True)))
+    base = dict(zip(*np.unique(b, return_counts=True)))
+    grid = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(np.sort(a), grid, side="right") / a.size
+    ecdf_b = np.searchsorted(np.sort(b), grid, side="right") / b.size
+    want = float(np.max(np.abs(ecdf_a - ecdf_b)))
+    got = exact_ks_from_value_counts(
+        {int(k): int(v) for k, v in cur.items()},
+        {int(k): int(v) for k, v in base.items()})
+    assert abs(got - want) < 1e-12
+    assert got > 0.05  # the injected shift is detected
