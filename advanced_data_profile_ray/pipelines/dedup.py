@@ -33,6 +33,15 @@ from ..functions.hashing import hash_strings
 # exact dedup
 
 
+def _raw_count(ds):
+    """Row count of an UNPROJECTED dataset (metadata-only on parquet
+    reads); None when counting would trigger execution-side work."""
+    try:
+        return ds.count()
+    except Exception:
+        return None
+
+
 def exact_dedup(ds, id_col: str, text_col: str):
     """Keep-first exact dedup by content hash. Returns (kept_ids_ds,
     dup_group_table): kept = min(id) per distinct content."""
@@ -158,8 +167,11 @@ class MinHashStage:
 
 
 def _run_starts(key: np.ndarray) -> np.ndarray:
-    """Boundaries of equal-key runs in a sorted int64 array (incl. 0, n)."""
-    return np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [key.size]])
+    """Boundaries of equal-key runs in a sorted array (incl. 0 and n) —
+    shared impl in stages.fast_ops."""
+    from ..stages.fast_ops import run_starts
+
+    return run_starts(key)
 
 
 def _expand_runs(order_ids: np.ndarray, starts: np.ndarray, lo_run: int,
@@ -331,7 +343,7 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
     stage = MinHashStage(id_col, text_col, num_perm, bands, shingle_k)
     sig_ds = (
-        spread_blocks(ds.select_columns([id_col, text_col]))
+        spread_blocks(ds.select_columns([id_col, text_col]), rows=_raw_count(ds))
         .map_batches(stage.__call__, batch_format="pyarrow", batch_size=None)
         .materialize()  # consumed twice: band explode + candidate sig fetch
     )
@@ -535,7 +547,8 @@ def simhash_near_dups(ds, id_col: str, text_col: str, max_hamming: int = 3,
     from ..stages.fast_ops import spread_blocks
 
     stage = SimHashStage(id_col, text_col)  # stateless: task pool
-    sig_ds = spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+    sig_ds = spread_blocks(ds.select_columns([id_col, text_col]),
+                           rows=_raw_count(ds)).map_batches(
         stage.__call__,
         batch_format="pyarrow",
         batch_size=None,
@@ -625,7 +638,8 @@ def jaccard_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.5,
         ids = batch[id_col].take(pa.array(uniq[:, 0], pa.int64()))
         return pa.table({"w": pa.array(uniq[:, 1], pa.int64()), "doc": ids})
 
-    rows = spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+    rows = spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
         _doc_words, batch_format="pyarrow", batch_size=None
     )
     s = rows.sort("w")

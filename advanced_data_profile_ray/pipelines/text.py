@@ -29,6 +29,15 @@ from ..functions.textstats import (
 )
 
 
+def _raw_count(ds):
+    """Row count of an UNPROJECTED dataset (metadata-only on parquet
+    reads); None when counting would trigger execution-side work."""
+    try:
+        return ds.count()
+    except Exception:
+        return None
+
+
 class LangIdStage:
     """Actor-pool language-ID stage with a per-actor LRU cache
     (the reference's @lru_cache, per actor instead of per process).
@@ -151,7 +160,8 @@ def quality_scores(ds, id_col: str, text_col: str):
 
     from ..stages.fast_ops import spread_blocks
 
-    return spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+    return spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
         _score, batch_format="pandas", batch_size=None
     )
 
@@ -207,7 +217,8 @@ def readability_aggregate(ds, text_col: str = "text") -> dict:
 
     from ..stages.fast_ops import spread_blocks
 
-    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+    parts = spread_blocks(ds.select_columns([text_col]),
+                          rows=_raw_count(ds)).map_batches(
         _partial, batch_format="pandas", batch_size=None
     ).to_pandas()
     total = parts.sum()
@@ -288,7 +299,8 @@ def tfidf_top_ngrams(ds, text_col: str = "text", ngram_range=(1, 3),
 
     from ..stages.fast_ops import spread_blocks
 
-    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+    parts = spread_blocks(ds.select_columns([text_col]),
+                          rows=_raw_count(ds)).map_batches(
         _counts, batch_format="pandas", batch_size=None
     )
     inner, edge = sorted_groupby(
@@ -326,7 +338,8 @@ def word_frequencies(ds, text_col: str = "text", top_k: int = 50) -> pd.DataFram
 
     from ..stages.fast_ops import spread_blocks
 
-    parts = spread_blocks(ds.select_columns([text_col])).map_batches(
+    parts = spread_blocks(ds.select_columns([text_col]),
+                          rows=_raw_count(ds)).map_batches(
         _words, batch_format="pandas", batch_size=None
     )
     inner, edge = sorted_groupby(parts, ["word"], [("n", "sum", "n")])
@@ -365,6 +378,7 @@ def fingerprints(ds, id_col: str, text_col: str, window: int = 16,
 
     from ..stages.fast_ops import spread_blocks
 
-    return spread_blocks(ds.select_columns([id_col, text_col])).map_batches(
+    return spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
         _fp, batch_format="pyarrow", batch_size=None
     )

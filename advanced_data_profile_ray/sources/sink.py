@@ -17,9 +17,22 @@ from __future__ import annotations
 import os
 
 
-def _out_path(out_dir: str, input_path: str) -> str:
-    stem = os.path.splitext(os.path.basename(input_path))[0]
-    return os.path.join(out_dir, f"{stem}.parquet")
+def _out_paths(out_dir: str, paths: list) -> dict:
+    """input path -> output path. Basename stems are used when unique;
+    if two shards share a basename (common with date-partitioned
+    layouts like 2024/part0.parquet vs 2025/part0.parquet), EVERY output
+    name gets a short path-hash suffix — a silent collision would drop
+    one shard's data and then 'resume' past the loss forever."""
+    import hashlib
+
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    unique = len(set(stems)) == len(stems)
+    out = {}
+    for p, stem in zip(paths, stems):
+        if not unique:
+            stem = f"{stem}_{hashlib.sha1(p.encode()).hexdigest()[:8]}"
+        out[p] = os.path.join(out_dir, f"{stem}.parquet")
+    return out
 
 
 def write_partitioned_parquet(paths: list, out_dir: str, batch_fn=None,
@@ -42,9 +55,9 @@ def write_partitioned_parquet(paths: list, out_dir: str, batch_fn=None,
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    mapping = _out_paths(out_dir, sorted(paths))
     pending, skipped = [], []
-    for p in sorted(paths):
-        out = _out_path(out_dir, p)
+    for p, out in mapping.items():
         if not overwrite and os.path.exists(out):
             skipped.append(out)
         else:

@@ -28,19 +28,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .window import _run_bounds
+from .fast_ops import run_bounds as _run_bounds
 
 
-def asof_join_latest(left_ds, right_ds, left_key: str, right_key: str,
+def tag_union_sorted(left_ds, right_ds, left_key: str, right_key: str,
                      left_time: str, right_time: str, left_id: str):
-    """For every left row: the latest ``right_time`` with the same key
-    and ``right_time <= left_time`` (null when none). Returns a Dataset
-    of (``left_id``, ``asof_ts``) rows.
+    """Shared prologue for the two-sided time operators (as-of join,
+    range-count join): tag both sides into skinny (k, t, side, lid) rows
+    — side 0 = right, 1 = left, so equal-time right rows sort before the
+    left rows that may match them — union, right-size tiny-block inputs,
+    and ONE sort by (k, t, side). Returns the materialized sorted
+    Dataset."""
+    import ray.data as rd  # noqa: F401 (documented return type)
 
-    Times are compared as timestamp[us]; both time columns are cast.
-    """
-    import ray
-    import ray.data as rd
+    from .fast_ops import rightsize_blocks
 
     def _tag_left(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -63,14 +64,26 @@ def asof_join_latest(left_ds, right_ds, left_key: str, right_key: str,
     ).union(right_ds.select_columns([right_key, right_time]).map_batches(
         _tag_right, batch_format="pyarrow"
     ))
-    from .fast_ops import rightsize_blocks
-
     try:
         rows = left_ds.count() + right_ds.count()  # metadata-only on reads
     except Exception:
         rows = None
-    tagged = rightsize_blocks(tagged, rows=rows)
-    s = tagged.sort(["k", "t", "side"]).materialize()
+    return rightsize_blocks(tagged, rows=rows).sort(["k", "t", "side"]).materialize()
+
+
+def asof_join_latest(left_ds, right_ds, left_key: str, right_key: str,
+                     left_time: str, right_time: str, left_id: str):
+    """For every left row: the latest ``right_time`` with the same key
+    and ``right_time <= left_time`` (null when none). Returns a Dataset
+    of (``left_id``, ``asof_ts``) rows.
+
+    Times are compared as timestamp[us]; both time columns are cast.
+    """
+    import ray
+    import ray.data as rd
+
+    s = tag_union_sorted(left_ds, right_ds, left_key, right_key,
+                         left_time, right_time, left_id)
     refs = s.to_arrow_refs()
     out_schema = pa.schema([("lid", pa.int64()), ("asof_ts", pa.timestamp("us"))])
     if not refs:

@@ -155,7 +155,34 @@ def sorted_groupby(ds, keys: list, aggs: list, batch_size: int | None = 65536):
     return inner, edge_table
 
 
-def spread_blocks(ds, min_rows_per_block: int = 256):
+
+
+def run_bounds(keys):
+    """(starts, widths) of equal-key runs in a sorted 1-D array — the
+    single shared run-boundary helper for every sort-based operator
+    (window/sessionize/asof/dedup edge machinery)."""
+    import numpy as np
+
+    n = keys.size
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    widths = np.diff(np.append(starts, n))
+    return starts, widths
+
+
+def run_starts(keys):
+    """Run boundaries including the terminal index: [0, ...starts, n]."""
+    import numpy as np
+
+    starts, widths = run_bounds(keys)
+    if starts.size == 0:
+        return np.array([0, 0], np.int64) if keys.size == 0 else starts
+    return np.append(starts, keys.size)
+
+
+def spread_blocks(ds, min_rows_per_block: int = 256, rows: int | None = None):
     """Widen task parallelism for CPU-heavy stages over small inputs.
 
     map_batches width is bounded by input BLOCK count, not batch_size — a
@@ -169,14 +196,20 @@ def spread_blocks(ds, min_rows_per_block: int = 256):
 
     IMPORTANT: downstream map_batches must use ``batch_size=None``
     (batch = block) — any positive batch_size re-BUNDLES the spread
-    blocks back into few fat batches and undoes the parallelism."""
+    blocks back into few fat batches and undoes the parallelism.
+
+    Pass ``rows`` whenever the input has any op applied (even a
+    projection): ``count()`` is metadata-only ONLY on a bare
+    ``read_parquet`` — on a projected dataset it executes the whole
+    read+project pipeline, i.e. a full extra corpus scan."""
     import ray
 
     cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    try:
-        rows = ds.count()
-    except Exception:
-        return ds
+    if rows is None:
+        try:
+            rows = ds.count()
+        except Exception:
+            return ds
     if rows is None or rows >= cap * min_rows_per_block * 16:
         return ds
     return ds.repartition(int(max(4, min(cap, rows // min_rows_per_block + 1))))

@@ -157,8 +157,12 @@ class AudioDecode:
                     raw = wf.readframes(n)
                     width = wf.getsampwidth()
                     ch = wf.getnchannels()
-                dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-                x = np.frombuffer(raw, dt).astype(np.float64)
+                if width == 1:
+                    # WAV stores 8-bit PCM UNSIGNED (midpoint 128)
+                    x = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+                else:
+                    dt = {2: np.int16, 4: np.int32}[width]
+                    x = np.frombuffer(raw, dt).astype(np.float64)
                 if ch > 1:
                     x = x.reshape(-1, ch).mean(axis=1)
                 rates.append(rate)

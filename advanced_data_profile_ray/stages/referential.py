@@ -90,8 +90,11 @@ class SemiJoinCounter:
 
 
 # worker-process-global broadcast dim cache (keyed by ObjectRef hex):
-# task-pool stages get actor-style once-per-worker init at full width
+# task-pool stages get actor-style once-per-worker init at full width.
+# Bounded: each join invocation puts a fresh ObjectRef, so an unbounded
+# dict would leak one dim copy per invocation per worker process.
 _DIM_CACHE: dict = {}
+_DIM_CACHE_MAX = 8
 
 
 def _cached_dim(ref):
@@ -99,6 +102,8 @@ def _cached_dim(ref):
     if key not in _DIM_CACHE:
         import ray
 
+        if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
+            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))  # drop oldest insert
         _DIM_CACHE[key] = ray.get(ref) if hasattr(ref, "hex") else ref
     return _DIM_CACHE[key]
 
@@ -132,7 +137,7 @@ def broadcast_lookup_join(ds, fact_key: str, dim_table: pa.Table,
         valid = ~pd.isna(fk)
         pos = np.zeros(len(batch), dtype=np.int64)
         hit = np.zeros(len(batch), dtype=bool)
-        if valid.any():
+        if valid.any() and keys.size:  # empty dim → every row misses (null)
             fv = fk[valid]
             p = np.searchsorted(keys, fv)
             p_c = np.minimum(p, keys.size - 1)

@@ -48,14 +48,10 @@ def _carry_offsets(infos: list) -> list:
 
 
 def _run_bounds(keys: np.ndarray):
-    """(starts, widths) of equal-key runs in a sorted 1-D array."""
-    n = keys.size
-    if n == 0:
-        return np.array([], np.int64), np.array([], np.int64)
-    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-    starts = np.concatenate([[0], change]).astype(np.int64)
-    widths = np.diff(np.append(starts, n))
-    return starts, widths
+    """(starts, widths) of equal-key runs — shared impl in fast_ops."""
+    from .fast_ops import run_bounds
+
+    return run_bounds(keys)
 
 
 def _block_row_numbers(keys: np.ndarray, offset: int, start: int) -> np.ndarray:
@@ -93,8 +89,17 @@ def row_number_within(ds, partition_key: str, order_keys: list, out_col: str = "
         starts, widths = _run_bounds(k)
         return (k[0], k[-1], int(widths[0]), int(widths[-1]), n)
 
+    # zero-row blocks (the sort emits them for heavily-duplicated keys)
+    # carry an EMPTY per-block schema — build their replacement from the
+    # dataset schema instead of touching block columns
+    empty_out = pa.schema(
+        list(s.schema().base_schema) + [pa.field(out_col, pa.int64())]
+    ).empty_table()
+
     @ray.remote
     def _number(block: pa.Table, offset: int):
+        if block.num_rows == 0:
+            return empty_out
         k = block[partition_key].to_numpy(zero_copy_only=False)
         rn = _block_row_numbers(k, offset, start)
         return block.append_column(out_col, pa.array(rn, pa.int64()))
@@ -226,34 +231,10 @@ def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
     import ray
     import ray.data as rd
 
-    from .fast_ops import rightsize_blocks
+    from .asof import tag_union_sorted
 
-    def _tag_left(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "k": pc.cast(batch[left_key], pa.int64()),
-            "t": pc.cast(pc.cast(batch[left_time], pa.timestamp("us")), pa.int64()),
-            "side": pa.array(np.ones(batch.num_rows, np.int8)),
-            "lid": pc.cast(batch[left_id], pa.int64()),
-        })
-
-    def _tag_right(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "k": pc.cast(batch[right_key], pa.int64()),
-            "t": pc.cast(pc.cast(batch[right_time], pa.timestamp("us")), pa.int64()),
-            "side": pa.array(np.zeros(batch.num_rows, np.int8)),
-            "lid": pa.nulls(batch.num_rows, pa.int64()),
-        })
-
-    tagged = left_ds.select_columns([left_key, left_time, left_id]).map_batches(
-        _tag_left, batch_format="pyarrow"
-    ).union(right_ds.select_columns([right_key, right_time]).map_batches(
-        _tag_right, batch_format="pyarrow"
-    ))
-    try:
-        rows = left_ds.count() + right_ds.count()
-    except Exception:
-        rows = None
-    s = rightsize_blocks(tagged, rows=rows).sort(["k", "t", "side"]).materialize()
+    s = tag_union_sorted(left_ds, right_ds, left_key, right_key,
+                         left_time, right_time, left_id)
     refs = s.to_arrow_refs()
     out_schema = pa.schema([("id", pa.int64()), ("n_range", pa.int64())])
     if not refs:

@@ -58,3 +58,30 @@ def test_dataset_to_partitioned(ray_session, tmp_path):
     assert len(files) > 1  # never one giant file
     total = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows for f in files)
     assert total == 1000
+
+
+def test_duplicate_basenames_do_not_collide(ray_session, tmp_path):
+    """Shards with equal basenames in different dirs each keep their data
+    (review finding: silent collision would drop one shard forever)."""
+    import os
+
+    from advanced_data_profile_ray.sources.sink import write_partitioned_parquet
+
+    paths = []
+    for year in ("2024", "2025"):
+        d = tmp_path / year
+        d.mkdir()
+        t = pa.table({"x": pa.array([int(year)] * 10, pa.int64())})
+        p = str(d / "part0.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out_dir = str(tmp_path / "out")
+    r = write_partitioned_parquet(paths, out_dir)
+    assert len(r["written"]) == 2 and r["rows_written"] == 20
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    vals = sorted(pq.read_table(os.path.join(out_dir, f))["x"][0].as_py()
+                  for f in files)
+    assert vals == [2024, 2025]
+    r2 = write_partitioned_parquet(paths, out_dir)
+    assert not r2["written"] and len(r2["skipped"]) == 2

@@ -356,3 +356,20 @@ def test_exact_ks_from_value_counts_matches_scipy_formula():
         {int(k): int(v) for k, v in base.items()})
     assert abs(got - want) < 1e-12
     assert got > 0.05  # the injected shift is detected
+
+
+def test_broadcast_lookup_join_empty_dim(ray_session):
+    """Empty dimension table -> every payload null (review finding:
+    searchsorted on an empty key array raised IndexError)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.referential import broadcast_lookup_join
+
+    fact = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "k": pa.array([10, None], pa.int64())})
+    dim = pa.table({"dk": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string())})
+    out = broadcast_lookup_join(rd.from_arrow(fact), "k", dim, "dk", ["name"]) \
+        .to_pandas()
+    assert out["name"].isna().all()

@@ -97,3 +97,17 @@ def test_range_count_join_matches_duckdb(ray_session):
         GROUP BY l.lid ORDER BY l.lid
     """).df()
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_row_number_fully_duplicate_keys(ray_session):
+    """The sort emits zero-row empty-schema blocks for heavily-duplicated
+    keys; row numbering must survive them (review finding)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import row_number_within
+
+    t = pa.table({"k": pa.array([7] * 50, pa.int64()),
+                  "v": pa.array([1] * 50, pa.int64())})
+    out = row_number_within(rd.from_arrow(t).repartition(8), "k", ["v"],
+                            out_col="rn").to_pandas()
+    assert sorted(out["rn"]) == list(range(50))
