@@ -373,12 +373,15 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
 
     need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
     sig_rows = _fetch_rows_for_ids(sig_ds.select_columns(["id", "sig"]), "id", need)
-    sig_of = {
-        i: np.frombuffer(s, dtype=np.uint64)
-        for i, s in zip(sig_rows["id"].to_pylist(), sig_rows["sig"].to_pylist())
-    }
-    sa = np.stack([sig_of[i] for i in pairs["id_a"]])
-    sb = np.stack([sig_of[i] for i in pairs["id_b"]])
+    # one (docs × perms) matrix + integer indexers — candidate pair lists
+    # reach 10^5+ rows, where per-pair dict lookups dominate wall time
+    doc_ids = sig_rows["id"].to_pylist()
+    M = np.frombuffer(
+        b"".join(sig_rows["sig"].to_pylist()), dtype=np.uint64
+    ).reshape(len(doc_ids), -1)
+    idx = pd.Index(doc_ids)
+    sa = M[idx.get_indexer(pairs["id_a"])]
+    sb = M[idx.get_indexer(pairs["id_b"])]
     out = pairs.copy()
     out["est_jaccard"] = (sa == sb).mean(axis=1)
     return out.reset_index(drop=True)
