@@ -152,6 +152,21 @@ def run_queries() -> dict:
     return timings
 
 
+def host_probe() -> float:
+    """Single-thread matmul seconds (fixed input) — ambient-throughput
+    calibration recorded alongside every bench: this host swings ~3× in
+    CPU speed between identical runs minutes apart (BASELINE.md), so a
+    wall-clock number is only interpretable next to its probe. Quiet
+    baseline ≈ 3.2 s."""
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(size=(2000, 2000))
+    t0 = time.time()
+    for _ in range(3):
+        a @ a
+    return round(time.time() - t0, 2)
+
+
 def main():
     import ray
 
@@ -168,6 +183,7 @@ def main():
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    probe_before = host_probe()
     headline = run_headline()
     queries = {} if os.environ.get("ADP_BENCH_SKIP_QUERIES") else run_queries()
     ray.shutdown()
@@ -183,6 +199,8 @@ def main():
                 "num_cpus": NUM_CPUS,
                 "turns": headline["turns"],
                 "turns_per_sec": round(headline["turns_per_sec"], 1),
+                "host_probe_sec": {"before": probe_before, "after": host_probe(),
+                                   "quiet_baseline": 3.2},
             }
         )
     )
