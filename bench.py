@@ -247,6 +247,8 @@ def scaling():
                 "turns_per_sec_8": lo["turns_per_sec"],
                 "turns_per_sec_32": hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "host_probe_sec_8": lo.get("host_probe_sec"),
+                "host_probe_sec_32": hi.get("host_probe_sec"),
             }
         )
     )
