@@ -262,45 +262,55 @@ REF_PAIRS = [
 
 def q_referential_counts(sf_dir: str) -> pd.DataFrame:
     """Broadcast-hash semi-join pass counts for each fact→dim pair
-    (SURVEY.md §2.4: small side broadcast, never a shuffle join)."""
+    (SURVEY.md §2.4: small side broadcast, never a shuffle join).
+    ONE scan per fact table — relations sharing a fact (the two lineitem
+    keys) ride the same pass, same shape as the fused validation stage."""
     from ..pipelines.validate import _cached_value_set, broadcast_value_set
 
-    rows = []
+    by_fact: dict = {}
     for name, fact, fcol, dim, dcol in REF_PAIRS:
         dim_vals = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[dcol])[dcol]
         ref = broadcast_value_set(dim_vals.combine_chunks())
+        by_fact.setdefault(fact, []).append((name, fcol, ref))
 
-        def _count(batch: pa.Table, fcol=fcol, ref=ref) -> pa.Table:
-            vs = _cached_value_set(ref)  # sorted numpy, built once/worker
-            col = batch[fcol]
-            nvalid = len(col) - col.null_count
-            nulls = len(col) - nvalid
-            matched = 0
-            if vs.size and nvalid:
-                vals = col.drop_null().to_numpy(zero_copy_only=False)
-                if vals.dtype == object:
-                    vals = vals.astype(np.str_)
-                else:
-                    vals = vals.astype(vs.dtype, copy=False)
-                pos = np.minimum(np.searchsorted(vs, vals), vs.size - 1)
-                matched = int((vs[pos] == vals).sum())
-            return pa.table({"matched": pa.array([matched], pa.int64()),
-                             "orphan": pa.array([nvalid - matched], pa.int64()),
-                             "null": pa.array([nulls], pa.int64())})
+    results: dict = {}
+    for fact, specs in by_fact.items():
+        def _count(batch: pa.Table, specs=specs) -> pa.Table:
+            out = {}
+            for i, (_, fcol, ref) in enumerate(specs):
+                vs = _cached_value_set(ref)  # sorted numpy, built once/worker
+                col = batch[fcol]
+                nvalid = len(col) - col.null_count
+                nulls = len(col) - nvalid
+                matched = 0
+                if vs.size and nvalid:
+                    vals = col.drop_null().to_numpy(zero_copy_only=False)
+                    if vals.dtype == object:
+                        vals = vals.astype(np.str_)
+                    else:
+                        vals = vals.astype(vs.dtype, copy=False)
+                    pos = np.minimum(np.searchsorted(vs, vals), vs.size - 1)
+                    matched = int((vs[pos] == vals).sum())
+                out[f"matched_{i}"] = pa.array([matched], pa.int64())
+                out[f"orphan_{i}"] = pa.array([nvalid - matched], pa.int64())
+                out[f"null_{i}"] = pa.array([nulls], pa.int64())
+            return pa.table(out)
 
-        counts = _read(sf_dir, fact, [fcol]).map_batches(
-            _count, batch_format="pyarrow", batch_size=65536
-        )
-        agg = counts.sum(["matched", "orphan", "null"])
-        rows.append(
-            {
-                "relation": name,
-                "matched": int(agg["sum(matched)"]),
-                "orphan": int(agg["sum(orphan)"]),
-                "null_count": int(agg["sum(null)"]),
+        cols = list(dict.fromkeys(fcol for _, fcol, _ in specs))
+        agg = _read(sf_dir, fact, cols).map_batches(
+            _count, batch_format="pyarrow", batch_size=131072
+        ).sum([f"{m}_{i}" for i in range(len(specs))
+               for m in ("matched", "orphan", "null")])
+        for i, (name, _, _) in enumerate(specs):
+            results[name] = {
+                "matched": int(agg[f"sum(matched_{i})"]),
+                "orphan": int(agg[f"sum(orphan_{i})"]),
+                "null_count": int(agg[f"sum(null_{i})"]),
             }
-        )
-    return pd.DataFrame(rows)
+    return pd.DataFrame(
+        [{"relation": name, **results[name]}
+         for name, *_ in REF_PAIRS]
+    )
 
 
 # ---------------------------------------------------------------------------
