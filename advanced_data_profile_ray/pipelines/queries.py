@@ -380,6 +380,88 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"ks": round(ks, 6)}])
 
 
+def q3_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3-shaped pipeline: the big⨝big SHUFFLE join (lineitem ⨝
+    orders on orderkey via stages.merge_join.sorted_merge_join) composed
+    with a broadcast semi-filter (BUILDING customers → orders) and a
+    post-join grouped top-10 by revenue. Dates adapted to the synthetic
+    data's 1995-2001 range; o_orderpriority stands in for TPC-H's
+    o_shippriority (absent from the synthetic schema)."""
+    from ..pipelines.validate import broadcast_value_set, _cached_value_set
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    cutoff = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    seg_custkeys = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_custkeys = seg_custkeys.filter(
+        pc.equal(seg_custkeys["c_mktsegment"], "BUILDING"))["c_custkey"]
+    ref = broadcast_value_set(seg_custkeys.combine_chunks())
+
+    def _filter_orders(batch: pa.Table) -> pa.Table:
+        vs = _cached_value_set(ref)
+        keep = pc.less(pc.cast(batch["o_orderdate"], pa.timestamp("us")), cutoff)
+        sub = batch.filter(keep)
+        ck = sub["o_custkey"].to_numpy(zero_copy_only=False)
+        if vs.size and len(sub):
+            pos = np.minimum(np.searchsorted(vs, ck), vs.size - 1)
+            sub = sub.filter(pa.array(vs[pos] == ck))
+        elif len(sub):
+            sub = sub.slice(0, 0)
+        return sub.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _filter_lineitem(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(batch["l_shipdate"], pa.timestamp("us")), cutoff)
+        sub = batch.filter(keep)
+        rev = pc.multiply(sub["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), sub["l_discount"]))
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "revenue": pc.cast(rev, pa.float64())})
+
+    orders_f = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]
+                     + ["o_orderpriority"]).map_batches(
+        _filter_orders, batch_format="pyarrow", batch_size=131072)
+    lineitem_f = _read(sf_dir, "lineitem",
+                       ["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        _filter_lineitem, batch_format="pyarrow", batch_size=131072)
+
+    # rows_hint: raw table counts (metadata-only) upper-bound the
+    # filtered sides — counting the filtered Datasets would execute both
+    # filter pipelines as extra full scans
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    joined = sorted_merge_join(
+        lineitem_f, orders_f, "l_orderkey", "o_orderkey",
+        ["l_orderkey", "revenue"], ["o_orderdate", "o_orderpriority"],
+        rows_hint=hint,
+    )
+    inner, edge = sorted_groupby(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("revenue", "sum", "revenue")],
+    )
+    # per-block top-10 before the driver concat (result cardinality at
+    # 100 TB is qualifying-orders-sized; only 10 rows ever matter)
+    def _topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                            ("o_orderdate", "ascending"),
+                                            ("l_orderkey", "ascending")])
+        return t.take(idx.slice(0, 10))
+
+    parts = inner.map_batches(_topk, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        parts = pd.concat([parts, edge.to_pandas()], ignore_index=True)
+    parts["revenue"] = parts["revenue"].round(2)
+    out = parts.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True]).head(10)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out[["l_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
 def q_customer_nations(sf_dir: str) -> pd.DataFrame:
     """Broadcast enrichment (lookup) join (§2.4): append nation name to
     every customer row from the tiny nation dim — ray.put once, one
@@ -999,6 +1081,19 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "q3_shipping": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
     "ks_drift": """
         WITH x AS (
           SELECT l_quantity AS v,
@@ -1153,6 +1248,7 @@ QUERIES = {
     "range_join_counts": q_range_join_counts,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
+    "q3_shipping": q3_shipping,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

@@ -1,0 +1,161 @@
+"""Distributed sort-merge equi-join (big ⨝ big).
+
+The broadcast lookup/semi joins (stages/referential.py) cover the
+small-dimension side; this operator covers two LARGE sides where neither
+fits a broadcast — the classic shuffle join, built on the same machinery
+as the as-of/range operators:
+
+1. Tag both sides into a union-schema table (key, side, left payload ∪
+   right payload with nulls on the opposite side).
+2. ONE sort by (key, side) — the only exchange; right rows sort before
+   left rows within a key run.
+3. Per sorted block: every key run interior to the block emits its
+   left × right cross product vectorized (repeat/tile index build + two
+   arrow takes) — INNER join semantics.
+4. The ≤2 runs touching each block's edges re-assemble and join inside
+   a ray task (never on the driver).
+
+Partitioning assumption (documented per the driver brief): rows per join
+key are bounded (e.g. lineitem ≤ 7 rows per orderkey) — a key whose
+left×right product is huge belongs in a salted/broadcast plan instead;
+runs whose product exceeds ``max_pairs_per_key`` are skipped with a
+logged count rather than silently exploding a task.
+
+The reference has no joins (Profiler.py is single-table); this closes
+the §2.4 big-big gap with a TPC-H-Q3-shaped oracle twin
+(queries.ORACLE['q3_shipping']).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fast_ops import run_bounds
+
+
+def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
+                      left_cols: list, right_cols: list,
+                      max_pairs_per_key: int = 1_000_000,
+                      rows_hint: int | None = None):
+    """INNER equi-join returning a Dataset with ``left_cols + right_cols``
+    (names must be disjoint). Keys compare as int64.
+
+    Pass ``rows_hint`` (an upper bound is fine) whenever the inputs have
+    transforms applied — ``count()`` on a transformed Dataset executes
+    its whole pipeline, i.e. a full extra scan per side."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    assert not set(left_cols) & set(right_cols), "payload names must be disjoint"
+    assert "__k" not in left_cols + right_cols and "__side" not in left_cols + right_cols
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+    r_types = {c: r_schema.field(c).type for c in right_cols}
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_cols] + [(c, r_types[c]) for c in right_cols]
+    )
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"__k": pc.cast(batch[left_key], pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8))}
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(n, r_types[c])
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"__k": pc.cast(batch[right_key], pa.int64()),
+                "__side": pa.array(np.zeros(n, np.int8))}
+        for c in left_cols:
+            cols[c] = pa.nulls(n, l_types[c])
+        for c in right_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    tagged = left_ds.select_columns(
+        list(dict.fromkeys([left_key] + left_cols))
+    ).map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns(
+            list(dict.fromkeys([right_key] + right_cols))
+        ).map_batches(_tag_right, batch_format="pyarrow")
+    )
+    rows = rows_hint
+    if rows is None:
+        try:
+            rows = left_ds.count() + right_ds.count()
+        except Exception:
+            rows = None
+    s = rightsize_blocks(tagged, rows=rows).sort(["__k", "__side"]).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _join_runs(block: pa.Table, lo_run: int, hi_run: int,
+                   starts, widths, side: np.ndarray) -> pa.Table:
+        l_idx_parts, r_idx_parts, skipped = [], [], 0
+        for r in range(lo_run, hi_run):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            seg_side = side[a:b]
+            ri = np.flatnonzero(seg_side == 0) + a
+            li = np.flatnonzero(seg_side == 1) + a
+            if not ri.size or not li.size:
+                continue
+            if ri.size * li.size > max_pairs_per_key:
+                skipped += 1
+                continue
+            l_idx_parts.append(np.repeat(li, ri.size))
+            r_idx_parts.append(np.tile(ri, li.size))
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sorted_merge_join: skipped %d keys whose pair product "
+                "exceeds %d — such keys need a salted/broadcast plan",
+                skipped, max_pairs_per_key)
+        if not l_idx_parts:
+            return out_schema.empty_table()
+        li = pa.array(np.concatenate(l_idx_parts), pa.int64())
+        ri = pa.array(np.concatenate(r_idx_parts), pa.int64())
+        cols = {c: block[c].take(li) for c in left_cols}
+        cols.update({c: block[c].take(ri) for c in right_cols})
+        return pa.table(cols)
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), pa.schema(
+                [("__k", pa.int64()), ("__side", pa.int8())]
+                + list(out_schema)).empty_table()
+        k = block["__k"].to_numpy()
+        side = block["__side"].to_numpy()
+        starts, widths = run_bounds(k)
+        n_runs = starts.size
+        inner = _join_runs(block, 1, n_runs - 1, starts, widths, side)
+        edge_idx = []
+        for r in {0, n_runs - 1}:
+            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
+        return inner, block.take(pa.array(edge_idx, pa.int64()))
+
+    @ray.remote
+    def _edge_stitch(*tables):
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return out_schema.empty_table()
+        et = pa.concat_tables(nonempty).sort_by(
+            [("__k", "ascending"), ("__side", "ascending")])
+        k = et["__k"].to_numpy()
+        side = et["__side"].to_numpy()
+        starts, widths = run_bounds(k)
+        return _join_runs(et, 0, starts.size, starts, widths, side)
+
+    results = [_block.remote(r) for r in refs]
+    edge_ref = _edge_stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])

@@ -1,0 +1,59 @@
+"""Sort-merge equi-join: DuckDB INNER JOIN parity with keys straddling
+many sorted blocks, one-sided keys, and duplicate keys on both sides."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_sorted_merge_join_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 4000, 1500
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 300, n_l), pa.int64()),
+        "lv": pa.array(rng.normal(size=n_l).round(6)),
+    })
+    # keys 250..299 exist only on the left (dropped from output);
+    # keys repeat on both sides (cross products per key)
+    right = pa.table({
+        "rk": pa.array(rng.integers(0, 250, n_r), pa.int64()),
+        "rv": pa.array(np.arange(n_r), pa.int64()),
+    })
+    got = (
+        sorted_merge_join(rd.from_arrow(left).repartition(19),
+                          rd.from_arrow(right).repartition(7),
+                          "k", "rk", ["k", "lv"], ["rv"])
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.k, l.lv, r.rv FROM l JOIN r ON l.k = r.rk
+        ORDER BY l.k, l.lv, r.rv
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "rv": "int64"}),
+        want.astype({"k": "int64", "rv": "int64"}))
+
+
+def test_sorted_merge_join_oversize_key_skipped(ray_session):
+    """A key whose pair product exceeds the cap is skipped, not exploded."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    left = pa.table({"k": pa.array([1] * 200 + [2], pa.int64()),
+                     "lv": pa.array(range(201), pa.int64())})
+    right = pa.table({"rk": pa.array([1] * 200 + [2], pa.int64()),
+                      "rv": pa.array(range(201), pa.int64())})
+    got = sorted_merge_join(rd.from_arrow(left), rd.from_arrow(right),
+                            "k", "rk", ["k", "lv"], ["rv"],
+                            max_pairs_per_key=1000).to_pandas()
+    # key 1 (200x200 = 40000 pairs) skipped; key 2 (1x1) survives
+    assert got["k"].tolist() == [2]
