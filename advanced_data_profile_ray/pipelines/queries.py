@@ -63,7 +63,7 @@ def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
 
     prof = profile_dataset(
         _read(sf_dir, "lineitem", LINEITEM_NUMERIC),
-        ProfileConfig(columns=LINEITEM_NUMERIC),
+        ProfileConfig(columns=LINEITEM_NUMERIC, sketches=False),
     )
     rows = []
     for name in LINEITEM_NUMERIC:
@@ -647,7 +647,8 @@ def q_outlier_pct(sf_dir: str) -> pd.DataFrame:
     from ..stages.profile_partial import ProfileConfig
 
     cols = LINEITEM_NUMERIC
-    prof = profile_dataset(_read(sf_dir, "lineitem", cols), ProfileConfig(columns=cols))
+    prof = profile_dataset(_read(sf_dir, "lineitem", cols),
+                           ProfileConfig(columns=cols, sketches=False))
     stats = {c: (prof.columns[c].moments.avg, prof.columns[c].moments.std())
              for c in cols}
 

@@ -47,6 +47,10 @@ class ProfileConfig:
     histogram_edges: dict = field(default_factory=dict)
     # columns to skip exact value counts / heavy hitters on (e.g. huge blobs)
     skip_values: tuple = ()
+    # False → moments/null/type/minmax ONLY (no tdigest/HLL/value-counts/
+    # heavy-hitters/histograms/date-parts): the cheap path for consumers
+    # that need just the algebraic stats (e.g. z-score passes)
+    sketches: bool = True
 
 
 @dataclass
@@ -94,8 +98,8 @@ class ColumnProfile:
         if len(nn) == 0:
             return p
 
-        edges = cfg.histogram_edges.get(name)
-        skip_vals = name in cfg.skip_values
+        edges = cfg.histogram_edges.get(name) if cfg.sketches else None
+        skip_vals = (name in cfg.skip_values) or not cfg.sketches
 
         if pa.types.is_boolean(t):
             nn = pc.cast(nn, pa.int8())
@@ -104,10 +108,11 @@ class ColumnProfile:
         if pa.types.is_integer(t) or pa.types.is_floating(t):
             vals = nn.to_numpy(zero_copy_only=False).astype(np.float64)
             p.moments = Moments.from_array(vals)
-            p.tdigest = TDigest.from_array(vals, cfg.tdigest_delta)
-            if edges is not None:
-                p.histogram = FixedHistogram.from_array(vals, np.asarray(edges))
-            p.hll = HyperLogLog.from_hashes(hash64(vals), cfg.hll_p)
+            if cfg.sketches:
+                p.tdigest = TDigest.from_array(vals, cfg.tdigest_delta)
+                if edges is not None:
+                    p.histogram = FixedHistogram.from_array(vals, np.asarray(edges))
+                p.hll = HyperLogLog.from_hashes(hash64(vals), cfg.hll_p)
             if not skip_vals:
                 p.hh = HeavyHitters.from_array(vals, cfg.hh_capacity)
                 # entropy domain: floats rounded to 2dp then stringified
@@ -136,15 +141,17 @@ class ColumnProfile:
                 p.histogram = FixedHistogram.from_array(
                     ivals.astype(np.float64), np.asarray(edges)
                 )
-            p.hll = HyperLogLog.from_hashes(hash64(ivals), cfg.hll_p)
-            p.date_parts = DatePartCounts.from_timestamp(ts)
+            if cfg.sketches:
+                p.hll = HyperLogLog.from_hashes(hash64(ivals), cfg.hll_p)
+                p.date_parts = DatePartCounts.from_timestamp(ts)
             if not skip_vals:
                 p.vc = ValueCounts.from_array(ivals, cfg.vc_cap)
                 p.hh = HeavyHitters.from_array(ivals, cfg.hh_capacity)
         elif is_str:
             lens = pc.utf8_length(nn).to_numpy(zero_copy_only=False).astype(np.float64)
             p.moments = Moments.from_array(lens)  # turn-length stats for `text`
-            p.tdigest = TDigest.from_array(lens, cfg.tdigest_delta)
+            if cfg.sketches:
+                p.tdigest = TDigest.from_array(lens, cfg.tdigest_delta)
             p.maxlen = MaxLen(int(lens.max()) if lens.size else 0, 0)
             if edges is not None:
                 p.histogram = FixedHistogram.from_array(lens, np.asarray(edges))
@@ -152,9 +159,10 @@ class ColumnProfile:
             # — a byte > 0x7F in the utf8 data buffer ⟺ a non-ASCII char;
             # one memory-bound numpy scan, ~12× cheaper than the regex kernel
             p.non_ascii = _buffer_has_non_ascii(nn)
-            # hash the Arrow buffers directly (hash64_arrow) — no Python
-            # string materialization on the wide-text hot path
-            p.hll = HyperLogLog.from_hashes(hash64_arrow(nn), cfg.hll_p)
+            if cfg.sketches:
+                # hash the Arrow buffers directly (hash64_arrow) — no Python
+                # string materialization on the wide-text hot path
+                p.hll = HyperLogLog.from_hashes(hash64_arrow(nn), cfg.hll_p)
             mm = pc.min_max(nn)
             p.minmax = MinMax(mm["min"].as_py(), mm["max"].as_py())
             if not skip_vals:
