@@ -374,16 +374,22 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
     sig_rows = _fetch_rows_for_ids(sig_ds.select_columns(["id", "sig"]), "id", need)
     # one (docs × perms) matrix + integer indexers — candidate pair lists
-    # reach 10^5+ rows, where per-pair dict lookups dominate wall time
-    doc_ids = sig_rows["id"].to_pylist()
+    # reach 10^5+ rows, where per-pair dict lookups dominate wall time.
+    # Dedupe ids first (a repeated id keeps its first signature; duplicate
+    # labels make get_indexer raise) and assert every pair id resolved
+    # (indexer -1 would silently gather the LAST row).
+    sig_df = pd.DataFrame({
+        "id": sig_rows["id"].to_pylist(), "sig": sig_rows["sig"].to_pylist()
+    }).drop_duplicates("id")
     M = np.frombuffer(
-        b"".join(sig_rows["sig"].to_pylist()), dtype=np.uint64
-    ).reshape(len(doc_ids), -1)
-    idx = pd.Index(doc_ids)
-    sa = M[idx.get_indexer(pairs["id_a"])]
-    sb = M[idx.get_indexer(pairs["id_b"])]
+        b"".join(sig_df["sig"]), dtype=np.uint64
+    ).reshape(len(sig_df), -1)
+    idx = pd.Index(sig_df["id"])
+    ia = idx.get_indexer(pairs["id_a"])
+    ib = idx.get_indexer(pairs["id_b"])
+    assert (ia >= 0).all() and (ib >= 0).all(), "candidate id missing signature"
     out = pairs.copy()
-    out["est_jaccard"] = (sa == sb).mean(axis=1)
+    out["est_jaccard"] = (M[ia] == M[ib]).mean(axis=1)
     return out.reset_index(drop=True)
 
 

@@ -265,7 +265,8 @@ def q_referential_counts(sf_dir: str) -> pd.DataFrame:
     (SURVEY.md §2.4: small side broadcast, never a shuffle join).
     ONE scan per fact table — relations sharing a fact (the two lineitem
     keys) ride the same pass, same shape as the fused validation stage."""
-    from ..pipelines.validate import _cached_value_set, broadcast_value_set
+    from ..pipelines.validate import (_cached_value_set, broadcast_value_set,
+                                      value_set_mask)
 
     by_fact: dict = {}
     for name, fact, fcol, dim, dcol in REF_PAIRS:
@@ -285,12 +286,7 @@ def q_referential_counts(sf_dir: str) -> pd.DataFrame:
                 matched = 0
                 if vs.size and nvalid:
                     vals = col.drop_null().to_numpy(zero_copy_only=False)
-                    if vals.dtype == object:
-                        vals = vals.astype(np.str_)
-                    else:
-                        vals = vals.astype(vs.dtype, copy=False)
-                    pos = np.minimum(np.searchsorted(vs, vals), vs.size - 1)
-                    matched = int((vs[pos] == vals).sum())
+                    matched = int(value_set_mask(vs, vals).sum())
                 out[f"matched_{i}"] = pa.array([matched], pa.int64())
                 out[f"orphan_{i}"] = pa.array([nvalid - matched], pa.int64())
                 out[f"null_{i}"] = pa.array([nulls], pa.int64())
@@ -387,7 +383,8 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
     post-join grouped top-10 by revenue. Dates adapted to the synthetic
     data's 1995-2001 range; o_orderpriority stands in for TPC-H's
     o_shippriority (absent from the synthetic schema)."""
-    from ..pipelines.validate import broadcast_value_set, _cached_value_set
+    from ..pipelines.validate import (broadcast_value_set, _cached_value_set,
+                                      value_set_mask)
     from ..stages.fast_ops import sorted_groupby
     from ..stages.merge_join import sorted_merge_join
 
@@ -404,11 +401,8 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         keep = pc.less(pc.cast(batch["o_orderdate"], pa.timestamp("us")), cutoff)
         sub = batch.filter(keep)
         ck = sub["o_custkey"].to_numpy(zero_copy_only=False)
-        if vs.size and len(sub):
-            pos = np.minimum(np.searchsorted(vs, ck), vs.size - 1)
-            sub = sub.filter(pa.array(vs[pos] == ck))
-        elif len(sub):
-            sub = sub.slice(0, 0)
+        if len(sub):
+            sub = sub.filter(pa.array(value_set_mask(vs, ck)))
         return sub.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
     def _filter_lineitem(batch: pa.Table) -> pa.Table:
@@ -443,8 +437,13 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
         [("revenue", "sum", "revenue")],
     )
     # per-block top-10 before the driver concat (result cardinality at
-    # 100 TB is qualifying-orders-sized; only 10 rows ever matter)
+    # 100 TB is qualifying-orders-sized; only 10 rows ever matter).
+    # Sort on ROUNDED revenue — the final order (and the oracle) compare
+    # at 2dp, so an unrounded cut could drop a 2dp-tied row whose
+    # tiebreak wins globally.
     def _topk(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                         pc.round(t["revenue"], 2))
         idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
                                             ("o_orderdate", "ascending"),
                                             ("l_orderkey", "ascending")])

@@ -365,6 +365,22 @@ def _cached_value_set(ref) -> "np.ndarray":
     return _VALUESET_CACHE[key]
 
 
+def value_set_mask(value_set: "np.ndarray", vals: "np.ndarray") -> "np.ndarray":
+    """Boolean membership of ``vals`` in a SORTED value set via
+    searchsorted — the one shared implementation of the broadcast
+    semi-join membership test (pc.is_in rebuilds its hash table per
+    call; this is exact and O(n log |set|) with no per-batch build).
+    Handles dtype alignment and the empty-set case."""
+    if value_set.size == 0 or vals.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    if vals.dtype == object:
+        vals = vals.astype(np.str_)
+    elif vals.dtype != value_set.dtype and value_set.dtype.kind in "iuf":
+        vals = vals.astype(value_set.dtype, copy=False)
+    pos = np.minimum(np.searchsorted(value_set, vals), value_set.size - 1)
+    return value_set[pos] == vals
+
+
 def broadcast_value_set(vals) -> "object":
     """ray.put a SORTED numpy array dimension side for the fused
     referential membership test. Sorted-array + np.searchsorted per batch
@@ -422,11 +438,7 @@ def _make_fused_fn(cfg: ProfileConfig, ref_specs, ts_col: str | None,
             nulls = len(col) - nvalid
             if value_set.size and nvalid:
                 vals = col.drop_null().to_numpy(zero_copy_only=False)
-                if vals.dtype == object:
-                    vals = vals.astype(np.str_)
-                pos = np.searchsorted(value_set, vals)
-                pos_c = np.minimum(pos, value_set.size - 1)
-                matched = int((value_set[pos_c] == vals).sum())
+                matched = int(value_set_mask(value_set, vals).sum())
             else:
                 matched = 0
             names.append(f"__check__{name}")

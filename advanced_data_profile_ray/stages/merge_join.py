@@ -61,6 +61,10 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     )
 
     def _tag_left(batch: pa.Table) -> pa.Table:
+        # inner-join semantics: null keys never match — drop them here,
+        # which also keeps __k.to_numpy() int64 (nullable ints convert to
+        # float64 and collapse distinct keys above 2^53)
+        batch = batch.filter(batch[left_key].is_valid())
         n = batch.num_rows
         cols = {"__k": pc.cast(batch[left_key], pa.int64()),
                 "__side": pa.array(np.ones(n, np.int8))}
@@ -71,6 +75,7 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
         return pa.table(cols)
 
     def _tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch[right_key].is_valid())
         n = batch.num_rows
         cols = {"__k": pc.cast(batch[right_key], pa.int64()),
                 "__side": pa.array(np.zeros(n, np.int8))}
@@ -87,13 +92,12 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
             list(dict.fromkeys([right_key] + right_cols))
         ).map_batches(_tag_right, batch_format="pyarrow")
     )
-    rows = rows_hint
-    if rows is None:
-        try:
-            rows = left_ds.count() + right_ds.count()
-        except Exception:
-            rows = None
-    s = rightsize_blocks(tagged, rows=rows).sort(["__k", "__side"]).materialize()
+    # without a hint the inputs are NOT counted: count() on a transformed
+    # Dataset executes its whole pipeline (a full extra scan per side) —
+    # callers wanting small-input coalescing pass rows_hint
+    if rows_hint is not None:
+        tagged = rightsize_blocks(tagged, rows=rows_hint)
+    s = tagged.sort(["__k", "__side"]).materialize()
     refs = s.to_arrow_refs()
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
@@ -128,34 +132,86 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
         cols.update({c: block[c].take(ri) for c in right_cols})
         return pa.table(cols)
 
-    @ray.remote(num_returns=2)
+    # edge runs ship CLIPPED (per side, per run) so a hot key spanning
+    # whole blocks cannot funnel millions of rows into the stitch task;
+    # true per-run side counts travel alongside, so the oversize-skip
+    # decision stays exact. A key that is under the pair cap but has one
+    # side longer than the clip (elongated, e.g. 900k×1) is skipped with
+    # its own logged counter — the documented bounded-rows-per-key
+    # assumption, enforced instead of OOMing.
+    edge_clip = max(1024, 2 * int(max_pairs_per_key ** 0.5))
+    edge_schema = pa.schema([("__k", pa.int64()), ("__side", pa.int8())]
+                            + list(out_schema))
+    cnt_schema = pa.schema([("__k", pa.int64()), ("nl", pa.int64()),
+                            ("nr", pa.int64())])
+
+    @ray.remote(num_returns=3)
     def _block(block: pa.Table):
         if block.num_rows == 0:
-            return out_schema.empty_table(), pa.schema(
-                [("__k", pa.int64()), ("__side", pa.int8())]
-                + list(out_schema)).empty_table()
+            return (out_schema.empty_table(), edge_schema.empty_table(),
+                    cnt_schema.empty_table())
         k = block["__k"].to_numpy()
         side = block["__side"].to_numpy()
         starts, widths = run_bounds(k)
         n_runs = starts.size
         inner = _join_runs(block, 1, n_runs - 1, starts, widths, side)
-        edge_idx = []
+        edge_idx, ck, cl, cr = [], [], [], []
         for r in {0, n_runs - 1}:
-            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
-        return inner, block.take(pa.array(edge_idx, pa.int64()))
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            seg_side = side[a:b]
+            ri = np.flatnonzero(seg_side == 0) + a
+            li = np.flatnonzero(seg_side == 1) + a
+            ck.append(int(k[a]))
+            cl.append(int(li.size))
+            cr.append(int(ri.size))
+            edge_idx.append(li[:edge_clip])
+            edge_idx.append(ri[:edge_clip])
+        idx = np.sort(np.concatenate(edge_idx)) if edge_idx else np.array([], np.int64)
+        counts = pa.table({"__k": pa.array(ck, pa.int64()),
+                           "nl": pa.array(cl, pa.int64()),
+                           "nr": pa.array(cr, pa.int64())})
+        return inner, block.take(pa.array(idx, pa.int64())), counts
 
     @ray.remote
-    def _edge_stitch(*tables):
+    def _edge_stitch(counts_refs, *tables):
         nonempty = [t for t in tables if t.num_rows]
         if not nonempty:
             return out_schema.empty_table()
+        import pandas as pd
+
+        # refs nested in a list are NOT auto-resolved by ray.remote
+        counts_tables = ray.get(list(counts_refs))
+        true = pa.concat_tables([t for t in counts_tables if t.num_rows]) \
+            .to_pandas().groupby("__k").sum()
         et = pa.concat_tables(nonempty).sort_by(
             [("__k", "ascending"), ("__side", "ascending")])
         k = et["__k"].to_numpy()
         side = et["__side"].to_numpy()
         starts, widths = run_bounds(k)
-        return _join_runs(et, 0, starts.size, starts, widths, side)
+        keep_runs, elongated = [], 0
+        for r in range(starts.size):
+            key = int(k[starts[r]])
+            nl = int(true.loc[key, "nl"])
+            nr = int(true.loc[key, "nr"])
+            if nl * nr > max_pairs_per_key:
+                continue  # counted by _join_runs semantics: oversize skip
+            if nl > edge_clip or nr > edge_clip:
+                elongated += 1  # under the pair cap but rows were clipped
+                continue
+            keep_runs.append(r)
+        if elongated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sorted_merge_join: skipped %d elongated hot keys with one "
+                "side longer than %d rows (bounded-rows-per-key contract)",
+                elongated, edge_clip)
+        parts = [_join_runs(et, r, r + 1, starts, widths, side)
+                 for r in keep_runs]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
 
     results = [_block.remote(r) for r in refs]
-    edge_ref = _edge_stitch.remote(*[r[1] for r in results])
+    edge_ref = _edge_stitch.remote([r[2] for r in results],
+                                   *[r[1] for r in results])
     return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
