@@ -134,6 +134,37 @@ def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q6-shaped filtered aggregate exercising PREDICATE PUSHDOWN
+    at the read: the row filter ships into read_parquet as a
+    pyarrow.dataset expression, so non-qualifying row groups never leave
+    storage and only the two needed columns decode — the brief's
+    'prune at the read' requirement, demonstrated end-to-end."""
+    import pyarrow.dataset as pads
+
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1997-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1998-01-01"))
+            & (pads.field("l_discount") >= 0.02)
+            & (pads.field("l_discount") <= 0.04)
+            & (pads.field("l_quantity") < 24))
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=expr)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(batch["l_extendedprice"],
+                                 batch["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": pa.array([rev], pa.float64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    return pd.DataFrame([{"revenue": round(float(parts["revenue"].sum()), 2),
+                          "n_rows": int(parts["n"].sum())}])
+
+
 def q_top_orderpriority(sf_dir: str) -> pd.DataFrame:
     """Full frequency table of a low-cardinality column (top-k A7 without
     tie ambiguity: k >= distinct)."""
@@ -1081,6 +1112,15 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
     "q3_shipping": """
         SELECT l_orderkey,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1249,6 +1289,7 @@ QUERIES = {
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,
