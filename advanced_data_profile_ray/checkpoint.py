@@ -47,25 +47,42 @@ def _write_atomic(path: str, payload: bytes) -> None:
 
 def _input_fingerprint(input_path: str) -> dict:
     """Lineage identity of an input parquet file: size + mtime_ns + a
-    footer-metadata hash. Size alone misses same-size rewrites (common
-    for fixed-width / regenerated data); the footer hash covers even a
-    same-size same-mtime rewrite, at the cost of one metadata read."""
+    footer hash over structural metadata AND per-column-chunk statistics
+    (min/max/null_count) + data page offsets/sizes. Size alone misses
+    same-size rewrites (common for fixed-width / regenerated data); the
+    stats-bearing footer hash catches a same-size same-mtime rewrite
+    with different values unless the writer both omits statistics and
+    reproduces identical page layout — one metadata read, no data scan."""
     st = os.stat(input_path)
     fp = {"input_size": st.st_size, "input_mtime_ns": st.st_mtime_ns}
     try:
         import pyarrow.parquet as pq
 
         md = pq.read_metadata(input_path)
-        fp["footer_sha1"] = hashlib.sha1(
-            b"|".join([
-                str(md.num_rows).encode(),
-                str(md.num_row_groups).encode(),
-                md.created_by.encode() if md.created_by else b"",
-                str(md.serialized_size).encode(),
-                str([md.row_group(i).total_byte_size
-                     for i in range(md.num_row_groups)]).encode(),
-            ])
-        ).hexdigest()
+        parts = [
+            str(md.num_rows).encode(),
+            str(md.num_row_groups).encode(),
+            md.created_by.encode() if md.created_by else b"",
+            str(md.serialized_size).encode(),
+        ]
+        # per-column-chunk content identity: min/max/null_count statistics
+        # plus data page offsets and compressed sizes — a same-size,
+        # same-layout rewrite with different VALUES moves the stats (and
+        # almost always the page byte offsets/sizes), so it invalidates
+        # the checkpoint where structural metadata alone would not
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            parts.append(str(rg.total_byte_size).encode())
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                s = col.statistics
+                parts.append(
+                    f"{col.path_in_schema}:{col.data_page_offset}:"
+                    f"{col.total_compressed_size}:"
+                    f"{(s.min, s.max, s.null_count) if s is not None else None}"
+                    .encode(errors="replace")
+                )
+        fp["footer_sha1"] = hashlib.sha1(b"|".join(parts)).hexdigest()
     except Exception:
         fp["footer_sha1"] = None
     return fp

@@ -82,12 +82,20 @@ def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
-    """Exact per-column distinct counts (A6) — the exact shuffle path the
-    profile's HLL approximates. ONE scan for all columns: per batch each
-    column dedups to unique 64-bit value hashes, the skinny (col, h) rows
-    go through one sorted_groupby exchange, and the distinct count per
-    column is the group count — counted inside the blocks, never shipping
-    values (or hashes) to the driver."""
+    """Per-column distinct counts (A6) — the exact-modulo-hash shuffle
+    path the profile's HLL approximates. ONE scan for all columns: per
+    batch each column dedups to unique 64-bit value hashes, the skinny
+    (col, h) rows go through one sorted_groupby exchange, and the
+    distinct count per column is the group count — counted inside the
+    blocks, never shipping values (or hashes) to the driver.
+
+    Semantics (matching SQL COUNT(DISTINCT col), the oracle twin):
+    - NULLs are excluded before hashing, exactly like COUNT DISTINCT.
+    - Counts distinct 64-bit value hashes with no collision verify pass
+      (unlike duplicate_keys_from_files, which verifies): a colliding
+      pair undercounts by 1 at ~n²/2^65 expected pairs — ~3×10⁻⁸ even
+      at a billion distinct values. Callers needing guaranteed exactness
+      route through the uniqueness verify machinery instead."""
     from ..stages.fast_ops import sorted_groupby
     from ..state.hll import hash64_arrow
 
@@ -351,8 +359,10 @@ def q_transcripts(sf_dir: str):
     from ..stages.window import sessionize_events
 
     # sessionize_events emits blocks already ordered by (conv_id,
-    # turn_idx) — conv_id is order-isomorphic to the user_id sort key —
-    # so no second sort exchange is needed for the ORDER BY twin.
+    # turn_idx) — conv_id is order-isomorphic to the user_id sort key
+    # (VALIDATED inside sessionize_events: raises unless all user_ids
+    # fit [0, 10^8), where 8-digit zero-padding preserves order) — so no
+    # second sort exchange is needed for the ORDER BY twin.
     return sessionize_events(_read(sf_dir, "events"))
 
 

@@ -17,9 +17,13 @@ as the as-of/range operators:
 
 Partitioning assumption (documented per the driver brief): rows per join
 key are bounded (e.g. lineitem ≤ 7 rows per orderkey) — a key whose
-left×right product is huge belongs in a salted/broadcast plan instead;
-runs whose product exceeds ``max_pairs_per_key`` are skipped with a
-logged count rather than silently exploding a task.
+left×right product is huge belongs in a salted/broadcast plan instead.
+Keys whose pair product exceeds ``max_pairs_per_key`` OR whose longer
+side exceeds the derived ``edge_clip`` row bound are skipped with a
+logged count rather than silently exploding a task; both bounds are
+enforced identically on interior runs and block-straddling runs, so the
+join result is a deterministic function of the data, never of where the
+sort happened to place block boundaries.
 
 The reference has no joins (Profiler.py is single-table); this closes
 the §2.4 big-big gap with a TPC-H-Q3-shaped oracle twin
@@ -50,8 +54,14 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
 
     from .fast_ops import rightsize_blocks
 
-    assert not set(left_cols) & set(right_cols), "payload names must be disjoint"
-    assert "__k" not in left_cols + right_cols and "__side" not in left_cols + right_cols
+    # input validation raises (not assert: asserts vanish under python -O,
+    # and an overlapping payload name would silently corrupt the join)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload column names must be disjoint: {sorted(overlap)}")
+    reserved = {"__k", "__side"} & set(left_cols + right_cols)
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in left_cols}
@@ -102,9 +112,17 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
 
+    # the bounded-rows-per-key contract: keys with one side longer than
+    # edge_clip are skipped EVERYWHERE (interior runs and edge stitch
+    # alike), so the result is a deterministic function of the data — not
+    # of where block boundaries happened to land. Edge runs ship clipped
+    # at this bound; true per-run side counts travel alongside, so the
+    # skip decision is exact for straddling keys too.
+    edge_clip = max(1024, 2 * int(max_pairs_per_key ** 0.5))
+
     def _join_runs(block: pa.Table, lo_run: int, hi_run: int,
                    starts, widths, side: np.ndarray) -> pa.Table:
-        l_idx_parts, r_idx_parts, skipped = [], [], 0
+        l_idx_parts, r_idx_parts, skipped, elongated = [], [], 0, 0
         for r in range(lo_run, hi_run):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             seg_side = side[a:b]
@@ -115,15 +133,21 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
             if ri.size * li.size > max_pairs_per_key:
                 skipped += 1
                 continue
+            if ri.size > edge_clip or li.size > edge_clip:
+                # same bound the edge stitch enforces — skipping here too
+                # keeps output independent of block layout
+                elongated += 1
+                continue
             l_idx_parts.append(np.repeat(li, ri.size))
             r_idx_parts.append(np.tile(ri, li.size))
-        if skipped:
+        if skipped or elongated:
             import logging
 
             logging.getLogger(__name__).warning(
                 "sorted_merge_join: skipped %d keys whose pair product "
-                "exceeds %d — such keys need a salted/broadcast plan",
-                skipped, max_pairs_per_key)
+                "exceeds %d and %d elongated keys with one side longer "
+                "than %d rows — such keys need a salted/broadcast plan",
+                skipped, max_pairs_per_key, elongated, edge_clip)
         if not l_idx_parts:
             return out_schema.empty_table()
         li = pa.array(np.concatenate(l_idx_parts), pa.int64())
@@ -132,14 +156,6 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
         cols.update({c: block[c].take(ri) for c in right_cols})
         return pa.table(cols)
 
-    # edge runs ship CLIPPED (per side, per run) so a hot key spanning
-    # whole blocks cannot funnel millions of rows into the stitch task;
-    # true per-run side counts travel alongside, so the oversize-skip
-    # decision stays exact. A key that is under the pair cap but has one
-    # side longer than the clip (elongated, e.g. 900k×1) is skipped with
-    # its own logged counter — the documented bounded-rows-per-key
-    # assumption, enforced instead of OOMing.
-    edge_clip = max(1024, 2 * int(max_pairs_per_key ** 0.5))
     edge_schema = pa.schema([("__k", pa.int64()), ("__side", pa.int8())]
                             + list(out_schema))
     cnt_schema = pa.schema([("__k", pa.int64()), ("nl", pa.int64()),

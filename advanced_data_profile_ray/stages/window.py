@@ -398,6 +398,19 @@ def sessionize_events(ds):
         return _shape_transcript_block(block, rn)
 
     infos = ray.get([_bounds.remote(r) for r in refs])
+    # downstream consumers (queries.q_transcripts) rely on conv_id
+    # ('c' + lpad(user_id, 8)) being ORDER-ISOMORPHIC to user_id, which
+    # holds only for 0 <= user_id < 10^8 (utf8_lpad does not truncate, so
+    # a 9-digit id or a '-' sign would break lexicographic order). The
+    # sorted-block bounds are already on the driver — validate for free.
+    nonempty = [(first, last) for first, last, _, _, n in infos if n]
+    if nonempty:
+        lo, hi = nonempty[0][0], nonempty[-1][1]
+        if lo is not None and (int(lo) < 0 or int(hi) >= 10**8):
+            raise ValueError(
+                f"sessionize_events: user_id range [{lo}, {hi}] outside "
+                "[0, 10^8) — conv_id zero-padding to 8 digits would not be "
+                "order-isomorphic to user_id; widen the pad width")
     offsets = _carry_offsets(infos)
     out_refs = [_number_and_shape.remote(r, off) for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)

@@ -57,3 +57,30 @@ def test_sorted_merge_join_oversize_key_skipped(ray_session):
                             max_pairs_per_key=1000).to_pandas()
     # key 1 (200x200 = 40000 pairs) skipped; key 2 (1x1) survives
     assert got["k"].tolist() == [2]
+
+
+def test_sorted_merge_join_elongated_key_deterministic(ray_session):
+    """A key under the pair cap but with one side longer than edge_clip
+    must be skipped identically whether its run is interior to one block
+    or straddles block boundaries (round-2 advice: output must be a
+    function of the data, not of block layout)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    # max_pairs 1.1M -> edge_clip = 2*sqrt(1.1e6) ~= 2097; key 1 is
+    # elongated (2500 x 1 = 2500 pairs, far under the cap) and key 2 normal
+    left = pa.table({"k": pa.array([1] * 2500 + [2] * 3, pa.int64()),
+                     "lv": pa.array(range(2503), pa.int64())})
+    right = pa.table({"rk": pa.array([1, 2], pa.int64()),
+                      "rv": pa.array([100, 200], pa.int64())})
+    outs = []
+    for parts in (1, 13):  # interior run vs straddling runs
+        got = sorted_merge_join(
+            rd.from_arrow(left).repartition(parts), rd.from_arrow(right),
+            "k", "rk", ["k", "lv"], ["rv"], max_pairs_per_key=1_100_000,
+        ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # elongated key 1 dropped in BOTH layouts; key 2 fully joined
+    assert outs[0]["k"].tolist() == [2, 2, 2]

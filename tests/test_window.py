@@ -99,6 +99,26 @@ def test_range_count_join_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_sessionize_rejects_unpaddable_user_ids(ray_session):
+    """conv_id = 'c' + lpad(user_id, 8) is only order-isomorphic to
+    user_id for ids in [0, 10^8); out-of-range ids must raise instead of
+    silently breaking ORDER BY parity (round-2 advice)."""
+    import pytest
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import sessionize_events
+
+    t = pa.table({
+        "user_id": pa.array([5, 10**8], pa.int64()),
+        "ts": pa.array(pd.to_datetime([0, 1], unit="s"), pa.timestamp("us")),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "event_type": pa.array(["click", "click"], pa.string()),
+        "props": pa.array(["a", "b"], pa.string()),
+    })
+    with pytest.raises(ValueError, match="order-isomorphic"):
+        sessionize_events(rd.from_arrow(t)).to_pandas()
+
+
 def test_row_number_fully_duplicate_keys(ray_session):
     """The sort emits zero-row empty-schema blocks for heavily-duplicated
     keys; row numbering must survive them (review finding)."""
