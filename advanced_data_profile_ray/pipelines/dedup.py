@@ -812,54 +812,132 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return p
 
 
+def _batch_vec_matrix(batch: pa.Table, id_col: str, vec_col: str):
+    """(ids_array, float32 matrix) off an Arrow list<float> column with
+    zero per-row Python: flat value buffer + offset gather. Null and
+    ragged (wrong-dim) rows are dropped; returns (None, None) when no
+    usable rows remain."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    keep = col.is_valid()
+    ids = batch[id_col].filter(keep)
+    vecs = col.drop_null()
+    n = len(vecs)
+    if n == 0:
+        return None, None
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    offs = vecs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    dims = np.diff(offs)
+    dim = int(dims.max()) if dims.size else 0
+    if dim == 0:
+        return None, None
+    good = dims == dim
+    if not good.all():
+        ids = ids.take(pa.array(np.flatnonzero(good), pa.int64()))
+    gidx = offs[:-1][good][:, None] + np.arange(dim)
+    return ids, flat[gidx]
+
+
 def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
-                        n_planes: int = 12, seed: int = 7) -> pd.DataFrame:
-    """Random-hyperplane LSH bucket → in-bucket cosine pairs ≥ threshold.
-    The scale path for embedding near-dup (brute force is ann.brute_topk).
-    High thresholds → tiny angles → high bucket-collision recall.
+                        n_planes: int = 8, n_bands: int = 4, seed: int = 7,
+                        max_bucket: int = 256) -> pd.DataFrame:
+    """Banded random-hyperplane LSH near-dup over an embedding column —
+    the scale path (brute force is ann.brute_topk). Fully distributed,
+    same exchange discipline as MinHash/SimHash:
 
-    The plane matrix is built lazily inside each map task from the
-    batch's own vector dim (seeded → identical across tasks), so no
-    ``ds.take(1)`` driver sniff triggers an extra partial execution."""
+    1. map task: normalize vectors, sign-hash against ``n_bands``
+       independent ``n_planes``-plane banks (seeded, cached per worker),
+       emit skinny (key, id) rows — ``n_bands`` per doc, no vector
+       payload in the exchange.
+    2. ONE sort exchange co-locates buckets; interior runs pair-expand in
+       map tasks with the ``max_bucket`` oversize cap (lsh_bucket_pairs —
+       no ``groupby().map_groups`` per-row reduce, no uncapped
+       ``mat @ mat.T`` on hot buckets).
+    3. normalized vectors are fetched ONLY for candidate ids and cosine
+       is verified in parallel ray tasks over a broadcast matrix — exact
+       precision; banding sets recall (≥1-(1-p^planes)^bands,
+       p = 1 - arccos(cos)/π; ~0.97 at cosine 0.98 with 8×4).
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"id": [], "bucket": [], "vec": []})
-        mat = np.stack(df[vec_col].to_numpy())
-        planes = _hyperplanes(mat.shape[1], n_planes, seed)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(norms, 1e-12)
+    Zero-norm vectors carry no direction and are dropped. Returns
+    (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold."""
+    import ray
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+    total_planes = n_planes * n_bands
+    empty_out = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        id_t = batch.schema.field(id_col).type
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "id": pa.array([], id_t)})
+        ids, mat = _batch_vec_matrix(batch, id_col, vec_col)
+        if ids is None:
+            return empty
+        # the plane bank is built lazily from the batch's own dim
+        # (seeded + worker-cached → identical across tasks); no driver
+        # ds.take(1) sniff triggering an extra partial execution
+        planes = _hyperplanes(mat.shape[1], total_planes, seed)
+        norms = np.linalg.norm(mat, axis=1)
+        nz = norms > 0
+        if not nz.all():
+            ids = ids.take(pa.array(np.flatnonzero(nz), pa.int64()))
+            mat = mat[nz]
+        if len(ids) == 0:
+            return empty
         signs = (mat @ planes) > 0
-        bucket = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-        return pd.DataFrame(
-            {"id": df[id_col], "bucket": bucket.view(np.int64),
-             "vec": [v.astype(np.float32) for v in mat]}
-        )
+        buckets = (
+            signs.reshape(len(ids), n_bands, n_planes).astype(np.uint64)
+            << np.arange(n_planes, dtype=np.uint64)
+        ).sum(axis=2)  # (n, n_bands) row-major
+        band = np.tile(np.arange(n_bands, dtype=np.uint64) + np.uint64(1),
+                       len(ids))
+        key = _splitmix64(buckets.reshape(-1) ^ (band * C)).view(np.int64)
+        rep = ids.take(pa.array(np.repeat(np.arange(len(ids)), n_bands),
+                                pa.int64()))
+        return pa.table({"key": pa.array(key, pa.int64()), "id": rep})
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values("id")
-        ids = g["id"].to_numpy()
-        mat = np.stack(g["vec"].to_numpy())
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-             "cosine": sims[ia, ib][keep].astype(np.float64)}
-        )
+    from ..stages.fast_ops import spread_blocks
 
-    out = (
-        ds.map_batches(_bucket, batch_format="pandas", batch_size=8192)
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
+    narrow = ds.select_columns([id_col, vec_col])
+    exploded = spread_blocks(narrow, rows=_raw_count(ds)).map_batches(
+        _band_rows, batch_format="pyarrow", batch_size=None
     )
-    if out.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return (
-        out.drop_duplicates(["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
+    pairs = lsh_bucket_pairs(exploded, max_bucket=max_bucket)
+    if pairs.empty:
+        return empty_out
+
+    # exact cosine verify for candidates only: fetch + normalize candidate
+    # vectors, broadcast ONE (ids, matrix) pair, row-wise dots in chunked
+    # ray tasks — the driver never loops over pairs
+    need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
+    rows = _fetch_rows_for_ids(narrow, id_col, need)
+    ids, mat = _batch_vec_matrix(rows, id_col, vec_col)
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    uniq, first = np.unique(ids_np, return_index=True)
+    M = mat[first]
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((uniq, M))
+    a_ids = pairs["id_a"].to_numpy()
+    b_ids = pairs["id_b"].to_numpy()
+
+    @ray.remote
+    def _cos_chunk(a_chunk, b_chunk):
+        u, m = ray.get(ref)
+        ia = np.searchsorted(u, a_chunk)
+        ib = np.searchsorted(u, b_chunk)
+        if (u[ia] != a_chunk).any() or (u[ib] != b_chunk).any():
+            raise ValueError("candidate id missing its vector")
+        return np.einsum("ij,ij->i", m[ia], m[ib]).astype(np.float64)
+
+    n_chunks = min(max(1, len(pairs) // 4096),
+                   int(ray.cluster_resources().get("CPU", 8)) * 2)
+    cos = np.concatenate(ray.get([
+        _cos_chunk.remote(a, b)
+        for a, b in zip(np.array_split(a_ids, n_chunks),
+                        np.array_split(b_ids, n_chunks))
+    ]))
+    out = pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "cosine": cos})
+    out = out[out["cosine"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
