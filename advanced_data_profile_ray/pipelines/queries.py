@@ -624,27 +624,42 @@ def q_docs_tokens(sf_dir: str) -> pd.DataFrame:
 # correlation
 
 
-def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
-    """Pearson correlation of numeric lineitem pairs from streaming
-    Gram-matrix partials (A17, Profiler.py:1019-1028)."""
-    from ..state.corr import CorrState
-
-    cols = LINEITEM_NUMERIC
-    ds = _read(sf_dir, "lineitem", cols)
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
-        import pickle
-
-        return pd.DataFrame({"state": [pickle.dumps(st)]})
-
+def _merged_gram_state(sf_dir: str, cols: list, batch_size: int = 65536):
+    """Streaming Gram-matrix partials merged through the SAME distributed
+    tree-merge level the fused profile pass uses (merge_stage): one
+    pickled CorrState per input batch → merge tasks fold ~4k partials
+    each → the driver folds only the merge-task outputs (≤ a few dozen
+    rows), never one blob per input block. At 10^5-10^6 blocks the old
+    take_all()+serial-unpickle driver fold was the scale bottleneck."""
     import pickle
 
-    blobs = ds.map_batches(_partial, batch_format="pandas", batch_size=16384).take_all()
+    from ..stages.profile_partial import merge_stage
+    from ..state.corr import CorrState
+
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
+        return pa.table({"column": pa.array(["__gram__"], pa.string()),
+                         "state": pa.array([pickle.dumps(st)], pa.binary())})
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pandas", batch_size=batch_size)
+        .map_batches(merge_stage, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
     st = None
-    for r in blobs:
+    for r in rows:
         s = pickle.loads(r["state"])
         st = s if st is None else st.merge(s)
+    return st
+
+
+def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of numeric lineitem pairs from streaming
+    Gram-matrix partials (A17, Profiler.py:1019-1028), tree-merged."""
+    cols = LINEITEM_NUMERIC
+    st = _merged_gram_state(sf_dir, cols, batch_size=16384)
     corr = st.corr_matrix()
     rows = []
     for i, a in enumerate(cols):
@@ -771,24 +786,10 @@ def q_sample_sorted(sf_dir: str) -> pd.DataFrame:
 
 def q_pca_importance(sf_dir: str) -> pd.DataFrame:
     """PCA feature importance from the merged correlation partials (A18,
-    Profiler.py:1033-1065) — eigendecomposition on the driver, rows never
-    leave the cluster unaggregated. Rows-only check (not SQL-expressible)."""
-    import pickle
-
-    from ..state.corr import CorrState
-
-    cols = LINEITEM_NUMERIC
-    ds = _read(sf_dir, "lineitem", cols)
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
-        return pd.DataFrame({"state": [pickle.dumps(st)]})
-
-    blobs = ds.map_batches(_partial, batch_format="pandas", batch_size=65536).take_all()
-    st = None
-    for r in blobs:
-        s = pickle.loads(r["state"])
-        st = s if st is None else st.merge(s)
+    Profiler.py:1033-1065) — eigendecomposition on the driver over the
+    tree-merged Gram state, rows never leave the cluster unaggregated.
+    Rows-only check (not SQL-expressible)."""
+    st = _merged_gram_state(sf_dir, LINEITEM_NUMERIC)
     imp = st.pca_importance(n_components=4)
     return pd.DataFrame(
         sorted(({"column": c, "importance": round(v, 6)} for c, v in imp.items()),

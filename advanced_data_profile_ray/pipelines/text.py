@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.langid import detect_language
 from ..functions.textstats import (
@@ -239,11 +240,22 @@ def readability_aggregate(ds, text_col: str = "text") -> dict:
 _TOKEN_RE = re.compile(r"[a-z0-9']+")
 
 
+def _table_topk(t: pa.Table, sort_keys: list, k: int) -> pa.Table:
+    """Top-k rows of an Arrow table under ``sort_keys`` — shared by the
+    per-block cut inside map tasks and the driver's final merge. Callers
+    must sort on the SAME (already-rounded) key both places, so a
+    rounded tie whose tiebreak wins globally survives the per-block cut
+    (same discipline as q3_shipping's _topk)."""
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    return t.take(idx.slice(0, k))
+
+
 def tfidf_top_ngrams(ds, text_col: str = "text", ngram_range=(1, 3),
                      top_k: int = 20) -> pd.DataFrame:
     """Mean TF-IDF top n-grams (A21): per-batch (ngram → tf, df) counts →
     vectorized sorted_groupby sum (the one real shuffle, keyed by ngram)
-    → idf + mean-tfidf at the driver over the merged (small) vocabulary.
+    → idf + mean-tfidf + per-block top-k INSIDE the post-exchange map
+    tasks; the driver merges k rows per block, never the vocabulary.
 
     Matches sklearn's TfidfVectorizer conventions the reference relies
     on: smooth idf ln((1+n)/(1+df))+1, l2 per-doc normalization omitted
@@ -306,21 +318,38 @@ def tfidf_top_ngrams(ds, text_col: str = "text", ngram_range=(1, 3),
     inner, edge = sorted_groupby(
         parts, ["ngram"], [("tf", "sum", "tf"), ("df", "sum", "df")]
     )
-    rows = inner.take_all()
-    merged = pd.DataFrame(rows) if rows else pd.DataFrame({"ngram": [], "tf": [], "df": []})
+
+    # task-side idf + top-k: after the ngram exchange every inner block
+    # holds COMPLETE groups and n_docs is already global, so mean_tfidf
+    # and the top-k cut run inside the map task — the driver merges
+    # k rows per block + the tiny edge table, never the vocabulary
+    # (at transcript scale the 1-3-gram vocabulary is billions of rows).
+    def _block_tfidf(t: pa.Table, rows=None) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "mean_tfidf": pa.array([], pa.float64())})
+        tf = t["tf"].to_numpy().astype(np.float64)
+        idf = np.log((1.0 + n_docs) / (1.0 + t["df"].to_numpy())) + 1.0
+        out = pa.table({
+            "ngram": t["ngram"],
+            "mean_tfidf": pa.array(np.round(tf * idf / n_docs, 8)),
+        })
+        return _table_topk(out, [("mean_tfidf", "descending"),
+                                 ("ngram", "ascending")], top_k)
+
+    tops = inner.map_batches(
+        _block_tfidf, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     if edge is not None and edge.num_rows:
-        merged = pd.concat([merged, edge.to_pandas()], ignore_index=True)
-        merged = merged.groupby("ngram", as_index=False).sum()
-    if merged.empty:
+        tops = pd.concat([tops, _block_tfidf(edge).to_pandas()],
+                         ignore_index=True)
+    if tops.empty:
         return pd.DataFrame({"ngram": [], "mean_tfidf": []})
-    idf = np.log((1 + n_docs) / (1 + merged["df"])) + 1.0
-    merged["mean_tfidf"] = (merged["tf"] * idf / n_docs).round(8)
-    out = (
-        merged.sort_values(["mean_tfidf", "ngram"], ascending=[False, True])
-        .head(top_k)[["ngram", "mean_tfidf"]]
+    return (
+        tops.sort_values(["mean_tfidf", "ngram"], ascending=[False, True])
+        .head(top_k)
         .reset_index(drop=True)
     )
-    return out
 
 
 def word_frequencies(ds, text_col: str = "text", top_k: int = 50) -> pd.DataFrame:
@@ -343,14 +372,30 @@ def word_frequencies(ds, text_col: str = "text", top_k: int = 50) -> pd.DataFram
         _words, batch_format="pandas", batch_size=None
     )
     inner, edge = sorted_groupby(parts, ["word"], [("n", "sum", "n")])
-    rows = inner.take_all()
-    merged = pd.DataFrame(rows) if rows else pd.DataFrame({"word": [], "n": []})
+
+    # per-block top-k inside the map task (complete groups after the
+    # exchange); driver merges k×blocks rows + edge table, never the
+    # full word domain — same shape as tfidf_top_ngrams
+    def _block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"word": t["word"], "n": pc.cast(t["n"], pa.int64())})
+        return _table_topk(t, [("n", "descending"), ("word", "ascending")],
+                           top_k)
+
+    tops = inner.map_batches(
+        _block_top, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     if edge is not None and edge.num_rows:
-        merged = pd.concat([merged, edge.to_pandas()], ignore_index=True)
-        merged = merged.groupby("word", as_index=False).sum()
-    merged["n"] = merged["n"].astype("int64")
+        tops = pd.concat([tops, _block_top(edge).to_pandas()],
+                         ignore_index=True)
+    if tops.empty:
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    tops["n"] = tops["n"].astype("int64")
     return (
-        merged.sort_values(["n", "word"], ascending=[False, True])
+        tops.sort_values(["n", "word"], ascending=[False, True])
         .head(top_k)
         .reset_index(drop=True)
     )
