@@ -118,12 +118,20 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
     <window> PRECEDING AND CURRENT ROW)`` including equal-``ts`` peers
     (all of them, exactly like RANGE framing).
 
-    Distributed shape: ONE sort by (part, ts, id); partitions interior
-    to a sorted block compute their counts vectorized in the block task
-    (two searchsorted per run); the ≤2 partitions touching each block's
-    edges ship their skinny (part, ts, id) rows to the driver and are
-    counted there after stitching — same edge discipline as
-    sessionize_events. Returns a Dataset of (id, n_window) rows.
+    Distributed shape: ONE sort by (part, ts, id); every row's count
+    over the rows PRESENT IN ITS BLOCK is computed vectorized in the
+    block task (two searchsorted per run). Rows whose window could
+    involve other blocks — first-run rows within ``window_us`` of the
+    segment start (trailing window may reach the previous block) and
+    last-run rows tied with the segment's max ts (RANGE peers may
+    continue into the next block) — ship as CANDIDATES carrying their
+    local count; rows within ``window_us`` of a block boundary ship as
+    POOL rows. The stitch task corrects each candidate by counting pool
+    rows of the same partition from OTHER blocks inside its window —
+    shipped volume is clipped by TIME DISTANCE from the boundary, so a
+    hot partition spanning many blocks ships O(rows within one window
+    of each boundary), not whole partitions (round-2 next-round #7).
+    Returns a Dataset of (id, n_window) rows.
     """
     import ray
     import ray.data as rd
@@ -138,77 +146,113 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
                          rows=rows).sort(
         [part_col, ts_col, id_col]).materialize()
     refs = s.to_arrow_refs()
+    out_empty_schema = pa.schema([("id", pa.int64()), ("n_window", pa.int64())])
     if not refs:
-        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
-                                       "n_window": pa.array([], pa.int64())}))
+        return rd.from_arrow(out_empty_schema.empty_table())
     # types come from the DATASET schema: zero-row blocks (possible after
     # a repartition) carry an empty per-block schema
     ds_schema = s.schema().base_schema
     id_t = ds_schema.field(id_col).type
-    edge_schema = pa.schema([(part_col, ds_schema.field(part_col).type),
-                             (ts_col, ds_schema.field(ts_col).type),
-                             (id_col, id_t)])
+    out_schema = pa.schema([("id", id_t), ("n_window", pa.int64())])
+    ship_schema = pa.schema([(part_col, ds_schema.field(part_col).type),
+                             ("__ts", pa.int64()), ("__blk", pa.int64()),
+                             ("__cand", pa.bool_()), ("id", id_t),
+                             ("__nloc", pa.int64())])
 
-    def _run_counts(ts: np.ndarray, starts: np.ndarray, widths: np.ndarray,
-                    lo_run: int, hi_run: int):
-        """Window counts for rows of runs [lo_run, hi_run); ts int64,
-        sorted within each run."""
+    def _run_counts(ts: np.ndarray, starts: np.ndarray, widths: np.ndarray):
+        """Per-row window counts over rows present in this array, all
+        runs; ts int64, sorted within each run."""
         outs = []
-        for r in range(lo_run, hi_run):
+        for r in range(starts.size):
             a, b = starts[r], starts[r] + widths[r]
             seg = ts[a:b]
             left = np.searchsorted(seg, seg - window_us, side="left")
             right = np.searchsorted(seg, seg, side="right")  # peers included
             outs.append(right - left)
-        return outs
+        return np.concatenate(outs) if outs else np.array([], np.int64)
 
     @ray.remote(num_returns=2)
-    def _block(block: pa.Table):
-        empty = pa.table({"id": pa.array([], id_t),
-                          "n_window": pa.array([], pa.int64())})
+    def _block(block: pa.Table, bno: int):
         if block.num_rows == 0:
-            return empty, edge_schema.empty_table()
+            return out_schema.empty_table(), ship_schema.empty_table()
+        n = block.num_rows
         k = block[part_col].to_numpy(zero_copy_only=False)
-        ts = block[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
         starts, widths = _run_bounds(k)
         n_runs = starts.size
-        counts = _run_counts(ts, starts, widths, 1, n_runs - 1)
-        interior_idx = np.concatenate(
-            [np.arange(starts[r], starts[r] + widths[r])
-             for r in range(1, n_runs - 1)]) if n_runs > 2 else np.array([], np.int64)
+        nloc = _run_counts(ts, starts, widths)
+        cand = np.zeros(n, dtype=bool)
+        ship = np.zeros(n, dtype=bool)
+        # first run: trailing windows reaching before the segment start
+        a0, b0 = int(starts[0]), int(starts[0] + widths[0])
+        seg0 = ts[a0:b0]
+        cand[a0:b0] = (seg0 - window_us) <= seg0[0]
+        # last run: rows tied with the segment max may gain RANGE peers
+        # from the next block; rows within window of the segment end are
+        # pool rows for later blocks' candidates
+        al, bl = int(starts[n_runs - 1]), int(starts[n_runs - 1] + widths[n_runs - 1])
+        segl = ts[al:bl]
+        cand[al:bl] |= segl == segl[-1]
+        ship[a0:b0] = cand[a0:b0]
+        ship[al:bl] |= segl >= segl[-1] - window_us
+        keep = ~cand
         inner = pa.table({
-            "id": block[id_col].take(pa.array(interior_idx, pa.int64())),
-            "n_window": pa.array(
-                np.concatenate(counts) if counts else np.array([], np.int64),
-                pa.int64()),
-        }) if interior_idx.size else empty
-        edge_idx = []
-        for r in {0, n_runs - 1}:
-            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
-        edge = block.select([part_col, ts_col, id_col]).take(
-            pa.array(edge_idx, pa.int64()))
-        return inner, edge
+            "id": block[id_col].filter(pa.array(keep)),
+            "n_window": pa.array(nloc[keep], pa.int64()),
+        })
+        sidx = np.flatnonzero(ship)
+        take = pa.array(sidx, pa.int64())
+        shipped = pa.table({
+            part_col: block[part_col].take(take),
+            "__ts": pa.array(ts[sidx], pa.int64()),
+            "__blk": pa.array(np.full(sidx.size, bno, np.int64)),
+            "__cand": pa.array(cand[sidx]),
+            "id": block[id_col].take(take),
+            "__nloc": pa.array(nloc[sidx], pa.int64()),
+        })
+        return inner, shipped
 
     @ray.remote
     def _edge_stitch(*tables):
-        """Edge runs re-assemble + count in a TASK, never on the driver —
-        a hot partition straddling many blocks stays off driver heap."""
+        """Candidates correct in a TASK, never on the driver: per
+        partition, count pool rows from other blocks inside each
+        candidate's window (pool is time-clipped, so input stays
+        O(blocks × rows-per-window))."""
         nonempty = [t_ for t_ in tables if t_.num_rows]
         if not nonempty:
-            return pa.table({"id": pa.array([], id_t),
-                             "n_window": pa.array([], pa.int64())})
+            return out_schema.empty_table()
         et = pa.concat_tables(nonempty).sort_by(
-            [(part_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")])
+            [(part_col, "ascending"), ("__ts", "ascending")])
         k = et[part_col].to_numpy(zero_copy_only=False)
-        ts = et[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ts = et["__ts"].to_numpy()
+        blk = et["__blk"].to_numpy()
+        cand = et["__cand"].to_numpy(zero_copy_only=False).astype(bool)
+        nloc = et["__nloc"].to_numpy()
         starts, widths = _run_bounds(k)
-        counts = _run_counts(ts, starts, widths, 0, starts.size)
+        extra = np.zeros(ts.size, np.int64)
+        for r in range(starts.size):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            ci = np.flatnonzero(cand[a:b]) + a
+            if not ci.size:
+                continue
+            pts, pblk = ts[a:b], blk[a:b]
+            # group candidates by origin block: one masked (sorted) pool
+            # per block value, vectorized searchsorted per group
+            for bv in np.unique(blk[ci]):
+                gi = ci[blk[ci] == bv]
+                mts = pts[pblk != bv]
+                lo = np.searchsorted(mts, ts[gi] - window_us, side="left")
+                hi = np.searchsorted(mts, ts[gi], side="right")
+                extra[gi] = hi - lo
+        ci = np.flatnonzero(cand)
+        take = pa.array(ci, pa.int64())
         return pa.table({
-            "id": et[id_col],
-            "n_window": pa.array(np.concatenate(counts), pa.int64()),
+            "id": et["id"].take(take),
+            "n_window": pa.array(nloc[ci] + extra[ci], pa.int64()),
         })
 
-    results = [_block.remote(r) for r in refs]
+    results = [_block.remote(r, i) for i, r in enumerate(refs)]
     inner_refs = [r[0] for r in results]
     edge_ref = _edge_stitch.remote(*[r[1] for r in results])
     return rd.from_arrow_refs(inner_refs + [edge_ref])
@@ -222,10 +266,17 @@ def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
     SQL ``LEFT JOIN r ON r.k = l.k AND r.t >= l.t AND r.t < l.t + w``
     grouped per left row.
 
-    Same distributed shape as windowed_count/asof_join_latest: tag+union
-    both sides into skinny rows, ONE sort by (key, time, side), interior
-    key-runs count vectorized in block tasks (two searchsorted against
-    the run's right times), edge runs stitch on the driver.
+    Same distributed shape as windowed_count: tag+union both sides into
+    skinny rows, ONE sort by (key, time, side); every left row's count
+    over the right rows PRESENT IN ITS BLOCK is computed vectorized in
+    the block task. Left rows whose forward window passes the segment
+    end (last run) or that tie the segment start (first run — equal-ts
+    right rows may sit in the previous block) ship as CANDIDATES with
+    their local count; right rows within ``window_us`` of a boundary
+    ship as POOL rows. The stitch task adds, per candidate, the pool
+    right rows of the same key from OTHER blocks inside its window —
+    shipped volume is clipped by TIME DISTANCE from the boundary, never
+    whole partitions (round-2 next-round #7).
     Returns a Dataset of (id, n_range) rows, one per left row.
     """
     import ray
@@ -240,80 +291,109 @@ def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
 
-    def _count_runs(k, t, side, starts, widths, lo_run, hi_run):
-        """(ids-not-needed) per-run counts for left rows of runs
-        [lo_run, hi_run); returns (left_index_parts, count_parts).
-
-        NOTE: a window is only complete for runs fully inside the block —
-        callers route edge runs through the driver stitch. Unlike the
-        trailing-window count, this looks FORWARD, so a run's tail could
-        in principle need the next block; but since runs here are whole
-        key-runs (interior to the block), all of the key's rows are
-        present and the forward window is complete."""
-        idx_parts, cnt_parts = [], []
-        for r in range(lo_run, hi_run):
-            a, b = starts[r], starts[r] + widths[r]
-            seg_t = t[a:b]
-            seg_side = side[a:b]
-            rt = seg_t[seg_side == 0]
-            lmask = seg_side == 1
-            lt = seg_t[lmask]
-            lo = np.searchsorted(rt, lt, side="left")
-            hi = np.searchsorted(rt, lt + window_us, side="left")
-            idx_parts.append(np.flatnonzero(lmask) + a)
-            cnt_parts.append(hi - lo)
-        return idx_parts, cnt_parts
-
     ds_schema = s.schema().base_schema  # zero-row blocks have empty schemas
-    edge_schema = pa.schema([(f, ds_schema.field(f).type)
-                             for f in ("k", "t", "side", "lid")])
+    lid_t = ds_schema.field("lid").type
+    out_schema = pa.schema([("id", lid_t), ("n_range", pa.int64())])
+    ship_schema = pa.schema([("k", ds_schema.field("k").type),
+                             ("t", ds_schema.field("t").type),
+                             ("side", ds_schema.field("side").type),
+                             ("__blk", pa.int64()), ("__cand", pa.bool_()),
+                             ("lid", lid_t), ("__nloc", pa.int64())])
 
     @ray.remote(num_returns=2)
-    def _block(block: pa.Table):
+    def _block(block: pa.Table, bno: int):
         if block.num_rows == 0:
-            return out_schema.empty_table(), edge_schema.empty_table()
+            return out_schema.empty_table(), ship_schema.empty_table()
+        n = block.num_rows
         k = block["k"].to_numpy()
         t = block["t"].to_numpy()
         side = block["side"].to_numpy()
         starts, widths = _run_bounds(k)
         n_runs = starts.size
-        idx_parts, cnt_parts = _count_runs(k, t, side, starts, widths, 1, n_runs - 1)
-        if idx_parts and sum(p.size for p in idx_parts):
-            idx = np.concatenate(idx_parts)
-            inner = pa.table({
-                "id": block["lid"].take(pa.array(idx, pa.int64())),
-                "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
-            })
-        else:
-            inner = out_schema.empty_table()
-        edge_idx = []
-        for r in {0, n_runs - 1}:
-            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
-        return inner, block.take(pa.array(edge_idx, pa.int64()))
+        # local forward-window counts for EVERY left row, all runs
+        nloc = np.zeros(n, np.int64)
+        for r in range(n_runs):
+            a, b = starts[r], starts[r] + widths[r]
+            seg_t = t[a:b]
+            seg_side = side[a:b]
+            rt = seg_t[seg_side == 0]
+            li = np.flatnonzero(seg_side == 1)
+            lt = seg_t[li]
+            nloc[li + a] = (np.searchsorted(rt, lt + window_us, side="left")
+                            - np.searchsorted(rt, lt, side="left"))
+        cand = np.zeros(n, dtype=bool)
+        ship = np.zeros(n, dtype=bool)
+        left = side == 1
+        # first run: left rows tying the segment start may have equal-ts
+        # right rows in the previous block; right rows within window of
+        # the start serve earlier blocks' candidates
+        a0, b0 = int(starts[0]), int(starts[0] + widths[0])
+        sl0 = slice(a0, b0)
+        cand[sl0] = left[sl0] & (t[sl0] == t[a0])
+        ship[sl0] = cand[sl0] | (~left[sl0] & (t[sl0] < t[a0] + window_us))
+        # last run: left rows whose window passes the segment end may gain
+        # right rows from the next block; right rows within window of the
+        # end serve later blocks' candidates
+        al, bl = int(starts[n_runs - 1]), int(starts[n_runs - 1] + widths[n_runs - 1])
+        sll = slice(al, bl)
+        cand[sll] |= left[sll] & (t[sll] + window_us > t[bl - 1])
+        ship[sll] |= cand[sll] | (~left[sll] & (t[sll] + window_us > t[bl - 1]))
+        keep = left & ~cand
+        inner = pa.table({
+            "id": block["lid"].filter(pa.array(keep)),
+            "n_range": pa.array(nloc[keep], pa.int64()),
+        })
+        sidx = np.flatnonzero(ship)
+        take = pa.array(sidx, pa.int64())
+        shipped = pa.table({
+            "k": block["k"].take(take),
+            "t": block["t"].take(take),
+            "side": block["side"].take(take),
+            "__blk": pa.array(np.full(sidx.size, bno, np.int64)),
+            "__cand": pa.array(cand[sidx]),
+            "lid": block["lid"].take(take),
+            "__nloc": pa.array(nloc[sidx], pa.int64()),
+        })
+        return inner, shipped
 
     @ray.remote
     def _edge_stitch(*tables):
-        """Edge runs re-assemble + count in a TASK, never on the driver —
-        a hot partition straddling many blocks stays off driver heap."""
+        """Candidates correct in a TASK: per key, count pool right rows
+        from other blocks inside each candidate's forward window."""
         nonempty = [t_ for t_ in tables if t_.num_rows]
         if not nonempty:
             return out_schema.empty_table()
         et = pa.concat_tables(nonempty).sort_by(
-            [("k", "ascending"), ("t", "ascending"), ("side", "ascending")])
+            [("k", "ascending"), ("t", "ascending")])
         k = et["k"].to_numpy()
         t = et["t"].to_numpy()
         side = et["side"].to_numpy()
+        blk = et["__blk"].to_numpy()
+        cand = et["__cand"].to_numpy(zero_copy_only=False).astype(bool)
+        nloc = et["__nloc"].to_numpy()
         starts, widths = _run_bounds(k)
-        idx_parts, cnt_parts = _count_runs(k, t, side, starts, widths, 0, starts.size)
-        if not idx_parts or not sum(p.size for p in idx_parts):
-            return out_schema.empty_table()
-        idx = np.concatenate(idx_parts)
+        extra = np.zeros(t.size, np.int64)
+        for r in range(starts.size):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            ci = np.flatnonzero(cand[a:b]) + a
+            if not ci.size:
+                continue
+            seg_right = (side[a:b] == 0)
+            pts_all, pblk_all = t[a:b][seg_right], blk[a:b][seg_right]
+            for bv in np.unique(blk[ci]):
+                gi = ci[blk[ci] == bv]
+                mts = pts_all[pblk_all != bv]
+                lo = np.searchsorted(mts, t[gi], side="left")
+                hi = np.searchsorted(mts, t[gi] + window_us, side="left")
+                extra[gi] = hi - lo
+        ci = np.flatnonzero(cand)
+        take = pa.array(ci, pa.int64())
         return pa.table({
-            "id": et["lid"].take(pa.array(idx, pa.int64())),
-            "n_range": pa.array(np.concatenate(cnt_parts), pa.int64()),
+            "id": et["lid"].take(take),
+            "n_range": pa.array(nloc[ci] + extra[ci], pa.int64()),
         })
 
-    results = [_block.remote(r) for r in refs]
+    results = [_block.remote(r, i) for i, r in enumerate(refs)]
     inner_refs = [r[0] for r in results]
     edge_ref = _edge_stitch.remote(*[r[1] for r in results])
     return rd.from_arrow_refs(inner_refs + [edge_ref])

@@ -99,6 +99,84 @@ def test_range_count_join_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_windowed_count_hot_partition_many_blocks(ray_session):
+    """ONE partition spanning every block, dense ts ties at boundaries,
+    window smaller than a block's time span: the time-clipped edge
+    shipping (candidates + pool rows only, round-2 #7) must still give
+    exact RANGE-frame counts."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import windowed_count
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    # many duplicate timestamps (ties straddle block edges), one user
+    secs = np.sort(rng.integers(0, 1200, n))  # ~5 rows per second
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+        "ts": pa.array(pd.to_datetime(secs, unit="s"), pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = (
+        windowed_count(rd.from_arrow(t).repartition(30), "user_id", "ts",
+                       "event_id", window_us=30_000_000)  # 30s window
+        .to_pandas().rename(columns={"id": "event_id", "n_window": "n"})
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 30 SECOND PRECEDING
+                              AND CURRENT ROW) AS n
+        FROM events ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_range_count_join_hot_key_many_blocks(ray_session):
+    """One hot key spanning every block with ts ties at boundaries —
+    exactness under the time-clipped candidate/pool stitch."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import range_count_join
+
+    rng = np.random.default_rng(29)
+    n_l, n_r = 3000, 4000
+    left = pa.table({
+        "k": pa.array(np.zeros(n_l, np.int64), pa.int64()),
+        "lt": pa.array(pd.to_datetime(np.sort(rng.integers(0, 900, n_l)),
+                                      unit="s"), pa.timestamp("us")),
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(np.zeros(n_r, np.int64), pa.int64()),
+        "rt": pa.array(pd.to_datetime(rng.integers(0, 900, n_r), unit="s"),
+                       pa.timestamp("us")),
+    })
+    got = (
+        range_count_join(rd.from_arrow(left).repartition(20),
+                         rd.from_arrow(right).repartition(20),
+                         "k", "k", "lt", "rt", "lid",
+                         window_us=20_000_000)  # 20s window
+        .to_pandas().rename(columns={"id": "lid", "n_range": "n"})
+        .sort_values("lid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.lid, COUNT(r.rt) AS n
+        FROM l LEFT JOIN r ON r.k = l.k
+          AND r.rt >= l.lt AND r.rt < l.lt + INTERVAL 20 SECOND
+        GROUP BY l.lid ORDER BY l.lid
+    """).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_sessionize_rejects_unpaddable_user_ids(ray_session):
     """conv_id = 'c' + lpad(user_id, 8) is only order-isomorphic to
     user_id for ids in [0, 10^8); out-of-range ids must raise instead of
