@@ -323,7 +323,8 @@ def _fetch_rows_for_ids(ds, id_col: str, ids_needed) -> pa.Table:
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 16),
-                            max_bucket: int = 64):
+                            max_bucket: int = 64,
+                            spill_dir: str | None = None):
     # 64 perms / 16 bands keeps r=4 (same LSH threshold curve as 128/32)
     # at half the signature compute; est_jaccard σ ≈ 0.06 at J=0.5 and the
     # exact-Jaccard verify pass decides final pairs anyway.
@@ -335,18 +336,32 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str,
     co-location is one sort exchange over skinny (key, id) rows
     (lsh_bucket_pairs); signatures for est_jaccard are fetched only for
     candidate ids (candidates ≪ corpus). simhash_near_dups shares the
-    same expansion."""
+    same expansion.
+
+    The signature Dataset is consumed twice (band explode + candidate
+    fetch). Default: ``.materialize()`` — object-store-bounded, spills
+    to disk under pressure, fine multi-node. At extreme corpus sizes
+    (~10^12 docs) pass ``spill_dir`` to park the signatures as
+    partitioned parquet via the resumable sink instead and re-read them
+    per consumer — durable storage, column-pruned candidate fetch."""
     # task-pool stage: the "state" is a seeded permutation table that
     # costs microseconds to rebuild, so a plain function schedules at
     # full width with no actor-pool ramp-up
     from ..stages.fast_ops import spread_blocks
 
     stage = MinHashStage(id_col, text_col, num_perm, bands, shingle_k)
-    sig_ds = (
-        spread_blocks(ds.select_columns([id_col, text_col]), rows=_raw_count(ds))
-        .map_batches(stage.__call__, batch_format="pyarrow", batch_size=None)
-        .materialize()  # consumed twice: band explode + candidate sig fetch
-    )
+    sig_pipe = spread_blocks(
+        ds.select_columns([id_col, text_col]), rows=_raw_count(ds)
+    ).map_batches(stage.__call__, batch_format="pyarrow", batch_size=None)
+    if spill_dir is not None:
+        import ray.data as rd
+
+        from ..sources.sink import dataset_to_partitioned
+
+        dataset_to_partitioned(sig_pipe, spill_dir, overwrite=True)
+        sig_ds = rd.read_parquet(spill_dir)
+    else:
+        sig_ds = sig_pipe.materialize()
 
     C = np.uint64(0x9E3779B97F4A7C15)
 

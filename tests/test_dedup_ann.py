@@ -75,6 +75,24 @@ def test_minhash_near_dups(ray_session, corpus):
     assert (abs(pairs["est_jaccard"] - pairs["jaccard"]) < 0.25).all()
 
 
+def test_minhash_spill_dir_identical_pairs(ray_session, corpus, tmp_path):
+    """spill_dir parks the signature Dataset as partitioned parquet via
+    the resumable sink (10^12-doc path) instead of .materialize();
+    candidate pairs must be byte-identical to the in-memory path."""
+    import os
+
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import minhash_candidate_pairs
+
+    mem = minhash_candidate_pairs(rd.from_arrow(corpus), "doc_id", "text")
+    spill = str(tmp_path / "sigs")
+    disk = minhash_candidate_pairs(rd.from_arrow(corpus), "doc_id", "text",
+                                   spill_dir=spill)
+    assert any(f.endswith(".parquet") for f in os.listdir(spill))
+    pd.testing.assert_frame_equal(mem, disk)
+
+
 def test_simhash_near_dups(ray_session, corpus):
     import ray.data as rd
 

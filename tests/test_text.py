@@ -183,6 +183,30 @@ def test_language_histogram(ray_session):
     assert got == {"English": 1, "Russian": 1}
 
 
+def test_langid_stage_batches_model_predict():
+    """When a (fastText-shaped) model is present, the stage predicts the
+    WHOLE batch in one call — no per-row Python loop (round-2 #5)."""
+    import pandas as pd
+
+    from advanced_data_profile_ray.pipelines.text import LangIdStage
+
+    calls = []
+
+    class FakeModel:
+        def predict(self, texts):
+            assert isinstance(texts, list)  # batch call, not per-row str
+            calls.append(len(texts))
+            return ([["__label__fr"] if "bonjour" in t else ["__label__en"]
+                     for t in texts],
+                    [[0.9]] * len(texts))
+
+    stage = LangIdStage("text", model=FakeModel())
+    out = stage(pd.DataFrame({"text": ["bonjour le monde", "hello", None]}))
+    assert calls == [3]  # exactly one predict call for the whole batch
+    assert out["detected_lang"].tolist() == ["fr", "en", "en"]
+    assert out["lang_confidence"].tolist() == [90.0, 90.0, 90.0]
+
+
 def test_format_cache_orders_candidates_and_records():
     """S4 parity: the format cache is consulted first and updated on every
     winning parse (Profiler.py:126-135,181-193 as a mergeable counter)."""
