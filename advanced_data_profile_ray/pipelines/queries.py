@@ -1030,6 +1030,165 @@ _REF_UNION = "\nUNION ALL\n".join(
     for name, fact, fcol, dim, dcol in REF_PAIRS
 )
 
+# --- SQL twins for the text heuristics (round-2 next-round #8): the
+# readability counters, the TF-IDF ranking, and the langid heuristic are
+# all deterministic string predicates, so DuckDB can replay them. The
+# langid twin is GENERATED from the same SCRIPT_PATTERNS/STOPWORDS
+# constants the heuristic uses — one source of truth.
+
+_READABILITY_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+w AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-zà-ÿ'']+'))) AS word
+  FROM d
+),
+ws AS (
+  SELECT doc_id,
+         LENGTH(regexp_extract_all(word, '[aeiouyà-ÿ]+')) AS grp,
+         CASE WHEN LENGTH(regexp_extract_all(word, '[aeiouyà-ÿ]+')) > 1
+                   AND word LIKE '%e' AND word NOT LIKE '%le'
+              THEN 1 ELSE 0 END AS dropE
+  FROM w
+),
+syl AS (SELECT doc_id, GREATEST(1, grp - dropE) AS s FROM ws),
+sd AS (
+  SELECT doc_id, COUNT(*) AS wcount, SUM(s) AS syls,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS mono,
+         SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS poly
+  FROM syl GROUP BY doc_id
+),
+perdoc AS (
+  SELECT d.doc_id, LENGTH(d.text) AS chars,
+         GREATEST(LENGTH(regexp_extract_all(d.text, '[.!?]+')), 1) AS sentences,
+         LENGTH(regexp_extract_all(d.text, '\S+')) >= 5 AS valid,
+         COALESCE(sd.wcount, 0) AS wcount, COALESCE(sd.syls, 0) AS syls,
+         COALESCE(sd.mono, 0) AS mono, COALESCE(sd.poly, 0) AS poly
+  FROM d LEFT JOIN sd USING (doc_id)
+)
+SELECT CAST(SUM(chars) AS BIGINT) AS char_count,
+       CAST(SUM(wcount) AS BIGINT) AS word_count,
+       CAST(SUM(mono) AS BIGINT) AS monosyllable_count,
+       CAST(SUM(poly) AS BIGINT) AS polysyllable_count,
+       ROUND(COALESCE(SUM(CASE WHEN valid AND wcount > 0 THEN
+           206.835 - 1.015 * (wcount * 1.0 / sentences)
+                   - 84.6 * (syls * 1.0 / wcount) END)
+         / NULLIF(SUM(CASE WHEN valid THEN 1 ELSE 0 END), 0), 0), 4)
+         AS mean_flesch_reading_ease,
+       CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_docs,
+       CAST(COUNT(*) AS BIGINT) AS docs
+FROM perdoc
+"""
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+'), 1) AS ord
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tok AS ngram FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+),
+agg AS (
+  SELECT ngram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM grams
+  GROUP BY ngram
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT ngram,
+       ROUND(tf * (LN((1.0 + n_docs) / (1.0 + df)) + 1.0) / n_docs, 8)
+         AS mean_tfidf
+FROM agg, n
+ORDER BY mean_tfidf DESC, ngram LIMIT 20
+"""
+
+
+def _lang_histogram_sql() -> str:
+    """The langid-heuristic SQL twin, generated from the heuristic's own
+    SCRIPT_PATTERNS / STOPWORDS / TOKEN_RE constants (functions.langid)
+    so the two sides cannot drift. Unique-text domain (the Ray side
+    dedups by 64-bit content hash — equal modulo 2^-64 collisions)."""
+    from ..functions.langid import SCRIPT_PATTERNS, STOPWORDS, TOKEN_RE
+
+    script_counts = ",\n         ".join(
+        f"LENGTH(regexp_extract_all(sample, '{pat.pattern}')) AS n{i}"
+        for i, (_, pat) in enumerate(SCRIPT_PATTERNS))
+    greatest = ", ".join(f"n{i}" for i in range(len(SCRIPT_PATTERNS)))
+    # strict first-wins argmax in SCRIPT_PATTERNS order (the heuristic's
+    # `if n > best_n` loop): CASE tests in declaration order
+    script_case = "\n              ".join(
+        f"WHEN n{i} = best_n THEN '{lang}'"
+        for i, (lang, _) in enumerate(SCRIPT_PATTERNS))
+    sw_values = ",\n    ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(STOPWORDS)
+        for w in sorted(STOPWORDS[lang]))
+    return f"""
+WITH uniq AS (SELECT DISTINCT text FROM documents WHERE text IS NOT NULL),
+feat AS (
+  SELECT text,
+         array_to_string(list_slice(
+           regexp_extract_all(text, '[^\\x00-\\x7F]'), 1, 512), '') AS sample
+  FROM uniq
+),
+script AS (
+  SELECT text, sample,
+         {script_counts}
+  FROM feat
+),
+scored AS (
+  SELECT text, sample, GREATEST({greatest}) AS best_n, *
+  FROM script
+),
+script_pick AS (
+  SELECT text,
+         CASE WHEN sample <> '' AND best_n > 0 THEN
+           CASE {script_case} END
+         END AS script_lang
+  FROM scored
+),
+tok AS (
+  SELECT text,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE.pattern}')) AS tok
+  FROM uniq
+),
+sw(lang, word) AS (
+  VALUES
+    {sw_values}
+),
+tokcnt AS (SELECT text, COUNT(*) AS n FROM tok GROUP BY text),
+hits AS (
+  SELECT t.text, sw.lang, COUNT(*) AS h
+  FROM tok t JOIN sw ON t.tok = sw.word GROUP BY t.text, sw.lang
+),
+vote AS (
+  SELECT text,
+         CASE WHEN h > 0 THEN lang ELSE 'English' END AS lang
+  FROM (
+    SELECT h.text, h.lang, h.h,
+           ROW_NUMBER() OVER (PARTITION BY h.text
+                              ORDER BY h.h * 1.0 / tc.n DESC, h.lang ASC) AS rn
+    FROM hits h JOIN tokcnt tc USING (text)
+  ) WHERE rn = 1
+)
+SELECT detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT COALESCE(sp.script_lang, v.lang, 'English') AS detected_lang
+  FROM uniq u
+  LEFT JOIN script_pick sp USING (text)
+  LEFT JOIN vote v USING (text)
+)
+GROUP BY detected_lang
+ORDER BY n DESC, detected_lang
+"""
+
+
 _TRANSCRIPTS_SQL = """
 SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
@@ -1265,6 +1424,9 @@ ORACLE: dict[str, str] = {
                      / GREATEST(LENGTH(text), 1), 6) AS upper_ratio
         FROM documents
     """,
+    "readability": _READABILITY_SQL,
+    "tfidf_top_ngrams": _TFIDF_SQL,
+    "lang_histogram": _lang_histogram_sql(),
     "corr_lineitem": "\nUNION ALL\n".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
         f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
