@@ -167,6 +167,29 @@ def host_probe() -> float:
     return round(time.time() - t0, 2)
 
 
+def wait_for_quiet_host(threshold: float = 4.2,
+                        max_wait: float | None = None) -> dict:
+    """Bounded wait for a quiet host window before the timed legs: this
+    VM's ambient single-thread speed swings ~2.5x for tens of minutes
+    (BASELINE.md), and the driver records ONE bench run per round — a
+    run landing in a slow window reads as an engine regression. Poll the
+    matmul probe (quiet ≈ 3.2 s) every 20 s until it drops under
+    ``threshold`` or ``max_wait`` (env ADP_BENCH_MAX_WAIT, default 360 s)
+    elapses, then proceed regardless; every probe is recorded in the
+    output so a still-slow window stays attributable."""
+    if max_wait is None:
+        max_wait = float(os.environ.get("ADP_BENCH_MAX_WAIT", "360"))
+    t0 = time.time()
+    probes = []
+    while True:
+        p = host_probe()
+        probes.append(p)
+        if p <= threshold or (time.time() - t0) + 20 > max_wait:
+            return {"waited_sec": round(time.time() - t0, 1), "probes": probes}
+        log(f"host busy (probe {p}s > {threshold}s quiet bar); waiting")
+        time.sleep(20)
+
+
 def main():
     import ray
 
@@ -183,7 +206,8 @@ def main():
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    probe_before = host_probe()
+    quiet = wait_for_quiet_host()
+    probe_before = quiet["probes"][-1]
     headline = run_headline()
     queries = {} if os.environ.get("ADP_BENCH_SKIP_QUERIES") else run_queries()
     ray.shutdown()
@@ -200,7 +224,9 @@ def main():
                 "turns": headline["turns"],
                 "turns_per_sec": round(headline["turns_per_sec"], 1),
                 "host_probe_sec": {"before": probe_before, "after": host_probe(),
-                                   "quiet_baseline": 3.2},
+                                   "quiet_baseline": 3.2,
+                                   "quiet_wait_sec": quiet["waited_sec"],
+                                   "wait_probes": quiet["probes"]},
             }
         )
     )
@@ -215,6 +241,9 @@ def scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             ADP_BENCH_SKIP_QUERIES="1",
             PYTHONPATH=REPO,
+            # interleaved min-of-2 is the noise defense here; a long
+            # per-leg quiet wait would quadruple and still race the noise
+            ADP_BENCH_MAX_WAIT=os.environ.get("ADP_BENCH_MAX_WAIT", "90"),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
