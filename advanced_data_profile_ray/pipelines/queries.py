@@ -1143,7 +1143,7 @@ script AS (
   FROM feat
 ),
 scored AS (
-  SELECT text, sample, GREATEST({greatest}) AS best_n, *
+  SELECT *, GREATEST({greatest}) AS best_n
   FROM script
 ),
 script_pick AS (
