@@ -776,6 +776,21 @@ def q_events_hour_hist(sf_dir: str) -> pd.DataFrame:
     ).astype({"hour": "int64", "n": "int64"})
 
 
+def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (§2.6): each customer's 2 highest-value orders —
+    ONE sort exchange, per-block head-k on interior runs, O(blocks×k)
+    edge stitch (fast_ops.grouped_topk); SQL ROW_NUMBER QUALIFY twin."""
+    from ..stages.fast_ops import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, ["o_custkey"], "o_totalprice", 2,
+                       tie_cols=["o_orderkey"], rows_hint=ds.count()).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out = out.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+    return out[["o_custkey", "o_totalprice", "o_orderkey"]].reset_index(drop=True)
+
+
 def q_sample_sorted(sf_dir: str) -> pd.DataFrame:
     """Global sort + limit (§2.6: genuine global top-k path)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
@@ -1375,6 +1390,13 @@ ORACLE: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS l_quantity
         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
     """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderkey
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
     "entropy": "\nUNION ALL\n".join(
         f"""SELECT '{col}' AS column, ROUND(-SUM(p * LOG2(p)), 6) AS entropy
             FROM (SELECT COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM {table}) AS p
@@ -1463,6 +1485,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,

@@ -182,6 +182,105 @@ def run_starts(keys):
     return np.append(starts, keys.size)
 
 
+def run_bounds_cols(arrays: list):
+    """(starts, widths) of equal-TUPLE runs across several aligned sorted
+    arrays — the multi-key twin of run_bounds."""
+    import numpy as np
+
+    n = arrays[0].size
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for a in arrays:
+        change |= a[1:] != a[:-1]
+    starts = np.concatenate([[0], np.nonzero(change)[0] + 1]).astype(np.int64)
+    widths = np.diff(np.append(starts, n))
+    return starts, widths
+
+
+def grouped_topk(ds, keys: list, order_col: str, k: int,
+                 payload_cols: list | None = None,
+                 tie_cols: list | None = None,
+                 rows_hint: int | None = None):
+    """Top-k rows PER GROUP by ``order_col`` DESC (ties broken by
+    ``tie_cols`` ASC) — SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION BY
+    keys ORDER BY order_col DESC, tie_cols) <= k`` as a distributed
+    operator (§2.6 generalization of the global top-k path).
+
+    Shape: ONE sort by (keys ASC, order_col DESC, tie_cols ASC) — after
+    it a group's rows are contiguous ACROSS blocks in final order, so
+    every interior run takes its first k rows vectorized in the block
+    task, and each edge run ships only its first min(k, len) rows (any
+    global top-k row of a straddling group is necessarily among its
+    fragment's first k). The stitch re-sorts the ≤ 2k rows per block and
+    heads k per group — driver traffic is O(blocks × k), independent of
+    group sizes. Returns a Dataset of keys + order_col + tie/payload
+    columns."""
+    import ray
+    import ray.data as rd
+
+    tie_cols = tie_cols or []
+    payload_cols = payload_cols or []
+    out_cols = list(dict.fromkeys(keys + [order_col] + tie_cols + payload_cols))
+    sort_cols = keys + [order_col] + tie_cols
+    desc = [False] * len(keys) + [True] + [False] * len(tie_cols)
+    s = rightsize_blocks(ds.select_columns(out_cols), rows=rows_hint).sort(
+        sort_cols, descending=desc).materialize()
+    refs = s.to_arrow_refs()
+    base = s.schema().base_schema
+    out_schema = pa.schema([(c, base.field(c).type) for c in out_cols])
+    stitch_keys = ([(c, "ascending") for c in keys]
+                   + [(order_col, "descending")]
+                   + [(c, "ascending") for c in tie_cols])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _head_per_run(t: pa.Table, karrs, lo_run: int, hi_run: int,
+                      starts, widths):
+        import numpy as np
+
+        take = []
+        for r in range(lo_run, hi_run):
+            a = int(starts[r])
+            take.append(np.arange(a, a + min(k, int(widths[r]))))
+        if not take:
+            return out_schema.empty_table()
+        idx = pa.array(np.concatenate(take), pa.int64())
+        return t.select(out_cols).take(idx)
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        import numpy as np
+
+        if block.num_rows == 0:
+            return out_schema.empty_table(), out_schema.empty_table()
+        karrs = [block[c].to_numpy(zero_copy_only=False) for c in keys]
+        starts, widths = run_bounds_cols(karrs)
+        n_runs = starts.size
+        inner = _head_per_run(block, karrs, 1, n_runs - 1, starts, widths)
+        edge = _head_per_run(block, karrs, 0, 1, starts, widths)
+        if n_runs > 1:
+            last = _head_per_run(block, karrs, n_runs - 1, n_runs, starts, widths)
+            edge = pa.concat_tables([edge, last])
+        return inner, edge
+
+    @ray.remote
+    def _stitch(*tables):
+        import numpy as np
+
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return out_schema.empty_table()
+        et = pa.concat_tables(nonempty).sort_by(stitch_keys)
+        karrs = [et[c].to_numpy(zero_copy_only=False) for c in keys]
+        starts, widths = run_bounds_cols(karrs)
+        return _head_per_run(et, karrs, 0, starts.size, starts, widths)
+
+    results = [_block.remote(r) for r in refs]
+    edge_ref = _stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
+
+
 def spread_blocks(ds, min_rows_per_block: int = 256, rows: int | None = None):
     """Widen task parallelism for CPU-heavy stages over small inputs.
 

@@ -1,0 +1,58 @@
+"""Grouped distributed operators: per-group top-k, exact grouped
+median, max-gap session stats — DuckDB parity with groups forced across
+block boundaries."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_grouped_topk_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import grouped_topk
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    t = pa.table({
+        "g": pa.array(np.sort(rng.integers(0, 120, n)), pa.int64()),
+        "v": pa.array(rng.normal(size=n).round(6)),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = (
+        grouped_topk(rd.from_arrow(t).repartition(17), ["g"], "v", 3,
+                     tie_cols=["id"])
+        .to_pandas().sort_values(["g", "v", "id"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT g, v, id FROM t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) <= 3
+        ORDER BY g, v DESC, id
+    """).df()
+    pd.testing.assert_frame_equal(got, want.astype({"g": "int64", "id": "int64"}))
+
+
+def test_grouped_topk_hot_group_many_blocks(ray_session):
+    """A single group spanning every block: top-k must come out exact
+    even though every block only ships its first k rows."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import grouped_topk
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    t = pa.table({
+        "g": pa.array(np.zeros(n, np.int64), pa.int64()),
+        "v": pa.array(rng.permutation(n).astype("float64")),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = grouped_topk(rd.from_arrow(t).repartition(16), ["g"], "v", 5,
+                       tie_cols=["id"]).to_pandas()
+    got = got.sort_values("v", ascending=False).reset_index(drop=True)
+    assert len(got) == 5
+    assert got["v"].tolist() == [float(n - 1 - i) for i in range(5)]
