@@ -502,6 +502,42 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
                 "o_orderpriority"]].reset_index(drop=True)
 
 
+def q13_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q13-shaped pipeline exercising the LEFT OUTER big⨝big
+    shuffle join: customer ⟕ orders on custkey (customers with no
+    orders keep a null order side), per-customer order counts through
+    sorted_groupby, then the tiny count-of-counts histogram — per-block
+    value_counts partials, driver-merged over the ≤ max-orders-per-
+    customer domain."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    hint = cust.count() + orders.count()
+    joined = sorted_merge_join(cust, orders, "c_custkey", "o_custkey",
+                               ["c_custkey"], ["o_orderkey"],
+                               how="left", rows_hint=hint)
+    inner, edge = sorted_groupby(joined, ["c_custkey"],
+                                 [("o_orderkey", "count", "c_count")])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "n_custs": pa.array([], pa.int64())})
+        vc = pc.value_counts(t["c_count"].combine_chunks())
+        return pa.table({"c_count": vc.field("values"),
+                         "n_custs": vc.field("counts").cast(pa.int64())})
+
+    parts = inner.map_batches(_hist, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        parts = pd.concat([parts, _hist(edge).to_pandas()], ignore_index=True)
+    out = parts.groupby("c_count", as_index=False)["n_custs"].sum()
+    out = out.sort_values(["n_custs", "c_count"], ascending=[False, False])
+    return out[["c_count", "n_custs"]].astype("int64").reset_index(drop=True)
+
+
 def q_customer_nations(sf_dir: str) -> pd.DataFrame:
     """Broadcast enrichment (lookup) join (§2.4): append nation name to
     every customer row from the tiny nation dim — ray.put once, one
@@ -1336,6 +1372,13 @@ ORACLE: dict[str, str] = {
                            - CAST(c0 AS DOUBLE) / (SELECT n0 FROM tot))), 6) AS ks
         FROM s
     """,
+    "q13_customer_order_counts": """
+        SELECT c_count, COUNT(*) AS n_custs FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count ORDER BY n_custs DESC, c_count DESC
+    """,
     "customer_nations": """
         SELECT c.c_custkey, n.n_name
         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1481,6 +1524,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
+    "q13_customer_order_counts": q13_customer_order_counts,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,

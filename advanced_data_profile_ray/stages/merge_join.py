@@ -42,9 +42,14 @@ from .fast_ops import run_bounds
 def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
                       left_cols: list, right_cols: list,
                       max_pairs_per_key: int = 1_000_000,
-                      rows_hint: int | None = None):
-    """INNER equi-join returning a Dataset with ``left_cols + right_cols``
-    (names must be disjoint). Keys compare as int64.
+                      rows_hint: int | None = None,
+                      how: str = "inner"):
+    """Equi-join returning a Dataset with ``left_cols + right_cols``
+    (names must be disjoint). Keys compare as int64. ``how``: "inner"
+    or "left" (LEFT OUTER — unmatched left rows emit with nulls on the
+    right payload; null left keys still never match, like SQL).
+    Oversize/elongated keys are skipped under BOTH modes (their left
+    rows too) — the documented bounded-rows-per-key contract.
 
     Pass ``rows_hint`` (an upper bound is fine) whenever the inputs have
     transforms applied — ``count()`` on a transformed Dataset executes
@@ -62,6 +67,8 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     reserved = {"__k", "__side"} & set(left_cols + right_cols)
     if reserved:
         raise ValueError(f"column names {sorted(reserved)} are reserved")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in left_cols}
@@ -122,13 +129,19 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def _join_runs(block: pa.Table, lo_run: int, hi_run: int,
                    starts, widths, side: np.ndarray) -> pa.Table:
-        l_idx_parts, r_idx_parts, skipped, elongated = [], [], 0, 0
+        l_idx_parts, r_idx_parts = [], []
+        null_l_parts = []  # LEFT OUTER: left rows of match-less keys
+        skipped, elongated = 0, 0
         for r in range(lo_run, hi_run):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             seg_side = side[a:b]
             ri = np.flatnonzero(seg_side == 0) + a
             li = np.flatnonzero(seg_side == 1) + a
-            if not ri.size or not li.size:
+            if not li.size:
+                continue
+            if not ri.size:
+                if how == "left":
+                    null_l_parts.append(li)
                 continue
             if ri.size * li.size > max_pairs_per_key:
                 skipped += 1
@@ -148,10 +161,23 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
                 "exceeds %d and %d elongated keys with one side longer "
                 "than %d rows — such keys need a salted/broadcast plan",
                 skipped, max_pairs_per_key, elongated, edge_clip)
-        if not l_idx_parts:
+        if not l_idx_parts and not null_l_parts:
             return out_schema.empty_table()
-        li = pa.array(np.concatenate(l_idx_parts), pa.int64())
-        ri = pa.array(np.concatenate(r_idx_parts), pa.int64())
+        li_m = np.concatenate(l_idx_parts) if l_idx_parts else np.array([], np.int64)
+        ri_m = np.concatenate(r_idx_parts) if r_idx_parts else np.array([], np.int64)
+        li_n = np.concatenate(null_l_parts) if null_l_parts else np.array([], np.int64)
+        li = pa.array(np.concatenate([li_m, li_n]), pa.int64())
+        if li_n.size:
+            # null right indices for the unmatched tail — Arrow take
+            # propagates null indices to null output values
+            mask = np.zeros(len(li_m) + len(li_n), dtype=bool)
+            mask[len(li_m):] = True
+            ri = pc.if_else(
+                pa.array(mask), pa.nulls(len(mask), pa.int64()),
+                pa.array(np.concatenate([ri_m, np.zeros(li_n.size, np.int64)]),
+                         pa.int64()))
+        else:
+            ri = pa.array(ri_m, pa.int64())
         cols = {c: block[c].take(li) for c in left_cols}
         cols.update({c: block[c].take(ri) for c in right_cols})
         return pa.table(cols)

@@ -42,6 +42,43 @@ def test_sorted_merge_join_matches_duckdb(ray_session):
         want.astype({"k": "int64", "rv": "int64"}))
 
 
+def test_sorted_merge_left_join_matches_duckdb(ray_session):
+    """LEFT OUTER mode: unmatched left keys keep a null right payload,
+    with left-only keys both interior to blocks and straddling edges."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    rng = np.random.default_rng(31)
+    n_l, n_r = 3000, 800
+    # left keys 0..299, right only 0..149: half the keys are unmatched
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 300, n_l), pa.int64()),
+        "lv": pa.array(np.arange(n_l), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(rng.integers(0, 150, n_r), pa.int64()),
+        "rv": pa.array(np.arange(n_r), pa.int64()),
+    })
+    got = (
+        sorted_merge_join(rd.from_arrow(left).repartition(13),
+                          rd.from_arrow(right).repartition(5),
+                          "k", "rk", ["k", "lv"], ["rv"], how="left")
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.k, l.lv, r.rv FROM l LEFT JOIN r ON l.k = r.rk
+        ORDER BY l.k, l.lv, r.rv
+    """).df()
+    got["rv"] = got["rv"].astype("float64")  # nulls -> NaN on both sides
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "lv": "int64"}),
+        want.astype({"k": "int64", "lv": "int64", "rv": "float64"}))
+
+
 def test_sorted_merge_join_oversize_key_skipped(ray_session):
     """A key whose pair product exceeds the cap is skipped, not exploded."""
     import ray.data as rd
