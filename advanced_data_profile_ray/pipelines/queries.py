@@ -776,6 +776,21 @@ def q_decimal_places(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_median_qty_by_flag(sf_dir: str) -> pd.DataFrame:
+    """EXACT interpolated median per group (PERCENTILE_CONT(0.5) twin)
+    from distributed value counts — the exact path the profile's
+    t-digest approximates (A8 with an oracle). fast_ops.grouped_median:
+    one (g, v) exchange, interior g-runs compute in block tasks."""
+    from ..stages.fast_ops import grouped_median
+
+    out = grouped_median(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        "l_returnflag", "l_quantity",
+    ).to_pandas()
+    out["median_qty"] = out["median"].round(6)
+    return out[["l_returnflag", "median_qty"]]
+
+
 def q_shipdate_parts(sf_dir: str) -> pd.DataFrame:
     """Date-part histogram (A24, Profiler.py:780-794): counts by
     (year, month) of l_shipdate via per-batch pre-aggregation."""
@@ -1323,6 +1338,10 @@ ORACLE: dict[str, str] = {
         f"SELECT '{c}' AS column, CAST(MAX(LENGTH(RTRIM(SPLIT_PART(CAST({c} AS VARCHAR), '.', 2), '0'))) AS BIGINT) AS max_decimal_places FROM lineitem"
         for c in ["l_extendedprice", "l_discount", "l_tax"]
     ),
+    "median_qty_by_flag": """
+        SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 6) AS median_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "shipdate_parts": """
         SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
                CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
@@ -1519,6 +1538,7 @@ QUERIES = {
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,
+    "median_qty_by_flag": q_median_qty_by_flag,
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
     "window_counts": q_window_counts,

@@ -281,6 +281,133 @@ def grouped_topk(ds, keys: list, order_col: str, k: int,
     return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
 
 
+def grouped_median(ds, group_col: str, val_col: str,
+                   batch_size: int | None = 131072) -> pa.Table:
+    """EXACT interpolated median (SQL PERCENTILE_CONT(0.5) / DuckDB
+    MEDIAN) per group, computed from distributed VALUE COUNTS — the
+    exact path for low/moderate-cardinality value domains (continuous
+    data should use the profile's t-digest quantiles instead).
+
+    Shape: per-batch (g, v, n) pre-agg (arrow group_by) → ONE sort by
+    (g, v) → per sorted block, every g-run interior to the block
+    computes its median vectorized from the run's cumulative counts;
+    the ≤2 g-runs touching block edges ship their skinny (g, v, n) rows
+    to the driver stitch (bounded by distinct values per edge group).
+    Returns a pa.Table (group_col, median) sorted by group."""
+    import numpy as np
+
+    import ray
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             val_col: batch[val_col],
+                             "n": pa.array([], pa.int64())})
+        g = batch.group_by([group_col, val_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names]
+        ).select([group_col, val_col, "n"])
+
+    pre = ds.select_columns([group_col, val_col]).map_batches(
+        _pre, batch_format="pyarrow", batch_size=batch_size)
+    s = pre.sort([group_col, val_col])
+    base = s.schema().base_schema
+    g_t = base.field(group_col).type
+
+    def _median_of_runs(garr, varr, narr, starts, widths, lo, hi):
+        gs, meds = [], []
+        for r in range(lo, hi):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            v, n = varr[a:b], narr[a:b]
+            cum = np.cumsum(n)
+            N = int(cum[-1])
+            if N % 2:
+                m = float(v[np.searchsorted(cum, (N + 1) // 2, side="left")])
+            else:
+                lo_i = np.searchsorted(cum, N // 2, side="left")
+                hi_i = np.searchsorted(cum, N // 2 + 1, side="left")
+                m = (float(v[lo_i]) + float(v[hi_i])) / 2.0
+            gs.append(garr[a])
+            meds.append(m)
+        return gs, meds
+
+    def _fused(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int8()),
+                          group_col: pa.array([], g_t),
+                          val_col: pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64()),
+                          "median": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        # re-merge same-(g, v) rows split across input batches, then
+        # order rows (arrow group_by emits hash order)
+        g2 = t.group_by([group_col, val_col], use_threads=False).aggregate(
+            [("n", "sum")])
+        g2 = g2.rename_columns(
+            [("n" if c == "n_sum" else c) for c in g2.column_names]
+        ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
+        garr = g2[group_col].to_numpy(zero_copy_only=False)
+        varr = g2[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        narr = g2["n"].to_numpy()
+        starts, widths = run_bounds(garr)
+        n_runs = starts.size
+        gs, meds = _median_of_runs(garr, varr, narr, starts, widths, 1, n_runs - 1)
+        edge_idx = []
+        for r in {0, n_runs - 1}:
+            edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
+        ne, nm = len(edge_idx), len(gs)
+        take = pa.array(edge_idx, pa.int64())
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(nm, np.int8), np.ones(ne, np.int8)])),
+            group_col: pa.concat_arrays(
+                [pa.array(gs, g_t), g2[group_col].take(take).combine_chunks()]),
+            val_col: pa.concat_arrays(
+                [pa.nulls(nm, pa.float64()),
+                 pa.array(varr[edge_idx], pa.float64())]),
+            "n": pa.concat_arrays(
+                [pa.nulls(nm, pa.int64()), g2["n"].take(take).combine_chunks()]),
+            "median": pa.concat_arrays(
+                [pa.array(meds, pa.float64()), pa.nulls(ne, pa.float64())]),
+        })
+
+    tables = [t for t in ray.get(s.map_batches(
+        _fused, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()) if t.num_rows]
+    med_parts, edge_parts = [], []
+    for t in tables:
+        kinds = t["kind"].to_numpy()
+        mt = t.filter(pa.array(kinds == 0))
+        if mt.num_rows:
+            med_parts.append(mt.select([group_col, "median"]))
+        et = t.filter(pa.array(kinds == 1))
+        if et.num_rows:
+            edge_parts.append(et.select([group_col, val_col, "n"]))
+    if edge_parts:
+        et = pa.concat_tables(edge_parts)
+        g2 = et.group_by([group_col, val_col], use_threads=False).aggregate(
+            [("n", "sum")])
+        g2 = g2.rename_columns(
+            [("n" if c == "n_sum" else c) for c in g2.column_names]
+        ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
+        import numpy as _np
+
+        garr = g2[group_col].to_numpy(zero_copy_only=False)
+        varr = g2[val_col].to_numpy(zero_copy_only=False).astype(_np.float64)
+        narr = g2["n"].to_numpy()
+        starts, widths = run_bounds(garr)
+        gs, meds = _median_of_runs(garr, varr, narr, starts, widths,
+                                   0, starts.size)
+        if gs:
+            med_parts.append(pa.table({group_col: pa.array(gs, g_t),
+                                       "median": pa.array(meds, pa.float64())}))
+    if not med_parts:
+        return pa.table({group_col: pa.array([], g_t),
+                         "median": pa.array([], pa.float64())})
+    return pa.concat_tables(med_parts).sort_by([(group_col, "ascending")])
+
+
 def spread_blocks(ds, min_rows_per_block: int = 256, rows: int | None = None):
     """Widen task parallelism for CPU-heavy stages over small inputs.
 

@@ -37,6 +37,31 @@ def test_grouped_topk_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want.astype({"g": "int64", "id": "int64"}))
 
 
+def test_grouped_median_matches_duckdb(ray_session):
+    """Exact interpolated median per group (even and odd group sizes,
+    duplicate values, groups straddling blocks) vs DuckDB MEDIAN."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import grouped_median
+
+    rng = np.random.default_rng(47)
+    n = 20000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 37, n), pa.int64()),
+        # low-cardinality values with heavy duplication (the value-counts
+        # path's target shape)
+        "v": pa.array(rng.integers(1, 50, n).astype("float64") / 2.0),
+    })
+    got = grouped_median(rd.from_arrow(t).repartition(21), "g", "v").to_pandas()
+    got["median"] = got["median"].round(6)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, ROUND(MEDIAN(v), 6) AS median FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(got, want.astype({"g": "int64"}))
+
+
 def test_grouped_topk_hot_group_many_blocks(ray_session):
     """A single group spanning every block: top-k must come out exact
     even though every block only ships its first k rows."""
