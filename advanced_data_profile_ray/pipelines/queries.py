@@ -609,6 +609,22 @@ def q_range_join_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap stats (SQL LAG window twin): n_events +
+    max gap in microseconds for users with >= 2 events — sort + interior
+    runs finalized in block tasks + O(blocks) boundary-fragment carry
+    (stages.window.session_gap_stats)."""
+    from ..stages.window import session_gap_stats
+
+    out = session_gap_stats(_read(sf_dir, "events",
+                                  ["user_id", "ts", "event_id"]),
+                            "user_id", "ts", "event_id").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["max_gap_us"] = out["max_gap_us"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Single-row document-table census from the profile pass."""
     from .profile import profile_dataset
@@ -1419,6 +1435,17 @@ ORACLE: dict[str, str] = {
          AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
         ORDER BY o.o_orderkey
     """,
+    "user_gap_stats": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+    """,
     "window_counts": """
         SELECT event_id,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
@@ -1541,6 +1568,7 @@ QUERIES = {
     "median_qty_by_flag": q_median_qty_by_flag,
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
+    "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,

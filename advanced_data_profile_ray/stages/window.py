@@ -399,6 +399,109 @@ def range_count_join(left_ds, right_ds, left_key: str, right_key: str,
     return rd.from_arrow_refs(inner_refs + [edge_ref])
 
 
+def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
+    """Per-partition inter-event gap stats — the LAG() window twin: for
+    every partition with ≥2 events, (n_events, max_gap_us) where gaps
+    are consecutive ts differences under (ts, order_col) ordering, i.e.
+    SQL ``MAX(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY part
+    ORDER BY ts, order))`` with ``HAVING COUNT(*) > 1``.
+
+    Distributed shape: ONE sort by (part, ts, order); every run interior
+    to a sorted block finalizes (n, max consecutive diff) vectorized in
+    the block task; each block ships at most TWO tiny boundary fragments
+    (part, n, local max gap, first/last ts) and the driver carry-merges
+    them in block order — cross-block gaps are exactly the fragment
+    boundary differences. Driver traffic is O(blocks), independent of
+    partition sizes. Returns a Dataset (part_col, n_events, max_gap_us).
+    """
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = ds.count()  # metadata-only on the raw read
+    except Exception:
+        rows = None
+    s = rightsize_blocks(ds.select_columns([part_col, ts_col, order_col]),
+                         rows=rows).sort(
+        [part_col, ts_col, order_col]).materialize()
+    refs = s.to_arrow_refs()
+    part_t = (s.schema().base_schema.field(part_col).type
+              if refs else pa.int64())
+    out_schema = pa.schema([(part_col, part_t), ("n_events", pa.int64()),
+                            ("max_gap_us", pa.int64())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        # fragments: (pos, part, n, max_gap, first_ts, last_ts) with
+        # pos 0 = first run of a multi-run block (completes in-block),
+        # pos 1 = last run (may continue), pos 2 = single-run block
+        if block.num_rows == 0:
+            return out_schema.empty_table(), []
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        starts, widths = _run_bounds(k)
+        n_runs = starts.size
+        parts_, ns, gaps = [], [], []
+        for r in range(1, n_runs - 1):
+            if widths[r] < 2:
+                continue  # single-event partition: HAVING COUNT(*) > 1
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            parts_.append(k[a])
+            ns.append(int(widths[r]))
+            gaps.append(int(np.diff(ts[a:b]).max()))
+        inner = pa.table({part_col: pa.array(parts_, part_t),
+                          "n_events": pa.array(ns, pa.int64()),
+                          "max_gap_us": pa.array(gaps, pa.int64())})
+        frags = []
+        edge_runs = [(0, 0)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
+        for r, pos in edge_runs:
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            seg = ts[a:b]
+            mg = int(np.diff(seg).max()) if seg.size >= 2 else -1
+            frags.append((2 if n_runs == 1 else pos, k[a].item()
+                          if hasattr(k[a], "item") else k[a],
+                          int(seg.size), mg, int(seg[0]), int(seg[-1])))
+        return inner, frags
+
+    results = [_block.remote(r) for r in refs]
+    frag_lists = ray.get([r[1] for r in results])
+
+    # driver carry-merge over ≤2 fragments per block, in sorted order
+    finals = []
+
+    def _finalize(c):
+        if c is not None and c[1] >= 2:
+            finals.append((c[0], c[1], c[2]))
+
+    carry = None  # (part, n, max_gap, last_ts)
+    for frags in frag_lists:
+        for pos, part, n, mg, fts, lts in frags:
+            if carry is not None and carry[0] == part:
+                merged = (part, carry[1] + n,
+                          max(carry[2], mg, fts - carry[3]), lts)
+            else:
+                _finalize(carry)
+                merged = (part, n, mg, lts)
+            if pos == 0:  # completes inside this block
+                _finalize(merged)
+                carry = None
+            else:  # pos 1 or 2: may continue into the next block
+                carry = merged
+    _finalize(carry)
+    edge_table = pa.table({
+        part_col: pa.array([f[0] for f in finals], part_t),
+        "n_events": pa.array([f[1] for f in finals], pa.int64()),
+        "max_gap_us": pa.array([f[2] for f in finals], pa.int64()),
+    })
+    return rd.from_arrow_refs([r[0] for r in results]
+                              + [ray.put(edge_table)])
+
+
 _SESSION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -62,6 +62,46 @@ def test_grouped_median_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want.astype({"g": "int64"}))
 
 
+def test_session_gap_stats_matches_duckdb(ray_session):
+    """Max inter-event gap per user (LAG twin), with one hot user
+    spanning many blocks and duplicate timestamps at boundaries."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import session_gap_stats
+
+    rng = np.random.default_rng(53)
+    n = 6000
+    users = np.sort(np.concatenate([
+        np.zeros(3000, np.int64),                 # one hot user
+        rng.integers(1, 80, n - 3000),            # many small users
+    ]))
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(pd.to_datetime(rng.integers(0, 5000, n), unit="s"),
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = (
+        session_gap_stats(rd.from_arrow(t).repartition(23),
+                          "user_id", "ts", "event_id")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_grouped_topk_hot_group_many_blocks(ray_session):
     """A single group spanning every block: top-k must come out exact
     even though every block only ships its first k rows."""
