@@ -142,6 +142,73 @@ def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped distinct count (COUNT(DISTINCT) GROUP BY twin):
+    distinct users per event_type. Same shape as distinct_counts but
+    grouped, and exact with no hash caveat — user_id is int64, so the
+    (event_type, user_id) pairs dedup per batch (arrow group_by), one
+    sorted_groupby exchange co-locates pairs, and the per-group distinct
+    count is the group count, counted inside blocks."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"],
+                              use_threads=False).aggregate([])
+
+    pre = ds.map_batches(_pairs, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["event_type", "user_id"],
+                                 [(None, "count_all", "n")])
+
+    def _group_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    counts = inner.map_batches(
+        _group_counts, batch_format="pyarrow", batch_size=None
+    ).to_pandas().groupby("event_type")["n"].sum()
+    if edge is not None and edge.num_rows:
+        for et, n in edge.to_pandas().groupby("event_type").size().items():
+            counts[et] = counts.get(et, 0) + n
+    out = counts.reset_index().rename(columns={"n": "distinct_users"})
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (most frequent value, ties to the smallest) by
+    OPERATOR COMPOSITION: distributed (g, v, n) counts through
+    sorted_groupby, then grouped_topk(k=1) over the count rows — two
+    exchanges, no driver-side value domain. SQL QUALIFY twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import grouped_topk, sorted_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus", "o_orderpriority"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    pre = ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["o_orderstatus", "o_orderpriority"],
+                                 [("n", "sum", "n")])
+    counts_ds = inner
+    if edge is not None and edge.num_rows:
+        counts_ds = counts_ds.union(rd.from_arrow(edge))
+    out = grouped_topk(counts_ds, ["o_orderstatus"], "n", 1,
+                       tie_cols=["o_orderpriority"]).to_pandas()
+    out = out.rename(columns={"o_orderpriority": "mode_priority"})
+    out["n"] = out["n"].astype("int64")
+    return (out[["o_orderstatus", "mode_priority", "n"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
 def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q6-shaped filtered aggregate exercising PREDICATE PUSHDOWN
     at the read: the row filter ships into read_parquet as a
@@ -1368,6 +1435,18 @@ ORACLE: dict[str, str] = {
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "events_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "mode_priority_by_status": """
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY n DESC, o_orderpriority) = 1
+        ORDER BY o_orderstatus
+    """,
     "q6_forecast_revenue": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
                COUNT(*) AS n_rows
@@ -1576,6 +1655,8 @@ QUERIES = {
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,
+    "events_distinct_users": q_events_distinct_users,
+    "mode_priority_by_status": q_mode_priority_by_status,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sample_sorted": q_sample_sorted,
