@@ -62,6 +62,41 @@ def test_grouped_median_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want.astype({"g": "int64"}))
 
 
+def test_grouped_topk_string_keys_and_ties(ray_session):
+    """String group keys + string tie columns (the mode-query shape)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["b", "b", "a", "a", "a", "c"], pa.string()),
+        "n": pa.array([5, 5, 9, 9, 2, 1], pa.int64()),
+        "v": pa.array(["y", "x", "q", "p", "r", "z"], pa.string()),
+    })
+    got = grouped_topk(rd.from_arrow(t).repartition(3), ["g"], "n", 1,
+                       tie_cols=["v"]).to_pandas().sort_values("g")
+    # ties broken by v ascending: a->(9,'p'), b->(5,'x'), c->(1,'z')
+    assert list(zip(got["g"], got["n"], got["v"])) == [
+        ("a", 9, "p"), ("b", 5, "x"), ("c", 1, "z")]
+
+
+def test_sorted_merge_left_join_empty_right(ray_session):
+    """LEFT OUTER against an empty right side keeps every left row."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "lv": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"rk": pa.array([], pa.int64()),
+                      "rv": pa.array([], pa.int64())})
+    got = sorted_merge_join(rd.from_arrow(left), rd.from_arrow(right),
+                            "k", "rk", ["k", "lv"], ["rv"],
+                            how="left").to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["rv"].isna().all()
+
+
 def test_session_gap_stats_matches_duckdb(ray_session):
     """Max inter-event gap per user (LAG twin), with one hot user
     spanning many blocks and duplicate timestamps at boundaries."""
