@@ -45,13 +45,15 @@ def derive_table_name(path: str) -> tuple[str, str]:
 
 
 def read_any(paths: list):
-    """CSV or Parquet → Dataset (the reference's adaptive CSV read S1
-    maps to Ray's block-based reader — no RAM-threshold special case
-    needed; blocks stream)."""
+    """CSV / JSONL / Parquet → Dataset (the reference's adaptive CSV
+    read S1 maps to Ray's block-based readers — no RAM-threshold
+    special case needed; blocks stream)."""
     import ray.data as rd
 
     if all(p.endswith(".csv") for p in paths):
         return rd.read_csv(paths)
+    if all(p.endswith((".json", ".jsonl", ".ndjson")) for p in paths):
+        return rd.read_json(paths)
     return rd.read_parquet(paths)
 
 

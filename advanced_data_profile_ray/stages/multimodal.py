@@ -83,6 +83,58 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for uncompressed 24/32-bit BI_RGB BMP — pure
+    numpy struct parsing, no codec lib. Handles 4-byte row padding,
+    bottom-up (positive height) and top-down (negative height) layouts,
+    and BGR(A)→RGB channel order. Returns (h, w, 3) uint8 or None when
+    the payload isn't a supported BMP."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:  # BITMAPINFOHEADER or larger
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = ((w * bytes_pp + 3) // 4) * 4
+    if off < 0 or len(payload) < off + stride * h:
+        return None
+    data = np.frombuffer(payload, np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    img = data[:, : w * bytes_pp].reshape(h, w, bytes_pp)[:, :, :3][:, :, ::-1]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → uncompressed 24-bit bottom-up BMP payload
+    (test/synthesis helper; rows padded to 4 bytes, RGB→BGR)."""
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    file_hdr = (b"BM" + (54 + len(body)).to_bytes(4, "little")
+                + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") * 2
+           + (0).to_bytes(4, "little") * 2)
+    return file_hdr + dib + body
+
+
 def nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """REAL nearest-neighbor resize — one fancy-index, no loops."""
     sh, sw = img.shape[:2]
@@ -94,8 +146,9 @@ def nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
 class ImageDecode:
     """Actor-pool stage: binary payload → decoded + resized pixel tensor.
 
-    The codec boundary is REAL for binary PPM (decode_ppm — pure numpy)
-    with nearest-neighbor resize to ``target_size``. Other formats
+    The codec boundary is REAL for binary PPM (decode_ppm) and
+    uncompressed 24/32-bit BMP (decode_bmp) — both pure numpy — with
+    nearest-neighbor resize to ``target_size``. Other formats
     (JPEG/PNG) need a codec lib absent from this container:
     ``strict=True`` raises NotImplementedError on the first such payload
     (production replaces the fallback with PIL/torchvision);
@@ -111,6 +164,8 @@ class ImageDecode:
         out = []
         for p in payloads:
             img = decode_ppm(p or b"")
+            if img is None:
+                img = decode_bmp(p or b"")
             if img is not None:
                 out.append(nearest_resize(img, self.h, self.w))
             elif self.strict:

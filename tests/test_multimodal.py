@@ -119,6 +119,53 @@ def test_real_ppm_decode_and_resize(ray_session):
     assert (px[0, :, 0] == 200).all() and (px[3, :, 2] == 123).all()
 
 
+def test_real_bmp_decode_and_resize(ray_session):
+    """decode_bmp handles row padding, bottom-up AND top-down layouts,
+    BGR order; ImageDecode picks it up end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.multimodal import (
+        ImageDecode,
+        decode_bmp,
+        encode_bmp,
+        nearest_resize,
+    )
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (7, 5, 3), np.uint8)  # odd width → padding
+    payload = encode_bmp(img)
+    assert (decode_bmp(payload) == img).all()
+
+    # top-down variant: negative height, rows not flipped
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # natural order
+    body = rows.tobytes()
+    td = (b"BM" + (54 + len(body)).to_bytes(4, "little")
+          + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+          + (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+          + (-h).to_bytes(4, "little", signed=True)
+          + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+          + b"\x00" * 24 + body)
+    assert (decode_bmp(td) == img).all()
+
+    # truncated / non-BMP payloads refuse cleanly
+    assert decode_bmp(payload[:40]) is None
+    assert decode_bmp(b"JUNK" * 20) is None
+
+    out = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })).map_batches(
+        ImageDecode, fn_constructor_kwargs={"target_size": (4, 4)},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).to_pandas()
+    px = np.asarray(out["pixels"][0], dtype=np.uint8).reshape(4, 4, 3)
+    assert (px == nearest_resize(img, 4, 4)).all()
+
+
 def test_real_wav_decode(ray_session):
     """AudioDecode really decodes PCM WAV via the stdlib wave module."""
     import io

@@ -108,6 +108,27 @@ def test_cli_profile_and_validate(ray_session, tmp_path):
         ray.shutdown = real_shutdown
 
 
+def test_read_any_jsonl(ray_session, tmp_path):
+    """JSONL source path: the adaptive reader streams newline-delimited
+    JSON through the same profile pipeline as CSV/Parquet."""
+    import json
+
+    from advanced_data_profile_ray.cli import read_any
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+
+    p = tmp_path / "events.jsonl"
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"user_id": i % 7, "value": i * 1.5,
+                                "tag": None if i % 10 == 0 else f"t{i%3}"})
+                    + "\n")
+    ds = read_any([str(p)])
+    prof = profile_dataset(ds)
+    fin = prof.finalize()["table"]
+    assert fin["row_count"] == 50
+    assert prof.columns["tag"].finalize()["null_count"] == 5
+
+
 def test_derive_table_name():
     from advanced_data_profile_ray.cli import derive_table_name
 
