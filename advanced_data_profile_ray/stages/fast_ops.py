@@ -281,6 +281,21 @@ def grouped_topk(ds, keys: list, order_col: str, k: int,
     return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
 
 
+def median_from_value_counts(v, n) -> float:
+    """Interpolated median (PERCENTILE_CONT(0.5) / numpy 'linear') of
+    the multiset where value ``v[i]`` occurs ``n[i]`` times; ``v`` must
+    be sorted ascending with positive counts."""
+    import numpy as np
+
+    cum = np.cumsum(n)
+    N = int(cum[-1])
+    if N % 2:
+        return float(v[np.searchsorted(cum, (N + 1) // 2, side="left")])
+    lo_i = np.searchsorted(cum, N // 2, side="left")
+    hi_i = np.searchsorted(cum, N // 2 + 1, side="left")
+    return (float(v[lo_i]) + float(v[hi_i])) / 2.0
+
+
 def grouped_median(ds, group_col: str, val_col: str,
                    batch_size: int | None = 131072) -> pa.Table:
     """EXACT interpolated median (SQL PERCENTILE_CONT(0.5) / DuckDB
@@ -319,17 +334,8 @@ def grouped_median(ds, group_col: str, val_col: str,
         gs, meds = [], []
         for r in range(lo, hi):
             a, b = int(starts[r]), int(starts[r] + widths[r])
-            v, n = varr[a:b], narr[a:b]
-            cum = np.cumsum(n)
-            N = int(cum[-1])
-            if N % 2:
-                m = float(v[np.searchsorted(cum, (N + 1) // 2, side="left")])
-            else:
-                lo_i = np.searchsorted(cum, N // 2, side="left")
-                hi_i = np.searchsorted(cum, N // 2 + 1, side="left")
-                m = (float(v[lo_i]) + float(v[hi_i])) / 2.0
             gs.append(garr[a])
-            meds.append(m)
+            meds.append(median_from_value_counts(varr[a:b], narr[a:b]))
         return gs, meds
 
     def _fused(t: pa.Table) -> pa.Table:

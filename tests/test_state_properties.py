@@ -43,6 +43,22 @@ def test_tdigest_quantiles_close(xs, cut):
     assert lo <= med <= hi
 
 
+@given(vals=st.lists(st.integers(-20, 20), min_size=1, max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_median_from_value_counts_matches_numpy(vals):
+    """The value-counts median (grouped_median's kernel) equals numpy's
+    linear-interpolated median of the expanded multiset — the
+    PERCENTILE_CONT(0.5) contract the DuckDB oracle checks."""
+    from advanced_data_profile_ray.stages.fast_ops import (
+        median_from_value_counts,
+    )
+
+    arr = np.array(vals, dtype=np.float64) / 2.0
+    v, n = np.unique(arr, return_counts=True)
+    got = median_from_value_counts(v, n)
+    assert got == float(np.median(arr))
+
+
 @given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=400),
        cut=st.integers(0, 400))
 @settings(max_examples=60, deadline=None)
