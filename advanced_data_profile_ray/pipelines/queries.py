@@ -569,6 +569,58 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
                 "o_orderpriority"]].reset_index(drop=True)
 
 
+def _distinct_event_users(sf_dir: str):
+    """Deduped event user_ids as a Dataset — big-side key dedup via one
+    sorted_groupby exchange (the build side of the semi/anti joins;
+    dedup first makes the join product ≤1 row per left row AND removes
+    any oversize-key risk, since nr = 1 per key by construction)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    events = _read(sf_dir, "events", ["user_id"])
+    inner, edge = sorted_groupby(events, ["user_id"],
+                                 [(None, "count_all", "n")])
+    users = inner.select_columns(["user_id"])
+    if edge is not None and edge.num_rows:
+        users = users.union(rd.from_arrow(edge.select(["user_id"])))
+    return users
+
+
+def q_orders_with_events(sf_dir: str) -> pd.DataFrame:
+    """Big⨝big SEMI join by composition (EXISTS twin): orders whose
+    customer produced ≥1 event — distinct event users through one
+    exchange, then the inner sort-merge join (each left row matches at
+    most once against the deduped build side)."""
+    from ..stages.merge_join import sorted_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    hint = orders.count() + _read(sf_dir, "events", ["user_id"]).count()
+    joined = sorted_merge_join(
+        orders, _distinct_event_users(sf_dir), "o_custkey", "user_id",
+        ["o_orderkey", "o_custkey"], ["user_id"], rows_hint=hint,
+    ).to_pandas()
+    out = joined[["o_orderkey", "o_custkey"]].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
+    """Big⨝big ANTI join by composition (NOT EXISTS twin): LEFT OUTER
+    against the deduped build side, keep the null-matched left rows."""
+    from ..stages.merge_join import sorted_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    hint = orders.count() + _read(sf_dir, "events", ["user_id"]).count()
+    joined = sorted_merge_join(
+        orders, _distinct_event_users(sf_dir), "o_custkey", "user_id",
+        ["o_orderkey", "o_custkey"], ["user_id"],
+        how="left", rows_hint=hint,
+    ).to_pandas()
+    out = joined[joined["user_id"].isna()][["o_orderkey", "o_custkey"]]
+    out = out.astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q13_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q13-shaped pipeline exercising the LEFT OUTER big⨝big
     shuffle join: customer ⟕ orders on custkey (customers with no
@@ -872,6 +924,22 @@ def q_median_qty_by_flag(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["median_qty"] = out["median"].round(6)
     return out[["l_returnflag", "median_qty"]]
+
+
+def q_qty_quartiles_by_status(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group quartiles (PERCENTILE_CONT twin at 0.25/0.5/0.75)
+    from ONE distributed value-counts pass — grouped_quantiles computes
+    every requested quantile per interior g-run inside block tasks."""
+    from ..stages.fast_ops import grouped_quantiles
+
+    out = grouped_quantiles(
+        _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity"]),
+        "l_linestatus", "l_quantity", [0.25, 0.5, 0.75],
+        ["p25", "p50", "p75"],
+    ).to_pandas()
+    for c in ("p25", "p50", "p75"):
+        out[c] = out[c].round(6)
+    return out
 
 
 def q_shipdate_parts(sf_dir: str) -> pd.DataFrame:
@@ -1421,6 +1489,13 @@ ORACLE: dict[str, str] = {
         f"SELECT '{c}' AS column, CAST(MAX(LENGTH(RTRIM(SPLIT_PART(CAST({c} AS VARCHAR), '.', 2), '0'))) AS BIGINT) AS max_decimal_places FROM lineitem"
         for c in ["l_extendedprice", "l_discount", "l_tax"]
     ),
+    "qty_quartiles_by_status": """
+        SELECT l_linestatus,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
     "median_qty_by_flag": """
         SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 6) AS median_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1485,6 +1560,16 @@ ORACLE: dict[str, str] = {
         SELECT ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / (SELECT n1 FROM tot)
                            - CAST(c0 AS DOUBLE) / (SELECT n0 FROM tot))), 6) AS ks
         FROM s
+    """,
+    "orders_with_events": """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+        ORDER BY o_orderkey
+    """,
+    "orders_without_events": """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+        ORDER BY o_orderkey
     """,
     "q13_customer_order_counts": """
         SELECT c_count, COUNT(*) AS n_custs FROM (
@@ -1644,6 +1729,7 @@ QUERIES = {
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,
+    "qty_quartiles_by_status": q_qty_quartiles_by_status,
     "median_qty_by_flag": q_median_qty_by_flag,
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
@@ -1651,6 +1737,8 @@ QUERIES = {
     "window_counts": q_window_counts,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
+    "orders_with_events": q_orders_with_events,
+    "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,

@@ -281,37 +281,51 @@ def grouped_topk(ds, keys: list, order_col: str, k: int,
     return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
 
 
-def median_from_value_counts(v, n) -> float:
-    """Interpolated median (PERCENTILE_CONT(0.5) / numpy 'linear') of
+def quantile_from_value_counts(v, n, q: float) -> float:
+    """Interpolated quantile (PERCENTILE_CONT(q) / numpy 'linear') of
     the multiset where value ``v[i]`` occurs ``n[i]`` times; ``v`` must
     be sorted ascending with positive counts."""
     import numpy as np
 
     cum = np.cumsum(n)
     N = int(cum[-1])
-    if N % 2:
-        return float(v[np.searchsorted(cum, (N + 1) // 2, side="left")])
-    lo_i = np.searchsorted(cum, N // 2, side="left")
-    hi_i = np.searchsorted(cum, N // 2 + 1, side="left")
-    return (float(v[lo_i]) + float(v[hi_i])) / 2.0
+    pos = q * (N - 1)  # 0-based fractional order-statistic position
+    k1 = int(np.floor(pos))
+    frac = pos - k1
+    s1 = float(v[np.searchsorted(cum, k1 + 1, side="left")])
+    if frac == 0.0 or k1 + 2 > N:
+        return s1
+    s2 = float(v[np.searchsorted(cum, k1 + 2, side="left")])
+    return s1 * (1.0 - frac) + s2 * frac
 
 
-def grouped_median(ds, group_col: str, val_col: str,
-                   batch_size: int | None = 131072) -> pa.Table:
-    """EXACT interpolated median (SQL PERCENTILE_CONT(0.5) / DuckDB
-    MEDIAN) per group, computed from distributed VALUE COUNTS — the
-    exact path for low/moderate-cardinality value domains (continuous
-    data should use the profile's t-digest quantiles instead).
+def median_from_value_counts(v, n) -> float:
+    """Interpolated median — quantile_from_value_counts at 0.5."""
+    return quantile_from_value_counts(v, n, 0.5)
+
+
+def grouped_quantiles(ds, group_col: str, val_col: str,
+                      quantiles: list, names: list | None = None,
+                      batch_size: int | None = 131072) -> pa.Table:
+    """EXACT interpolated quantiles (SQL PERCENTILE_CONT(p) / DuckDB
+    quantile_cont) per group, computed from distributed VALUE COUNTS —
+    the exact path for low/moderate-cardinality value domains
+    (continuous data should use the profile's t-digest instead).
 
     Shape: per-batch (g, v, n) pre-agg (arrow group_by) → ONE sort by
     (g, v) → per sorted block, every g-run interior to the block
-    computes its median vectorized from the run's cumulative counts;
-    the ≤2 g-runs touching block edges ship their skinny (g, v, n) rows
-    to the driver stitch (bounded by distinct values per edge group).
-    Returns a pa.Table (group_col, median) sorted by group."""
+    computes all requested quantiles vectorized from the run's
+    cumulative counts; the ≤2 g-runs touching block edges ship their
+    skinny (g, v, n) rows to the driver stitch (bounded by distinct
+    values per edge group). Returns a pa.Table
+    (group_col, *names) sorted by group."""
     import numpy as np
 
     import ray
+
+    names = names or [f"q{int(round(q * 100))}" for q in quantiles]
+    if len(names) != len(quantiles):
+        raise ValueError("names must match quantiles")
 
     def _pre(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -330,88 +344,107 @@ def grouped_median(ds, group_col: str, val_col: str,
     base = s.schema().base_schema
     g_t = base.field(group_col).type
 
-    def _median_of_runs(garr, varr, narr, starts, widths, lo, hi):
-        gs, meds = [], []
+    def _sorted_counts(t: pa.Table) -> pa.Table:
+        """Re-merge same-(g, v) rows split across batches/blocks and
+        order rows (arrow group_by emits hash order)."""
+        g2 = t.group_by([group_col, val_col], use_threads=False).aggregate(
+            [("n", "sum")])
+        return g2.rename_columns(
+            [("n" if c == "n_sum" else c) for c in g2.column_names]
+        ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
+
+    def _quantiles_of_runs(garr, varr, narr, starts, widths, lo, hi):
+        gs, vals = [], []
         for r in range(lo, hi):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             gs.append(garr[a])
-            meds.append(median_from_value_counts(varr[a:b], narr[a:b]))
-        return gs, meds
+            vals.append([quantile_from_value_counts(varr[a:b], narr[a:b], q)
+                         for q in quantiles])
+        return gs, vals
+
+    def _result_table(gs, vals) -> pa.Table:
+        cols = {group_col: pa.array(gs, g_t)}
+        for j, nm in enumerate(names):
+            cols[nm] = pa.array([v[j] for v in vals], pa.float64())
+        return pa.table(cols)
 
     def _fused(t: pa.Table) -> pa.Table:
-        empty = pa.table({"kind": pa.array([], pa.int8()),
-                          group_col: pa.array([], g_t),
-                          val_col: pa.array([], pa.float64()),
-                          "n": pa.array([], pa.int64()),
-                          "median": pa.array([], pa.float64())})
+        empty_cols = {"kind": pa.array([], pa.int8()),
+                      group_col: pa.array([], g_t),
+                      val_col: pa.array([], pa.float64()),
+                      "n": pa.array([], pa.int64())}
+        for nm in names:
+            empty_cols[nm] = pa.array([], pa.float64())
         if t.num_rows == 0:
-            return empty
-        # re-merge same-(g, v) rows split across input batches, then
-        # order rows (arrow group_by emits hash order)
-        g2 = t.group_by([group_col, val_col], use_threads=False).aggregate(
-            [("n", "sum")])
-        g2 = g2.rename_columns(
-            [("n" if c == "n_sum" else c) for c in g2.column_names]
-        ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
+            return pa.table(empty_cols)
+        g2 = _sorted_counts(t)
         garr = g2[group_col].to_numpy(zero_copy_only=False)
         varr = g2[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         narr = g2["n"].to_numpy()
         starts, widths = run_bounds(garr)
         n_runs = starts.size
-        gs, meds = _median_of_runs(garr, varr, narr, starts, widths, 1, n_runs - 1)
+        gs, vals = _quantiles_of_runs(garr, varr, narr, starts, widths,
+                                      1, n_runs - 1)
         edge_idx = []
         for r in {0, n_runs - 1}:
             edge_idx.extend(range(int(starts[r]), int(starts[r] + widths[r])))
-        ne, nm = len(edge_idx), len(gs)
+        ne, nm_ = len(edge_idx), len(gs)
         take = pa.array(edge_idx, pa.int64())
-        return pa.table({
+        cols = {
             "kind": pa.array(np.concatenate(
-                [np.zeros(nm, np.int8), np.ones(ne, np.int8)])),
+                [np.zeros(nm_, np.int8), np.ones(ne, np.int8)])),
             group_col: pa.concat_arrays(
                 [pa.array(gs, g_t), g2[group_col].take(take).combine_chunks()]),
             val_col: pa.concat_arrays(
-                [pa.nulls(nm, pa.float64()),
+                [pa.nulls(nm_, pa.float64()),
                  pa.array(varr[edge_idx], pa.float64())]),
             "n": pa.concat_arrays(
-                [pa.nulls(nm, pa.int64()), g2["n"].take(take).combine_chunks()]),
-            "median": pa.concat_arrays(
-                [pa.array(meds, pa.float64()), pa.nulls(ne, pa.float64())]),
-        })
+                [pa.nulls(nm_, pa.int64()), g2["n"].take(take).combine_chunks()]),
+        }
+        for j, nm in enumerate(names):
+            cols[nm] = pa.concat_arrays(
+                [pa.array([v[j] for v in vals], pa.float64()),
+                 pa.nulls(ne, pa.float64())])
+        return pa.table(cols)
 
     tables = [t for t in ray.get(s.map_batches(
         _fused, batch_format="pyarrow", batch_size=None
     ).to_arrow_refs()) if t.num_rows]
-    med_parts, edge_parts = [], []
+    out_parts, edge_parts = [], []
     for t in tables:
         kinds = t["kind"].to_numpy()
         mt = t.filter(pa.array(kinds == 0))
         if mt.num_rows:
-            med_parts.append(mt.select([group_col, "median"]))
+            out_parts.append(mt.select([group_col] + names))
         et = t.filter(pa.array(kinds == 1))
         if et.num_rows:
             edge_parts.append(et.select([group_col, val_col, "n"]))
     if edge_parts:
-        et = pa.concat_tables(edge_parts)
-        g2 = et.group_by([group_col, val_col], use_threads=False).aggregate(
-            [("n", "sum")])
-        g2 = g2.rename_columns(
-            [("n" if c == "n_sum" else c) for c in g2.column_names]
-        ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
-        import numpy as _np
+        import numpy as np
 
+        g2 = _sorted_counts(pa.concat_tables(edge_parts))
         garr = g2[group_col].to_numpy(zero_copy_only=False)
-        varr = g2[val_col].to_numpy(zero_copy_only=False).astype(_np.float64)
+        varr = g2[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         narr = g2["n"].to_numpy()
         starts, widths = run_bounds(garr)
-        gs, meds = _median_of_runs(garr, varr, narr, starts, widths,
-                                   0, starts.size)
+        gs, vals = _quantiles_of_runs(garr, varr, narr, starts, widths,
+                                      0, starts.size)
         if gs:
-            med_parts.append(pa.table({group_col: pa.array(gs, g_t),
-                                       "median": pa.array(meds, pa.float64())}))
-    if not med_parts:
-        return pa.table({group_col: pa.array([], g_t),
-                         "median": pa.array([], pa.float64())})
-    return pa.concat_tables(med_parts).sort_by([(group_col, "ascending")])
+            out_parts.append(_result_table(gs, vals))
+    if not out_parts:
+        cols = {group_col: pa.array([], g_t)}
+        for nm in names:
+            cols[nm] = pa.array([], pa.float64())
+        return pa.table(cols)
+    return pa.concat_tables(out_parts).sort_by([(group_col, "ascending")])
+
+
+def grouped_median(ds, group_col: str, val_col: str,
+                   batch_size: int | None = 131072) -> pa.Table:
+    """EXACT interpolated median per group — grouped_quantiles at 0.5
+    (kept as the named operator the DuckDB MEDIAN oracle checks)."""
+    return grouped_quantiles(ds, group_col, val_col, [0.5], ["median"],
+                             batch_size=batch_size)
 
 
 def spread_blocks(ds, min_rows_per_block: int = 256, rows: int | None = None):

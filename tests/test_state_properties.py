@@ -59,6 +59,23 @@ def test_median_from_value_counts_matches_numpy(vals):
     assert got == float(np.median(arr))
 
 
+@given(vals=st.lists(st.integers(-20, 20), min_size=1, max_size=300),
+       q=st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=80, deadline=None)
+def test_quantile_from_value_counts_matches_numpy(vals, q):
+    """The value-counts quantile kernel equals numpy's linear-method
+    percentile of the expanded multiset for ANY q in [0, 1]."""
+    from advanced_data_profile_ray.stages.fast_ops import (
+        quantile_from_value_counts,
+    )
+
+    arr = np.array(vals, dtype=np.float64) / 2.0
+    v, n = np.unique(arr, return_counts=True)
+    got = quantile_from_value_counts(v, n, q)
+    want = float(np.percentile(arr, q * 100.0, method="linear"))
+    assert np.isclose(got, want, rtol=0, atol=1e-9)
+
+
 @given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=400),
        cut=st.integers(0, 400))
 @settings(max_examples=60, deadline=None)
