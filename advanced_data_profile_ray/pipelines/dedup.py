@@ -881,7 +881,12 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
 
     C = np.uint64(0x9E3779B97F4A7C15)
     total_planes = n_planes * n_bands
-    empty_out = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    # typed empty frame: the no-candidates path must carry the same
+    # schema as the populated one (int64 ids, float64 cosine) or the
+    # DuckDB oracle twin's schema check fails on an empty result
+    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
 
     def _band_rows(batch: pa.Table) -> pa.Table:
         id_t = batch.schema.field(id_col).type
@@ -953,6 +958,7 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
         for a, b in zip(np.array_split(a_ids, n_chunks),
                         np.array_split(b_ids, n_chunks))
     ]))
-    out = pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "cosine": cos})
+    out = pd.DataFrame({"id_a": a_ids, "id_b": b_ids,
+                        "cosine": np.round(cos, 6)})
     out = out[out["cosine"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

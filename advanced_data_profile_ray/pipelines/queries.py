@@ -1617,6 +1617,20 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    # brute-force exact twin of the banded-hyperplane LSH path. The
+    # engine's verify step is EXACT cosine over candidates, so engine
+    # output ⊆ truth always (no false positives); banding sets recall,
+    # which at this table's similarity ceiling (max pairwise cosine
+    # 0.513 at sf0.01/sf0.001 — nothing near the 0.95 threshold) makes
+    # the two sides exactly equal.
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        ORDER BY id_a, id_b
+    """,
     "jaccard_near_dups": """
         WITH words AS (
           SELECT DISTINCT doc_id,
