@@ -692,6 +692,32 @@ def q_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_running_spend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running spend — ROWS-framed cumulative window (SQL
+    ``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, stages.window.running_sum). Money is cast to integer
+    cents BEFORE accumulating so the distributed prefix sums are exact —
+    independent of float association order — and hash-match the SQL twin
+    bit-for-bit."""
+    from ..stages.window import running_sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        # half_towards_infinity (= half away from zero) matches DuckDB's
+        # ROUND on doubles
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column("cents", c)
+
+    ds = ds.map_batches(_cents, batch_format="pyarrow")
+    out = running_sum(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "cents", out_col="run_cents")
+    df = out.select_columns(["o_orderkey", "run_cents"]).to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
     """As-of join (§2 custom operator): for each order, the latest event
     of the same customer/user at or before the order date — sort-based
@@ -1591,6 +1617,14 @@ ORACLE: dict[str, str] = {
          AND e.ts < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """,
+    "running_spend": """
+        SELECT o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_cents
+        FROM orders ORDER BY o_orderkey
+    """,
     "asof_last_event": """
         SELECT o.o_orderkey,
                e.ts AS last_event_ts
@@ -1749,6 +1783,7 @@ QUERIES = {
     "events_hour_hist": q_events_hour_hist,
     "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
+    "running_spend": q_running_spend,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,

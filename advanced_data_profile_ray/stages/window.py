@@ -27,15 +27,19 @@ import pyarrow.compute as pc
 
 
 def _carry_offsets(infos: list) -> list:
-    """Driver stitch: running row-count carry for partitions straddling
-    consecutive sorted blocks. ``infos`` rows: (first_key, last_key,
-    n_first_seg, n_last_seg, n_total) per block, in sorted block order.
-    In sorted data first_key == last_key ⟹ the whole block is one
-    partition, so the carry accumulates across any number of blocks."""
+    """Driver stitch: running additive-measure carry for partitions
+    straddling consecutive sorted blocks. ``infos`` rows: (first_key,
+    last_key, m_first_seg, m_last_seg, m_total) per block, in sorted
+    block order, where m is ANY additive measure — row counts for
+    row_number, value sums for running_sum. Empty blocks are flagged by
+    ``first_key is None`` (a nonempty block's measure may legitimately
+    total zero). In sorted data first_key == last_key ⟹ the whole block
+    is one partition, so the carry accumulates across any number of
+    blocks."""
     offsets = []
     carry_key, carry_n = object(), 0  # sentinel unequal to any key
     for first, last, n_first, n_last, n_total in infos:
-        if n_total == 0:
+        if first is None:
             offsets.append(0)
             continue
         off = carry_n if first == carry_key else 0
@@ -107,6 +111,68 @@ def row_number_within(ds, partition_key: str, order_keys: list, out_col: str = "
     infos = ray.get([_bounds.remote(r) for r in refs])
     offsets = _carry_offsets(infos)
     out_refs = [_number.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def running_sum(ds, part_col: str, order_keys: list, val_col: str,
+                out_col: str = "running_sum"):
+    """SQL ``SUM(val) OVER (PARTITION BY part ORDER BY order_keys ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` as a distributed
+    operator. Exact for integer ``val_col`` (the intended use: money as
+    cents, counts); float inputs accumulate in float64 with the usual
+    reassociation caveat. ``order_keys`` should end in a unique
+    tiebreaker — ROWS framing is order-sensitive, and a non-total order
+    would make the per-row prefix nondeterministic.
+
+    Same shape as ``row_number_within``: ONE sort, per-block prefix sums
+    vectorized off run boundaries, and a driver carry scan over
+    per-block boundary tuples (first/last key + first/last segment SUM —
+    the additive measure generalizes the row-count carry, so
+    ``_carry_offsets`` is reused verbatim with sums in place of counts).
+    Driver traffic is O(blocks), never the data.
+    """
+    import ray
+    import ray.data as rd
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    base = s.schema().base_schema
+    val_t = base.field(val_col).type
+    is_int = pa.types.is_integer(val_t)
+    acc_np = np.int64 if is_int else np.float64
+    acc_pa = pa.int64() if is_int else pa.float64()
+    empty_out = pa.schema(list(base) + [pa.field(out_col, acc_pa)]).empty_table()
+
+    @ray.remote
+    def _bounds(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0, 0)
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False).astype(acc_np)
+        starts, widths = _run_bounds(k)
+        return (k[0], k[-1], v[: widths[0]].sum(), v[starts[-1]:].sum(),
+                v.sum())
+
+    @ray.remote
+    def _accumulate(block: pa.Table, offset):
+        if block.num_rows == 0:
+            return empty_out
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False).astype(acc_np)
+        starts, widths = _run_bounds(k)
+        total = np.cumsum(v)
+        base_ = np.repeat(total[starts] - v[starts], widths)
+        rs = total - base_
+        if offset:
+            rs[: widths[0]] += offset
+        return block.append_column(out_col, pa.array(rs.astype(acc_np), acc_pa))
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    offsets = _carry_offsets(infos)
+    out_refs = [_accumulate.remote(r, off) for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
 
 

@@ -209,3 +209,50 @@ def test_row_number_fully_duplicate_keys(ray_session):
     out = row_number_within(rd.from_arrow(t).repartition(8), "k", ["v"],
                             out_col="rn").to_pandas()
     assert sorted(out["rn"]) == list(range(50))
+
+
+def test_running_sum_matches_duckdb(ray_session):
+    """Cumulative ROWS-framed sum vs the SQL window twin, with hot
+    partitions forced to straddle many sorted blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import running_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    # one hot partition (id 3) spanning many blocks + normal ones
+    part = np.where(rng.random(n) < 0.4, 3, rng.integers(0, 40, n))
+    order = rng.permutation(n)
+    val = rng.integers(-50, 50, n)  # negatives: prefix sums may hit 0
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(order, pa.int64()),
+                  "v": pa.array(val, pa.int64())})
+    out = running_sum(rd.from_arrow(t).repartition(23), "g", ["o"], "v",
+                      out_col="rs").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT g, o, SUM(v) OVER (PARTITION BY g ORDER BY o
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        FROM t ORDER BY g, o
+    """).fetch_df()
+    got = out.sort_values(["g", "o"]).reset_index(drop=True)[["g", "o", "rs"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_running_sum_zero_sum_block(ray_session):
+    """A block whose values sum to zero must still propagate the carry —
+    the empty-block sentinel is the key, not the measure total."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import running_sum
+
+    # single partition: values +1, -1 repeated → many interior blocks
+    # total exactly 0; running sum alternates 1, 0, 1, 0, ...
+    n = 400
+    v = np.tile([1, -1], n // 2)
+    t = pa.table({"g": pa.array([5] * n, pa.int64()),
+                  "o": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    out = running_sum(rd.from_arrow(t).repartition(16), "g", ["o"], "v",
+                      out_col="rs").to_pandas().sort_values("o")
+    expect = np.tile([1, 0], n // 2)
+    assert (out["rs"].to_numpy() == expect).all()
