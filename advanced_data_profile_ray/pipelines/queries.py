@@ -692,15 +692,10 @@ def q_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def q_running_spend(sf_dir: str) -> pd.DataFrame:
-    """Per-customer running spend — ROWS-framed cumulative window (SQL
-    ``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
-    PRECEDING)``, stages.window.running_sum). Money is cast to integer
-    cents BEFORE accumulating so the distributed prefix sums are exact —
-    independent of float association order — and hash-match the SQL twin
-    bit-for-bit."""
-    from ..stages.window import running_sum
-
+def _orders_cents(sf_dir: str):
+    """orders with o_totalprice recast to exact integer cents — shared
+    input of the cumulative/rolling window queries (integer accumulation
+    makes the distributed prefix sums exact and association-free)."""
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
@@ -711,11 +706,34 @@ def q_running_spend(sf_dir: str) -> pd.DataFrame:
                              round_mode="half_towards_infinity"), pa.int64())
         return t.drop_columns(["o_totalprice"]).append_column("cents", c)
 
-    ds = ds.map_batches(_cents, batch_format="pyarrow")
-    out = running_sum(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+    return ds.map_batches(_cents, batch_format="pyarrow")
+
+
+def q_running_spend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running spend — ROWS-framed cumulative window (SQL
+    ``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, stages.window.running_sum)."""
+    from ..stages.window import running_sum
+
+    out = running_sum(_orders_cents(sf_dir), "o_custkey",
+                      ["o_orderdate", "o_orderkey"],
                       "cents", out_col="run_cents")
     df = out.select_columns(["o_orderkey", "run_cents"]).to_pandas()
     return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_rolling_spend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer trailing-7-order spend — ROWS-framed rolling window
+    (SQL ``SUM/COUNT(*) OVER (... ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW)``, stages.window.rolling_sum_rows)."""
+    from ..stages.window import rolling_sum_rows
+
+    out = rolling_sum_rows(_orders_cents(sf_dir), "o_custkey",
+                           ["o_orderdate", "o_orderkey"], "cents",
+                           "o_orderkey", k=7).to_pandas()
+    out = out.rename(columns={"id": "o_orderkey",
+                              "roll_sum": "roll_cents"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
 def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
@@ -1625,6 +1643,15 @@ ORACLE: dict[str, str] = {
                ) AS run_cents
         FROM orders ORDER BY o_orderkey
     """,
+    "rolling_spend": """
+        SELECT o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS roll_cents,
+               COUNT(*) OVER w AS n_win
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+    """,
     "asof_last_event": """
         SELECT o.o_orderkey,
                e.ts AS last_event_ts
@@ -1784,6 +1811,7 @@ QUERIES = {
     "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
     "running_spend": q_running_spend,
+    "rolling_spend": q_rolling_spend,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,

@@ -176,6 +176,146 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
+                     id_col: str, k: int):
+    """ROWS-framed rolling aggregate: per row, the sum and count of the
+    last ``k`` rows (current included) of its partition — SQL
+    ``SUM(val) OVER (PARTITION BY part ORDER BY order_keys ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW)`` plus the matching ``COUNT(*)``.
+    ``order_keys`` must end in a unique tiebreaker (ROWS framing needs a
+    total order). Exact for integer ``val_col``.
+
+    Distributed shape (windowed_count's candidate/pool discipline, ROWS
+    variant): ONE sort by (part, *order_keys); per block the rolling sum
+    is one global cumsum + a clamped lower-bound gather — zero per-row
+    Python. Rows of the block's FIRST run with fewer than k-1 in-block
+    predecessors ship as CANDIDATES carrying their local sum/count; the
+    LAST run's trailing min(k-1, len) rows ship as POOL. The stitch task
+    walks each partition's shipped rows in (block, position) order and
+    tops up every candidate from the latest ≤ k-1 pool values of earlier
+    blocks — a partition spanning B blocks ships O(B·k) rows, never its
+    data. Returns a Dataset of (id, roll_sum, n_win) rows.
+    """
+    import ray
+    import ray.data as rd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [("id", pa.int64()), ("roll_sum", pa.int64()),
+             ("n_win", pa.int64())]).empty_table())
+    base = s.schema().base_schema
+    val_t = base.field(val_col).type
+    is_int = pa.types.is_integer(val_t)
+    acc_np = np.int64 if is_int else np.float64
+    acc_pa = pa.int64() if is_int else pa.float64()
+    id_t = base.field(id_col).type
+    out_schema = pa.schema([("id", id_t), ("roll_sum", acc_pa),
+                            ("n_win", pa.int64())])
+    ship_schema = pa.schema([(part_col, base.field(part_col).type),
+                             ("__blk", pa.int64()), ("__pos", pa.int64()),
+                             ("__cand", pa.bool_()), ("__pool", pa.bool_()),
+                             ("id", id_t), ("__v", acc_pa),
+                             ("__nloc", acc_pa), ("__j", pa.int64())])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table, bno: int):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), ship_schema.empty_table()
+        n = block.num_rows
+        key = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False).astype(acc_np)
+        starts, widths = _run_bounds(key)
+        run_start = np.repeat(starts, widths)
+        idx = np.arange(n, dtype=np.int64)
+        j = idx - run_start  # local index within the run
+        lo = np.maximum(run_start, idx - k + 1)
+        cs = np.cumsum(v)
+        roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        n_win = idx - lo + 1
+        cand = np.zeros(n, dtype=bool)
+        a0, b0 = int(starts[0]), int(starts[0] + widths[0])
+        cand[a0:b0] = j[a0:b0] < k - 1
+        pool = np.zeros(n, dtype=bool)
+        al, bl = int(starts[-1]), int(starts[-1] + widths[-1])
+        pool[max(al, bl - (k - 1)): bl] = True
+        keep = ~cand
+        inner = pa.table({
+            "id": block[id_col].filter(pa.array(keep)),
+            "roll_sum": pa.array(roll[keep].astype(acc_np), acc_pa),
+            "n_win": pa.array(n_win[keep], pa.int64()),
+        })
+        ship = cand | pool
+        sidx = np.flatnonzero(ship)
+        take = pa.array(sidx, pa.int64())
+        shipped = pa.table({
+            part_col: block[part_col].take(take),
+            "__blk": pa.array(np.full(sidx.size, bno, np.int64)),
+            "__pos": pa.array(sidx, pa.int64()),
+            "__cand": pa.array(cand[sidx]),
+            "__pool": pa.array(pool[sidx]),
+            "id": block[id_col].take(take),
+            "__v": pa.array(v[sidx].astype(acc_np), acc_pa),
+            "__nloc": pa.array(roll[sidx].astype(acc_np), acc_pa),
+            "__j": pa.array(j[sidx], pa.int64()),
+        })
+        return inner, shipped
+
+    @ray.remote
+    def _edge_stitch(*tables):
+        nonempty = [t_ for t_ in tables if t_.num_rows]
+        if not nonempty:
+            return out_schema.empty_table()
+        et = pa.concat_tables(nonempty).sort_by(
+            [(part_col, "ascending"), ("__blk", "ascending"),
+             ("__pos", "ascending")])
+        key = et[part_col].to_numpy(zero_copy_only=False)
+        blk = et["__blk"].to_numpy()
+        cand = et["__cand"].to_numpy(zero_copy_only=False).astype(bool)
+        pool = et["__pool"].to_numpy(zero_copy_only=False).astype(bool)
+        v = et["__v"].to_numpy()
+        nloc = et["__nloc"].to_numpy()
+        j = et["__j"].to_numpy()
+        starts, widths = _run_bounds(key)
+        add_sum = np.zeros(v.size, v.dtype)
+        add_n = np.zeros(v.size, np.int64)
+        for r in range(starts.size):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            ci = np.flatnonzero(cand[a:b]) + a
+            if not ci.size:
+                continue
+            pi = np.flatnonzero(pool[a:b]) + a  # (blk, pos)-ordered
+            pv, pb = v[pi], blk[pi]
+            pcs = np.cumsum(pv)
+            for c in ci:
+                m = k - 1 - int(j[c])
+                if m <= 0:
+                    continue
+                end = int(np.searchsorted(pb, blk[c], side="left"))
+                take_n = min(m, end)
+                if take_n <= 0:
+                    continue
+                add_sum[c] = pcs[end - 1] - (pcs[end - 1 - take_n]
+                                             if end - 1 - take_n >= 0 else 0)
+                add_n[c] = take_n
+        ci = np.flatnonzero(cand)
+        take = pa.array(ci, pa.int64())
+        return pa.table({
+            "id": et["id"].take(take),
+            "roll_sum": pa.array((nloc[ci] + add_sum[ci]).astype(v.dtype),
+                                 acc_pa),
+            "n_win": pa.array(j[ci] + 1 + add_n[ci], pa.int64()),
+        })
+
+    results = [_block.remote(r, i) for i, r in enumerate(refs)]
+    inner_refs = [r[0] for r in results]
+    edge_ref = _edge_stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs(inner_refs + [edge_ref])
+
+
 def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
                    window_us: int):
     """Time-range windowed aggregate: for every row, the number of rows

@@ -256,3 +256,53 @@ def test_running_sum_zero_sum_block(ray_session):
                       out_col="rs").to_pandas().sort_values("o")
     expect = np.tile([1, 0], n // 2)
     assert (out["rs"].to_numpy() == expect).all()
+
+
+def test_rolling_sum_rows_matches_duckdb(ray_session):
+    """ROWS-framed rolling sum/count vs the SQL window twin, hot
+    partitions straddling many sorted blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import rolling_sum_rows
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    part = np.where(rng.random(n) < 0.5, 9, rng.integers(0, 25, n))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(rng.integers(-30, 70, n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = rolling_sum_rows(rd.from_arrow(t).repartition(21), "g", ["o"],
+                           "v", "rid", k=5).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT rid AS id, SUM(v) OVER w AS roll_sum, COUNT(*) OVER w AS n_win
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY id
+    """).fetch_df()
+    got = out.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_sum_rows_deep_tail_reach(ray_session):
+    """A candidate whose k-1 predecessors live more than one block back:
+    one partition of 60 rows forced into ~30 tiny blocks with k=9 — the
+    stitch must concatenate pool fragments across several blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import rolling_sum_rows
+
+    n, k = 60, 9
+    t = pa.table({"g": pa.array([1] * n, pa.int64()),
+                  "o": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(1, n + 1), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = rolling_sum_rows(rd.from_arrow(t).repartition(30), "g", ["o"],
+                           "v", "rid", k=k).to_pandas().sort_values("id")
+    # v = 1..n → rolling sum of last k values at row i (0-based) is the
+    # sum of the arithmetic run
+    vals = np.arange(1, n + 1)
+    expect = np.array([vals[max(0, i - k + 1): i + 1].sum() for i in range(n)])
+    assert (out["roll_sum"].to_numpy() == expect).all()
+    assert (out["n_win"].to_numpy()
+            == np.minimum(np.arange(n) + 1, k)).all()
