@@ -736,6 +736,25 @@ def q_rolling_spend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Daily event-type crosstab — pivot COUNT (§2.6 extension,
+    fast_ops.pivoted_counts): one row per day, one count column per
+    event type, the COUNT(*) FILTER (WHERE ...) twin."""
+    from ..stages.fast_ops import pivoted_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    ds = ds.map_batches(_day, batch_format="pyarrow")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = pivoted_counts(ds, ["day"], "event_type", cats).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
     """As-of join (§2 custom operator): for each order, the latest event
     of the same customer/user at or before the order date — sort-based
@@ -1652,6 +1671,15 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    "events_type_pivot": """
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "asof_last_event": """
         SELECT o.o_orderkey,
                e.ts AS last_event_ts
@@ -1812,6 +1840,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,
+    "events_type_pivot": q_events_type_pivot,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,

@@ -506,6 +506,52 @@ def sorted_group_counts(ds, keys: list):
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
 
 
+def pivoted_counts(ds, keys: list, pivot_col: str, categories: list,
+                   prefix: str = "n_", batch_size: int | None = 65536):
+    """Pivot / crosstab COUNT: one row per key combo, one int64 column
+    per category — SQL ``COUNT(*) FILTER (WHERE pivot = cat)`` per
+    category, GROUP BY keys. ``categories`` is caller-provided so the
+    output schema is static (discover it first with an exact distinct
+    pass when unknown); pivot values outside it — and nulls — simply
+    count nowhere, exactly like the SQL FILTER form.
+
+    Scale shape: each batch collapses to at most one partial row per
+    (key, pivot) pair via arrow group_by, the pivot scatter into
+    category columns is an if_else per category (no Python rows), and
+    the skinny partials ride the standard sorted_groupby sum exchange.
+    Returns a single Dataset (keys..., n_<cat>...)."""
+    import ray.data as rd
+
+    cats = list(categories)
+    out_names = [f"{prefix}{c}" for c in cats]
+    zero = pa.scalar(0, pa.int64())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {k: pa.array([], batch.schema.field(k).type) for k in keys}
+            for o in out_names:
+                cols[o] = pa.array([], pa.int64())
+            return pa.table(cols)
+        g = batch.group_by(keys + [pivot_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        n = g["count_all"]
+        cols = {k: g[k] for k in keys}
+        for c, o in zip(cats, out_names):
+            hit = pc.fill_null(pc.equal(g[pivot_col], pa.scalar(c)), False)
+            cols[o] = pc.if_else(hit, n, zero)
+        return pa.table(cols)
+
+    partials = ds.select_columns(
+        list(dict.fromkeys(keys + [pivot_col]))
+    ).map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    inner, edge = sorted_groupby(partials, keys,
+                                 [(o, "sum", o) for o in out_names],
+                                 batch_size=batch_size)
+    if edge is not None and edge.num_rows:
+        inner = inner.union(rd.from_arrow(edge))
+    return inner
+
+
 def salted_groupby(ds, keys: list, aggs: list, salt_buckets: int = 16,
                    batch_size: int = 65536) -> pa.Table:
     """Two-stage SALTED aggregation for skewed keys (north rule: 'salted

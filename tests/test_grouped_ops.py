@@ -156,3 +156,31 @@ def test_grouped_topk_hot_group_many_blocks(ray_session):
     got = got.sort_values("v", ascending=False).reset_index(drop=True)
     assert len(got) == 5
     assert got["v"].tolist() == [float(n - 1 - i) for i in range(5)]
+
+
+def test_pivoted_counts_matches_duckdb(ray_session):
+    """Crosstab counts vs COUNT(*) FILTER twins; null pivot values and
+    values outside the category list count nowhere."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import pivoted_counts
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    g = rng.integers(0, 30, n)
+    cats = np.array(["a", "b", "c", "zz"], dtype=object)  # zz not pivoted
+    pv = cats[rng.integers(0, 4, n)]
+    pv[rng.random(n) < 0.05] = None
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "p": pa.array(pv, pa.string())})
+    out = pivoted_counts(rd.from_arrow(t).repartition(13), ["g"], "p",
+                         ["a", "b", "c"]).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT g, COUNT(*) FILTER (WHERE p = 'a') AS n_a,
+               COUNT(*) FILTER (WHERE p = 'b') AS n_b,
+               COUNT(*) FILTER (WHERE p = 'c') AS n_c
+        FROM t GROUP BY g ORDER BY g
+    """).fetch_df()
+    got = out.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
