@@ -621,6 +621,46 @@ def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_activity_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER big⨝big join: per-key order counts vs event counts,
+    keys present on either side survive with zero-filled counts — the
+    SQL FULL OUTER JOIN + COALESCE twin (stages.merge_join how='full').
+    Both inputs are pre-aggregated through one sorted_groupby exchange
+    each, so the join sides are distinct-keyed (nl = nr = 1)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    def _counts(table, key, out_key, out_n):
+        src = _read(sf_dir, table, [key])
+        inner, edge = sorted_groupby(src, [key], [(None, "count_all", out_n)])
+        ds = inner
+        if edge is not None and edge.num_rows:
+            ds = ds.union(rd.from_arrow(edge))
+        return ds.map_batches(
+            lambda t, k=key, ok=out_key: t.rename_columns(
+                [ok if c == k else c for c in t.column_names]),
+            batch_format="pyarrow")
+
+    o = _counts("orders", "o_custkey", "cust_k", "n_orders")
+    e = _counts("events", "user_id", "user_k", "n_events")
+    joined = sorted_merge_join(o, e, "cust_k", "user_k",
+                               ["cust_k", "n_orders"],
+                               ["user_k", "n_events"], how="full",
+                               rows_hint=200_000)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.coalesce(t["cust_k"], t["user_k"]),
+            "n_orders": pc.fill_null(t["n_orders"], 0),
+            "n_events": pc.fill_null(t["n_events"], 0),
+        })
+
+    out = joined.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
 def q13_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q13-shaped pipeline exercising the LEFT OUTER big⨝big
     shuffle join: customer ⟕ orders on custkey (customers with no
@@ -1634,6 +1674,17 @@ ORACLE: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
         ORDER BY o_orderkey
     """,
+    "activity_full_outer": """
+        WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+                   FROM orders GROUP BY 1),
+             e AS (SELECT user_id AS k, COUNT(*) AS n_events
+                   FROM events GROUP BY 1)
+        SELECT COALESCE(o.k, e.k) AS k,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e ON o.k = e.k
+        ORDER BY k
+    """,
     "q13_customer_order_counts": """
         SELECT c_count, COUNT(*) AS n_custs FROM (
           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -1846,6 +1897,7 @@ QUERIES = {
     "orders_with_events": q_orders_with_events,
     "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
+    "activity_full_outer": q_activity_full_outer,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,

@@ -45,11 +45,15 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
                       rows_hint: int | None = None,
                       how: str = "inner"):
     """Equi-join returning a Dataset with ``left_cols + right_cols``
-    (names must be disjoint). Keys compare as int64. ``how``: "inner"
-    or "left" (LEFT OUTER — unmatched left rows emit with nulls on the
-    right payload; null left keys still never match, like SQL).
-    Oversize/elongated keys are skipped under BOTH modes (their left
-    rows too) — the documented bounded-rows-per-key contract.
+    (names must be disjoint). Keys compare as int64. ``how``: "inner",
+    "left" (LEFT OUTER — unmatched left rows emit with nulls on the
+    right payload) or "full" (FULL OUTER — unmatched rows of BOTH sides
+    emit with nulls opposite). Null keys never match, like SQL; under
+    the outer modes null-key rows still emit as unmatched (a second
+    column-pruned pass over the owning side collects them — they never
+    enter the sort exchange). Oversize/elongated keys are skipped under
+    ALL modes (their rows on both sides) — the documented
+    bounded-rows-per-key contract.
 
     Pass ``rows_hint`` (an upper bound is fine) whenever the inputs have
     transforms applied — ``count()`` on a transformed Dataset executes
@@ -67,8 +71,8 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     reserved = {"__k", "__side"} & set(left_cols + right_cols)
     if reserved:
         raise ValueError(f"column names {sorted(reserved)} are reserved")
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in left_cols}
@@ -130,7 +134,8 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     def _join_runs(block: pa.Table, lo_run: int, hi_run: int,
                    starts, widths, side: np.ndarray) -> pa.Table:
         l_idx_parts, r_idx_parts = [], []
-        null_l_parts = []  # LEFT OUTER: left rows of match-less keys
+        null_l_parts = []  # LEFT/FULL OUTER: left rows of match-less keys
+        null_r_parts = []  # FULL OUTER: right rows of match-less keys
         skipped, elongated = 0, 0
         for r in range(lo_run, hi_run):
             a, b = int(starts[r]), int(starts[r] + widths[r])
@@ -138,9 +143,11 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
             ri = np.flatnonzero(seg_side == 0) + a
             li = np.flatnonzero(seg_side == 1) + a
             if not li.size:
+                if ri.size and how == "full":
+                    null_r_parts.append(ri)
                 continue
             if not ri.size:
-                if how == "left":
+                if how in ("left", "full"):
                     null_l_parts.append(li)
                 continue
             if ri.size * li.size > max_pairs_per_key:
@@ -161,23 +168,24 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
                 "exceeds %d and %d elongated keys with one side longer "
                 "than %d rows — such keys need a salted/broadcast plan",
                 skipped, max_pairs_per_key, elongated, edge_clip)
-        if not l_idx_parts and not null_l_parts:
+        if not l_idx_parts and not null_l_parts and not null_r_parts:
             return out_schema.empty_table()
         li_m = np.concatenate(l_idx_parts) if l_idx_parts else np.array([], np.int64)
         ri_m = np.concatenate(r_idx_parts) if r_idx_parts else np.array([], np.int64)
         li_n = np.concatenate(null_l_parts) if null_l_parts else np.array([], np.int64)
-        li = pa.array(np.concatenate([li_m, li_n]), pa.int64())
-        if li_n.size:
-            # null right indices for the unmatched tail — Arrow take
-            # propagates null indices to null output values
-            mask = np.zeros(len(li_m) + len(li_n), dtype=bool)
-            mask[len(li_m):] = True
-            ri = pc.if_else(
-                pa.array(mask), pa.nulls(len(mask), pa.int64()),
-                pa.array(np.concatenate([ri_m, np.zeros(li_n.size, np.int64)]),
-                         pa.int64()))
-        else:
-            ri = pa.array(ri_m, pa.int64())
+        ri_n = np.concatenate(null_r_parts) if null_r_parts else np.array([], np.int64)
+        # index layout: [matched | left-only (null right) | right-only
+        # (null left)]; pa.array's mask=True marks nulls and Arrow take
+        # propagates null indices to null output values
+        total = li_m.size + li_n.size + ri_n.size
+        l_vals = np.concatenate([li_m, li_n, np.zeros(ri_n.size, np.int64)])
+        l_mask = np.zeros(total, dtype=bool)
+        l_mask[li_m.size + li_n.size:] = True
+        r_vals = np.concatenate([ri_m, np.zeros(li_n.size, np.int64), ri_n])
+        r_mask = np.zeros(total, dtype=bool)
+        r_mask[li_m.size: li_m.size + li_n.size] = True
+        li = pa.array(l_vals, pa.int64(), mask=l_mask)
+        ri = pa.array(r_vals, pa.int64(), mask=r_mask)
         cols = {c: block[c].take(li) for c in left_cols}
         cols.update({c: block[c].take(ri) for c in right_cols})
         return pa.table(cols)
@@ -256,4 +264,26 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     results = [_block.remote(r) for r in refs]
     edge_ref = _edge_stitch.remote([r[2] for r in results],
                                    *[r[1] for r in results])
-    return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
+    out = rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
+
+    # SQL outer semantics for null-key rows: they never match, but they
+    # DO emit with nulls opposite. They were dropped before the exchange
+    # (a null sort key has no run), so collect them in a second
+    # column-pruned pass over the owning side and union them in.
+    def _null_key_rows(src, key, own_cols, other_types):
+        def _fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_null(batch[key]))
+            n = batch.num_rows
+            cols = {c: batch[c] for c in own_cols}
+            cols.update({c: pa.nulls(n, t) for c, t in other_types.items()})
+            return pa.table(cols).select(out_schema.names)
+
+        return src.select_columns(
+            list(dict.fromkeys([key] + own_cols))
+        ).map_batches(_fn, batch_format="pyarrow")
+
+    if how in ("left", "full"):
+        out = out.union(_null_key_rows(left_ds, left_key, left_cols, r_types))
+    if how == "full":
+        out = out.union(_null_key_rows(right_ds, right_key, right_cols, l_types))
+    return out

@@ -121,3 +121,41 @@ def test_sorted_merge_join_elongated_key_deterministic(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # elongated key 1 dropped in BOTH layouts; key 2 fully joined
     assert outs[0]["k"].tolist() == [2, 2, 2]
+
+
+def test_full_outer_join_matches_duckdb(ray_session):
+    """FULL OUTER mode: unmatched rows of both sides emit with nulls
+    opposite, and null-key rows on either side survive as unmatched —
+    exact SQL semantics, groups forced across block boundaries."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import sorted_merge_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 900, 700
+    lk = rng.integers(0, 300, nl).astype(object)
+    rk = rng.integers(150, 450, nr).astype(object)
+    lk[rng.random(nl) < 0.04] = None  # null keys: emit, never match
+    rk[rng.random(nr) < 0.04] = None
+    left = pa.table({"lk": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(nl), pa.int64())})
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(nr) * 10, pa.int64())})
+    out = sorted_merge_join(
+        rd.from_arrow(left).repartition(9),
+        rd.from_arrow(right).repartition(7),
+        "lk", "rk", ["lk", "lv"], ["rk", "rv"], how="full",
+        rows_hint=nl + nr,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("ltab", left.to_pandas())
+    con.register("rtab", right.to_pandas())
+    want = con.execute("""
+        SELECT l.lk, l.lv, r.rk, r.rv
+        FROM ltab l FULL OUTER JOIN rtab r ON l.lk = r.rk
+    """).fetch_df()
+    key = ["lk", "lv", "rk", "rv"]
+    got = out[key].sort_values(key, na_position="last").reset_index(drop=True)
+    want = want[key].sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
