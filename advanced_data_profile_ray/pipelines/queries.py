@@ -661,6 +661,34 @@ def q_activity_full_outer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_custkeys_intersect(sf_dir: str) -> pd.DataFrame:
+    """Set op INTERSECT by composition (§2.7): keys that ordered AND
+    produced events — distinct each side through one exchange, inner
+    sort-merge join (fast_ops.set_intersect). Nulls excluded on both
+    sides (the SQL twin filters them; join-based sets drop null keys)."""
+    from ..stages.fast_ops import set_intersect
+
+    out = set_intersect(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+        _read(sf_dir, "events", ["user_id"]), "user_id",
+        rows_hint=100_000,
+    ).to_pandas().rename(columns={"o_custkey": "k"})
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
+    """Set op EXCEPT by composition (§2.7): keys that ordered but never
+    produced an event (fast_ops.set_except)."""
+    from ..stages.fast_ops import set_except
+
+    out = set_except(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+        _read(sf_dir, "events", ["user_id"]), "user_id",
+        rows_hint=100_000,
+    ).to_pandas().rename(columns={"o_custkey": "k"})
+    return out.sort_values("k").reset_index(drop=True)
+
+
 def q13_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q13-shaped pipeline exercising the LEFT OUTER big⨝big
     shuffle join: customer ⟕ orders on custkey (customers with no
@@ -1685,6 +1713,18 @@ ORACLE: dict[str, str] = {
         FROM o FULL OUTER JOIN e ON o.k = e.k
         ORDER BY k
     """,
+    "custkeys_intersect": """
+        SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+        INTERSECT
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+        ORDER BY k
+    """,
+    "custkeys_except": """
+        SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+        EXCEPT
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+        ORDER BY k
+    """,
     "q13_customer_order_counts": """
         SELECT c_count, COUNT(*) AS n_custs FROM (
           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -1898,6 +1938,8 @@ QUERIES = {
     "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
     "activity_full_outer": q_activity_full_outer,
+    "custkeys_intersect": q_custkeys_intersect,
+    "custkeys_except": q_custkeys_except,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,

@@ -506,6 +506,66 @@ def sorted_group_counts(ds, keys: list):
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
 
 
+def distinct_values(ds, col: str, batch_size: int | None = 65536):
+    """Exact distinct values of one column as a Dataset — per-batch
+    dedup partials through ONE sorted_groupby exchange (the big-side
+    build used by the composed semi/anti joins and set ops). Nulls are
+    excluded, matching SQL DISTINCT-in-set-operation semantics for the
+    join-based composition downstream."""
+    import ray.data as rd
+
+    src = ds.select_columns([col]).map_batches(
+        lambda t: t.filter(t[col].is_valid()),
+        batch_format="pyarrow", batch_size=batch_size)
+    inner, edge = sorted_groupby(src, [col], [(None, "count_all", "__n")],
+                                 batch_size=batch_size)
+    out = inner.select_columns([col])
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge.select([col])))
+    return out
+
+
+def set_intersect(a_ds, a_col: str, b_ds, b_col: str,
+                  rows_hint: int | None = None):
+    """SQL ``SELECT a_col FROM a INTERSECT SELECT b_col FROM b`` —
+    distinct both sides (one exchange each), then the inner sort-merge
+    join; each key appears once per side so the join product is exactly
+    the intersection. Returns a Dataset with column ``a_col``."""
+    from .merge_join import sorted_merge_join
+
+    da = distinct_values(a_ds, a_col)
+    db = distinct_values(b_ds, b_col)
+    if b_col == a_col:
+        b_col = f"__r_{b_col}"
+        db = db.map_batches(lambda t, n=b_col: t.rename_columns([n]),
+                            batch_format="pyarrow")
+    return sorted_merge_join(da, db, a_col, b_col, [a_col], [b_col],
+                             rows_hint=rows_hint).select_columns([a_col])
+
+
+def set_except(a_ds, a_col: str, b_ds, b_col: str,
+               rows_hint: int | None = None):
+    """SQL ``SELECT a_col FROM a EXCEPT SELECT b_col FROM b`` — distinct
+    both sides, LEFT OUTER join, keep the null-matched left keys.
+    Returns a Dataset with column ``a_col``."""
+    import pyarrow.compute as _pc
+
+    from .merge_join import sorted_merge_join
+
+    da = distinct_values(a_ds, a_col)
+    db = distinct_values(b_ds, b_col)
+    if b_col == a_col:
+        b_col = f"__r_{b_col}"
+        db = db.map_batches(lambda t, n=b_col: t.rename_columns([n]),
+                            batch_format="pyarrow")
+    joined = sorted_merge_join(da, db, a_col, b_col, [a_col], [b_col],
+                               how="left", rows_hint=rows_hint)
+    return joined.map_batches(
+        lambda t, rc=b_col, ac=a_col: t.filter(
+            _pc.is_null(t[rc])).select([ac]),
+        batch_format="pyarrow")
+
+
 def pivoted_counts(ds, keys: list, pivot_col: str, categories: list,
                    prefix: str = "n_", batch_size: int | None = 65536):
     """Pivot / crosstab COUNT: one row per key combo, one int64 column
