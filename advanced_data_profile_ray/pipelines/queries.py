@@ -661,6 +661,21 @@ def q_activity_full_outer(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_stratified_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample (training-data op): 3 orders per
+    order-priority stratum, chosen by a multiplicative hash of the key
+    so the sample is reproducible and SQL-expressible
+    (fast_ops.stratified_sample → grouped_topk exchange)."""
+    from ..stages.fast_ops import stratified_sample
+
+    out = stratified_sample(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"]),
+        ["o_orderpriority"], "o_orderkey", n=3, rows_hint=100_000,
+    ).to_pandas()
+    out = out[["o_orderpriority", "o_orderkey"]]
+    return out.sort_values(["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
 def q_custkeys_intersect(sf_dir: str) -> pd.DataFrame:
     """Set op INTERSECT by composition (§2.7): keys that ordered AND
     produced events — distinct each side through one exchange, inner
@@ -1713,6 +1728,14 @@ ORACLE: dict[str, str] = {
         FROM o FULL OUTER JOIN e ON o.k = e.k
         ORDER BY k
     """,
+    "stratified_orders": """
+        SELECT o_orderpriority, o_orderkey FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY (o_orderkey * 2654435761) % 4294967296 DESC, o_orderkey
+        ) <= 3
+        ORDER BY o_orderpriority, o_orderkey
+    """,
     "custkeys_intersect": """
         SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
         INTERSECT
@@ -1940,6 +1963,7 @@ QUERIES = {
     "activity_full_outer": q_activity_full_outer,
     "custkeys_intersect": q_custkeys_intersect,
     "custkeys_except": q_custkeys_except,
+    "stratified_orders": q_stratified_orders,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,

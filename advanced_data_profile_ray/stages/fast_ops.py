@@ -506,6 +506,34 @@ def sorted_group_counts(ds, keys: list):
     return sorted_groupby(ds, keys, [(None, "count_all", "n")])
 
 
+def stratified_sample(ds, keys: list, id_col: str, n: int,
+                      payload_cols: list | None = None,
+                      salt: int = 2654435761, mod: int = 2 ** 32,
+                      rows_hint: int | None = None):
+    """Deterministic stratified sample: ``n`` rows PER group, chosen by
+    a Knuth multiplicative hash of ``id_col`` — reproducible across
+    runs/partitionings AND SQL-expressible (the oracle twin is
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    (id*salt) % mod DESC, id) <= n``), unlike an RNG sample. Rides
+    grouped_topk's one-sort exchange; the hash column never leaves the
+    tasks' working set conceptually (it ships as the sort key only).
+    ``id_col`` values must keep ``id * salt`` within int64."""
+    def _hashed(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * salt) % mod  # int64 throughout, same as the SQL twin
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    cols = list(dict.fromkeys(keys + [id_col] + (payload_cols or [])))
+    hashed = ds.select_columns(cols).map_batches(
+        _hashed, batch_format="pyarrow")
+    out = grouped_topk(hashed, keys, "__h", n, tie_cols=[id_col],
+                       payload_cols=payload_cols, rows_hint=rows_hint)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]),
+                           batch_format="pyarrow")
+
+
 def distinct_values(ds, col: str, batch_size: int | None = 65536):
     """Exact distinct values of one column as a Dataset — per-batch
     dedup partials through ONE sorted_groupby exchange (the big-side
