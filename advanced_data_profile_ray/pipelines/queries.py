@@ -569,6 +569,135 @@ def q3_shipping(sf_dir: str) -> pd.DataFrame:
                 "o_orderpriority"]].reset_index(drop=True)
 
 
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q10-shaped composite: revenue from returned items per
+    customer — two big⨝big sort-merge joins (lineitem⨝orders on
+    orderkey, then grouped revenue⨝customer on custkey), a broadcast
+    nation lookup, and a per-block top-20 so the driver merges k rows
+    per block. Filters are applied in the map tasks before the first
+    exchange (only R-flag lineitems and one order-date quarter ship)."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.referential import broadcast_lookup_join
+    import ray.data as rd
+
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-04-01"), pa.timestamp("us"))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(sub["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), sub["l_discount"]))
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "revenue": pc.cast(rev, pa.float64())})
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=131072)
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                          ["revenue"], ["o_custkey"], rows_hint=hint)
+    inner, edge = sorted_groupby(j, ["o_custkey"],
+                                 [("revenue", "sum", "revenue")])
+    rev = inner
+    if edge is not None and edge.num_rows:
+        rev = rev.union(rd.from_arrow(edge))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    hint2 = cust.count() * 2
+    j2 = sorted_merge_join(rev, cust, "o_custkey", "c_custkey",
+                           ["revenue"], ["c_custkey", "c_name",
+                                         "c_acctbal", "c_nationkey"],
+                           rows_hint=hint2)
+    dim = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    enriched = broadcast_lookup_join(j2, "c_nationkey", dim,
+                                     "n_nationkey", ["n_name"])
+
+    # per-block rounded top-20 before the driver (q3's _topk pattern)
+    def _topk(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                         pc.round(t["revenue"], 2))
+        idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                            ("c_custkey", "ascending")])
+        return t.take(idx.slice(0, 20))
+
+    parts = enriched.map_batches(_topk, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+    parts["revenue"] = parts["revenue"].round(2)
+    out = parts.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True]).head(20)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal",
+                "n_name"]].reset_index(drop=True)
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q18-shaped composite (HAVING-subquery semi join): orders
+    whose total lineitem quantity exceeds 200 — one grouped-sum exchange
+    with the HAVING filter applied inside the post-exchange map tasks
+    (only qualifying keys survive), then two big⨝big sort-merge joins
+    (orders for the header columns, customer for the name) and a
+    per-block top-100 by total price."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    inner, edge = sorted_groupby(li, ["l_orderkey"],
+                                 [("l_quantity", "sum", "sum_qty")])
+
+    def _having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum_qty"], pa.scalar(200.0)))
+
+    qual = inner.map_batches(_having, batch_format="pyarrow",
+                             batch_size=None)
+    if edge is not None and edge.num_rows:
+        qual = qual.union(rd.from_arrow(_having(edge)))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    hint = orders.count() * 2
+    j1 = sorted_merge_join(qual, orders, "l_orderkey", "o_orderkey",
+                           ["sum_qty"],
+                           ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"], rows_hint=hint)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    hint2 = cust.count() * 2
+    j2 = sorted_merge_join(j1, cust, "o_custkey", "c_custkey",
+                           ["o_orderkey", "o_orderdate", "o_totalprice",
+                            "sum_qty"], ["c_custkey", "c_name"],
+                           rows_hint=hint2)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx.slice(0, 100))
+
+    parts = j2.map_batches(_topk, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(100)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    for c in ("o_orderkey", "c_custkey"):
+        out[c] = out[c].astype("int64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
 def _distinct_event_users(sf_dir: str):
     """Deduped event user_ids as a Dataset — big-side key dedup via one
     sorted_groupby exchange (the build side of the semi/anti joins;
@@ -1736,6 +1865,31 @@ ORACLE: dict[str, str] = {
         ) <= 3
         ORDER BY o_orderpriority, o_orderkey
     """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 200)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
     "custkeys_intersect": """
         SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
         INTERSECT
@@ -1964,6 +2118,8 @@ QUERIES = {
     "custkeys_intersect": q_custkeys_intersect,
     "custkeys_except": q_custkeys_except,
     "stratified_orders": q_stratified_orders,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,
