@@ -643,6 +643,82 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
                 "n_name"]].reset_index(drop=True)
 
 
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q5-shaped composite: revenue per nation where the ordering
+    customer and the line's supplier share a nation — one big⨝big
+    sort-merge join (lineitem⨝filtered orders on orderkey) + TWO
+    broadcast dimension lookups (customer→nation, supplier→nation; at
+    10^9-customer scale the customer lookup graduates to a second merge
+    join — the supplier side stays a broadcast) + a 25-group partial
+    aggregation. Revenue is computed in exact integer 10^-4 units
+    (cents × cents) on BOTH sides, so the distributed sum is
+    association-free and hash-identical to the SQL twin."""
+    import ray.data as rd
+
+    from ..stages.referential import broadcast_lookup_join
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=131072)
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    from ..stages.merge_join import sorted_merge_join
+
+    j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                          ["l_suppkey", "rev4"], ["o_custkey"],
+                          rows_hint=hint)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(j, "o_custkey", cust, "c_custkey",
+                              ["c_nationkey"])
+    j = broadcast_lookup_join(j, "l_suppkey", supp, "s_suppkey",
+                              ["s_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.equal(batch["c_nationkey"], batch["s_nationkey"]), False)
+        sub = batch.filter(keep)
+        g = sub.group_by(["s_nationkey"], use_threads=False).aggregate(
+            [("rev4", "sum")])
+        return g.rename_columns(
+            ["rev4" if c == "rev4_sum" else c for c in g.column_names])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    agg = parts.groupby("s_nationkey", as_index=False)["rev4"].sum()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out["revenue"] = (out["rev4"] / 10000.0).round(2)
+    out = out.sort_values(["revenue", "n_name"], ascending=[False, True])
+    return out[["n_name", "revenue"]].reset_index(drop=True)
+
+
 def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q18-shaped composite (HAVING-subquery semi join): orders
     whose total lineitem quantity exceeds 200 — one grouped-sum exchange
@@ -1865,6 +1941,25 @@ ORACLE: dict[str, str] = {
         ) <= 3
         ORDER BY o_orderpriority, o_orderkey
     """,
+    # revenue in exact integer 10^-4 units on both sides: the 2dp price
+    # and 2dp discount factors are recast to integer cents before the
+    # multiply, so the grouped sum is association-free (bit-identical
+    # under any distribution) — ROUND(SUM(price*(1-disc)),2) in exact
+    # decimal arithmetic
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                     / 10000.0, 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
     "q18_large_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -2120,6 +2215,7 @@ QUERIES = {
     "stratified_orders": q_stratified_orders,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "q3_shipping": q3_shipping,
