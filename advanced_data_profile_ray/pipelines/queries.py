@@ -1024,6 +1024,26 @@ def q_rolling_spend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_event_lag(sf_dir: str) -> pd.DataFrame:
+    """Per-row LAG (window family): each event's PREVIOUS same-user
+    event timestamp, null for a user's first event — SQL LAG() OVER
+    twin (stages.window.lag_values; O(blocks) boundary stitch)."""
+    from ..stages.window import lag_values
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"]})
+
+    out = lag_values(ds.map_batches(_us, batch_format="pyarrow"),
+                     "user_id", ["ts_us", "event_id"], "ts_us",
+                     "event_id").to_pandas()
+    out = out.rename(columns={"id": "event_id", "prev": "prev_us"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_type_pivot(sf_dir: str) -> pd.DataFrame:
     """Daily event-type crosstab — pivot COUNT (§2.6 extension,
     fast_ops.pivoted_counts): one row per day, one count column per
@@ -2034,6 +2054,12 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    "event_lag": """
+        SELECT event_id,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events ORDER BY event_id
+    """,
     "events_type_pivot": """
         SELECT date_trunc('day', ts) AS day,
                COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -2204,6 +2230,7 @@ QUERIES = {
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,
     "events_type_pivot": q_events_type_pivot,
+    "event_lag": q_event_lag,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,

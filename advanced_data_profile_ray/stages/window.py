@@ -176,6 +176,78 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def lag_values(ds, part_col: str, order_keys: list, val_col: str,
+               id_col: str):
+    """Per-row LAG: for every row, the ``val_col`` of the PREVIOUS row
+    of its partition under ``order_keys`` (null for each partition's
+    first row) — SQL ``LAG(val) OVER (PARTITION BY part ORDER BY
+    order_keys)``. ``order_keys`` should end in a unique tiebreaker.
+
+    Distributed shape: ONE sort; within a block every row's lag is a
+    vectorized shift masked at run starts. Only each block's ROW ZERO
+    can depend on another block (its predecessor is the previous block's
+    last row when both belong to one partition), so blocks ship exactly
+    one (first_key, first_id, last_key, last_val) tuple and the driver
+    resolves the B boundary rows with a linear scan — O(blocks) driver
+    traffic. Returns a Dataset of (id, prev) rows.
+    """
+    import ray
+    import ray.data as rd
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [("id", pa.int64()), ("prev", pa.int64())]).empty_table())
+    base = s.schema().base_schema
+    id_t = base.field(id_col).type
+    val_t = base.field(val_col).type
+    out_schema = pa.schema([("id", id_t), ("prev", val_t)])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        # returns (inner rows except row 0, boundary info)
+        if block.num_rows == 0:
+            return out_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, _ = _run_bounds(k)
+        vals = block[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        n = block.num_rows
+        # previous-row value, nulled at run starts; row 0 handled by the
+        # driver carry (its run start already nulls it locally, and the
+        # boundary fix-up replaces it when the partition continues)
+        idx = np.arange(n, dtype=np.int64) - 1
+        mask = np.zeros(n, dtype=bool)
+        mask[starts] = True
+        idx[mask] = 0
+        prev = vals.take(pa.array(np.where(mask, np.zeros(n, np.int64), idx),
+                                  pa.int64()))
+        prev = pc.if_else(pa.array(~mask), prev, pa.nulls(n, val_t))
+        inner = pa.table({"id": block[id_col].slice(1),
+                          "prev": prev.slice(1)})
+        info = (k[0], block[id_col][0].as_py(), k[-1], vals[-1])
+        return inner, info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    # driver boundary scan: block b's row 0 lags the previous NONEMPTY
+    # block's last value when the partition continues across the gap
+    ids, prevs = [], []
+    last_key, last_val = object(), None
+    for info in infos:
+        if info is None:
+            continue
+        first_k, first_id, lk, lv = info
+        ids.append(first_id)
+        prevs.append(last_val.as_py() if first_k == last_key else None)
+        last_key, last_val = lk, lv
+    edge = pa.table({"id": pa.array(ids, id_t),
+                     "prev": pa.array(prevs, val_t)})
+    return rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
+
+
 def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int):
     """ROWS-framed rolling aggregate: per row, the sum and count of the

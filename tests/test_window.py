@@ -306,3 +306,26 @@ def test_rolling_sum_rows_deep_tail_reach(ray_session):
     assert (out["roll_sum"].to_numpy() == expect).all()
     assert (out["n_win"].to_numpy()
             == np.minimum(np.arange(n) + 1, k)).all()
+
+
+def test_lag_values_matches_duckdb(ray_session):
+    """Per-row LAG vs the SQL window twin, including a hot partition
+    spanning many blocks and single-row partitions."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import lag_values
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    part = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 60, n))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = lag_values(rd.from_arrow(t).repartition(19), "g", ["o", "rid"],
+                     "o", "rid").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT rid AS id, LAG(o) OVER (PARTITION BY g ORDER BY o, rid) AS prev
+        FROM t ORDER BY id
+    """).fetch_df()
+    got = out.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
