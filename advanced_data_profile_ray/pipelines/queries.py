@@ -1162,6 +1162,45 @@ def q_docs_tokens(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(_tok, batch_format="pandas")
 
 
+def q_doc_packing(sf_dir: str) -> pd.DataFrame:
+    """GPT-style concat-and-chunk sequence packing (training-data op):
+    documents in doc_id order are conceptually concatenated and split
+    into fixed 2048-token packs; each doc reports the packs its tokens
+    land in — pack_first = (cum - n) // B and pack_last = (cum - 1) // B
+    over the GLOBAL running token sum (stages.window.running_sum with a
+    constant partition: the O(blocks) driver carry chains through every
+    block while the blocks themselves number in parallel)."""
+    from ..stages.window import running_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), 0),
+            pa.int64())
+        return pa.table({
+            "part": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": n,
+        })
+
+    toks = ds.map_batches(_tok, batch_format="pyarrow")
+    rs = running_sum(toks, "part", ["doc_id"], "n_tokens", out_col="cum")
+
+    def _packs(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy()
+        n = t["n_tokens"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "pack_first": pa.array((cum - n) // 2048, pa.int64()),
+            "pack_last": pa.array((cum - 1) // 2048, pa.int64()),
+        })
+
+    out = rs.map_batches(_packs, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # correlation
 
@@ -1837,6 +1876,22 @@ ORACLE: dict[str, str] = {
     "dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
     ),
+    "doc_packing": """
+        WITH tok AS (
+          SELECT doc_id,
+                 COALESCE(CAST(LENGTH(regexp_extract_all(text, '\\S+'))
+                               AS BIGINT), 0) AS n_tokens
+          FROM documents),
+        w AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok)
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // 2048 AS pack_first,
+               (cum - 1) // 2048 AS pack_last
+        FROM w ORDER BY doc_id
+    """,
     "docs_tokens": """
         SELECT doc_id,
                CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,
@@ -2217,6 +2272,7 @@ QUERIES = {
     "docs_stats": q_docs_stats,
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,
+    "doc_packing": q_doc_packing,
     "corr_lineitem": q_corr_lineitem,
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
