@@ -1024,6 +1024,34 @@ def q_rolling_spend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_order_rank(sf_dir: str) -> pd.DataFrame:
+    """Tie-aware RANK within partition (window family): orders ranked
+    by total price within their status — SQL RANK() twin
+    (stages.window.rank_within; cross-block carry keeps a straddling
+    value run's original rank)."""
+    from ..stages.window import rank_within
+
+    out = rank_within(_read(sf_dir, "orders",
+                            ["o_orderstatus", "o_totalprice", "o_orderkey"]),
+                      "o_orderstatus", "o_totalprice",
+                      "o_orderkey").to_pandas()
+    out = out.rename(columns={"id": "o_orderkey", "rank": "rnk"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_order_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK variant of q_order_rank (distinct-value numbering
+    carried across blocks)."""
+    from ..stages.window import rank_within
+
+    out = rank_within(_read(sf_dir, "orders",
+                            ["o_orderstatus", "o_totalprice", "o_orderkey"]),
+                      "o_orderstatus", "o_totalprice", "o_orderkey",
+                      dense=True).to_pandas()
+    out = out.rename(columns={"id": "o_orderkey", "dense_rank": "rnk"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_event_lag(sf_dir: str) -> pd.DataFrame:
     """Per-row LAG (window family): each event's PREVIOUS same-user
     event timestamp, null for a user's first event — SQL LAG() OVER
@@ -2109,6 +2137,18 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    "order_rank": """
+        SELECT o_orderkey,
+               RANK() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS rnk
+        FROM orders ORDER BY o_orderkey
+    """,
+    "order_dense_rank": """
+        SELECT o_orderkey,
+               DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS rnk
+        FROM orders ORDER BY o_orderkey
+    """,
     "event_lag": """
         SELECT event_id,
                LAG(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -2287,6 +2327,8 @@ QUERIES = {
     "rolling_spend": q_rolling_spend,
     "events_type_pivot": q_events_type_pivot,
     "event_lag": q_event_lag,
+    "order_rank": q_order_rank,
+    "order_dense_rank": q_order_dense_rank,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,

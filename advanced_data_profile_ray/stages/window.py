@@ -176,6 +176,120 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def rank_within(ds, part_col: str, order_col: str, id_col: str,
+                dense: bool = False):
+    """SQL ``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY part ORDER BY
+    order_col)`` as a distributed operator. Unlike ROW_NUMBER, ranks are
+    TIE-AWARE, so the cross-block carry tracks three quantities per open
+    partition: rows seen, distinct values seen, and the global rank of
+    the still-open value run (a value run straddling a block boundary
+    must keep its start's rank).
+
+    Shape: ONE sort by (part, order); per block, ranks come vectorized
+    from the value-run boundaries inside each partition run; the driver
+    then scans O(blocks) boundary tuples and hands each block a
+    (row_offset, dense_offset, open-run rank) triple for its first
+    partition segment. Returns a Dataset of (id, rank) rows.
+    """
+    import ray
+    import ray.data as rd
+
+    s = ds.sort([part_col, order_col]).materialize()
+    refs = s.to_arrow_refs()
+    out_name = "dense_rank" if dense else "rank"
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [("id", pa.int64()), (out_name, pa.int64())]).empty_table())
+    base = s.schema().base_schema
+    id_t = base.field(id_col).type
+    out_schema = pa.schema([("id", id_t), (out_name, pa.int64())])
+
+    @ray.remote
+    def _bounds(block: pa.Table):
+        """(first_key, first_val, last_key, last_val, rows_first_seg,
+        rows_last_seg, distinct_first_seg, distinct_last_seg,
+        rows_before_last_vrun_in_last_seg, single_run)"""
+        if block.num_rows == 0:
+            return None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[order_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        a0, b0 = int(starts[0]), int(starts[0] + widths[0])
+        al, bl = int(starts[-1]), int(starts[-1] + widths[-1])
+        vs0, _ = _run_bounds(v[a0:b0])
+        vsl, vwl = _run_bounds(v[al:bl])
+        return (k[0], v[a0], k[-1], v[bl - 1], b0 - a0, bl - al,
+                int(vs0.size), int(vsl.size), int(vsl[-1]),
+                starts.size == 1)
+
+    @ray.remote
+    def _rank(block: pa.Table, row_off: int, dense_off: int, open_rank):
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[order_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        n = block.num_rows
+        out = np.empty(n, np.int64)
+        for r in range(starts.size):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            vs, vw = _run_bounds(v[a:b])
+            if dense:
+                seg = np.repeat(np.arange(1, vs.size + 1), vw)
+            else:
+                seg = np.repeat(vs + 1, vw)
+            if r == 0:
+                if dense:
+                    seg = seg + dense_off
+                else:
+                    seg = seg + row_off
+                if open_rank is not None and vw.size:
+                    # the first value run continues one from earlier
+                    # blocks: keep that run's original rank
+                    seg[: vw[0]] = open_rank
+            out[a:b] = seg
+        return pa.table({"id": block[id_col],
+                         out_name: pa.array(out, pa.int64())})
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    # driver scan: per open partition carry (part, rows_so_far,
+    # distinct_so_far, rank_of_open_value_run, last_val)
+    adjust = []
+    carry = None  # (part, n_rows, n_distinct, open_rank, last_val)
+    for info in infos:
+        if info is None:
+            adjust.append((0, 0, None))
+            continue
+        (fk, fv, lk, lv, n_first, n_last, d_first, d_last,
+         m_last, single) = info
+        if carry is not None and carry[0] == fk:
+            tie = fv == carry[4]
+            row_off = carry[1]
+            dense_off = carry[2] - (1 if tie else 0)
+            open_rank = carry[3] if tie else None
+        else:
+            tie, row_off, dense_off, open_rank = False, 0, 0, None
+        adjust.append((row_off, dense_off, open_rank))
+        # update the carry for the partition left open at the block end
+        if single:
+            n_rows2 = row_off + n_first
+            n_dist2 = dense_off + d_first
+            if tie and d_first == 1:
+                open2 = open_rank  # the whole block is one value run
+            elif dense:
+                open2 = n_dist2
+            else:
+                open2 = row_off + m_last + 1
+        else:
+            n_rows2 = n_last
+            n_dist2 = d_last
+            open2 = n_dist2 if dense else m_last + 1
+        carry = (lk, n_rows2, n_dist2, open2, lv)
+    out_refs = [_rank.remote(r, ro, do, orank)
+                for r, (ro, do, orank) in zip(refs, adjust)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def lag_values(ds, part_col: str, order_keys: list, val_col: str,
                id_col: str):
     """Per-row LAG: for every row, the ``val_col`` of the PREVIOUS row

@@ -3,6 +3,7 @@ forced across block boundaries."""
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 
@@ -325,6 +326,34 @@ def test_lag_values_matches_duckdb(ray_session):
                      "o", "rid").to_pandas()
     want = duckdb.connect().execute("""
         SELECT rid AS id, LAG(o) OVER (PARTITION BY g ORDER BY o, rid) AS prev
+        FROM t ORDER BY id
+    """).fetch_df()
+    got = out.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_rank_within_matches_duckdb(ray_session, dense):
+    """RANK/DENSE_RANK vs SQL with heavy ties: order values drawn from a
+    5-value set so value runs straddle many block boundaries, plus a hot
+    partition spanning most blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import rank_within
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    part = np.where(rng.random(n) < 0.5, 2, rng.integers(0, 12, n))
+    val = rng.integers(0, 5, n)  # few distinct values → long tie runs
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "v": pa.array(val, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = rank_within(rd.from_arrow(t).repartition(27), "g", "v", "rid",
+                      dense=dense).to_pandas()
+    fn = "DENSE_RANK" if dense else "RANK"
+    col = "dense_rank" if dense else "rank"
+    want = duckdb.connect().execute(f"""
+        SELECT rid AS id, {fn}() OVER (PARTITION BY g ORDER BY v) AS "{col}"
         FROM t ORDER BY id
     """).fetch_df()
     got = out.sort_values("id").reset_index(drop=True)
