@@ -585,11 +585,17 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     hi = pa.scalar(pd.Timestamp("1997-04-01"), pa.timestamp("us"))
 
     def _li(batch: pa.Table) -> pa.Table:
+        # exact integer 10^-4 revenue units (see q5): float sums round
+        # half-even while the SQL twin rounds half-away, and exact
+        # half-cent group sums DO occur in this data
         sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        rev = pc.multiply(sub["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), sub["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(sub["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), sub["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"l_orderkey": sub["l_orderkey"],
-                         "revenue": pc.cast(rev, pa.float64())})
+                         "rev4": pc.multiply(cents, disc)})
 
     def _ord(batch: pa.Table) -> pa.Table:
         d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
@@ -606,9 +612,9 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
             + _read(sf_dir, "orders", ["o_orderkey"]).count())
     j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
-                          ["revenue"], ["o_custkey"], rows_hint=hint)
+                          ["rev4"], ["o_custkey"], rows_hint=hint)
     inner, edge = sorted_groupby(j, ["o_custkey"],
-                                 [("revenue", "sum", "revenue")])
+                                 [("rev4", "sum", "rev4")])
     rev = inner
     if edge is not None and edge.num_rows:
         rev = rev.union(rd.from_arrow(edge))
@@ -617,25 +623,28 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
                  ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     hint2 = cust.count() * 2
     j2 = sorted_merge_join(rev, cust, "o_custkey", "c_custkey",
-                           ["revenue"], ["c_custkey", "c_name",
-                                         "c_acctbal", "c_nationkey"],
+                           ["rev4"], ["c_custkey", "c_name",
+                                      "c_acctbal", "c_nationkey"],
                            rows_hint=hint2)
     dim = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
     enriched = broadcast_lookup_join(j2, "c_nationkey", dim,
                                      "n_nationkey", ["n_name"])
 
-    # per-block rounded top-20 before the driver (q3's _topk pattern)
+    # per-block top-20 ON THE 2DP-ROUNDED value (q3's _topk lesson) —
+    # rounding is exact integer half-away on the 10^-4-unit sums
     def _topk(t: pa.Table) -> pa.Table:
-        t = t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                         pc.round(t["revenue"], 2))
+        import numpy as np
+
+        cents = (t["rev4"].to_numpy() + 50) // 100
+        t = t.drop_columns(["rev4"]).append_column(
+            "revenue", pa.array(cents / 100.0, pa.float64()))
         idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
                                             ("c_custkey", "ascending")])
         return t.take(idx.slice(0, 20))
 
     parts = enriched.map_batches(_topk, batch_format="pyarrow",
                                  batch_size=None).to_pandas()
-    parts["revenue"] = parts["revenue"].round(2)
     out = parts.sort_values(["revenue", "c_custkey"],
                             ascending=[False, True]).head(20)
     out["c_custkey"] = out["c_custkey"].astype("int64")
@@ -714,7 +723,10 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"]).to_pandas()
     out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-    out["revenue"] = (out["rev4"] / 10000.0).round(2)
+    # 2dp rounding in EXACT integer arithmetic (half away from zero on
+    # the 10^-4-unit sum) — float .round() is half-even and flips on
+    # exact half-cent sums, which this data does hit
+    out["revenue"] = ((out["rev4"] + 50) // 100) / 100.0
     out = out.sort_values(["revenue", "n_name"], ascending=[False, True])
     return out[["n_name", "revenue"]].reset_index(drop=True)
 
@@ -2051,9 +2063,9 @@ ORACLE: dict[str, str] = {
     # decimal arithmetic
     "q5_local_supplier_volume": """
         SELECT n_name,
-               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                         * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
-                     / 10000.0, 2) AS revenue
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                 + 50) // 100) / 100.0 AS revenue
         FROM customer, orders, lineitem, supplier, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2077,7 +2089,9 @@ ORACLE: dict[str, str] = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                 + 50) // 100) / 100.0 AS revenue,
                c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
