@@ -1064,6 +1064,55 @@ def q_order_dense_rank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(day, event_type) — the multi-level aggregate
+    computed from ONE exchange: the finest (day, type) counts come from
+    the distributed sorted_groupby; the (day) and grand-total levels are
+    derived from those partials with an arrow group_by on the already-
+    aggregated result (days × types rows — ~10^5 at 100 TB, never the
+    data), so no second scan and no second shuffle."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    inner, edge = sorted_groupby(ds.map_batches(_day, batch_format="pyarrow"),
+                                 ["day", "event_type"],
+                                 [(None, "count_all", "n")])
+    fine = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        fine = pd.concat([fine, edge.to_pandas()], ignore_index=True)
+    per_day = fine.groupby("day", as_index=False)["n"].sum()
+    per_day["event_type"] = None
+    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, per_day[["day", "event_type", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "event_type"],
+                           na_position="last").reset_index(drop=True)
+
+
+def q_keys_union(sf_dir: str) -> pd.DataFrame:
+    """Set op UNION (distinct) by composition: all keys appearing as an
+    order customer OR an event user — Dataset.union of the two key
+    columns, then ONE distinct exchange (fast_ops.distinct_values)."""
+    from ..stages.fast_ops import distinct_values
+
+    o = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+    e = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+    out = distinct_values(o.union(e), "k").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
 def q_event_lag(sf_dir: str) -> pd.DataFrame:
     """Per-row LAG (window family): each event's PREVIOUS same-user
     event timestamp, null for a user's first event — SQL LAG() OVER
@@ -2151,6 +2200,18 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    "events_rollup": """
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        ORDER BY day NULLS LAST, event_type NULLS LAST
+    """,
+    "keys_union": """
+        SELECT o_custkey AS k FROM orders
+        UNION
+        SELECT user_id FROM events
+        ORDER BY k
+    """,
     "order_rank": """
         SELECT o_orderkey,
                RANK() OVER (PARTITION BY o_orderstatus
@@ -2343,6 +2404,8 @@ QUERIES = {
     "event_lag": q_event_lag,
     "order_rank": q_order_rank,
     "order_dense_rank": q_order_dense_rank,
+    "events_rollup": q_events_rollup,
+    "keys_union": q_keys_union,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,
