@@ -224,30 +224,34 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
 
     @ray.remote
     def _rank(block: pa.Table, row_off: int, dense_off: int, open_rank):
+        # fully vectorized over ALL partition runs in the block: value
+        # runs are the joint (part, value) change points; rank = row
+        # distance from the value-run start to the partition start + 1,
+        # dense = value-run ordinal within the partition — no per-run
+        # Python even when a block holds thousands of tiny partitions
         if block.num_rows == 0:
             return out_schema.empty_table()
         k = block[part_col].to_numpy(zero_copy_only=False)
         v = block[order_col].to_numpy(zero_copy_only=False)
-        starts, widths = _run_bounds(k)
         n = block.num_rows
-        out = np.empty(n, np.int64)
-        for r in range(starts.size):
-            a, b = int(starts[r]), int(starts[r] + widths[r])
-            vs, vw = _run_bounds(v[a:b])
-            if dense:
-                seg = np.repeat(np.arange(1, vs.size + 1), vw)
-            else:
-                seg = np.repeat(vs + 1, vw)
-            if r == 0:
-                if dense:
-                    seg = seg + dense_off
-                else:
-                    seg = seg + row_off
-                if open_rank is not None and vw.size:
-                    # the first value run continues one from earlier
-                    # blocks: keep that run's original rank
-                    seg[: vw[0]] = open_rank
-            out[a:b] = seg
+        from .fast_ops import run_bounds_cols
+
+        p_starts, p_widths = _run_bounds(k)
+        c_starts, c_widths = run_bounds_cols([k, v])
+        p_start_row = np.repeat(p_starts, p_widths)
+        c_start_row = np.repeat(c_starts, c_widths)
+        if dense:
+            c_ord = np.repeat(np.arange(c_starts.size, dtype=np.int64),
+                              c_widths)
+            # c-run ordinal at each partition start, spread per row
+            c_ord_at_pstart = c_ord[p_start_row]
+            out = c_ord - c_ord_at_pstart + 1
+            out[: p_widths[0]] += dense_off
+        else:
+            out = c_start_row - p_start_row + 1
+            out[: p_widths[0]] += row_off
+        if open_rank is not None:
+            out[: c_widths[0]] = open_rank
         return pa.table({"id": block[id_col],
                          out_name: pa.array(out, pa.int64())})
 
