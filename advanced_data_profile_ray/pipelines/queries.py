@@ -1064,6 +1064,38 @@ def q_order_dense_rank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_props_json_sum(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (§2.8): pull the integer field ``k``
+    out of the JSON ``props`` column with the VECTORIZED Arrow regex
+    kernel (pc.extract_regex — no per-row json.loads) and aggregate per
+    event type; DuckDB's json_extract is the twin. The regex path is the
+    scale-correct shape for fixed-schema extraction; a full JSON parse
+    belongs in an actor stage only when the schema is dynamic."""
+    from ..stages.fast_ops import sorted_groupby
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def _extract(t: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<val>-?\d+)')
+        val = pc.cast(pc.struct_field(hit, "val"), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.fill_null(val, 0),
+                         "has_k": pc.cast(val.is_valid(), pa.int64())})
+
+    ex = ds.map_batches(_extract, batch_format="pyarrow")
+    inner, edge = sorted_groupby(ex, ["event_type"],
+                                 [("k", "sum", "sum_k"),
+                                  ("has_k", "sum", "n_with_k")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge))
+    df = out.to_pandas()
+    for c in ("sum_k", "n_with_k"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP(day, event_type) — the multi-level aggregate
     computed from ONE exchange: the finest (day, type) counts come from
@@ -2200,6 +2232,13 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    "props_json_sum": """
+        SELECT event_type,
+               SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT), 0)) AS sum_k,
+               COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "events_rollup": """
         SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
         FROM events
@@ -2406,6 +2445,7 @@ QUERIES = {
     "order_dense_rank": q_order_dense_rank,
     "events_rollup": q_events_rollup,
     "keys_union": q_keys_union,
+    "props_json_sum": q_props_json_sum,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,
