@@ -1145,6 +1145,23 @@ def q_keys_union(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_order_quartile_tiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) within partition (window family): orders bucketed into
+    price quartiles per status — the driver's bounds scan supplies both
+    the row-number carry AND the full size of edge-straddling partitions
+    (NTILE hands remainder rows to leading buckets, so sizes must be
+    exact; stages.window.ntile_within)."""
+    from ..stages.window import ntile_within
+
+    out = ntile_within(_read(sf_dir, "orders",
+                             ["o_orderstatus", "o_totalprice",
+                              "o_orderkey"]),
+                       "o_orderstatus", ["o_totalprice", "o_orderkey"],
+                       "o_orderkey", n_buckets=4).to_pandas()
+    out = out.rename(columns={"id": "o_orderkey", "ntile": "tile"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_event_lag(sf_dir: str) -> pd.DataFrame:
     """Per-row LAG (window family): each event's PREVIOUS same-user
     event timestamp, null for a user's first event — SQL LAG() OVER
@@ -2251,6 +2268,12 @@ ORACLE: dict[str, str] = {
         SELECT user_id FROM events
         ORDER BY k
     """,
+    "order_quartile_tiles": """
+        SELECT o_orderkey,
+               NTILE(4) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS tile
+        FROM orders ORDER BY o_orderkey
+    """,
     "order_rank": """
         SELECT o_orderkey,
                RANK() OVER (PARTITION BY o_orderstatus
@@ -2443,6 +2466,7 @@ QUERIES = {
     "event_lag": q_event_lag,
     "order_rank": q_order_rank,
     "order_dense_rank": q_order_dense_rank,
+    "order_quartile_tiles": q_order_quartile_tiles,
     "events_rollup": q_events_rollup,
     "keys_union": q_keys_union,
     "props_json_sum": q_props_json_sum,

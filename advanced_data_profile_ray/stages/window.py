@@ -114,6 +114,81 @@ def row_number_within(ds, partition_key: str, order_keys: list, out_col: str = "
     return rd.from_arrow_refs(out_refs)
 
 
+def ntile_within(ds, part_col: str, order_keys: list, id_col: str,
+                 n_buckets: int):
+    """SQL ``NTILE(n) OVER (PARTITION BY part ORDER BY order_keys)`` as
+    a distributed operator. NTILE needs BOTH the row number and the
+    TOTAL partition size (the remainder rows go to the leading buckets),
+    so the driver's bounds scan — which already yields row-number
+    offsets — additionally accumulates the full size of every partition
+    touching a block edge; interior partitions size locally. O(blocks)
+    driver traffic. Returns a Dataset of (id, ntile) rows.
+    """
+    import ray
+    import ray.data as rd
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.schema(
+            [("id", pa.int64()), ("ntile", pa.int64())]).empty_table())
+    base = s.schema().base_schema
+    id_t = base.field(id_col).type
+    out_schema = pa.schema([("id", id_t), ("ntile", pa.int64())])
+
+    @ray.remote
+    def _bounds(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return (None, None, 0, 0, 0)
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        return (k[0], k[-1], int(widths[0]), int(widths[-1]), n)
+
+    @ray.remote
+    def _tile(block: pa.Table, offset: int, first_total, last_total):
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        rn = _block_row_numbers(k, offset, start=0)
+        sizes_per_run = widths.astype(np.int64).copy()
+        sizes_per_run[0] = first_total
+        sizes_per_run[-1] = last_total
+        sizes = np.repeat(sizes_per_run, widths)
+        q, r = sizes // n_buckets, sizes % n_buckets
+        cut = r * (q + 1)
+        bucket = np.where(rn < cut, rn // np.maximum(q + 1, 1),
+                          r + (rn - cut) // np.maximum(q, 1)) + 1
+        return pa.table({"id": block[id_col],
+                         "ntile": pa.array(bucket, pa.int64())})
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    offsets = _carry_offsets(infos)
+    # full sizes of every partition that touches a block edge: each
+    # block contributes its first/last segment rows (whole block when
+    # single-run) to that partition's key — keys are unique per
+    # partition in sorted data
+    edge_totals: dict = {}
+    for first, last, n_first, n_last, n_total in infos:
+        if first is None:
+            continue
+        if first == last:
+            edge_totals[first] = edge_totals.get(first, 0) + n_total
+        else:
+            edge_totals[first] = edge_totals.get(first, 0) + n_first
+            edge_totals[last] = edge_totals.get(last, 0) + n_last
+    out_refs = []
+    for ref, off, info in zip(refs, offsets, infos):
+        first, last = info[0], info[1]
+        ft = edge_totals.get(first, 0) if first is not None else 0
+        lt = edge_totals.get(last, 0) if last is not None else 0
+        out_refs.append(_tile.remote(ref, off, ft, lt))
+    return rd.from_arrow_refs(out_refs)
+
+
 def running_sum(ds, part_col: str, order_keys: list, val_col: str,
                 out_col: str = "running_sum"):
     """SQL ``SUM(val) OVER (PARTITION BY part ORDER BY order_keys ROWS

@@ -358,3 +358,29 @@ def test_rank_within_matches_duckdb(ray_session, dense):
     """).fetch_df()
     got = out.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ntile_within_matches_duckdb(ray_session):
+    """NTILE(n) vs SQL: remainder rows must land in the LEADING buckets,
+    which requires exact partition sizes even for partitions straddling
+    many blocks — one hot partition + several non-divisible sizes."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import ntile_within
+
+    rng = np.random.default_rng(53)
+    n = 2700
+    part = np.where(rng.random(n) < 0.4, 4, rng.integers(0, 35, n))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    for nb in (3, 7):
+        out = ntile_within(rd.from_arrow(t).repartition(24), "g",
+                           ["o", "rid"], "rid", n_buckets=nb).to_pandas()
+        want = duckdb.connect().execute(f"""
+            SELECT rid AS id, NTILE({nb}) OVER (PARTITION BY g
+              ORDER BY o, rid) AS ntile
+            FROM t ORDER BY id
+        """).fetch_df()
+        got = out.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
