@@ -1064,6 +1064,35 @@ def q_order_dense_rank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """List-column UNNEST aggregate: per-dimension mean over the
+    embedding column — each batch collapses to one (dim, sum, n) partial
+    via the zero-copy flat-buffer matrix gather (dedup._batch_vec_matrix,
+    no row explosion ships anywhere), and the driver folds blocks × dim
+    rows. The SQL twin UNNESTs WITH ORDINALITY."""
+    from .dedup import _batch_vec_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_vec_matrix(t, "vec_id", "embedding")
+        if ids is None:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(1, mat.shape[1] + 1), pa.int64()),
+            "s": pa.array(mat.sum(axis=0, dtype=np.float64), pa.float64()),
+            "n": pa.array(np.full(mat.shape[1], mat.shape[0], np.int64)),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dim", as_index=False).sum()
+    out = pd.DataFrame({"dim": agg["dim"].astype("int64"),
+                        "mean_val": (agg["s"] / agg["n"]).round(6)})
+    return out.sort_values("dim").reset_index(drop=True)
+
+
 def q_props_json_sum(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction (§2.8): pull the integer field ``k``
     out of the JSON ``props`` column with the VECTORIZED Arrow regex
@@ -2249,6 +2278,15 @@ ORACLE: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY o_orderkey
     """,
+    # (this DuckDB lacks WITH ORDINALITY; 1-based list indexing over a
+    # generated dim range is the equivalent unnest-with-position form)
+    "embedding_dim_stats": """
+        WITH dims AS (SELECT UNNEST(range(1,
+            (SELECT MAX(len(embedding)) + 1 FROM embeddings))) AS i)
+        SELECT i AS dim, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+        FROM embeddings, dims WHERE i <= len(embedding)
+        GROUP BY i ORDER BY dim
+    """,
     "props_json_sum": """
         SELECT event_type,
                SUM(COALESCE(CAST(json_extract_string(props, '$.k')
@@ -2470,6 +2508,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "keys_union": q_keys_union,
     "props_json_sum": q_props_json_sum,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "asof_last_event": q_asof_last_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,
