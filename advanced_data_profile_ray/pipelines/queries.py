@@ -1009,6 +1009,31 @@ def _orders_cents(sf_dir: str):
     return ds.map_batches(_cents, batch_format="pyarrow")
 
 
+def q_window_counts_leading(sf_dir: str) -> pd.DataFrame:
+    """LEADING time-range window (RANGE CURRENT ROW .. 1 HOUR FOLLOWING)
+    by composition: windowed_count over NEGATED microsecond timestamps —
+    a trailing window on -t is exactly a leading window on t, equal-ts
+    peers included on both sides. Zero new operator code; the negated
+    int64 column flows through the same sort exchange."""
+    from ..stages.window import windowed_count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _neg(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "neg_us": pc.multiply(us, pa.scalar(-1, pa.int64())),
+                         "event_id": t["event_id"]})
+
+    out = windowed_count(ds.map_batches(_neg, batch_format="pyarrow"),
+                         "user_id", "neg_us", "event_id",
+                         window_us=3_600_000_000).to_pandas()
+    out = out.rename(columns={"id": "event_id", "n_window": "n_next_hour"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_running_spend(sf_dir: str) -> pd.DataFrame:
     """Per-customer running spend — ROWS-framed cumulative window (SQL
     ``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
@@ -2261,6 +2286,13 @@ ORACLE: dict[str, str] = {
          AND e.ts < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """,
+    "window_counts_leading": """
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN CURRENT ROW
+                              AND INTERVAL 1 HOUR FOLLOWING) AS n_next_hour
+        FROM events ORDER BY event_id
+    """,
     "running_spend": """
         SELECT o_orderkey,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
@@ -2498,6 +2530,7 @@ QUERIES = {
     "events_hour_hist": q_events_hour_hist,
     "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
+    "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,
     "events_type_pivot": q_events_type_pivot,
