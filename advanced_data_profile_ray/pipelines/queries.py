@@ -921,6 +921,46 @@ def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery pattern by composition: orders strictly above
+    their OWN customer's average order value — per-customer (sum, n)
+    through one exchange, joined back to orders (big⨝big sort-merge),
+    with the comparison done in exact integer arithmetic
+    (cents·n > sum_cents·1 avoids float-division parity traps)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    cents_ds = _orders_cents(sf_dir)
+    inner, edge = sorted_groupby(cents_ds, ["o_custkey"],
+                                 [("cents", "sum", "sum_cents"),
+                                  (None, "count_all", "n_orders")])
+    per_cust = inner
+    if edge is not None and edge.num_rows:
+        per_cust = per_cust.union(rd.from_arrow(edge))
+    per_cust = per_cust.map_batches(
+        lambda t: t.rename_columns(
+            ["cust_k" if c == "o_custkey" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+    joined = sorted_merge_join(cents_ds, per_cust, "o_custkey", "cust_k",
+                               ["o_orderkey", "o_custkey", "cents"],
+                               ["sum_cents", "n_orders"],
+                               rows_hint=100_000)
+
+    def _above(t: pa.Table) -> pa.Table:
+        # cents > sum/n  ⟺  cents*n > sum (n > 0 always)
+        lhs = pc.multiply(t["cents"], t["n_orders"])
+        return t.filter(pc.greater(lhs, t["sum_cents"])).select(
+            ["o_orderkey", "o_custkey"])
+
+    out = joined.map_batches(_above, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q13_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q13-shaped pipeline exercising the LEFT OUTER big⨝big
     shuffle join: customer ⟕ orders on custkey (customers with no
@@ -2266,6 +2306,19 @@ ORACLE: dict[str, str] = {
         SELECT user_id FROM events WHERE user_id IS NOT NULL
         ORDER BY k
     """,
+    # exact-integer correlated comparison: cents*n > sum_cents is the
+    # float-free form of price > AVG(price) per customer
+    "orders_above_cust_avg": """
+        WITH c AS (
+          SELECT o_custkey AS k,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1)
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o JOIN c ON o.o_custkey = c.k
+        WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * c.n > c.sum_cents
+        ORDER BY o.o_orderkey
+    """,
     "q13_customer_order_counts": """
         SELECT c_count, COUNT(*) AS n_custs FROM (
           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -2547,6 +2600,7 @@ QUERIES = {
     "orders_with_events": q_orders_with_events,
     "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
     "activity_full_outer": q_activity_full_outer,
     "custkeys_intersect": q_custkeys_intersect,
     "custkeys_except": q_custkeys_except,
