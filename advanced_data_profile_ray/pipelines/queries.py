@@ -1276,6 +1276,20 @@ def q_event_lag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_rolling_max_spend(sf_dir: str) -> pd.DataFrame:
+    """Trailing-7-order MAX spend per customer — the MIN/MAX rolling
+    frame kernel (per-run sliding-window view + prefix extrema;
+    stages.window.rolling_agg_rows(agg='max'))."""
+    from ..stages.window import rolling_agg_rows
+
+    out = rolling_agg_rows(_orders_cents(sf_dir), "o_custkey",
+                           ["o_orderdate", "o_orderkey"], "cents",
+                           "o_orderkey", k=7, agg="max").to_pandas()
+    out = out.rename(columns={"id": "o_orderkey",
+                              "roll_max": "max_cents"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_events_type_pivot(sf_dir: str) -> pd.DataFrame:
     """Daily event-type crosstab — pivot COUNT (§2.6 extension,
     fast_ops.pivoted_counts): one row per day, one count column per
@@ -2354,6 +2368,15 @@ ORACLE: dict[str, str] = {
                ) AS run_cents
         FROM orders ORDER BY o_orderkey
     """,
+    "rolling_max_spend": """
+        SELECT o_orderkey,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS max_cents,
+               COUNT(*) OVER w AS n_win
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+    """,
     "rolling_spend": """
         SELECT o_orderkey,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS roll_cents,
@@ -2586,6 +2609,7 @@ QUERIES = {
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,
+    "rolling_max_spend": q_rolling_max_spend,
     "events_type_pivot": q_events_type_pivot,
     "event_lag": q_event_lag,
     "order_rank": q_order_rank,

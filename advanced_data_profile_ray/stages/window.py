@@ -441,36 +441,41 @@ def lag_values(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
 
 
-def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
-                     id_col: str, k: int):
-    """ROWS-framed rolling aggregate: per row, the sum and count of the
-    last ``k`` rows (current included) of its partition — SQL
-    ``SUM(val) OVER (PARTITION BY part ORDER BY order_keys ROWS BETWEEN
-    k-1 PRECEDING AND CURRENT ROW)`` plus the matching ``COUNT(*)``.
-    ``order_keys`` must end in a unique tiebreaker (ROWS framing needs a
-    total order). Exact for integer ``val_col``.
+def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
+                     id_col: str, k: int, agg: str = "sum"):
+    """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min or
+    max) and count of the last ``k`` rows (current included) of its
+    partition — SQL ``SUM/MIN/MAX(val) OVER (PARTITION BY part ORDER BY
+    order_keys ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` plus the
+    matching ``COUNT(*)``. ``order_keys`` must end in a unique
+    tiebreaker (ROWS framing needs a total order). Exact for integer
+    ``val_col``.
 
     Distributed shape (windowed_count's candidate/pool discipline, ROWS
     variant): ONE sort by (part, *order_keys); per block the rolling sum
-    is one global cumsum + a clamped lower-bound gather — zero per-row
-    Python. Rows of the block's FIRST run with fewer than k-1 in-block
-    predecessors ship as CANDIDATES carrying their local sum/count; the
-    LAST run's trailing min(k-1, len) rows ship as POOL. The stitch task
-    walks each partition's shipped rows in (block, position) order and
-    tops up every candidate from the latest ≤ k-1 pool values of earlier
-    blocks — a partition spanning B blocks ships O(B·k) rows, never its
-    data. Returns a Dataset of (id, roll_sum, n_win) rows.
+    is one global cumsum + a clamped lower-bound gather, and min/max use
+    a per-run sliding-window view + prefix extrema. Rows of the block's
+    FIRST run with fewer than k-1 in-block predecessors ship as
+    CANDIDATES carrying their local agg/count; the LAST run's trailing
+    min(k-1, len) rows ship as POOL. The stitch task walks each
+    partition's shipped rows in (block, position) order and combines
+    every candidate with the latest ≤ k-1 pool values of earlier blocks
+    — a partition spanning B blocks ships O(B·k) rows, never its data.
+    Returns a Dataset of (id, roll_<agg>, n_win) rows.
     """
     import ray
     import ray.data as rd
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if agg not in ("sum", "min", "max"):
+        raise ValueError(f"agg must be sum/min/max, got {agg!r}")
+    out_val = f"roll_{agg}"
     s = ds.sort([part_col] + order_keys).materialize()
     refs = s.to_arrow_refs()
     if not refs:
         return rd.from_arrow(pa.schema(
-            [("id", pa.int64()), ("roll_sum", pa.int64()),
+            [("id", pa.int64()), (out_val, pa.int64()),
              ("n_win", pa.int64())]).empty_table())
     base = s.schema().base_schema
     val_t = base.field(val_col).type
@@ -478,7 +483,7 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
     acc_np = np.int64 if is_int else np.float64
     acc_pa = pa.int64() if is_int else pa.float64()
     id_t = base.field(id_col).type
-    out_schema = pa.schema([("id", id_t), ("roll_sum", acc_pa),
+    out_schema = pa.schema([("id", id_t), (out_val, acc_pa),
                             ("n_win", pa.int64())])
     ship_schema = pa.schema([(part_col, base.field(part_col).type),
                              ("__blk", pa.int64()), ("__pos", pa.int64()),
@@ -498,8 +503,25 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
         idx = np.arange(n, dtype=np.int64)
         j = idx - run_start  # local index within the run
         lo = np.maximum(run_start, idx - k + 1)
-        cs = np.cumsum(v)
-        roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        if agg == "sum":
+            cs = np.cumsum(v)
+            roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            ufunc = np.minimum if agg == "min" else np.maximum
+            roll = np.empty(n, v.dtype)
+            for r in range(starts.size):
+                a, b = int(starts[r]), int(starts[r] + widths[r])
+                seg = v[a:b]
+                w = seg.size
+                head = min(k - 1, w)
+                roll[a:a + head] = ufunc.accumulate(seg[:head])
+                if w >= k:
+                    roll[a + k - 1:b] = (
+                        sliding_window_view(seg, k).min(axis=1)
+                        if agg == "min"
+                        else sliding_window_view(seg, k).max(axis=1))
         n_win = idx - lo + 1
         cand = np.zeros(n, dtype=bool)
         a0, b0 = int(starts[0]), int(starts[0] + widths[0])
@@ -510,7 +532,7 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
         keep = ~cand
         inner = pa.table({
             "id": block[id_col].filter(pa.array(keep)),
-            "roll_sum": pa.array(roll[keep].astype(acc_np), acc_pa),
+            out_val: pa.array(roll[keep].astype(acc_np), acc_pa),
             "n_win": pa.array(n_win[keep], pa.int64()),
         })
         ship = cand | pool
@@ -545,7 +567,7 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
         nloc = et["__nloc"].to_numpy()
         j = et["__j"].to_numpy()
         starts, widths = _run_bounds(key)
-        add_sum = np.zeros(v.size, v.dtype)
+        out_agg = nloc.copy()
         add_n = np.zeros(v.size, np.int64)
         for r in range(starts.size):
             a, b = int(starts[r]), int(starts[r] + widths[r])
@@ -554,7 +576,7 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
                 continue
             pi = np.flatnonzero(pool[a:b]) + a  # (blk, pos)-ordered
             pv, pb = v[pi], blk[pi]
-            pcs = np.cumsum(pv)
+            pcs = np.cumsum(pv) if agg == "sum" else None
             for c in ci:
                 m = k - 1 - int(j[c])
                 if m <= 0:
@@ -563,15 +585,19 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
                 take_n = min(m, end)
                 if take_n <= 0:
                     continue
-                add_sum[c] = pcs[end - 1] - (pcs[end - 1 - take_n]
-                                             if end - 1 - take_n >= 0 else 0)
+                if agg == "sum":
+                    out_agg[c] = nloc[c] + pcs[end - 1] - (
+                        pcs[end - 1 - take_n] if end - 1 - take_n >= 0 else 0)
+                else:
+                    tail = pv[end - take_n: end]
+                    out_agg[c] = (min(nloc[c], tail.min()) if agg == "min"
+                                  else max(nloc[c], tail.max()))
                 add_n[c] = take_n
         ci = np.flatnonzero(cand)
         take = pa.array(ci, pa.int64())
         return pa.table({
             "id": et["id"].take(take),
-            "roll_sum": pa.array((nloc[ci] + add_sum[ci]).astype(v.dtype),
-                                 acc_pa),
+            out_val: pa.array(out_agg[ci].astype(v.dtype), acc_pa),
             "n_win": pa.array(j[ci] + 1 + add_n[ci], pa.int64()),
         })
 
@@ -579,6 +605,13 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
     inner_refs = [r[0] for r in results]
     edge_ref = _edge_stitch.remote(*[r[1] for r in results])
     return rd.from_arrow_refs(inner_refs + [edge_ref])
+
+
+def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
+                     id_col: str, k: int):
+    """Back-compat alias: rolling_agg_rows with agg="sum"."""
+    return rolling_agg_rows(ds, part_col, order_keys, val_col, id_col, k,
+                            agg="sum")
 
 
 def windowed_count(ds, part_col: str, ts_col: str, id_col: str,

@@ -384,3 +384,31 @@ def test_ntile_within_matches_duckdb(ray_session):
         """).fetch_df()
         got = out.sort_values("id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("agg", ["min", "max"])
+def test_rolling_agg_minmax_matches_duckdb(ray_session, agg):
+    """Rolling MIN/MAX frames vs SQL: per-run sliding-window kernel plus
+    the cross-block pool combine, hot partition spanning many blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import rolling_agg_rows
+
+    rng = np.random.default_rng(61)
+    n = 2500
+    part = np.where(rng.random(n) < 0.5, 6, rng.integers(0, 20, n))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = rolling_agg_rows(rd.from_arrow(t).repartition(22), "g", ["o"],
+                           "v", "rid", k=6, agg=agg).to_pandas()
+    want = duckdb.connect().execute(f"""
+        SELECT rid AS id, {agg.upper()}(v) OVER w AS roll_{agg},
+               COUNT(*) OVER w AS n_win
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o
+          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        ORDER BY id
+    """).fetch_df()
+    got = out.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
