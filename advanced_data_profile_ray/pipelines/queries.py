@@ -921,6 +921,22 @@ def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_order_linenumbers_agg(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive grouped string concatenation — STRING_AGG(val,
+    ',' ORDER BY ...) twin (fast_ops.grouped_string_agg): interior runs
+    fold to one string per group with a single Arrow binary_join kernel
+    call; edge runs ship ONE pre-joined fragment per block."""
+    from ..stages.fast_ops import grouped_string_agg
+
+    out = grouped_string_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]),
+        ["l_orderkey"], "l_linenumber", ["l_linenumber"],
+        rows_hint=700_000,
+    ).to_pandas()
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
 def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     """Correlated-subquery pattern by composition: orders strictly above
     their OWN customer's average order value — per-customer (sum, n)
@@ -2322,6 +2338,12 @@ ORACLE: dict[str, str] = {
     """,
     # exact-integer correlated comparison: cents*n > sum_cents is the
     # float-free form of price > AVG(price) per customer
+    "order_linenumbers_agg": """
+        SELECT l_orderkey,
+               STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber) AS agg
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
     "orders_above_cust_avg": """
         WITH c AS (
           SELECT o_custkey AS k,
@@ -2625,6 +2647,7 @@ QUERIES = {
     "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "order_linenumbers_agg": q_order_linenumbers_agg,
     "activity_full_outer": q_activity_full_outer,
     "custkeys_intersect": q_custkeys_intersect,
     "custkeys_except": q_custkeys_except,

@@ -534,6 +534,117 @@ def stratified_sample(ds, keys: list, id_col: str, n: int,
                            batch_format="pyarrow")
 
 
+def grouped_string_agg(ds, keys: list, val_col: str, order_keys: list,
+                       sep: str = ",", rows_hint: int | None = None):
+    """Order-sensitive grouped string concatenation — SQL
+    ``STRING_AGG(val, sep ORDER BY order_keys)`` GROUP BY keys. The only
+    order-sensitive grouped REDUCTION in the engine (top-k keeps rows;
+    this folds them), so it rides the sorted-block shape: ONE sort by
+    (keys, order_keys); every run interior to a block folds to a single
+    (keys, joined-string) row vectorized via the Arrow binary-join
+    kernel; the ≤ 2 edge runs per block ship their already-joined
+    FRAGMENTS (one string per block, not their rows) and a tiny task
+    joins fragments in block order.
+
+    Partitioning assumption: per-group concatenated strings are bounded
+    (they are materialized whole — a million-row group makes a
+    million-element string wherever it is computed, including in SQL).
+    Null values are skipped, like STRING_AGG."""
+    import ray
+    import ray.data as rd
+
+    sort_cols = keys + order_keys
+    need = list(dict.fromkeys(sort_cols + [val_col]))
+    s = rightsize_blocks(ds.select_columns(need), rows=rows_hint).sort(
+        sort_cols).materialize()
+    refs = s.to_arrow_refs()
+    base = s.schema().base_schema if refs else None
+    key_types = ([(k, base.field(k).type) for k in keys] if refs
+                 else [(k, pa.int64()) for k in keys])
+    out_schema = pa.schema(key_types + [("agg", pa.string())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    frag_schema = pa.schema(key_types + [("__blk", pa.int64()),
+                                         ("agg", pa.string())])
+
+    def _fold_runs(block, lo, hi, starts, widths):
+        """Fold runs [lo, hi) each to one joined string — ONE ListArray
+        wrap + ONE binary_join kernel call, zero per-run Python."""
+        import numpy as np
+
+        if hi <= lo:
+            return out_schema.empty_table()
+        vals = block[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
+        vmask = vals.is_valid().to_numpy(zero_copy_only=False)
+        cv = np.concatenate([[0], np.cumsum(vmask)])  # valid-count prefix
+        flat = vals.drop_null()
+        sel_starts = starts[lo:hi]
+        end = int(starts[hi - 1] + widths[hi - 1])
+        base_off = int(cv[sel_starts[0]])
+        offsets = np.concatenate([cv[sel_starts], [cv[end]]]) - base_off
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.slice(base_off, int(cv[end]) - base_off))
+        joined = pc.binary_join(la, pa.scalar(sep))
+        take = pa.array(sel_starts, pa.int64())
+        cols = {k: block[k].take(take) for k in keys}
+        cols["agg"] = joined
+        return pa.table(cols).select(out_schema.names)
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table, bno: int):
+        import numpy as np
+
+        if block.num_rows == 0:
+            return out_schema.empty_table(), frag_schema.empty_table()
+        karrs = [block[k].to_numpy(zero_copy_only=False) for k in keys]
+        starts, widths = run_bounds_cols(karrs)
+        n_runs = starts.size
+        inner = _fold_runs(block, 1, n_runs - 1, starts, widths)
+        frags = _fold_runs(block, 0, 1, starts, widths)
+        if n_runs > 1:
+            frags = pa.concat_tables(
+                [frags, _fold_runs(block, n_runs - 1, n_runs, starts, widths)])
+        frags = frags.add_column(
+            len(keys), "__blk",
+            pa.array([bno] * frags.num_rows, pa.int64())).select(
+            frag_schema.names)
+        return inner, frags
+
+    @ray.remote
+    def _stitch(*tables):
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return out_schema.empty_table()
+        et = pa.concat_tables(nonempty).sort_by(
+            [(k, "ascending") for k in keys] + [("__blk", "ascending")])
+        karrs = [et[k].to_numpy(zero_copy_only=False) for k in keys]
+        starts, widths = run_bounds_cols(karrs)
+        import numpy as np
+
+        frag = et["agg"]
+        if isinstance(frag, pa.ChunkedArray):
+            frag = frag.combine_chunks()
+        rows = {k: [] for k in keys}
+        joined = []
+        for r in range(starts.size):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            parts = [p for p in frag.slice(a, b - a).to_pylist() if p != ""]
+            for k, arr in zip(keys, karrs):
+                rows[k].append(arr[a])
+            joined.append(sep.join(parts))
+        cols = {k: pa.array(rows[k], t) for k, t in key_types}
+        cols["agg"] = pa.array(joined, pa.string())
+        return pa.table(cols)
+
+    results = [_block.remote(r, i) for i, r in enumerate(refs)]
+    edge_ref = _stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs([r[0] for r in results] + [edge_ref])
+
+
 def distinct_values(ds, col: str, batch_size: int | None = 65536):
     """Exact distinct values of one column as a Dataset — per-batch
     dedup partials through ONE sorted_groupby exchange (the big-side

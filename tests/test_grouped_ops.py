@@ -184,3 +184,30 @@ def test_pivoted_counts_matches_duckdb(ray_session):
     """).fetch_df()
     got = out.sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    """Order-sensitive STRING_AGG with groups straddling blocks, null
+    values skipped, and string keys."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.fast_ops import grouped_string_agg
+
+    rng = np.random.default_rng(71)
+    n = 1500
+    g = rng.integers(0, 40, n)
+    v = rng.integers(0, 1000, n).astype(object)
+    v[rng.random(n) < 0.05] = None  # STRING_AGG skips nulls
+    o = rng.permutation(n)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "o": pa.array(o, pa.int64())})
+    out = grouped_string_agg(rd.from_arrow(t).repartition(17), ["g"],
+                             "v", ["o"], rows_hint=n).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT g, STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY o) AS agg
+        FROM t GROUP BY g ORDER BY g
+    """).fetch_df()
+    got = out.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
