@@ -1255,6 +1255,26 @@ def q_keys_union(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_order_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK in exact integer micro-units: (rank-1)*10^6 //
+    (n-1), avoiding the float-division rounding coin-flip entirely —
+    rank_within(include_size=True) carries each row's full partition
+    size via the same O(blocks) driver scan."""
+    from ..stages.window import rank_within
+
+    out = rank_within(_read(sf_dir, "orders",
+                            ["o_orderstatus", "o_totalprice",
+                             "o_orderkey"]),
+                      "o_orderstatus", "o_totalprice", "o_orderkey",
+                      include_size=True).to_pandas()
+    rnk = out["rank"].to_numpy()
+    n = out["part_n"].to_numpy()
+    pr = np.where(n > 1, ((rnk - 1) * 1_000_000) // np.maximum(n - 1, 1), 0)
+    res = pd.DataFrame({"o_orderkey": out["id"].astype("int64"),
+                        "pr_micro": pr.astype("int64")})
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_order_quartile_tiles(sf_dir: str) -> pd.DataFrame:
     """NTILE(4) within partition (window family): orders bucketed into
     price quartiles per status — the driver's bounds scan supplies both
@@ -2436,6 +2456,18 @@ ORACLE: dict[str, str] = {
         SELECT user_id FROM events
         ORDER BY k
     """,
+    "order_percent_rank": """
+        SELECT o_orderkey,
+               CASE WHEN cnt > 1
+                    THEN ((rnk - 1) * 1000000) // (cnt - 1)
+                    ELSE 0 END AS pr_micro
+        FROM (SELECT o_orderkey,
+                     RANK() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS rnk,
+                     COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+              FROM orders)
+        ORDER BY o_orderkey
+    """,
     "order_quartile_tiles": """
         SELECT o_orderkey,
                NTILE(4) OVER (PARTITION BY o_orderstatus
@@ -2637,6 +2669,7 @@ QUERIES = {
     "order_rank": q_order_rank,
     "order_dense_rank": q_order_dense_rank,
     "order_quartile_tiles": q_order_quartile_tiles,
+    "order_percent_rank": q_order_percent_rank,
     "events_rollup": q_events_rollup,
     "keys_union": q_keys_union,
     "props_json_sum": q_props_json_sum,

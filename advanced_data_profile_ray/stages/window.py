@@ -252,7 +252,7 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
 
 
 def rank_within(ds, part_col: str, order_col: str, id_col: str,
-                dense: bool = False):
+                dense: bool = False, include_size: bool = False):
     """SQL ``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY part ORDER BY
     order_col)`` as a distributed operator. Unlike ROW_NUMBER, ranks are
     TIE-AWARE, so the cross-block carry tracks three quantities per open
@@ -264,7 +264,10 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
     from the value-run boundaries inside each partition run; the driver
     then scans O(blocks) boundary tuples and hands each block a
     (row_offset, dense_offset, open-run rank) triple for its first
-    partition segment. Returns a Dataset of (id, rank) rows.
+    partition segment. Returns a Dataset of (id, rank) rows; with
+    ``include_size`` every row also carries its partition's TOTAL row
+    count (edge-straddling partitions sized by the same driver scan, the
+    ntile trick) — the building block for PERCENT_RANK.
     """
     import ray
     import ray.data as rd
@@ -272,12 +275,14 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
     s = ds.sort([part_col, order_col]).materialize()
     refs = s.to_arrow_refs()
     out_name = "dense_rank" if dense else "rank"
+    extra = [("part_n", pa.int64())] if include_size else []
     if not refs:
         return rd.from_arrow(pa.schema(
-            [("id", pa.int64()), (out_name, pa.int64())]).empty_table())
+            [("id", pa.int64()), (out_name, pa.int64())]
+            + extra).empty_table())
     base = s.schema().base_schema
     id_t = base.field(id_col).type
-    out_schema = pa.schema([("id", id_t), (out_name, pa.int64())])
+    out_schema = pa.schema([("id", id_t), (out_name, pa.int64())] + extra)
 
     @ray.remote
     def _bounds(block: pa.Table):
@@ -298,7 +303,8 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
                 starts.size == 1)
 
     @ray.remote
-    def _rank(block: pa.Table, row_off: int, dense_off: int, open_rank):
+    def _rank(block: pa.Table, row_off: int, dense_off: int, open_rank,
+              first_total=0, last_total=0):
         # fully vectorized over ALL partition runs in the block: value
         # runs are the joint (part, value) change points; rank = row
         # distance from the value-run start to the partition start + 1,
@@ -327,8 +333,14 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
             out[: p_widths[0]] += row_off
         if open_rank is not None:
             out[: c_widths[0]] = open_rank
-        return pa.table({"id": block[id_col],
-                         out_name: pa.array(out, pa.int64())})
+        cols = {"id": block[id_col], out_name: pa.array(out, pa.int64())}
+        if include_size:
+            sizes_per_run = p_widths.astype(np.int64).copy()
+            sizes_per_run[0] = first_total
+            sizes_per_run[-1] = last_total
+            cols["part_n"] = pa.array(np.repeat(sizes_per_run, p_widths),
+                                      pa.int64())
+        return pa.table(cols)
 
     infos = ray.get([_bounds.remote(r) for r in refs])
     # driver scan: per open partition carry (part, rows_so_far,
@@ -364,8 +376,26 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
             n_dist2 = d_last
             open2 = n_dist2 if dense else m_last + 1
         carry = (lk, n_rows2, n_dist2, open2, lv)
-    out_refs = [_rank.remote(r, ro, do, orank)
-                for r, (ro, do, orank) in zip(refs, adjust)]
+    # full sizes of edge-touching partitions (the ntile accumulation)
+    edge_totals: dict = {}
+    if include_size:
+        for info in infos:
+            if info is None:
+                continue
+            fk, lk = info[0], info[2]
+            n_first, n_last, single = info[4], info[5], info[9]
+            if single:
+                edge_totals[fk] = edge_totals.get(fk, 0) + n_first
+            else:
+                edge_totals[fk] = edge_totals.get(fk, 0) + n_first
+                edge_totals[lk] = edge_totals.get(lk, 0) + n_last
+    out_refs = []
+    for r, (ro, do, orank), info in zip(refs, adjust, infos):
+        ft = lt = 0
+        if include_size and info is not None:
+            ft = edge_totals.get(info[0], 0)
+            lt = edge_totals.get(info[2], 0)
+        out_refs.append(_rank.remote(r, ro, do, orank, ft, lt))
     return rd.from_arrow_refs(out_refs)
 
 
