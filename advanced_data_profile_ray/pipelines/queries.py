@@ -937,6 +937,35 @@ def q_order_linenumbers_agg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_orderkey").reset_index(drop=True)
 
 
+def q_priority_quantity_skewjoin(sf_dir: str) -> pd.DataFrame:
+    """Skew-resilient join exercised on real data: lineitem⨝orders with
+    hot_threshold=4, so orderkeys with ≥5 lineitems take the broadcast
+    sideband (their rows never enter the sort exchange) while the rest
+    take the ordinary merge join — identical result either way, grouped
+    per order priority (stages.merge_join.skew_resilient_join)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import skew_resilient_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hint = li.count() + orders.count()
+    joined = skew_resilient_join(li, orders, "l_orderkey", "o_orderkey",
+                                 ["l_quantity"], ["o_orderpriority"],
+                                 hot_threshold=4, rows_hint=hint)
+    inner, edge = sorted_groupby(joined, ["o_orderpriority"],
+                                 [("l_quantity", "sum", "sum_qty"),
+                                  (None, "count_all", "n_items")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["n_items"] = df["n_items"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     """Correlated-subquery pattern by composition: orders strictly above
     their OWN customer's average order value — per-customer (sum, n)
@@ -2364,6 +2393,13 @@ ORACLE: dict[str, str] = {
                           ORDER BY l_linenumber) AS agg
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """,
+    "priority_quantity_skewjoin": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "orders_above_cust_avg": """
         WITH c AS (
           SELECT o_custkey AS k,
@@ -2680,6 +2716,7 @@ QUERIES = {
     "orders_without_events": q_orders_without_events,
     "q13_customer_order_counts": q13_customer_order_counts,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "priority_quantity_skewjoin": q_priority_quantity_skewjoin,
     "order_linenumbers_agg": q_order_linenumbers_agg,
     "activity_full_outer": q_activity_full_outer,
     "custkeys_intersect": q_custkeys_intersect,

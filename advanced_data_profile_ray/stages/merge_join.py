@@ -287,3 +287,120 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     if how == "full":
         out = out.union(_null_key_rows(right_ds, right_key, right_cols, l_types))
     return out
+
+
+def skew_resilient_join(left_ds, right_ds, left_key: str, right_key: str,
+                        left_cols: list, right_cols: list,
+                        hot_threshold: int = 1024,
+                        rows_hint: int | None = None):
+    """INNER equi-join that stays exact under KEY SKEW — the classic
+    skew-join plan composed from this module's parts:
+
+    1. One cheap key-count pass per side (``sorted_groupby`` over the
+       key column only) finds HOT keys: left count > ``hot_threshold``
+       (with the right side small for those keys — the fact⨝dim skew
+       shape; a key hot on BOTH sides still pair-explodes by definition
+       and keeps the bounded-product cap).
+    2. Right-side rows of hot keys are fetched and BROADCAST once
+       (``ray.put``); hot left rows join MAP-SIDE against them inside
+       their own read tasks — the hot key's millions of rows never enter
+       the sort exchange at all, so no reducer sees the skew.
+    3. Cold keys flow through the ordinary ``sorted_merge_join``.
+    4. Union of both paths.
+
+    Compared to plain ``sorted_merge_join`` (which SKIPS elongated keys
+    by contract), this operator keeps them — it trades one extra
+    key-count exchange for totality under skew."""
+    import ray
+    import ray.data as rd
+
+    import numpy as np
+
+    from .fast_ops import sorted_groupby
+
+    # 1. per-key left counts (skinny exchange over the key column only)
+    inner_c, edge_c = sorted_groupby(
+        left_ds.select_columns([left_key]), [left_key],
+        [(None, "count_all", "n")])
+    hot_parts = inner_c.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
+        batch_format="pyarrow").to_pandas()
+    hot_keys = set(hot_parts[left_key].tolist())
+    if edge_c is not None and edge_c.num_rows:
+        ec = edge_c.to_pandas()
+        hot_keys |= set(ec.loc[ec["n"] > hot_threshold, left_key].tolist())
+    hot_arr = np.sort(np.array(sorted(hot_keys), dtype=np.int64))
+
+    if not hot_keys:
+        return sorted_merge_join(left_ds, right_ds, left_key, right_key,
+                                 left_cols, right_cols,
+                                 rows_hint=rows_hint)
+
+    # 2. broadcast the right-side rows of the hot keys
+    def _right_hot(batch: pa.Table) -> pa.Table:
+        k = batch[right_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hot_arr, k)
+        idx[idx >= hot_arr.size] = 0
+        mask = hot_arr[idx] == k
+        return batch.filter(pa.array(mask)).select(
+            list(dict.fromkeys([right_key] + right_cols)))
+
+    hot_right = pa.concat_tables(
+        [b for b in ray.get(
+            right_ds.select_columns(
+                list(dict.fromkeys([right_key] + right_cols))
+            ).map_batches(_right_hot, batch_format="pyarrow").to_arrow_refs())
+         if b.num_rows])
+    hot_right = hot_right.sort_by([(right_key, "ascending")])
+    hot_ref = ray.put(hot_right)
+    r_schema = right_ds.schema().base_schema
+    r_types = {c: r_schema.field(c).type for c in right_cols}
+
+    # 3a. map-side join of hot left rows against the broadcast
+    def _hot_left_join(batch: pa.Table) -> pa.Table:
+        k = batch[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hot_arr, k)
+        idx[idx >= hot_arr.size] = 0
+        mask = hot_arr[idx] == k
+        sub = batch.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], l_types[c]) for c in left_cols}
+                | {c: pa.array([], r_types[c]) for c in right_cols})
+        rt = ray.get(hot_ref)
+        rk = rt[right_key].to_numpy(zero_copy_only=False)
+        sk = sub[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, sk, side="left")
+        hi = np.searchsorted(rk, sk, side="right")
+        cnt = hi - lo
+        li = np.repeat(np.arange(sub.num_rows), cnt)
+        ri = (np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)])
+              if cnt.sum() else np.array([], np.int64))
+        li_a = pa.array(li, pa.int64())
+        ri_a = pa.array(ri, pa.int64())
+        cols = {c: sub[c].take(li_a) for c in left_cols}
+        cols.update({c: rt[c].take(ri_a) for c in right_cols})
+        return pa.table(cols)
+
+    l_schema = left_ds.schema().base_schema
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+    hot_out = left_ds.select_columns(
+        list(dict.fromkeys([left_key] + left_cols))
+    ).map_batches(_hot_left_join, batch_format="pyarrow")
+
+    # 3b. cold keys through the ordinary sort-merge join
+    def _drop_hot(key_name):
+        def _fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_name].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            idx = np.searchsorted(hot_arr, k)
+            idx[idx >= hot_arr.size] = 0
+            return batch.filter(pa.array(hot_arr[idx] != k))
+
+        return _fn
+
+    cold = sorted_merge_join(
+        left_ds.map_batches(_drop_hot(left_key), batch_format="pyarrow"),
+        right_ds.map_batches(_drop_hot(right_key), batch_format="pyarrow"),
+        left_key, right_key, left_cols, right_cols, rows_hint=rows_hint)
+    return cold.union(hot_out)

@@ -159,3 +159,47 @@ def test_full_outer_join_matches_duckdb(ray_session):
     got = out[key].sort_values(key, na_position="last").reset_index(drop=True)
     want = want[key].sort_values(key, na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_skew_resilient_join_matches_duckdb(ray_session):
+    """A hot key far beyond the merge join's bounded-rows-per-key cap
+    joins exactly via the broadcast sideband; cold keys take the sort
+    path. Plain sorted_merge_join SKIPS the hot key by contract — the
+    skew plan must not."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.merge_join import (
+        skew_resilient_join, sorted_merge_join)
+
+    rng = np.random.default_rng(83)
+    n_hot, n_cold = 30000, 5000
+    lk = np.concatenate([np.full(n_hot, 777), rng.integers(0, 900, n_cold)])
+    left = pa.table({"lk": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(lk.size), pa.int64())})
+    rk = np.concatenate([[777, 777, 777], rng.integers(0, 900, 800)])
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(rk.size) * 7, pa.int64())})
+    out = skew_resilient_join(
+        rd.from_arrow(left).repartition(16), rd.from_arrow(right).repartition(6),
+        "lk", "rk", ["lk", "lv"], ["rv"], hot_threshold=1000,
+        rows_hint=lk.size + rk.size,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("ltab", left.to_pandas())
+    con.register("rtab", right.to_pandas())
+    want = con.execute("""
+        SELECT l.lk, l.lv, r.rv FROM ltab l JOIN rtab r ON l.lk = r.rk
+    """).fetch_df()
+    key = ["lk", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)  # 90k hot pairs + cold pairs, none skipped
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: the plain merge join DOES skip the hot key at these caps
+    plain = sorted_merge_join(
+        rd.from_arrow(left).repartition(16), rd.from_arrow(right).repartition(6),
+        "lk", "rk", ["lk", "lv"], ["rv"],
+        max_pairs_per_key=250_000, rows_hint=lk.size + rk.size,
+    ).to_pandas()
+    assert len(plain) < len(want)
