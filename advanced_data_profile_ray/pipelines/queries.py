@@ -966,6 +966,50 @@ def q_priority_quantity_skewjoin(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_urgent_revenue_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter pre-join pruning (stages/bloom.py): build a Bloom
+    filter over URGENT orderkeys (one bitmap partial per block, OR
+    tree-merge, ray.put broadcast), prune lineitem by it BEFORE the sort
+    exchange (~80% of probe rows never shuffle), then the exact
+    sort-merge join eliminates the Bloom's false positives — result is
+    exact. Aggregates per ship month over the pruned join."""
+    import ray.data as rd
+
+    from ..stages.bloom import bloom_prune, build_bloom
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    bloom_ref = build_bloom(urgent, "o_orderkey", num_bits=1 << 21)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_shipdate"])
+    pruned = bloom_prune(li, "l_orderkey", bloom_ref)
+    # metadata-only counts (raw reads), ~20% of orders are URGENT
+    hint = li.count() // 4 + _read(sf_dir, "orders", ["o_orderkey"]).count() // 4
+    joined = sorted_merge_join(pruned, urgent, "l_orderkey", "o_orderkey",
+                               ["l_quantity", "l_shipdate"],
+                               ["o_orderpriority"], rows_hint=hint)
+
+    def _month(batch: pa.Table) -> pa.Table:
+        ym = pc.strftime(batch["l_shipdate"], format="%Y-%m")
+        return pa.table({"ship_month": ym, "l_quantity": batch["l_quantity"]})
+
+    monthly = joined.map_batches(_month, batch_format="pyarrow")
+    inner, edge = sorted_groupby(monthly, ["ship_month"],
+                                 [("l_quantity", "sum", "sum_qty"),
+                                  (None, "count_all", "n_items")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["n_items"] = df["n_items"].astype("int64")
+    return df.sort_values("ship_month").reset_index(drop=True)
+
+
 def q_orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     """Correlated-subquery pattern by composition: orders strictly above
     their OWN customer's average order value — per-customer (sum, n)
@@ -2400,6 +2444,14 @@ ORACLE: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    "urgent_revenue_bloom": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY 1
+    """,
     "orders_above_cust_avg": """
         WITH c AS (
           SELECT o_custkey AS k,
@@ -2717,6 +2769,7 @@ QUERIES = {
     "q13_customer_order_counts": q13_customer_order_counts,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "priority_quantity_skewjoin": q_priority_quantity_skewjoin,
+    "urgent_revenue_bloom": q_urgent_revenue_bloom,
     "order_linenumbers_agg": q_order_linenumbers_agg,
     "activity_full_outer": q_activity_full_outer,
     "custkeys_intersect": q_custkeys_intersect,
