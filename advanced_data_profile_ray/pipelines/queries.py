@@ -484,6 +484,36 @@ def q_ks_drift(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"ks": round(ks, 6)}])
 
 
+def q_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """PSI drift on a categorical frequency vector (the north-star's
+    'PSI on role-frequency histograms' check, oracled): event_type
+    shares of the late half of the window (current) vs the early half
+    (baseline). Same distributed shape as ks_drift — one scan of
+    per-batch (period, category) counts, PSI on the merged tiny vector
+    (functions.drift.psi_from_counts, zero shares floored at 1e-4)."""
+    from ..functions.drift import psi_from_counts
+
+    cutoff = pa.scalar(pd.Timestamp("2024-01-15"), pa.timestamp("us"))
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        early = pc.cast(pc.less(batch["ts"], cutoff), pa.int8())
+        t = pa.table({"event_type": batch["event_type"], "early": early})
+        g = t.group_by(["event_type", "early"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=131072
+    ).to_pandas()
+    merged = parts.groupby(["early", "event_type"])["n"].sum()
+    baseline = merged.get(1, pd.Series(dtype="int64")).to_dict()
+    current = merged.get(0, pd.Series(dtype="int64")).to_dict()
+    psi = psi_from_counts(current, baseline)
+    return pd.DataFrame([{"psi": round(psi, 6)}])
+
+
 def q3_shipping(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q3-shaped pipeline: the big⨝big SHUFFLE join (lineitem ⨝
     orders on orderkey via stages.merge_join.sorted_merge_join) composed
@@ -1383,6 +1413,76 @@ def q_event_lag(sf_dir: str) -> pd.DataFrame:
                      "event_id").to_pandas()
     out = out.rename(columns={"id": "event_id", "prev": "prev_us"})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_lead(sf_dir: str) -> pd.DataFrame:
+    """Per-row LEAD (window family): each event's NEXT same-user event
+    timestamp, null for a user's last event — SQL LEAD() OVER twin.
+    Implemented as LAG under the REVERSED order (one descending sort,
+    same O(blocks) boundary stitch; stages.window.lag_values)."""
+    from ..stages.window import lag_values
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"]})
+
+    out = lag_values(ds.map_batches(_us, batch_format="pyarrow"),
+                     "user_id", ["ts_us", "event_id"], "ts_us",
+                     "event_id", descending=True).to_pandas()
+    out = out.rename(columns={"id": "event_id", "prev": "next_us"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped argmax (SQL FIRST_VALUE / arg_max semantics): each
+    user's latest event (max ts, ties to the smaller event_id) with its
+    type — oracled via the deterministic ROW_NUMBER twin. Rides the
+    grouped top-k exchange at k=1 (per-block head-of-run take, edge
+    runs stitched in a ray task; stages.fast_ops.grouped_topk)."""
+    from ..stages.fast_ops import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = grouped_topk(ds, ["user_id"], "ts", 1,
+                       payload_cols=["event_type"],
+                       tie_cols=["event_id"]).to_pandas()
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_lineitem_measures_melt(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT/melt reshape: the four lineitem measures unpivoted to
+    (measure, value) rows inside map tasks (pure vectorized reshape —
+    no exchange for the melt itself), then a grouped sum/count per
+    measure — SQL UNPIVOT twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        vals = pa.concat_arrays(
+            [pc.cast(batch[c], pa.float64()).combine_chunks() for c in cols])
+        names = pa.concat_arrays(
+            [pa.array([c] * n, pa.string()) for c in cols])
+        return pa.table({"measure": names, "value": vals})
+
+    melted = ds.map_batches(_melt, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(melted, ["measure"],
+                                 [("value", "sum", "sum_v"),
+                                  (None, "count_all", "n")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge))
+    df = out.to_pandas()
+    df["sum_v"] = df["sum_v"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("measure").reset_index(drop=True)
 
 
 def q_rolling_max_spend(sf_dir: str) -> pd.DataFrame:
@@ -2342,6 +2442,47 @@ ORACLE: dict[str, str] = {
                            - CAST(c0 AS DOUBLE) / (SELECT n0 FROM tot))), 6) AS ks
         FROM s
     """,
+    "event_lead": """
+        SELECT event_id,
+               EPOCH_US(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS next_us
+        FROM events ORDER BY event_id
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id ASC) = 1
+        ORDER BY user_id
+    """,
+    "lineitem_measures_melt": """
+        WITH m AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, ROUND(SUM(value), 2) AS sum_v, COUNT(*) AS n
+        FROM m GROUP BY measure ORDER BY measure
+    """,
+    "psi_drift": """
+        WITH c AS (
+          SELECT event_type,
+                 SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ce,
+                 SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS cl
+          FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(ce) AS ne, SUM(cl) AS nl FROM c)
+        SELECT ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+        FROM (
+          SELECT GREATEST(CAST(cl AS DOUBLE) / (SELECT nl FROM tot), 1e-4) AS p,
+                 GREATEST(CAST(ce AS DOUBLE) / (SELECT ne FROM tot), 1e-4) AS q
+          FROM c
+        )
+    """,
     "orders_with_events": """
         SELECT o_orderkey, o_custkey FROM orders o
         WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
@@ -2754,6 +2895,9 @@ QUERIES = {
     "rolling_max_spend": q_rolling_max_spend,
     "events_type_pivot": q_events_type_pivot,
     "event_lag": q_event_lag,
+    "event_lead": q_event_lead,
+    "latest_event_per_user": q_latest_event_per_user,
+    "lineitem_measures_melt": q_lineitem_measures_melt,
     "order_rank": q_order_rank,
     "order_dense_rank": q_order_dense_rank,
     "order_quartile_tiles": q_order_quartile_tiles,
@@ -2780,6 +2924,7 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
+    "psi_drift": q_psi_drift,
     "q3_shipping": q3_shipping,
     "events_distinct_users": q_events_distinct_users,
     "mode_priority_by_status": q_mode_priority_by_status,

@@ -400,11 +400,13 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
 
 
 def lag_values(ds, part_col: str, order_keys: list, val_col: str,
-               id_col: str):
+               id_col: str, descending: bool = False):
     """Per-row LAG: for every row, the ``val_col`` of the PREVIOUS row
     of its partition under ``order_keys`` (null for each partition's
     first row) — SQL ``LAG(val) OVER (PARTITION BY part ORDER BY
     order_keys)``. ``order_keys`` should end in a unique tiebreaker.
+    ``descending=True`` reverses the order keys, which turns this into
+    SQL ``LEAD(val)`` under the ascending order (the next row's value).
 
     Distributed shape: ONE sort; within a block every row's lag is a
     vectorized shift masked at run starts. Only each block's ROW ZERO
@@ -417,7 +419,8 @@ def lag_values(ds, part_col: str, order_keys: list, val_col: str,
     import ray
     import ray.data as rd
 
-    s = ds.sort([part_col] + order_keys).materialize()
+    s = ds.sort([part_col] + order_keys,
+                descending=[False] + [descending] * len(order_keys)).materialize()
     refs = s.to_arrow_refs()
     if not refs:
         return rd.from_arrow(pa.schema(
