@@ -1378,6 +1378,63 @@ def q_order_percent_rank(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_hourly_dense(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled resample: hourly counts per event_type INCLUDING
+    empty hours, zero-filled over the dense (hour × type) grid — SQL
+    generate_series twin. The heavy count runs distributed
+    (sorted_groupby over floor_temporal buckets); the dense grid is
+    hours × categories — tiny by construction — so the fill itself is a
+    driver-side left merge against the aggregated counts."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"h": h, "event_type": batch["event_type"]})
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
+                              batch_size=131072)
+    inner, edge = sorted_groupby(bucketed, ["h", "event_type"],
+                                 [(None, "count_all", "n")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge))
+    counts = out.to_pandas()
+    counts["h"] = counts["h"].astype("datetime64[us]")
+    hours = pd.date_range(counts["h"].min(), counts["h"].max(),
+                          freq="h").astype("datetime64[us]")
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [hours, types], names=["h", "event_type"]).to_frame(index=False)
+    dense = grid.merge(counts, on=["h", "event_type"], how="left")
+    dense["n"] = dense["n"].fillna(0).astype("int64")
+    return dense.sort_values(["h", "event_type"]).reset_index(drop=True)
+
+
+def q_order_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """CUME_DIST in exact integer micro-units: rows-with-value ≤ mine
+    per partition is n + 1 - RANK-under-DESC-order, so
+    cd_micro = (n + 1 - rank_desc) * 10^6 // n — integer arithmetic
+    end-to-end, no float-division parity risk (rank_within with
+    descending=True + include_size)."""
+    from ..stages.window import rank_within
+
+    out = rank_within(_read(sf_dir, "orders",
+                            ["o_orderstatus", "o_totalprice",
+                             "o_orderkey"]),
+                      "o_orderstatus", "o_totalprice", "o_orderkey",
+                      include_size=True, descending=True).to_pandas()
+    rnk = out["rank"].to_numpy()
+    n = out["part_n"].to_numpy()
+    cd = ((n + 1 - rnk) * 1_000_000) // n
+    res = pd.DataFrame({"o_orderkey": out["id"].astype("int64"),
+                        "cd_micro": cd.astype("int64")})
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_order_quartile_tiles(sf_dir: str) -> pd.DataFrame:
     """NTILE(4) within partition (window family): orders bucketed into
     price quartiles per status — the driver's bounds scan supplies both
@@ -2697,6 +2754,31 @@ ORACLE: dict[str, str] = {
               FROM orders)
         ORDER BY o_orderkey
     """,
+    "events_hourly_dense": """
+        WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                          date_trunc('hour', MAX(ts)) AS hi FROM events),
+        g AS (SELECT UNNEST(generate_series((SELECT lo FROM b),
+                                            (SELECT hi FROM b),
+                                            INTERVAL 1 HOUR)) AS h),
+        t AS (SELECT DISTINCT event_type FROM events),
+        c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT g.h, t.event_type, COALESCE(c.n, 0) AS n
+        FROM g CROSS JOIN t
+        LEFT JOIN c ON c.h = g.h AND c.event_type = t.event_type
+        ORDER BY 1, 2
+    """,
+    "order_cume_dist": """
+        SELECT o_orderkey,
+               ((cnt + 1 - rnk) * 1000000) // cnt AS cd_micro
+        FROM (SELECT o_orderkey,
+                     RANK() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC) AS rnk,
+                     COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+              FROM orders)
+        ORDER BY o_orderkey
+    """,
     "order_quartile_tiles": """
         SELECT o_orderkey,
                NTILE(4) OVER (PARTITION BY o_orderstatus
@@ -2902,6 +2984,8 @@ QUERIES = {
     "order_dense_rank": q_order_dense_rank,
     "order_quartile_tiles": q_order_quartile_tiles,
     "order_percent_rank": q_order_percent_rank,
+    "order_cume_dist": q_order_cume_dist,
+    "events_hourly_dense": q_events_hourly_dense,
     "events_rollup": q_events_rollup,
     "keys_union": q_keys_union,
     "props_json_sum": q_props_json_sum,

@@ -252,7 +252,8 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
 
 
 def rank_within(ds, part_col: str, order_col: str, id_col: str,
-                dense: bool = False, include_size: bool = False):
+                dense: bool = False, include_size: bool = False,
+                descending: bool = False):
     """SQL ``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY part ORDER BY
     order_col)`` as a distributed operator. Unlike ROW_NUMBER, ranks are
     TIE-AWARE, so the cross-block carry tracks three quantities per open
@@ -272,7 +273,11 @@ def rank_within(ds, part_col: str, order_col: str, id_col: str,
     import ray
     import ray.data as rd
 
-    s = ds.sort([part_col, order_col]).materialize()
+    # descending=True ranks under ORDER BY order_col DESC (the carry
+    # logic below only compares values for EQUALITY, so it is order-
+    # agnostic) — the building block for CUME_DIST via n+1-rank_desc
+    s = ds.sort([part_col, order_col],
+                descending=[False, descending]).materialize()
     refs = s.to_arrow_refs()
     out_name = "dense_rank" if dense else "rank"
     extra = [("part_n", pa.int64())] if include_size else []
