@@ -2396,8 +2396,9 @@ ORACLE: dict[str, str] = {
           FROM documents),
         w AS (
           SELECT doc_id, n_tokens,
-                 SUM(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
           FROM tok)
         SELECT doc_id, n_tokens,
                (cum - n_tokens) // 2048 AS pack_first,
@@ -2690,10 +2691,10 @@ ORACLE: dict[str, str] = {
     """,
     "running_spend": """
         SELECT o_orderkey,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS run_cents
+               ) AS BIGINT) AS run_cents
         FROM orders ORDER BY o_orderkey
     """,
     "rolling_max_spend": """
@@ -2707,7 +2708,8 @@ ORACLE: dict[str, str] = {
     """,
     "rolling_spend": """
         SELECT o_orderkey,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS roll_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER w AS BIGINT) AS roll_cents,
                COUNT(*) OVER w AS n_win
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -2725,8 +2727,8 @@ ORACLE: dict[str, str] = {
     """,
     "props_json_sum": """
         SELECT event_type,
-               SUM(COALESCE(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT), 0)) AS sum_k,
+               CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT), 0)) AS BIGINT) AS sum_k,
                COUNT(json_extract_string(props, '$.k')) AS n_with_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
