@@ -240,6 +240,64 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
                           "n_rows": int(parts["n"].sum())}])
 
 
+def q4_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: count orders per priority in a
+    half-year window having at least one line shipped > 60 days after
+    the order date. The correlated date predicate means the semi join
+    cannot pre-dedup the build side — composition is pushdown-filtered
+    orders read → big⨝big sort-merge join → vectorized post-join filter
+    → distinct (o_orderkey, priority) exchange → per-block priority
+    partials summed on the driver (5 rows). (Adapted to this synthetic
+    lineitem, which carries l_shipdate but not commit/receipt dates.)"""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    # metadata-only counts of the raw files as the rows_hint upper bound
+    hint = (_read(sf_dir, "orders", ["o_orderkey"]).count()
+            + lines.count())
+    joined = sorted_merge_join(
+        orders, lines, "o_orderkey", "l_orderkey",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ["l_shipdate"], rows_hint=hint)
+
+    sixty_days = pa.scalar(60 * 86400 * 1_000_000, pa.duration("us"))
+
+    def _late(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"],
+                          pc.add(t["o_orderdate"], sixty_days))
+        t = t.filter(pc.fill_null(keep, False))
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    late = joined.map_batches(_late, batch_format="pyarrow",
+                              batch_size=131072)
+    inner, edge = sorted_groupby(late, ["o_orderkey", "o_orderpriority"],
+                                 [(None, "count_all", "n")])
+
+    def _prio_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey",
+                                                      "count")])
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    parts = inner.map_batches(_prio_counts,
+                              batch_format="pyarrow").to_pandas()
+    if edge is not None and edge.num_rows:
+        parts = pd.concat([parts, _prio_counts(edge).to_pandas()])
+    out = (parts.groupby("o_orderpriority", as_index=False)["order_count"]
+           .sum())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_top_orderpriority(sf_dir: str) -> pd.DataFrame:
     """Full frequency table of a low-cardinality column (top-k A7 without
     tie ambiguity: k >= distinct)."""
@@ -2461,6 +2519,17 @@ ORACLE: dict[str, str] = {
                  ORDER BY n DESC, o_orderpriority) = 1
         ORDER BY o_orderstatus
     """,
+    "q4_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q6_forecast_revenue": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
                COUNT(*) AS n_rows
@@ -3014,6 +3083,7 @@ QUERIES = {
     "q3_shipping": q3_shipping,
     "events_distinct_users": q_events_distinct_users,
     "mode_priority_by_status": q_mode_priority_by_status,
+    "q4_priority_exists": q4_priority_exists,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sample_sorted": q_sample_sorted,
