@@ -1402,6 +1402,41 @@ def q_events_rollup(sf_dir: str) -> pd.DataFrame:
                            na_position="last").reset_index(drop=True)
 
 
+def q_events_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(day, event_type) — all four grouping levels from
+    the SAME single exchange as the ROLLUP: fine (day, type) counts via
+    distributed sorted_groupby, then (day), (type) and grand-total
+    levels derived from the aggregated partials on the driver (never a
+    second scan of the data)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    inner, edge = sorted_groupby(ds.map_batches(_day, batch_format="pyarrow"),
+                                 ["day", "event_type"],
+                                 [(None, "count_all", "n")])
+    fine = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        fine = pd.concat([fine, edge.to_pandas()], ignore_index=True)
+    per_day = fine.groupby("day", as_index=False)["n"].sum()
+    per_day["event_type"] = None
+    per_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    per_type["day"] = pd.NaT
+    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, per_day[["day", "event_type", "n"]],
+                     per_type[["day", "event_type", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "event_type"],
+                           na_position="last").reset_index(drop=True)
+
+
 def q_keys_union(sf_dir: str) -> pd.DataFrame:
     """Set op UNION (distinct) by composition: all keys appearing as an
     order customer OR an event user — Dataset.union of the two key
@@ -2807,6 +2842,12 @@ ORACLE: dict[str, str] = {
         GROUP BY ROLLUP(date_trunc('day', ts), event_type)
         ORDER BY day NULLS LAST, event_type NULLS LAST
     """,
+    "events_cube": """
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY CUBE(date_trunc('day', ts), event_type)
+        ORDER BY day NULLS LAST, event_type NULLS LAST
+    """,
     "keys_union": """
         SELECT o_custkey AS k FROM orders
         UNION
@@ -3058,6 +3099,7 @@ QUERIES = {
     "order_cume_dist": q_order_cume_dist,
     "events_hourly_dense": q_events_hourly_dense,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "keys_union": q_keys_union,
     "props_json_sum": q_props_json_sum,
     "embedding_dim_stats": q_embedding_dim_stats,
