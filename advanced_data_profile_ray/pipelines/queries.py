@@ -1392,8 +1392,10 @@ def q_events_rollup(sf_dir: str) -> pd.DataFrame:
     if edge is not None and edge.num_rows:
         fine = pd.concat([fine, edge.to_pandas()], ignore_index=True)
     per_day = fine.groupby("day", as_index=False)["n"].sum()
-    per_day["event_type"] = None
-    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None],
+    per_day["event_type"] = pd.Series([None] * len(per_day), dtype=object)
+    total = pd.DataFrame({"day": pd.Series([pd.NaT],
+                                           dtype=fine["day"].dtype),
+                          "event_type": pd.Series([None], dtype=object),
                           "n": [fine["n"].sum()]})
     out = pd.concat([fine, per_day[["day", "event_type", "n"]], total],
                     ignore_index=True)
@@ -1424,10 +1426,13 @@ def q_events_cube(sf_dir: str) -> pd.DataFrame:
     if edge is not None and edge.num_rows:
         fine = pd.concat([fine, edge.to_pandas()], ignore_index=True)
     per_day = fine.groupby("day", as_index=False)["n"].sum()
-    per_day["event_type"] = None
+    per_day["event_type"] = pd.Series([None] * len(per_day), dtype=object)
     per_type = fine.groupby("event_type", as_index=False)["n"].sum()
-    per_type["day"] = pd.NaT
-    total = pd.DataFrame({"day": [pd.NaT], "event_type": [None],
+    per_type["day"] = pd.Series([pd.NaT] * len(per_type),
+                                dtype=fine["day"].dtype)
+    total = pd.DataFrame({"day": pd.Series([pd.NaT],
+                                           dtype=fine["day"].dtype),
+                          "event_type": pd.Series([None], dtype=object),
                           "n": [fine["n"].sum()]})
     out = pd.concat([fine, per_day[["day", "event_type", "n"]],
                      per_type[["day", "event_type", "n"]], total],
