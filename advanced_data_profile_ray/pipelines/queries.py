@@ -874,6 +874,196 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
                 "o_totalprice", "sum_qty"]].reset_index(drop=True)
 
 
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q7-shaped composite (volume shipping between two nations):
+    revenue by (supp_nation, cust_nation, ship year) for cross-nation
+    trade between NATION_1 and NATION_2. Scale plan: the supplier
+    roster is broadcast ONCE and lineitem is pruned map-side to the two
+    nations' suppliers BEFORE the shuffle (≤2/25 of rows enter the
+    join), then one big⨝big sort-merge join against orders, a customer
+    nation lookup (broadcast here; graduates to a second merge join at
+    10^9-customer scale), and a ≤8-group partial aggregation. Revenue
+    in exact integer 10^-4 units end-to-end (Q5 discipline)."""
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.referential import broadcast_lookup_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    pair = {k for k, v in name_of.items() if v in ("NATION_3", "NATION_8")}
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"],
+                                value_set=pa.array(sorted(pair))))
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        batch = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        yr = pc.cast(pc.year(pc.cast(batch["l_shipdate"], pa.timestamp("us"))),
+                     pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "l_year": yr,
+                         "rev4": pc.multiply(cents, disc)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    # map-side prune: only the two nations' suppliers survive the lookup
+    li = broadcast_lookup_join(li, "l_suppkey", supp, "s_suppkey",
+                               ["s_nationkey"])
+    li = li.map_batches(
+        lambda t: t.filter(t["s_nationkey"].is_valid()).drop(["l_suppkey"]),
+        batch_format="pyarrow", batch_size=131072)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + orders.count())
+    j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                          ["l_year", "rev4", "s_nationkey"],
+                          ["o_custkey"], rows_hint=hint)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(sorted(pair))))
+    j = broadcast_lookup_join(j, "o_custkey", cust, "c_custkey",
+                              ["c_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.not_equal(batch["c_nationkey"],
+                                         batch["s_nationkey"]), False)
+        sub = batch.filter(keep)
+        g = sub.group_by(["s_nationkey", "c_nationkey", "l_year"],
+                         use_threads=False).aggregate([("rev4", "sum")])
+        return g.rename_columns(
+            ["rev4" if c == "rev4_sum" else c for c in g.column_names])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if parts.empty:  # no cross-nation trade: typed empty result
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64")})
+    agg = parts.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                        as_index=False)["rev4"].sum()
+    agg["supp_nation"] = agg["s_nationkey"].map(name_of)
+    agg["cust_nation"] = agg["c_nationkey"].map(name_of)
+    agg["revenue"] = ((agg["rev4"] + 50) // 100) / 100.0
+    agg["l_year"] = agg["l_year"].astype("int64")
+    out = agg.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return out[["supp_nation", "cust_nation", "l_year",
+                "revenue"]].reset_index(drop=True)
+
+
+def q12_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q12-shaped composite (the reference tables carry no
+    l_shipmode/l_receiptdate, so the late-line predicate is
+    l_shipdate > o_orderdate + 90 days and the group key is the ship
+    year): one big⨝big sort-merge join carrying the order date through
+    the exchange, the lateness filter applied map-side AFTER the join,
+    and conditional priority counts (CASE WHEN twin) from per-block
+    Arrow group_by partials — the driver folds ≤years×blocks rows."""
+    from ..stages.merge_join import sorted_merge_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    hint = li.count() + orders.count()
+    j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                          ["l_shipdate"],
+                          ["o_orderdate", "o_orderpriority"],
+                          rows_hint=hint)
+    ninety_us = 90 * 86_400_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        od = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        late = pc.greater(pc.subtract(ship, od), pa.scalar(ninety_us))
+        sub = batch.filter(late)
+        yr = pc.cast(pc.year(pc.cast(sub["l_shipdate"], pa.timestamp("us"))),
+                     pa.int64())
+        hipri = pc.is_in(sub["o_orderpriority"],
+                         value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        t = pa.table({"l_year": yr,
+                      "high_line_count": pc.cast(hipri, pa.int64()),
+                      "low_line_count": pc.cast(pc.invert(hipri), pa.int64())})
+        return t.group_by(["l_year"], use_threads=False).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        ).rename_columns(["l_year", "high_line_count", "low_line_count"])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    out = parts.groupby("l_year", as_index=False)[
+        ["high_line_count", "low_line_count"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q14-shaped composite (promotion effect): share of one
+    month's discounted revenue from PROMO-type parts. One big⨝big
+    sort-merge join (date-filtered lineitem ⨝ part on partkey — part is
+    big at 10^9-part scale, so no broadcast), numerator/denominator as
+    exact integer 10^-4-unit sums; the single final division happens
+    once on the driver over the two exact integers, so the double is
+    bit-identical to the SQL twin's."""
+    from ..stages.merge_join import sorted_merge_join
+
+    lo = pa.scalar(pd.Timestamp("1996-09-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01"), pa.timestamp("us"))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        batch = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    hint = (_read(sf_dir, "lineitem", ["l_partkey"]).count()
+            + part.count())
+    j = sorted_merge_join(li, part, "l_partkey", "p_partkey",
+                          ["rev4"], ["p_type"], rows_hint=hint)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        promo = pc.equal(batch["p_type"], pa.scalar("PROMO"))
+        pr = pc.if_else(promo, batch["rev4"], pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo4": pa.array([pc.sum(pr).as_py() or 0], pa.int64()),
+            "total4": pa.array([pc.sum(batch["rev4"]).as_py() or 0],
+                               pa.int64())})
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    promo4 = int(parts["promo4"].sum())
+    total4 = int(parts["total4"].sum())
+    return pd.DataFrame({
+        "promo_revenue": [round(100.0 * promo4 / total4, 6)],
+        "promo_rev": [((promo4 + 50) // 100) / 100.0],
+        "total_rev": [((total4 + 50) // 100) / 100.0]})
+
+
 def _distinct_event_users(sf_dir: str):
     """Deduped event user_ids as a Dataset — big-side key dedup via one
     sorted_groupby exchange (the build side of the semi/anti joins;
@@ -1860,6 +2050,139 @@ def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """GROUPED Pearson correlation (CORR ... GROUP BY twin): per-batch
+    per-group algebraic partials (n, Σx, Σy, Σx², Σy², Σxy) via one
+    arrow group_by, ONE sorted_groupby sum exchange, correlation
+    finalized per group row — the data never reaches the driver, only
+    one 6-number partial per (group, block) enters the exchange.
+    Pairwise-complete semantics (rows with either value null drop),
+    matching SQL CORR."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch[x].is_valid(), batch[y].is_valid())
+        sub = batch.filter(keep)
+        xa = pc.cast(sub[x], pa.float64())
+        ya = pc.cast(sub[y], pa.float64())
+        t = pa.table({g: sub[g], "sx": xa, "sy": ya,
+                      "sxx": pc.multiply(xa, xa),
+                      "syy": pc.multiply(ya, ya),
+                      "sxy": pc.multiply(xa, ya)})
+        out = t.group_by([g], use_threads=False).aggregate(
+            [([], "count_all"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return out.rename_columns(
+            [("n" if c == "count_all" else c.removesuffix("_sum"))
+             for c in out.column_names]
+        ).select([g, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    pre = _read(sf_dir, "lineitem", [g, x, y]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(
+        pre, [g], [("n", "sum", "n"), ("sx", "sum", "sx"),
+                   ("sy", "sum", "sy"), ("sxx", "sum", "sxx"),
+                   ("syy", "sum", "syy"), ("sxy", "sum", "sxy")])
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy()
+        sy = t["sy"].to_numpy()
+        cov = n * t["sxy"].to_numpy() - sx * sy
+        vx = n * t["sxx"].to_numpy() - sx * sx
+        vy = n * t["syy"].to_numpy() - sy * sy
+        denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        return pa.table({g: t[g],
+                         "corr": pa.array(np.round(r, 6), pa.float64())})
+
+    res = inner.map_batches(_finalize, batch_format="pyarrow",
+                            batch_size=None)
+    if edge is not None and edge.num_rows:
+        res = res.union(rd.from_arrow(_finalize(edge)))
+    return (res.to_pandas().sort_values(g).reset_index(drop=True))
+
+
+def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Grouped IQR (Tukey fence) outlier census: pass 1 computes exact
+    per-group quartiles via the distributed value-counts exchange
+    (grouped_quantiles), the tiny (group → fence) table broadcasts into
+    pass 2's per-batch vectorized counts. Two scans, no row ever leaves
+    its block."""
+    from ..stages.fast_ops import grouped_quantiles
+
+    g, v = "l_returnflag", "l_extendedprice"
+    li = _read(sf_dir, "lineitem", [g, v])
+    qt = grouped_quantiles(li, g, v, [0.25, 0.75], ["q1", "q3"])
+    q1 = dict(zip(qt[g].to_pylist(), qt["q1"].to_pylist()))
+    q3 = dict(zip(qt[g].to_pylist(), qt["q3"].to_pylist()))
+    lo = {k: q1[k] - 1.5 * (q3[k] - q1[k]) for k in q1}
+    hi = {k: q3[k] + 1.5 * (q3[k] - q1[k]) for k in q1}
+
+    def _count(batch: pa.Table) -> pa.Table:
+        ga = batch[g].to_numpy(zero_copy_only=False)
+        va = batch[v].to_numpy(zero_copy_only=False)
+        lo_a = np.array([lo.get(k, -np.inf) for k in ga])
+        hi_a = np.array([hi.get(k, np.inf) for k in ga])
+        out_mask = (va < lo_a) | (va > hi_a)
+        t = pa.table({g: batch[g],
+                      "outliers": pa.array(out_mask.astype(np.int64)),
+                      "n_rows": pa.array(np.ones(len(ga), np.int64))})
+        r = t.group_by([g], use_threads=False).aggregate(
+            [("outliers", "sum"), ("n_rows", "sum")])
+        return r.rename_columns(
+            [c.removesuffix("_sum") for c in r.column_names]
+        ).select([g, "outliers", "n_rows"])
+
+    parts = li.map_batches(_count, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = parts.groupby(g, as_index=False)[["outliers", "n_rows"]].sum()
+    qdf = qt.to_pandas()
+    out = out.merge(qdf, on=g)
+    for c in ("outliers", "n_rows"):
+        out[c] = out[c].astype("int64")
+    for c in ("q1", "q3"):
+        out[c] = out[c].round(6)
+    return out[[g, "q1", "q3", "outliers", "n_rows"]].sort_values(
+        g).reset_index(drop=True)
+
+
+def q_mad_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per group — two exact grouped-median
+    passes (distributed value counts): pass 1 per-group median, the
+    tiny (group → median) map broadcasts into pass 2's derived
+    |x − median_g| column, whose grouped median is the MAD. Robust
+    dispersion for the profile surface; both passes are the oracle-green
+    grouped_median machinery."""
+    from ..stages.fast_ops import grouped_median
+
+    g, v = "l_returnflag", "l_quantity"
+    li = _read(sf_dir, "lineitem", [g, v])
+    med = grouped_median(li, g, v)
+    m_of = dict(zip(med[g].to_pylist(), med["median"].to_pylist()))
+
+    def _absdev(batch: pa.Table) -> pa.Table:
+        ga = batch[g].to_numpy(zero_copy_only=False)
+        va = batch[v].to_numpy(zero_copy_only=False).astype(np.float64)
+        ma = np.array([m_of[k] for k in ga])
+        return pa.table({g: batch[g],
+                         "absdev": pa.array(np.abs(va - ma), pa.float64())})
+
+    dev = li.map_batches(_absdev, batch_format="pyarrow", batch_size=131072)
+    mad = grouped_median(dev, g, "absdev").to_pandas()
+    mad = mad.rename(columns={"median": "mad"})
+    med_df = med.to_pandas()
+    out = med_df.merge(mad, on=g)
+    out["median"] = out["median"].round(6)
+    out["mad"] = out["mad"].round(6)
+    return out.sort_values(g).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # higher moments / outliers / decimal places / date parts / sort
 
@@ -2698,6 +3021,94 @@ ORACLE: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
+    "corr_by_returnflag": """
+        SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "iqr_outliers": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               ROUND(ANY_VALUE(b.q1), 6) AS q1,
+               ROUND(ANY_VALUE(b.q3), 6) AS q3,
+               SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                          OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                        THEN 1 ELSE 0 END) AS outliers,
+               COUNT(*) AS n_rows
+        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    "mad_by_flag": """
+        WITH m AS (
+            SELECT l_returnflag, MEDIAN(l_quantity) AS md
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               ROUND(ANY_VALUE(m.md), 6) AS median,
+               ROUND(MEDIAN(ABS(l.l_quantity - m.md)), 6) AS mad
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    "q7_volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                 + 50) // 100) / 100.0 AS revenue
+        FROM supplier, lineitem, orders, customer,
+             nation sn, nation cn
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = sn.n_nationkey
+          AND c_nationkey = cn.n_nationkey
+          AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+               OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q12_late_shipments": """
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_year
+        ORDER BY l_year
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(100.0 *
+                 SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END)
+                 / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)),
+                 6) AS promo_revenue,
+               ((SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) + 50) // 100) / 100.0 AS promo_rev,
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                 + 50) // 100) / 100.0 AS total_rev
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
     "q18_large_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -3079,6 +3490,9 @@ QUERIES = {
     "docs_tokens": q_docs_tokens,
     "doc_packing": q_doc_packing,
     "corr_lineitem": q_corr_lineitem,
+    "corr_by_returnflag": q_corr_by_returnflag,
+    "iqr_outliers": q_iqr_outliers,
+    "mad_by_flag": q_mad_by_flag,
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,
@@ -3124,6 +3538,9 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q12_late_shipments": q12_late_shipments,
+    "q14_promo_revenue": q14_promo_revenue,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "psi_drift": q_psi_drift,
