@@ -1064,6 +1064,148 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         "total_rev": [((total4 + 50) // 100) / 100.0]})
 
 
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q17-shaped composite (small-quantity-order revenue): average
+    yearly revenue lost if Brand#13 orders below 20% of the part's mean
+    quantity were not filled. Correlated aggregate by composition:
+    lineitem is pruned map-side to the brand's parts (broadcast key set;
+    graduates to a Bloom + merge join at 10^9-part scale), ONE grouped
+    exchange computes per-part (Σqty, n), a big⨝big sort-merge join
+    carries the threshold back to the rows, and the filter runs in
+    EXACT integers (100·qty·n·5 < 100·Σqty·n-free form: q2·5·n < s2)
+    so no float average ever decides membership."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_keys = part.filter(
+        pc.equal(part["p_brand"], pa.scalar("Brand#13")))["p_partkey"]
+    keyset = np.sort(brand_keys.to_numpy(zero_copy_only=False))
+    import ray
+    ref = ray.put(keyset)
+
+    def _li(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos_c = np.minimum(pos, max(ks.size - 1, 0))
+        hit = ks.size > 0
+        keep = (ks[pos_c] == pk) if hit else np.zeros(len(pk), bool)
+        sub = batch.filter(pa.array(keep))
+        q2 = pc.cast(pc.round(pc.multiply(sub["l_quantity"], 100.0),
+                              round_mode="half_towards_infinity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(sub["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": sub["l_partkey"],
+                         "q2": q2, "cents": cents})
+
+    # two consumers (grouped exchange + join left side): materialize the
+    # brand-pruned rows ONCE (≈1/25 of lineitem, object-store-bounded and
+    # spillable) instead of re-running the scan per consumer
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072).materialize()
+    inner, edge = sorted_groupby(li, ["l_partkey"],
+                                 [("q2", "sum", "s2"),
+                                  (None, "count_all", "n")])
+    per_part = inner
+    if edge is not None and edge.num_rows:
+        per_part = per_part.union(rd.from_arrow(edge))
+    hint = _read(sf_dir, "lineitem", ["l_partkey"]).count() * 2
+    j = sorted_merge_join(li, per_part, "l_partkey", "l_partkey",
+                          ["q2", "cents"], ["s2", "n"], rows_hint=hint)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # qty < 0.2 * (Σqty / n)  ⇔  5·q2·n < s2  (exact integers)
+        lhs = pc.multiply(pc.multiply(batch["q2"], pa.scalar(5, pa.int64())),
+                          batch["n"])
+        keep = pc.less(lhs, batch["s2"])
+        s = pc.sum(pc.filter(batch["cents"], keep)).as_py() or 0
+        return pa.table({"cents": pa.array([s], pa.int64())})
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    total_cents = int(parts["cents"].sum())
+    return pd.DataFrame({"avg_yearly": [round(total_cents / 700.0, 6)]})
+
+
+def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q22-shaped composite (global sales opportunity): per-segment
+    census of above-average-balance customers with NO event activity
+    (every synthetic customer has orders, so the dormancy predicate
+    anti-joins the events table instead). Scalar
+    subquery broadcast (one (Σcents, n) pass over customer — the
+    comparison cents·n > Σcents runs in exact integers, no float average
+    decides membership), then a big⨝big ANTI join by composition
+    (distinct order custkeys through one exchange, LEFT sort-merge join,
+    keep null-matched), and per-segment exact-cents totals."""
+    from ..stages.merge_join import sorted_merge_join
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def _sums(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        pos = pc.filter(cents, pc.greater(cents, pa.scalar(0, pa.int64())))
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    sums = cust.map_batches(_sums, batch_format="pyarrow",
+                            batch_size=131072).to_pandas()
+    s_tot, n_tot = int(sums["s"].sum()), int(sums["n"].sum())
+
+    def _hi(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        batch = batch.append_column("cents", cents)
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n_tot, pa.int64())),
+                          pa.scalar(s_tot, pa.int64()))
+        return batch.filter(keep).select(
+            ["c_custkey", "c_mktsegment", "cents"])
+
+    hi_cust = cust.map_batches(_hi, batch_format="pyarrow",
+                               batch_size=131072)
+
+    from ..stages.fast_ops import distinct_values
+
+    active = distinct_values(_read(sf_dir, "events", ["user_id"]),
+                             "user_id")
+    hint = cust.count() + _read(sf_dir, "events", ["user_id"]).count()
+    j = sorted_merge_join(hi_cust, active, "c_custkey", "user_id",
+                          ["c_mktsegment", "cents"], ["user_id"],
+                          rows_hint=hint, how="left")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_null(batch["user_id"]))
+        if sub.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "numcust": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        g = sub.group_by(["c_mktsegment"], use_threads=False).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(
+            [("numcust" if c == "count_all" else
+              "cents" if c == "cents_sum" else c) for c in g.column_names]
+        ).select(["c_mktsegment", "numcust", "cents"])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out = parts.groupby("c_mktsegment", as_index=False)[
+        ["numcust", "cents"]].sum()
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["cents"] / 100.0
+    return out[["c_mktsegment", "numcust", "totacctbal"]].sort_values(
+        "c_mktsegment").reset_index(drop=True)
+
+
 def _distinct_event_users(sf_dir: str):
     """Deduped event user_ids as a Dataset — big-side key dedup via one
     sorted_groupby exchange (the build side of the semi/anti joins;
@@ -3109,6 +3251,34 @@ ORACLE: dict[str, str] = {
           AND l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
+    "q17_small_quantity_revenue": """
+        SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     / 700.0, 6) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+          AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey)
+              < (SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
+                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "q22_dormant_customers": """
+        WITH s AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM customer
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+        )
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer, s
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * s.n > s.s
+          AND NOT EXISTS (SELECT 1 FROM events
+                          WHERE user_id = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "q18_large_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -3541,6 +3711,8 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q12_late_shipments": q12_late_shipments,
     "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
     "psi_drift": q_psi_drift,
