@@ -1541,6 +1541,33 @@ def q_window_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_window_spend(sf_dir: str) -> pd.DataFrame:
+    """Time-range windowed SUM (RANGE frame): per event, total same-user
+    `value` over the trailing hour in EXACT integer cents — windowed_agg
+    with a value column (prefix-sum searchsorted per run, time-clipped
+    candidate/pool edge stitch; same exchange as windowed_count)."""
+    from ..stages.window import windowed_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return t.drop_columns(["value"]).append_column(
+            "cents", pc.fill_null(c, 0))
+
+    rows = _read(sf_dir, "events", ["event_id"]).count()  # metadata-only
+    out = windowed_agg(ds.map_batches(_cents, batch_format="pyarrow"),
+                       "user_id", "ts", "event_id",
+                       window_us=3_600_000_000, val_col="cents",
+                       out_col="cents_hour", rows=rows).to_pandas()
+    out = out.rename(columns={"id": "event_id"})
+    out["event_id"] = out["event_id"].astype("int64")
+    out["spend_last_hour"] = out["cents_hour"] / 100.0
+    return out[["event_id", "spend_last_hour"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3536,6 +3563,14 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "window_spend": """
+        SELECT event_id,
+               SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0))
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW) / 100.0 AS spend_last_hour
+        FROM events ORDER BY event_id
+    """,
     # brute-force exact twin of the banded-hyperplane LSH path. The
     # engine's verify step is EXACT cosine over candidates, so engine
     # output ⊆ truth always (no false positives); banding sets recall,
@@ -3672,6 +3707,7 @@ QUERIES = {
     "events_hour_hist": q_events_hour_hist,
     "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
+    "window_spend": q_window_spend,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,

@@ -654,64 +654,91 @@ def rolling_sum_rows(ds, part_col: str, order_keys: list, val_col: str,
 
 def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
                    window_us: int):
-    """Time-range windowed aggregate: for every row, the number of rows
-    of the same partition with ``ts`` in ``[ts - window, ts]`` — SQL
-    ``COUNT(*) OVER (PARTITION BY part ORDER BY ts RANGE BETWEEN
-    <window> PRECEDING AND CURRENT ROW)`` including equal-``ts`` peers
-    (all of them, exactly like RANGE framing).
+    """Time-range windowed COUNT — ``windowed_agg`` without a value
+    column; kept as the named operator the RANGE-frame COUNT oracle
+    checks (see windowed_agg for the distributed shape)."""
+    return windowed_agg(ds, part_col, ts_col, id_col, window_us)
 
-    Distributed shape: ONE sort by (part, ts, id); every row's count
-    over the rows PRESENT IN ITS BLOCK is computed vectorized in the
-    block task (two searchsorted per run). Rows whose window could
-    involve other blocks — first-run rows within ``window_us`` of the
-    segment start (trailing window may reach the previous block) and
-    last-run rows tied with the segment's max ts (RANGE peers may
-    continue into the next block) — ship as CANDIDATES carrying their
-    local count; rows within ``window_us`` of a block boundary ship as
-    POOL rows. The stitch task corrects each candidate by counting pool
-    rows of the same partition from OTHER blocks inside its window —
-    shipped volume is clipped by TIME DISTANCE from the boundary, so a
-    hot partition spanning many blocks ships O(rows within one window
-    of each boundary), not whole partitions (round-2 next-round #7).
-    Returns a Dataset of (id, n_window) rows.
+
+def windowed_agg(ds, part_col: str, ts_col: str, id_col: str,
+                 window_us: int, val_col: str | None = None,
+                 out_col: str = "n_window", rows: int | None = None):
+    """Time-range windowed aggregate: for every row, COUNT(*) (when
+    ``val_col`` is None) or SUM(val) over rows of the same partition
+    with ``ts`` in ``[ts - window, ts]`` — SQL ``COUNT(*)/SUM(v) OVER
+    (PARTITION BY part ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)`` including ALL equal-``ts`` peers, exactly like RANGE
+    framing. Pass an integer value column (e.g. money as cents) for an
+    association-free exact sum.
+
+    Distributed shape: ONE sort by (part, ts, id); every row's aggregate
+    over the rows PRESENT IN ITS BLOCK comes from two searchsorted into
+    the run's prefix sums. Rows whose window could involve other blocks
+    — first-run rows within ``window_us`` of the segment start (trailing
+    window may reach the previous block) and last-run rows tied with the
+    segment's max ts (RANGE peers may continue into the next block) —
+    ship as CANDIDATES carrying their local aggregate; rows within
+    ``window_us`` of a block boundary ship as POOL rows carrying their
+    value. The stitch task corrects each candidate from other blocks'
+    pool rows inside its window — shipped volume is clipped by TIME
+    DISTANCE from the boundary, so a hot partition spanning many blocks
+    ships O(rows within one window of each boundary), not whole
+    partitions. Returns a Dataset of (id, <out_col>) rows.
     """
     import ray
     import ray.data as rd
 
     from .fast_ops import rightsize_blocks
 
-    try:
-        rows = ds.count()  # metadata-only on the raw read, pre-projection
-    except Exception:
-        rows = None
-    s = rightsize_blocks(ds.select_columns([part_col, ts_col, id_col]),
-                         rows=rows).sort(
+    if rows is None:
+        try:
+            # metadata-only on a raw read; pass ``rows`` when ``ds``
+            # carries transforms (count() would execute the pipeline)
+            rows = ds.count()
+        except Exception:
+            rows = None
+    cols = [part_col, ts_col, id_col] + ([val_col] if val_col else [])
+    s = rightsize_blocks(ds.select_columns(cols), rows=rows).sort(
         [part_col, ts_col, id_col]).materialize()
     refs = s.to_arrow_refs()
-    out_empty_schema = pa.schema([("id", pa.int64()), ("n_window", pa.int64())])
     if not refs:
-        return rd.from_arrow(out_empty_schema.empty_table())
+        return rd.from_arrow(pa.schema(
+            [("id", pa.int64()), (out_col, pa.int64())]).empty_table())
     # types come from the DATASET schema: zero-row blocks (possible after
     # a repartition) carry an empty per-block schema
     ds_schema = s.schema().base_schema
     id_t = ds_schema.field(id_col).type
-    out_schema = pa.schema([("id", id_t), ("n_window", pa.int64())])
+    if val_col is None:
+        agg_t = pa.int64()
+    else:
+        vt = ds_schema.field(val_col).type
+        agg_t = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+    agg_np = np.int64 if agg_t == pa.int64() else np.float64
+    out_schema = pa.schema([("id", id_t), (out_col, agg_t)])
     ship_schema = pa.schema([(part_col, ds_schema.field(part_col).type),
                              ("__ts", pa.int64()), ("__blk", pa.int64()),
                              ("__cand", pa.bool_()), ("id", id_t),
-                             ("__nloc", pa.int64())])
+                             ("__aloc", agg_t), ("__v", agg_t)])
 
-    def _run_counts(ts: np.ndarray, starts: np.ndarray, widths: np.ndarray):
-        """Per-row window counts over rows present in this array, all
-        runs; ts int64, sorted within each run."""
+    def _vals_of(block: pa.Table) -> np.ndarray:
+        if val_col is None:
+            return np.ones(block.num_rows, agg_np)
+        v = block[val_col].to_numpy(zero_copy_only=False).astype(agg_np)
+        return np.nan_to_num(v, nan=0) if agg_np is np.float64 else v
+
+    def _run_aggs(ts: np.ndarray, v: np.ndarray, starts: np.ndarray,
+                  widths: np.ndarray):
+        """Per-row window aggregates over rows present in this array,
+        all runs; ts int64, sorted within each run."""
         outs = []
         for r in range(starts.size):
             a, b = starts[r], starts[r] + widths[r]
             seg = ts[a:b]
+            csum = np.concatenate([[0], np.cumsum(v[a:b])])
             left = np.searchsorted(seg, seg - window_us, side="left")
             right = np.searchsorted(seg, seg, side="right")  # peers included
-            outs.append(right - left)
-        return np.concatenate(outs) if outs else np.array([], np.int64)
+            outs.append(csum[right] - csum[left])
+        return np.concatenate(outs) if outs else np.array([], agg_np)
 
     @ray.remote(num_returns=2)
     def _block(block: pa.Table, bno: int):
@@ -721,9 +748,10 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
         k = block[part_col].to_numpy(zero_copy_only=False)
         ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").view(np.int64)
+        v = _vals_of(block)
         starts, widths = _run_bounds(k)
         n_runs = starts.size
-        nloc = _run_counts(ts, starts, widths)
+        aloc = _run_aggs(ts, v, starts, widths)
         cand = np.zeros(n, dtype=bool)
         ship = np.zeros(n, dtype=bool)
         # first run: trailing windows reaching before the segment start
@@ -741,7 +769,7 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
         keep = ~cand
         inner = pa.table({
             "id": block[id_col].filter(pa.array(keep)),
-            "n_window": pa.array(nloc[keep], pa.int64()),
+            out_col: pa.array(aloc[keep], agg_t),
         })
         sidx = np.flatnonzero(ship)
         take = pa.array(sidx, pa.int64())
@@ -751,14 +779,15 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
             "__blk": pa.array(np.full(sidx.size, bno, np.int64)),
             "__cand": pa.array(cand[sidx]),
             "id": block[id_col].take(take),
-            "__nloc": pa.array(nloc[sidx], pa.int64()),
+            "__aloc": pa.array(aloc[sidx], agg_t),
+            "__v": pa.array(v[sidx], agg_t),
         })
         return inner, shipped
 
     @ray.remote
     def _edge_stitch(*tables):
         """Candidates correct in a TASK, never on the driver: per
-        partition, count pool rows from other blocks inside each
+        partition, aggregate pool rows from other blocks inside each
         candidate's window (pool is time-clipped, so input stays
         O(blocks × rows-per-window))."""
         nonempty = [t_ for t_ in tables if t_.num_rows]
@@ -770,28 +799,31 @@ def windowed_count(ds, part_col: str, ts_col: str, id_col: str,
         ts = et["__ts"].to_numpy()
         blk = et["__blk"].to_numpy()
         cand = et["__cand"].to_numpy(zero_copy_only=False).astype(bool)
-        nloc = et["__nloc"].to_numpy()
+        aloc = et["__aloc"].to_numpy()
+        v = et["__v"].to_numpy()
         starts, widths = _run_bounds(k)
-        extra = np.zeros(ts.size, np.int64)
+        extra = np.zeros(ts.size, agg_np)
         for r in range(starts.size):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             ci = np.flatnonzero(cand[a:b]) + a
             if not ci.size:
                 continue
-            pts, pblk = ts[a:b], blk[a:b]
+            pts, pblk, pv = ts[a:b], blk[a:b], v[a:b]
             # group candidates by origin block: one masked (sorted) pool
             # per block value, vectorized searchsorted per group
             for bv in np.unique(blk[ci]):
                 gi = ci[blk[ci] == bv]
-                mts = pts[pblk != bv]
+                sel = pblk != bv
+                mts = pts[sel]
+                csum = np.concatenate([[0], np.cumsum(pv[sel])])
                 lo = np.searchsorted(mts, ts[gi] - window_us, side="left")
                 hi = np.searchsorted(mts, ts[gi], side="right")
-                extra[gi] = hi - lo
+                extra[gi] = csum[hi] - csum[lo]
         ci = np.flatnonzero(cand)
         take = pa.array(ci, pa.int64())
         return pa.table({
             "id": et["id"].take(take),
-            "n_window": pa.array(nloc[ci] + extra[ci], pa.int64()),
+            out_col: pa.array(aloc[ci] + extra[ci], agg_t),
         })
 
     results = [_block.remote(r, i) for i, r in enumerate(refs)]

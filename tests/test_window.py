@@ -412,3 +412,80 @@ def test_rolling_agg_minmax_matches_duckdb(ray_session, agg):
     """).fetch_df()
     got = out.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_windowed_agg_sum_hot_partition_many_blocks(ray_session):
+    """windowed_agg with a value column: exact integer RANGE-frame SUM
+    across one hot partition spanning 30 blocks with boundary ts ties."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import windowed_agg
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    secs = np.sort(rng.integers(0, 1200, n))
+    vals = rng.integers(-50, 500, n)
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+        "ts": pa.array(pd.to_datetime(secs, unit="s"), pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    got = (
+        windowed_agg(rd.from_arrow(t).repartition(30), "user_id", "ts",
+                     "event_id", window_us=30_000_000, val_col="v",
+                     out_col="s")
+        .to_pandas().rename(columns={"id": "event_id"})
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+        SELECT event_id,
+               SUM(v) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 30 SECOND PRECEDING
+                            AND CURRENT ROW) AS s
+        FROM events ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_windowed_agg_float_values_multi_partition(ray_session):
+    """Float value column across many partitions: sums match DuckDB to
+    float tolerance (association differs across blocks)."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import windowed_agg
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    users = rng.integers(0, 25, n)
+    secs = rng.integers(0, 3600, n)
+    order = np.lexsort((secs, users))
+    t = pa.table({
+        "user_id": pa.array(users[order], pa.int64()),
+        "ts": pa.array(pd.to_datetime(secs[order], unit="s"),
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.normal(10.0, 3.0, n), pa.float64()),
+    })
+    got = (
+        windowed_agg(rd.from_arrow(t).repartition(16), "user_id", "ts",
+                     "event_id", window_us=120_000_000, val_col="v",
+                     out_col="s")
+        .to_pandas().rename(columns={"id": "event_id"})
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+        SELECT event_id,
+               SUM(v) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 2 MINUTE PRECEDING
+                            AND CURRENT ROW) AS s
+        FROM events ORDER BY event_id
+    """).df()
+    np.testing.assert_allclose(got["s"].to_numpy(), want["s"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
