@@ -1568,6 +1568,43 @@ def q_window_spend(sf_dir: str) -> pd.DataFrame:
         "event_id").reset_index(drop=True)
 
 
+def q_user_first_event(sf_dir: str) -> pd.DataFrame:
+    """Per-row FIRST_VALUE window (string payload): every event carries
+    the event_type of its user's FIRST event — one sort + per-run firsts
+    + O(blocks) driver carry (stages.window.first_value_within)."""
+    from ..stages.window import first_value_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = first_value_within(ds, "user_id", ["ts", "event_id"],
+                             "event_type", out_col="first_type").to_pandas()
+    out = out[["event_id", "first_type"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_user_last_event(sf_dir: str) -> pd.DataFrame:
+    """Per-row LAST_VALUE over the FULL frame by composition:
+    first_value_within over NEGATED order keys (last under (ts, id) =
+    first under (-ts, -id)) — zero new operator code, same exchange."""
+    from ..stages.window import first_value_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _neg(t: pa.Table) -> pa.Table:
+        ts_i = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return t.append_column(
+            "neg_ts", pc.negate_checked(ts_i)).append_column(
+            "neg_id", pc.negate_checked(t["event_id"]))
+
+    out = first_value_within(
+        ds.map_batches(_neg, batch_format="pyarrow"),
+        "user_id", ["neg_ts", "neg_id"], "event_type",
+        out_col="last_type").to_pandas()
+    out = out[["event_id", "last_type"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3563,6 +3600,21 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "user_first_event": """
+        SELECT event_id,
+               FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                   AS first_type
+        FROM events ORDER BY event_id
+    """,
+    "user_last_event": """
+        SELECT event_id,
+               LAST_VALUE(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS last_type
+        FROM events ORDER BY event_id
+    """,
     "window_spend": """
         SELECT event_id,
                SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0))
@@ -3708,6 +3760,8 @@ QUERIES = {
     "user_gap_stats": q_user_gap_stats,
     "window_counts": q_window_counts,
     "window_spend": q_window_spend,
+    "user_first_event": q_user_first_event,
+    "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,

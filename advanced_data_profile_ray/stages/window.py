@@ -251,6 +251,80 @@ def running_sum(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def first_value_within(ds, part_col: str, order_keys: list, val_col: str,
+                       out_col: str = "first_value"):
+    """SQL ``FIRST_VALUE(val) OVER (PARTITION BY part ORDER BY
+    order_keys)`` as a distributed operator (LAST_VALUE over the full
+    frame = this operator under reversed order keys — compose, don't
+    duplicate). ``order_keys`` should end in a unique tiebreaker so the
+    partition's first row is well-defined.
+
+    Same shape as ``running_sum``: ONE sort, per-block run firsts
+    vectorized (``col.take(repeat(starts))`` — works for ANY value type,
+    strings included), and a driver carry scan over per-block boundary
+    tuples: the carried value for a partition straddling blocks is the
+    value at the partition's FIRST row, threaded through single-run
+    blocks. Driver traffic is O(blocks), never the data."""
+    import ray
+    import ray.data as rd
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    base = s.schema().base_schema
+    val_t = base.field(val_col).type
+    empty_out = pa.schema(list(base) + [pa.field(out_col, val_t)]).empty_table()
+
+    @ray.remote
+    def _bounds(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return (None, None, None, None, 0)
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, _ = _run_bounds(k)
+        vf = block[val_col][0].as_py()
+        vl = block[val_col][int(starts[-1])].as_py()
+        return (k[0], k[-1], vf, vl, starts.size)
+
+    @ray.remote
+    def _apply(block: pa.Table, inc):
+        """inc: (has_carry, carried_first_value) for the block's first
+        run when its partition began in an earlier block."""
+        if block.num_rows == 0:
+            return empty_out
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        out_idx = np.repeat(starts, widths)
+        col = block[val_col].combine_chunks()
+        out = col.take(pa.array(out_idx, pa.int64()))
+        has_carry, cv = inc
+        if has_carry:
+            w0 = int(widths[0])
+            head = pa.nulls(w0, val_t) if cv is None else pa.array(
+                [cv] * w0, val_t)
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            out = pa.concat_arrays([head, out.slice(w0)])
+        return block.append_column(out_col, out)
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    carry_key, carry_val, have = None, None, False
+    incoming = []
+    for fk, lk, vf, vl, nruns in infos:
+        if nruns == 0:
+            incoming.append((False, None))
+            continue
+        cont = have and fk == carry_key
+        incoming.append((cont, carry_val if cont else None))
+        if nruns == 1 and cont:
+            carry_key, carry_val, have = lk, carry_val, True
+        else:
+            carry_key, carry_val, have = lk, vl, True
+    out_refs = [_apply.remote(r, inc) for r, inc in zip(refs, incoming)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def rank_within(ds, part_col: str, order_col: str, id_col: str,
                 dense: bool = False, include_size: bool = False,
                 descending: bool = False):

@@ -489,3 +489,41 @@ def test_windowed_agg_float_values_multi_partition(ray_session):
     """).df()
     np.testing.assert_allclose(got["s"].to_numpy(), want["s"].to_numpy(),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_first_value_threads_through_single_run_blocks(ray_session):
+    """A partition spanning MANY blocks (middle blocks single-run) must
+    carry the partition's first value through every block, for a string
+    payload; interleaved small partitions keep run logic honest."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import first_value_within
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    users = np.sort(np.concatenate(
+        [np.zeros(4000, np.int64), rng.integers(1, 40, 1000)]))
+    seq = np.arange(n)
+    vals = np.array([f"t{v}" for v in rng.integers(0, 9, n)], dtype=object)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "val": pa.array(vals, pa.string()),
+    })
+    got = (
+        first_value_within(rd.from_arrow(t).repartition(25), "user_id",
+                           ["seq"], "val", out_col="fv")
+        .to_pandas().sort_values("seq").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT user_id, seq, val,
+               FIRST_VALUE(val) OVER (PARTITION BY user_id ORDER BY seq)
+                   AS fv
+        FROM t ORDER BY seq
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["seq", "fv"]].reset_index(drop=True),
+        want[["seq", "fv"]].astype({"seq": "int64"}))
