@@ -1605,6 +1605,28 @@ def q_user_last_event(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination census (LLM-pipeline extension): docs
+    0–49 act as the held-out benchmark; every other document reports how
+    many of its 5-gram positions appear in the benchmark's distinct
+    5-gram set (pipelines.text.contamination_check — broadcast sorted
+    hash set, corpus never shuffled)."""
+    from .text import contamination_check
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(50, pa.int64()))),
+        batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"],
+                                            pa.scalar(50, pa.int64()))),
+        batch_format="pyarrow")
+    out = contamination_check(corpus, bench, "doc_id", "text",
+                              n=5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3600,6 +3622,30 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "contamination": """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(regexp_extract_all(lower(text),
+                                                  '[a-z0-9'']+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ')
+                       AS g
+            FROM tok,
+                 UNNEST(generate_series(1, greatest(len(w) - 4, 0)))
+                     AS t(i)
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < 50
+        )
+        SELECT g2.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM grams g2 LEFT JOIN bench b ON g2.g = b.g
+        WHERE g2.doc_id >= 50
+        GROUP BY g2.doc_id
+        ORDER BY g2.doc_id
+    """,
     "user_first_event": """
         SELECT event_id,
                FIRST_VALUE(event_type) OVER (PARTITION BY user_id
@@ -3761,6 +3807,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "window_spend": q_window_spend,
     "user_first_event": q_user_first_event,
+    "contamination": q_contamination,
     "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,

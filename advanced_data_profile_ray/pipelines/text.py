@@ -437,3 +437,94 @@ def fingerprints(ds, id_col: str, text_col: str, window: int = 16,
                          rows=_raw_count(ds)).map_batches(
         _fp, batch_format="pyarrow", batch_size=None
     )
+
+
+def _batch_ngram_arrays(texts: "pd.Series", n: int):
+    """(grams, doc_idx) for one batch — the tfidf shifted-join trick
+    restricted to a single n: tokenize the whole batch with one pandas
+    findall, join n consecutive tokens elementwise over the flattened
+    token array, mask grams straddling doc boundaries. No per-doc
+    Python loop."""
+    tok_lists = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    wcount = tok_lists.str.len().to_numpy()
+    total = int(wcount.sum())
+    if total == 0 or n > total:
+        return None, None
+    flat = np.concatenate(tok_lists.to_numpy()).astype(object)
+    doc_idx = np.repeat(np.arange(len(tok_lists)), wcount)
+    L = total - n + 1
+    g = flat[:L].copy()
+    for k in range(1, n):
+        g = g + " "
+        g = g + flat[k:L + k]
+    same_doc = doc_idx[:L] == doc_idx[n - 1:]
+    return g[same_doc], doc_idx[:L][same_doc]
+
+
+def contamination_check(docs_ds, bench_ds, id_col: str, text_col: str,
+                        n: int = 5):
+    """Benchmark decontamination: per corpus document, how many of its
+    token n-gram positions also occur in a benchmark/eval document set
+    — the standard train-set hygiene check before LLM training.
+
+    Scale shape: the benchmark side (eval sets: 10^5–10^7 grams) maps
+    to per-batch UNIQUE gram hashes, driver-deduped and broadcast ONCE
+    as a sorted uint64 array via ``ray.put``; the corpus side streams
+    through map_batches — vectorized n-gram build, one hash pass, one
+    searchsorted membership, per-doc counts via bincount. The corpus
+    (the big side) is never shuffled and never leaves its blocks. A
+    benchmark too big to broadcast graduates to the partitioned Bloom
+    builder (stages/bloomjoin) with an exact re-check on hits.
+
+    Returns a Dataset of (id, n_grams, n_hits) — one row per document
+    with ≥1 n-gram; hits are counted per POSITION (duplicate grams in a
+    doc each count), matching the LEFT-JOIN SQL twin."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..stages.fast_ops import spread_blocks
+
+    def _bench(df: pd.DataFrame) -> pd.DataFrame:
+        g, _ = _batch_ngram_arrays(df[text_col], n)
+        if g is None:
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
+        return pd.DataFrame({"h": np.unique(hash_strings(g))})
+
+    blocks = ray.get(
+        spread_blocks(bench_ds.select_columns([text_col]),
+                      rows=_raw_count(bench_ds)).map_batches(
+            _bench, batch_format="pandas", batch_size=None
+        ).to_arrow_refs())
+    parts = [b["h"].to_numpy(zero_copy_only=False) for b in blocks
+             if b.num_rows]
+    bench_sorted = (np.unique(np.concatenate(parts)) if parts
+                    else np.empty(0, np.uint64))
+    ref = ray.put(bench_sorted)
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: df[id_col].iloc[:0],
+                              "n_grams": pd.Series([], dtype="int64"),
+                              "n_hits": pd.Series([], dtype="int64")})
+        g, didx = _batch_ngram_arrays(df[text_col], n)
+        if g is None:
+            return empty
+        bench = ray.get(ref)  # zero-copy from the object store
+        h = hash_strings(g)
+        if bench.size:
+            pos = np.searchsorted(bench, h)
+            pos_c = np.minimum(pos, bench.size - 1)
+            hit = bench[pos_c] == h
+        else:
+            hit = np.zeros(h.size, bool)
+        n_grams = np.bincount(didx, minlength=len(df)).astype(np.int64)
+        n_hits = np.bincount(didx, weights=hit,
+                             minlength=len(df)).astype(np.int64)
+        keep = n_grams > 0
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[keep],
+                             "n_grams": n_grams[keep],
+                             "n_hits": n_hits[keep]})
+
+    return spread_blocks(docs_ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(docs_ds)).map_batches(
+        _probe, batch_format="pandas", batch_size=None)

@@ -235,3 +235,30 @@ def test_format_cache_orders_candidates_and_records():
     assert merged.hits[key] == 4
     # unknown column falls back to canonical order
     assert cache.candidates_for("other")[: len(ALL_FORMATS)] == ALL_FORMATS
+
+
+def test_contamination_counts_planted_overlap(ray_session):
+    """Planted benchmark overlap: a corpus doc embedding an exact
+    benchmark span reports exactly span_len-n+1 hit positions; disjoint
+    docs report zero."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import contamination_check
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = [
+        # embeds an 8-token benchmark span → 8-5+1 = 4 hit positions
+        "xx yy " + bench_text + " zz ww",
+        "one two three four five six seven",          # disjoint: 0 hits
+        "alpha beta gamma",                            # < n tokens: no row
+    ]
+    bench_ds = rd.from_items([{"id": 0, "text": bench_text}])
+    corpus_ds = rd.from_items(
+        [{"id": i + 1, "text": t} for i, t in enumerate(corpus)])
+    out = (contamination_check(corpus_ds, bench_ds, "id", "text", n=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == [1, 2]
+    row1 = out[out["id"] == 1].iloc[0]
+    assert row1["n_grams"] == 12 - 5 + 1
+    assert row1["n_hits"] == 8 - 5 + 1
+    assert out[out["id"] == 2].iloc[0]["n_hits"] == 0
