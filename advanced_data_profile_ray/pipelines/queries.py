@@ -1627,6 +1627,66 @@ def q_contamination(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_order_overlap_counts(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL OVERLAP self-join (count form) by composition: treating
+    each order as the 30-day interval [orderdate, orderdate+30d], count
+    per order the same-customer orders whose intervals overlap. Zero
+    new operator code: overlap(a) = |{b : start_b ≤ end_a}| − |{b :
+    end_b < start_a}| (the second set is a subset of the first because
+    start ≤ end), and each term is ONE range_count_join with a window
+    large enough to act as an unbounded trailing frame — two sort
+    exchanges + one (id, n)⨝(id, n) merge join, never an all-pairs
+    expansion."""
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.window import range_count_join
+
+    W = 1 << 51  # ~71 years in µs — exceeds any data span
+    day30 = 30 * 86_400_000_000
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _shift(delta_us: int, out: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         pa.int64())
+            shifted = pc.cast(pc.add(us, pa.scalar(delta_us, pa.int64())),
+                              pa.timestamp("us"))
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "o_custkey": t["o_custkey"], out: shifted})
+        return _fn
+
+    # term 1: right starts ≤ left end  (rt ∈ [end+1−W, end+1) ⇔ rt ≤ end)
+    left_a = base.map_batches(_shift(day30 + 1 - W, "ta"),
+                              batch_format="pyarrow")
+    right_a = base.map_batches(_shift(0, "tb"), batch_format="pyarrow")
+    cnt_a = range_count_join(left_a, right_a, "o_custkey", "o_custkey",
+                             "ta", "tb", "o_orderkey", window_us=W)
+    # term 2: right ends < left start  (rt ∈ [start−W, start) ⇔ rt < start)
+    left_b = base.map_batches(_shift(-W, "ta"), batch_format="pyarrow")
+    right_b = base.map_batches(_shift(day30, "tb"), batch_format="pyarrow")
+    cnt_b = range_count_join(left_b, right_b, "o_custkey", "o_custkey",
+                             "ta", "tb", "o_orderkey", window_us=W)
+
+    rows = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    cnt_b = cnt_b.map_batches(
+        lambda t: t.rename_columns(["id_b", "n_before"]),
+        batch_format="pyarrow")
+    j = sorted_merge_join(cnt_a, cnt_b, "id", "id_b",
+                          ["id", "n_range"], ["n_before"],
+                          rows_hint=rows * 2)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["id"],
+            "n_overlap": pc.subtract(t["n_range"], t["n_before"])})
+
+    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3622,6 +3682,15 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "order_overlap_counts": """
+        SELECT a.o_orderkey, COUNT(*) AS n_overlap
+        FROM orders a, orders b
+        WHERE a.o_custkey = b.o_custkey
+          AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+          AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+        GROUP BY a.o_orderkey
+        ORDER BY a.o_orderkey
+    """,
     "contamination": """
         WITH tok AS (
             SELECT doc_id,
@@ -3808,6 +3877,7 @@ QUERIES = {
     "window_spend": q_window_spend,
     "user_first_event": q_user_first_event,
     "contamination": q_contamination,
+    "order_overlap_counts": q_order_overlap_counts,
     "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
