@@ -397,6 +397,43 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """HOPPING (sliding) window aggregate: 2-hour windows advancing by
+    1 hour — every event lands in TWO windows (its hour bucket and the
+    one before it), so the per-batch map EMITS both window assignments
+    as skinny rows before one grouped-count exchange. The window
+    fan-out happens map-side (flat scatter, zero-copy concat of two
+    shifted bucket columns); windows, not events, are the group domain.
+    Output: window start, events per [start, start+2h) per type."""
+    from ..stages.fast_ops import sorted_groupby
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    hour_us = 3_600_000_000
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(pc.cast(batch["ts"],
+                                              pa.timestamp("us")),
+                                      unit="hour"), pa.int64())
+        prev = pc.subtract(h, pa.scalar(hour_us, pa.int64()))
+        et = batch["event_type"]
+        return pa.concat_tables([
+            pa.table({"event_type": et, "win_start": h}),
+            pa.table({"event_type": et, "win_start": prev})])
+
+    pre = ds.map_batches(_scatter, batch_format="pyarrow",
+                         batch_size=65536)
+    inner, edge = sorted_groupby(pre, ["event_type", "win_start"],
+                                 [(None, "count_all", "n")])
+    res = inner
+    if edge is not None and edge.num_rows:
+        res = res.union(rd.from_arrow(edge))
+    out = res.to_pandas()
+    out["win_start"] = pd.to_datetime(out["win_start"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # uniqueness / referential
 
@@ -3682,6 +3719,18 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "events_hopping": """
+        SELECT event_type, win_start, COUNT(*) AS n
+        FROM (
+            SELECT event_type,
+                   UNNEST([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                       AS win_start
+            FROM events
+        )
+        GROUP BY event_type, win_start
+        ORDER BY event_type, win_start
+    """,
     "order_overlap_counts": """
         SELECT a.o_orderkey, COUNT(*) AS n_overlap
         FROM orders a, orders b
@@ -3853,6 +3902,7 @@ QUERIES = {
     "top_orderpriority": q_top_orderpriority,
     "q1_pricing_summary": q1_pricing_summary,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "dup_custkeys": q_dup_custkeys,
     "referential_counts": q_referential_counts,
     "transcripts": q_transcripts,
