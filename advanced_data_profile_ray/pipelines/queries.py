@@ -1724,6 +1724,63 @@ def q_order_overlap_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_table_diff(sf_dir: str) -> pd.DataFrame:
+    """DATASET-VERSION DIFF (training-data hygiene): compare two derived
+    versions of orders — A drops every 7th key, B drops every 11th and
+    doubles the price on every 13th — and census rows as
+    added/removed/changed/same. One FULL OUTER sort-merge join on the
+    key with exact-integer cents payloads on both sides; the
+    classification is a vectorized per-block partial (4 counters), so
+    the driver folds blocks×4 numbers, never rows."""
+    from ..stages.merge_join import sorted_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _version(drop_mod: int, double_mod: int | None, kc: str, cc: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            k_np = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(k_np % drop_mod != 0))
+            k = t["o_orderkey"]
+            c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+            if double_mod is not None:
+                k_np = k.to_numpy(zero_copy_only=False)
+                c = pc.if_else(pa.array(k_np % double_mod == 0),
+                               pc.multiply(c, pa.scalar(2, pa.int64())), c)
+            return pa.table({kc: k, cc: c})
+        return _fn
+
+    a = orders.map_batches(_version(7, None, "ka", "ca"),
+                           batch_format="pyarrow")
+    b = orders.map_batches(_version(11, 13, "kb", "cb"),
+                           batch_format="pyarrow")
+    rows = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    j = sorted_merge_join(a, b, "ka", "kb", ["ka", "ca"], ["kb", "cb"],
+                          rows_hint=rows * 2, how="full")
+
+    def _census(t: pa.Table) -> pa.Table:
+        a_null = pc.is_null(t["ka"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(t["kb"]).to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        both = ~a_null & ~b_null
+        changed = both & (ca != cb)
+        return pa.table({
+            "added": pa.array([int(a_null.sum())], pa.int64()),
+            "removed": pa.array([int(b_null.sum())], pa.int64()),
+            "changed": pa.array([int(changed.sum())], pa.int64()),
+            "same": pa.array([int((both & ~changed).sum())], pa.int64())})
+
+    parts = j.map_batches(_census, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    sums = parts.sum()
+    out = pd.DataFrame({"status": ["added", "changed", "removed", "same"],
+                        "n": [int(sums["added"]), int(sums["changed"]),
+                              int(sums["removed"]), int(sums["same"])]})
+    return out[out["n"] > 0].reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3719,6 +3776,27 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "table_diff": """
+        WITH a AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ), b AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   * CASE WHEN o_orderkey % 13 = 0 THEN 2 ELSE 1 END AS c
+            FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.c <> b.c THEN 'changed'
+                    ELSE 'same' END AS status,
+               COUNT(*) AS n
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        GROUP BY status
+        HAVING COUNT(*) > 0
+        ORDER BY status
+    """,
     "events_hopping": """
         SELECT event_type, win_start, COUNT(*) AS n
         FROM (
@@ -3928,6 +4006,7 @@ QUERIES = {
     "user_first_event": q_user_first_event,
     "contamination": q_contamination,
     "order_overlap_counts": q_order_overlap_counts,
+    "table_diff": q_table_diff,
     "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
