@@ -962,3 +962,131 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
                         "cosine": np.round(cos, 6)})
     out = out[out["cosine"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against a persistent hash index
+
+
+def _index_bucket_dir(index_dir: str, bucket: int) -> str:
+    import os
+
+    return os.path.join(index_dir, f"bucket={bucket:02d}")
+
+
+def _load_index_bucket(index_dir: str, bucket: int) -> np.ndarray:
+    """Sorted int64 hash array of one index bucket (all ingest files),
+    cached per worker process per (dir, bucket, file-set)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    bdir = _index_bucket_dir(index_dir, bucket)
+    if not os.path.isdir(bdir):
+        return np.empty(0, np.int64)
+    files = tuple(sorted(
+        f for f in os.listdir(bdir) if f.endswith(".parquet")))
+    key = (bdir, files)
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    parts = [pq.read_table(os.path.join(bdir, f),
+                           columns=["content_hash"])["content_hash"]
+             .to_numpy(zero_copy_only=False) for f in files]
+    arr = (np.unique(np.concatenate(parts)) if parts
+           else np.empty(0, np.int64))
+    _INDEX_CACHE[key] = arr
+    return arr
+
+
+_INDEX_CACHE: dict = {}
+
+
+def incremental_exact_dedup(ds, id_col: str, text_col: str,
+                            index_dir: str, ingest_tag: str,
+                            bucket_bits: int = 4):
+    """Exact dedup of ONE ingest shard against a PERSISTENT content-hash
+    index — the incremental-ingestion shape of a training corpus: new
+    data arrives in waves, and each wave must dedup against everything
+    already accepted without rescanning it.
+
+    Index layout: ``index_dir/bucket=NN/<ingest_tag>.parquet`` — hashes
+    bucketed by their top ``bucket_bits`` bits, ONE new file per touched
+    bucket per ingest, written atomically (tmp+rename). Probes read only
+    the buckets a batch touches, worker-cached per file-set, so repeat
+    ingests never rescan accepted data and buckets parallelize on a
+    cluster.
+
+    Semantics: keep-first WITHIN the shard (min id per content), drop
+    anything whose hash is already in the index; the kept set is
+    computed before the append, and re-ingesting the same tag is
+    idempotent (its hashes are already indexed → 0 new; its bucket files
+    are overwritten in place). Ingesting shards in id order makes the
+    union of kept ids across ingests equal the one-shot
+    ``exact_dedup`` keeper set.
+
+    Returns ``(kept_table, stats)``: kept = (keep_id, content_hash)
+    sorted by keep_id; stats = {n_groups, n_new, n_dup_vs_index}.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    shift = np.uint64(64 - bucket_bits)
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch[text_col].to_numpy(zero_copy_only=False))
+        return pa.table({"content_hash": pa.array(h.view(np.int64)),
+                         id_col: batch[id_col]})
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        _hash, batch_format="pyarrow")
+    inner, edge = sorted_groupby(
+        hashed, ["content_hash"], [(id_col, "min", "keep_id")])
+    groups = inner
+    if edge is not None and edge.num_rows:
+        groups = groups.union(rd.from_arrow(edge))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        h = batch["content_hash"].to_numpy(zero_copy_only=False)
+        buckets = (h.view(np.uint64) >> shift).astype(np.int64)
+        new = np.ones(h.size, bool)
+        for b in np.unique(buckets):
+            idx = _load_index_bucket(index_dir, int(b))
+            if idx.size:
+                m = buckets == b
+                pos = np.searchsorted(idx, h[m])
+                pos_c = np.minimum(pos, idx.size - 1)
+                new[m] = idx[pos_c] != h[m]
+        return batch.append_column("is_new", pa.array(new))
+
+    probed = ray.get(groups.map_batches(
+        _probe, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+    nonempty = [t for t in probed if t.num_rows]
+    if nonempty:
+        allg = pa.concat_tables(nonempty)
+    else:
+        allg = pa.table({"content_hash": pa.array([], pa.int64()),
+                         "keep_id": pa.array([], pa.int64()),
+                         "is_new": pa.array([], pa.bool_())})
+    kept = allg.filter(allg["is_new"]).select(["keep_id", "content_hash"])
+    kept = kept.sort_by("keep_id")
+    stats = {"n_groups": allg.num_rows, "n_new": kept.num_rows,
+             "n_dup_vs_index": allg.num_rows - kept.num_rows}
+
+    # append the new hashes: one atomic file per touched bucket
+    h = kept["content_hash"].to_numpy(zero_copy_only=False)
+    buckets = (h.view(np.uint64) >> shift).astype(np.int64)
+    for b in np.unique(buckets):
+        bdir = _index_bucket_dir(index_dir, int(b))
+        os.makedirs(bdir, exist_ok=True)
+        sub = np.sort(h[buckets == b])
+        tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(pa.table({"content_hash": pa.array(sub)}), tmp)
+        os.replace(tmp, os.path.join(bdir, f"{ingest_tag}.parquet"))
+    return kept, stats

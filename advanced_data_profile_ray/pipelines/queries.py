@@ -1781,6 +1781,35 @@ def q_table_diff(sf_dir: str) -> pd.DataFrame:
     return out[out["n"] > 0].reset_index(drop=True)
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL exact dedup (persistent hash index): ingest the
+    document corpus in two waves (doc_id < 250, then the rest) into a
+    fresh bucketed index; wave 2 dedups against wave 1 WITHOUT
+    rescanning it. The union of kept ids equals the one-shot
+    keep-first dedup (oracle: MIN(doc_id) per distinct text)."""
+    import tempfile
+
+    from .dedup import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cut = pa.scalar(250, pa.int64())
+    wave1 = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut)),
+        batch_format="pyarrow")
+    wave2 = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut)),
+        batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="adp_dedup_idx_") as idx:
+        k1, _ = incremental_exact_dedup(wave1, "doc_id", "text", idx,
+                                        "wave1")
+        k2, _ = incremental_exact_dedup(wave2, "doc_id", "text", idx,
+                                        "wave2")
+    keep = np.sort(np.concatenate(
+        [k1["keep_id"].to_numpy(zero_copy_only=False),
+         k2["keep_id"].to_numpy(zero_copy_only=False)]))
+    return pd.DataFrame({"keep_id": pd.Series(keep, dtype="int64")})
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3776,6 +3805,12 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "incremental_dedup": """
+        SELECT MIN(doc_id) AS keep_id
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id
+    """,
     "table_diff": """
         WITH a AS (
             SELECT o_orderkey AS k,
@@ -4007,6 +4042,7 @@ QUERIES = {
     "contamination": q_contamination,
     "order_overlap_counts": q_order_overlap_counts,
     "table_diff": q_table_diff,
+    "incremental_dedup": q_incremental_dedup,
     "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,

@@ -256,3 +256,36 @@ def test_jaccard_near_dups_oracle(ray_session, corpus):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
         want.astype({"id_a": "int64", "id_b": "int64"}).reset_index(drop=True))
+
+
+def test_incremental_dedup_two_waves_and_idempotent(ray_session, tmp_path):
+    """Two-wave ingest equals one-shot keep-first dedup; re-ingesting an
+    already-indexed wave is idempotent (0 new)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        exact_dedup_table,
+        incremental_exact_dedup,
+    )
+
+    texts = ["alpha", "beta", "gamma", "alpha", "delta", "beta",
+             "epsilon", "alpha", "zeta", "gamma"]
+    rows = [{"id": i, "text": t} for i, t in enumerate(texts)]
+    ds_all = rd.from_items(rows)
+    wave1 = rd.from_items(rows[:5])
+    wave2 = rd.from_items(rows[5:])
+    idx = str(tmp_path / "index")
+
+    k1, s1 = incremental_exact_dedup(wave1, "id", "text", idx, "w1")
+    k2, s2 = incremental_exact_dedup(wave2, "id", "text", idx, "w2")
+    got = sorted(k1["keep_id"].to_pylist() + k2["keep_id"].to_pylist())
+    want = exact_dedup_table(ds_all, "id", "text")["keep_id"].to_pylist()
+    assert got == sorted(want)
+    # wave-2 stats: epsilon + zeta are new; alpha/beta/gamma hit the index
+    assert s2["n_new"] == 2
+    assert s2["n_dup_vs_index"] == 3
+
+    # idempotent re-ingest: everything already indexed
+    k2b, s2b = incremental_exact_dedup(wave2, "id", "text", idx, "w2")
+    assert k2b.num_rows == 0
+    assert s2b["n_new"] == 0
