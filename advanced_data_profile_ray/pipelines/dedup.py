@@ -1090,3 +1090,42 @@ def incremental_exact_dedup(ds, id_col: str, text_col: str,
         pq.write_table(pa.table({"content_hash": pa.array(sub)}), tmp)
         os.replace(tmp, os.path.join(bdir, f"{ingest_tag}.parquet"))
     return kept, stats
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over verified pairs)
+
+
+def connected_components(id_a: np.ndarray, id_b: np.ndarray) -> pd.DataFrame:
+    """(node, cluster_id=min id of its component) over an undirected
+    edge list — path-compressed union-find on the DRIVER. Scale
+    contract: the input is the VERIFIED near-dup pair list, which every
+    dedup pipeline here already materializes (pairs ≪ docs); a graph too
+    big for one machine graduates to distributed label propagation
+    (iterate min-neighbor exchange via sorted_groupby until fixpoint),
+    which the same (u, v) rows feed unchanged."""
+    nodes, inv = np.unique(np.concatenate([id_a, id_b]), return_inverse=True)
+    parent = np.arange(nodes.size)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ea = inv[: id_a.size]
+    eb = inv[id_a.size:]
+    for a, b in zip(ea, eb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by smaller NODE id keeps the representative minimal
+            if nodes[ra] <= nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(int(i)) for i in range(nodes.size)])
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_id": nodes[roots]}).sort_values(
+        "doc_id").reset_index(drop=True)

@@ -2866,6 +2866,25 @@ def q_dedup_exact_hash(sf_dir: str) -> pd.DataFrame:
     return out.astype("int64")
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """NEAR-DUP CLUSTERING: connected components over the verified
+    rare-word-Jaccard pair list — every near-dup pipeline's terminal
+    step (pick one canonical doc per duplicate cluster). Pairs come from
+    the distributed inverted-index exchange; the component labeling runs
+    union-find on the driver over pairs only (pairs ≪ docs; the
+    label-propagation graduation is documented in
+    dedup.connected_components). Oracle: WITH RECURSIVE reachability,
+    cluster_id = min reachable doc."""
+    from .dedup import connected_components
+
+    pairs = q_jaccard_near_dups(sf_dir)
+    out = connected_components(pairs["id_a"].to_numpy(),
+                               pairs["id_b"].to_numpy())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out
+
+
 def q_jaccard_near_dups(sf_dir: str) -> pd.DataFrame:
     """Exact rare-word Jaccard near-dup (§2.7) — the deterministic,
     SQL-expressible member of the near-dup family (MinHash/SimHash are
@@ -3914,6 +3933,36 @@ ORACLE: dict[str, str] = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         ORDER BY id_a, id_b
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE words AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 64),
+        rw AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rw GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM rw a JOIN rw b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        )
+        SELECT u AS doc_id, MIN(v) AS cluster_id
+        FROM reach GROUP BY u ORDER BY u
+    """,
     "jaccard_near_dups": """
         WITH words AS (
           SELECT DISTINCT doc_id,
@@ -4104,6 +4153,7 @@ QUERIES = {
     # corpora with known duplicate structure instead)
     "dedup_exact_hash": q_dedup_exact_hash,
     "jaccard_near_dups": q_jaccard_near_dups,
+    "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,
