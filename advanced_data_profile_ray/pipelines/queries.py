@@ -1810,6 +1810,33 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"keep_id": pd.Series(keep, dtype="int64")})
 
 
+def q_targeted_deletion(sf_dir: str) -> pd.DataFrame:
+    """TARGETED DELETION (right-to-be-forgotten batch): every doc whose
+    id is a multiple of 17 is tombstoned; the corpus is rewritten shard
+    by shard through the resumable sink (sorted tombstone array
+    broadcast once, searchsorted filter per shard, atomic per-file
+    writes) and the surviving rows are read back for the oracle check."""
+    import os
+    import tempfile
+
+    from ..sources.sink import delete_keys_from_shards
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False)
+    tomb = ids[ids % 17 == 0]
+    with tempfile.TemporaryDirectory(prefix="adp_delete_") as out:
+        delete_keys_from_shards([f"{sf_dir}/documents.parquet"], "doc_id",
+                                tomb, out, columns=["doc_id", "n_chars"])
+        files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+                 if f.endswith(".parquet")]
+        kept = pa.concat_tables([pq.read_table(f) for f in files])
+    out_df = kept.to_pandas()
+    out_df["doc_id"] = out_df["doc_id"].astype("int64")
+    out_df["n_chars"] = out_df["n_chars"].astype("int64")
+    return out_df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _orders_cents(sf_dir: str):
     """orders with o_totalprice recast to exact integer cents — shared
     input of the cumulative/rolling window queries (integer accumulation
@@ -3824,6 +3851,11 @@ ORACLE: dict[str, str] = {
                               AND CURRENT ROW) AS n_last_hour
         FROM events ORDER BY event_id
     """,
+    "targeted_deletion": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 17 <> 0
+        ORDER BY doc_id
+    """,
     "incremental_dedup": """
         SELECT MIN(doc_id) AS keep_id
         FROM documents
@@ -4092,6 +4124,7 @@ QUERIES = {
     "order_overlap_counts": q_order_overlap_counts,
     "table_diff": q_table_diff,
     "incremental_dedup": q_incremental_dedup,
+    "targeted_deletion": q_targeted_deletion,
     "user_last_event": q_user_last_event,
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,

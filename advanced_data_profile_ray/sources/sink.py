@@ -93,3 +93,35 @@ def dataset_to_partitioned(ds, out_dir: str, overwrite: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
     return out_dir
+
+
+def delete_keys_from_shards(paths: list, key_col: str, keys,
+                            out_dir: str, columns: list | None = None,
+                            overwrite: bool = False) -> dict:
+    """Targeted row deletion (right-to-be-forgotten batch): rewrite each
+    shard WITHOUT the rows whose ``key_col`` is in the tombstone set —
+    the per-shard, resumable shape of a 100-TB delete. The tombstone
+    keys broadcast ONCE as a sorted array via ``ray.put`` (zero-copy in
+    every task); each task searchsorted-filters its own shard and writes
+    atomically through ``write_partitioned_parquet``, so a crashed run
+    re-invoked with the same arguments skips finished shards. Null keys
+    are never deleted (SQL NOT IN semantics against non-null tombstones)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    tomb = np.sort(np.asarray(keys))
+    ref = ray.put(tomb)
+
+    def _fn(t: "pa.Table") -> "pa.Table":
+        tk = ray.get(ref)
+        if tk.size == 0 or t.num_rows == 0:
+            return t
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tk, k)
+        pos_c = np.minimum(pos, tk.size - 1)
+        hit = tk[pos_c] == k
+        return t.filter(pa.array(~hit))
+
+    return write_partitioned_parquet(paths, out_dir, batch_fn=_fn,
+                                     columns=columns, overwrite=overwrite)

@@ -85,3 +85,34 @@ def test_duplicate_basenames_do_not_collide(ray_session, tmp_path):
     assert vals == [2024, 2025]
     r2 = write_partitioned_parquet(paths, out_dir)
     assert not r2["written"] and len(r2["skipped"]) == 2
+
+
+def test_delete_keys_resume_skips_finished_shards(ray_session, tmp_path):
+    """Tombstone deletion drops exactly the keyed rows per shard; a
+    second invocation (resume) rewrites nothing."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.sources.sink import delete_keys_from_shards
+
+    paths = []
+    for s in range(3):
+        t = pa.table({"k": pa.array(np.arange(s * 10, s * 10 + 10)),
+                      "v": pa.array(np.arange(10))})
+        p = str(tmp_path / f"shard{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "out")
+    tomb = np.array([0, 5, 12, 25, 29, 999])
+    r1 = delete_keys_from_shards(paths, "k", tomb, out)
+    assert len(r1["written"]) == 3 and not r1["skipped"]
+    kept = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))]
+    )["k"].to_numpy()
+    want = np.setdiff1d(np.arange(30), tomb)
+    assert sorted(kept) == sorted(want)
+    r2 = delete_keys_from_shards(paths, "k", tomb, out)
+    assert not r2["written"] and len(r2["skipped"]) == 3
