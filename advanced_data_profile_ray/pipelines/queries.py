@@ -1042,6 +1042,10 @@ def q12_late_shipments(sf_dir: str) -> pd.DataFrame:
 
     parts = j.map_batches(_partial, batch_format="pyarrow",
                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"l_year": pd.Series([], dtype="int64"),
+                             "high_line_count": pd.Series([], dtype="int64"),
+                             "low_line_count": pd.Series([], dtype="int64")})
     out = parts.groupby("l_year", as_index=False)[
         ["high_line_count", "low_line_count"]].sum()
     for c in out.columns:
@@ -1093,8 +1097,11 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
     parts = j.map_batches(_partial, batch_format="pyarrow",
                           batch_size=None).to_pandas()
-    promo4 = int(parts["promo4"].sum())
-    total4 = int(parts["total4"].sum())
+    promo4 = int(parts["promo4"].sum()) if not parts.empty else 0
+    total4 = int(parts["total4"].sum()) if not parts.empty else 0
+    if total4 == 0:  # SQL SUM over zero rows is NULL
+        return pd.DataFrame({"promo_revenue": [None], "promo_rev": [None],
+                             "total_rev": [None]}, dtype="float64")
     return pd.DataFrame({
         "promo_revenue": [round(100.0 * promo4 / total4, 6)],
         "promo_rev": [((promo4 + 50) // 100) / 100.0],
@@ -1159,12 +1166,17 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         lhs = pc.multiply(pc.multiply(batch["q2"], pa.scalar(5, pa.int64())),
                           batch["n"])
         keep = pc.less(lhs, batch["s2"])
-        s = pc.sum(pc.filter(batch["cents"], keep)).as_py() or 0
-        return pa.table({"cents": pa.array([s], pa.int64())})
+        sub = pc.filter(batch["cents"], keep)
+        s = pc.sum(sub).as_py() or 0
+        return pa.table({"cents": pa.array([s], pa.int64()),
+                         "n_rows": pa.array([len(sub)], pa.int64())})
 
     parts = j.map_batches(_partial, batch_format="pyarrow",
                           batch_size=None).to_pandas()
     total_cents = int(parts["cents"].sum())
+    # SQL SUM over zero rows is NULL, not 0 — mirror it
+    if int(parts["n_rows"].sum()) == 0:
+        return pd.DataFrame({"avg_yearly": [None]}, dtype="float64")
     return pd.DataFrame({"avg_yearly": [round(total_cents / 700.0, 6)]})
 
 
