@@ -2516,6 +2516,64 @@ def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END CORPUS PREPARATION composite — the LLM-training data
+    path as ONE streaming pipeline: quality gate (≥5 tokens, the
+    reference's is_valid_text rule) → exact keep-first dedup (content
+    hash through one grouped exchange; the token count rides the
+    exchange as a hash-functional payload, so no join-back) → global
+    concat-and-chunk packing into 512-token sequences (running_sum
+    carry chain). Each stage is an oracle-green operator; this query
+    checks their COMPOSITION against one SQL twin."""
+    import ray.data as rd
+
+    from ..functions.hashing import hash_strings
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import running_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _gate(t: pa.Table) -> pa.Table:
+        t = t.filter(t["text"].is_valid())
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"),
+                    pa.int64())
+        t = t.append_column("n_tokens", n)
+        t = t.filter(pc.greater_equal(n, pa.scalar(5, pa.int64())))
+        h = hash_strings(t["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens": t["n_tokens"]})
+
+    gated = ds.map_batches(_gate, batch_format="pyarrow",
+                           batch_size=131072)
+    # keep-first per content; n_tokens is hash-functional so min = its value
+    inner, edge = sorted_groupby(
+        gated, ["h"], [("doc_id", "min", "doc_id"),
+                       ("n_tokens", "min", "n_tokens")])
+    kept = inner.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, np.int64))).drop(["h"]),
+        batch_format="pyarrow")
+    if edge is not None and edge.num_rows:
+        et = edge.select(["doc_id", "n_tokens"]).append_column(
+            "part", pa.array(np.zeros(edge.num_rows, np.int64)))
+        kept = kept.union(rd.from_arrow(et))
+    rs = running_sum(kept, "part", ["doc_id"], "n_tokens", out_col="cum")
+
+    B = pa.scalar(512, pa.int64())
+
+    def _packs(t: pa.Table) -> pa.Table:
+        first = pc.divide(pc.subtract(t["cum"], t["n_tokens"]), B)
+        last = pc.divide(pc.subtract(t["cum"], pa.scalar(1, pa.int64())), B)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "pack_first": first, "pack_last": last})
+
+    out = rs.map_batches(_packs, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
     """GROUPED Pearson correlation (CORR ... GROUP BY twin): per-batch
     per-group algebraic partials (n, Σx, Σy, Σx², Σy², Σxy) via one
@@ -3506,6 +3564,30 @@ ORACLE: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
+    "corpus_prep": """
+        WITH tok AS (
+            SELECT doc_id, text,
+                   COALESCE(CAST(LENGTH(regexp_extract_all(text, '\\S+'))
+                                 AS BIGINT), 0) AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+        ),
+        valid AS (SELECT * FROM tok WHERE n_tokens >= 5),
+        kept AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+            FROM valid GROUP BY text
+        ),
+        w AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM kept
+        )
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // 512 AS pack_first,
+               (cum - 1) // 512 AS pack_last
+        FROM w ORDER BY doc_id
+    """,
     "corr_by_returnflag": """
         SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
         FROM lineitem
@@ -4134,6 +4216,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,
     "doc_packing": q_doc_packing,
+    "corpus_prep": q_corpus_prep,
     "corr_lineitem": q_corr_lineitem,
     "corr_by_returnflag": q_corr_by_returnflag,
     "iqr_outliers": q_iqr_outliers,
