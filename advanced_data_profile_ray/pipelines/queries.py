@@ -1934,6 +1934,101 @@ def q_rolling_spend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_event_centered_sum(sf_dir: str) -> pd.DataFrame:
+    """CENTERED window frame (ROWS 1 PRECEDING..1 FOLLOWING) by pure
+    composition: centered = trailing₂(forward order) + trailing₂(
+    reversed order) − own value — two rolling_sum_rows passes (the
+    reversed leg rides negated order keys) merged on the row id, exact
+    integer cents throughout. Zero new operator code."""
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.window import rolling_sum_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ts_i = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        cents = pc.fill_null(pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0),
+                     round_mode="half_towards_infinity"), pa.int64()), 0)
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "ts_i": ts_i,
+                         "neg_ts": pc.negate_checked(ts_i),
+                         "neg_id": pc.negate_checked(t["event_id"]),
+                         "cents": cents})
+
+    base = ds.map_batches(_prep, batch_format="pyarrow")
+    fwd = rolling_sum_rows(base, "user_id", ["ts_i", "event_id"],
+                           "cents", "event_id", k=2)
+    bwd = rolling_sum_rows(base, "user_id", ["neg_ts", "neg_id"],
+                           "cents", "event_id", k=2)
+    rows = _read(sf_dir, "events", ["event_id"]).count()
+    fwd = fwd.map_batches(
+        lambda t: pa.table({"id": t["id"], "fsum": t["roll_sum"]}),
+        batch_format="pyarrow")
+    bwd = bwd.map_batches(
+        lambda t: pa.table({"id_b": t["id"], "bsum": t["roll_sum"]}),
+        batch_format="pyarrow")
+    j1 = sorted_merge_join(fwd, bwd, "id", "id_b", ["id", "fsum"],
+                           ["bsum"], rows_hint=rows * 2)
+    own = base.map_batches(
+        lambda t: pa.table({"id_o": t["event_id"], "own": t["cents"]}),
+        batch_format="pyarrow")
+    j2 = sorted_merge_join(j1, own, "id", "id_o", ["id", "fsum", "bsum"],
+                           ["own"], rows_hint=rows * 2)
+
+    def _final(t: pa.Table) -> pa.Table:
+        c = pc.subtract(pc.add(t["fsum"], t["bsum"]), t["own"])
+        return pa.table({"event_id": t["id"], "centered_cents": c})
+
+    out = j2.map_batches(_final, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["centered_spend"] = out["centered_cents"] / 100.0
+    return out[["event_id", "centered_spend"]].sort_values(
+        "event_id").reset_index(drop=True)
+
+
+def q_funnel_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """CONVERSION FUNNEL by composition: users with a purchase within
+    one hour AFTER a view — per view event, purchases in [t, t+1h)
+    via ONE range_count_join; converted view events merge-join back to
+    their user and the distinct-user exchange yields the funnel cohort.
+    All existing operators, no driver row loops."""
+    from ..stages.fast_ops import distinct_values
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.window import range_count_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _typed(kind: str, cols):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"],
+                                     pa.scalar(kind))).select(cols)
+        return _fn
+
+    views = ev.map_batches(_typed("view", ["user_id", "ts", "event_id"]),
+                           batch_format="pyarrow")
+    buys = ev.map_batches(_typed("purchase", ["user_id", "ts"]),
+                          batch_format="pyarrow")
+    cnt = range_count_join(views, buys, "user_id", "user_id", "ts", "ts",
+                           "event_id", window_us=3_600_000_000)
+    conv = cnt.map_batches(
+        lambda t: pa.table({"cid": t["id"].filter(
+            pc.greater(t["n_range"], pa.scalar(0, pa.int64())))}),
+        batch_format="pyarrow")
+    rows = _read(sf_dir, "events", ["event_id"]).count()
+    vmap = ev.map_batches(
+        lambda t: pa.table({"vid": t["event_id"], "vuser": t["user_id"]}),
+        batch_format="pyarrow")
+    j = sorted_merge_join(conv, vmap, "cid", "vid", ["cid"], ["vuser"],
+                          rows_hint=rows * 2)
+    users = distinct_values(j.map_batches(
+        lambda t: pa.table({"user_id": t["vuser"]}),
+        batch_format="pyarrow"), "user_id").to_pandas()
+    users["user_id"] = users["user_id"].astype("int64")
+    return users.sort_values("user_id").reset_index(drop=True)
+
+
 def q_order_rank(sf_dir: str) -> pd.DataFrame:
     """Tie-aware RANK within partition (window family): orders ranked
     by total price within their status — SQL RANK() twin
@@ -4038,6 +4133,22 @@ ORACLE: dict[str, str] = {
         GROUP BY g2.doc_id
         ORDER BY g2.doc_id
     """,
+    "event_centered_sum": """
+        SELECT event_id,
+               SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                   / 100.0 AS centered_spend
+        FROM events ORDER BY event_id
+    """,
+    "funnel_view_purchase": """
+        SELECT DISTINCT a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+        ORDER BY a.user_id
+    """,
     "user_first_event": """
         SELECT event_id,
                FIRST_VALUE(event_type) OVER (PARTITION BY user_id
@@ -4241,6 +4352,8 @@ QUERIES = {
     "window_counts_leading": q_window_counts_leading,
     "running_spend": q_running_spend,
     "rolling_spend": q_rolling_spend,
+    "event_centered_sum": q_event_centered_sum,
+    "funnel_view_purchase": q_funnel_view_purchase,
     "rolling_max_spend": q_rolling_max_spend,
     "events_type_pivot": q_events_type_pivot,
     "event_lag": q_event_lag,
