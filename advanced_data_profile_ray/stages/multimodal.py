@@ -280,29 +280,113 @@ class ImageFeatures:
         )
 
 
+def decode_y4m(payload: bytes):
+    """REAL video demux for YUV4MPEG2 (.y4m) — the standard uncompressed
+    video interchange format; pure byte parsing, no codec lib. Returns
+    ``(width, height, fps, [frame_bytes, ...])`` with one entry per
+    FRAME section (mono = W·H luma bytes, C420 = W·H·1.5, C444 = W·H·3),
+    or None when the payload isn't Y4M. Only the stream-header
+    parameters W/H/F/C are interpreted; unknown parameters pass through."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    fmt = b"420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                fmt = val
+        except ValueError:
+            return None
+    if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
+        return None
+    if fmt.startswith(b"mono"):
+        fsize = w * h
+    elif fmt.startswith(b"420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif fmt.startswith(b"444"):
+        fsize = w * h * 3
+    else:
+        return None
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            break
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            break
+        start = fnl + 1
+        if start + fsize > len(payload):
+            break
+        frames.append(payload[start:start + fsize])
+        pos = start + fsize
+    return w, h, fps_num / fps_den, frames
+
+
+def encode_y4m_mono(frames, fps: int = 10) -> bytes:
+    """[(h, w) uint8 luma frame, ...] → Y4M mono payload (test/synthesis
+    helper — the encoder side of decode_y4m)."""
+    h, w = frames[0].shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)
+    return head + b"".join(
+        b"FRAME\n" + f.astype(np.uint8).tobytes() for f in frames)
+
+
 class FrameSample:
-    """Actor-pool stage: video payload → every-k-th frame payload rows
-    (1 input row → n output rows). Frame extraction is stubbed as byte
-    slices; the row-explosion plumbing is the real part."""
+    """Actor-pool stage: video payload → every-k-th frame rows (1 input
+    row → n output rows). Y4M payloads get a REAL demux (decode_y4m):
+    frames are selected at ``every_ms`` intervals from the stream's own
+    fps and re-encoded as PPM images (luma replicated to RGB for mono /
+    420's Y plane), so the output rows feed ImageDecode/ImageFeatures
+    directly. Compressed containers (mp4/webm) stay behind the strict
+    boundary — slicing bytes can't substitute for a real demuxer — and
+    in non-strict mode fall back to deterministic byte-slice stubs so
+    the row-explosion plumbing stays exercised."""
 
     def __init__(self, every_ms: int = 1000, strict: bool = False):
         self.every_ms = every_ms
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "video codec not available; replace FrameSample frame cut "
-                "with a real demuxer (pyav/ffmpeg)"
-            )
         ids, frame_idx, payloads = [], [], []
         for mid, payload, dur in zip(
             batch["media_id"].to_pylist(),
             batch["payload"].to_pylist(),
             batch["duration_ms"].to_pylist(),
         ):
-            n_frames = max(1, (dur or 0) // self.every_ms)
             payload = payload or b""
+            demux = decode_y4m(payload)
+            if demux is not None:
+                w, h, fps, frames = demux
+                step = max(1, int(round(fps * self.every_ms / 1000.0)))
+                for out_i, fi in enumerate(range(0, len(frames), step)):
+                    luma = np.frombuffer(frames[fi][: w * h],
+                                         np.uint8).reshape(h, w)
+                    rgb = np.repeat(luma[:, :, None], 3, axis=2)
+                    ids.append(mid)
+                    frame_idx.append(out_i)
+                    payloads.append(encode_ppm(rgb))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed video codec not available; Y4M demuxes "
+                    "for real — replace the fallback with pyav/ffmpeg "
+                    "for mp4/webm"
+                )
+            n_frames = max(1, (dur or 0) // self.every_ms)
             step = max(1, len(payload) // n_frames)
             for i in range(n_frames):
                 ids.append(mid)

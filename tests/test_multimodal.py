@@ -198,3 +198,54 @@ def test_real_wav_decode(ray_session):
     # 440 Hz crosses zero ~880 times/sec -> zcr ~ 0.11
     assert 0.09 < out.loc[7, "zcr"] < 0.13
     assert np.isnan(out.loc[8, "rms"])  # non-WAV -> nulls (non-strict)
+
+
+def test_y4m_frame_sample_real_demux(ray_session):
+    """A real Y4M stream demuxes to the right frames at the right
+    sampling interval, and the emitted PPM frames feed ImageDecode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from advanced_data_profile_ray.stages.multimodal import (
+        FrameSample,
+        decode_ppm,
+        decode_y4m,
+        encode_y4m_mono,
+    )
+
+    # 30 frames at 10 fps, each filled with its own index value
+    frames = [np.full((8, 6), i, np.uint8) for i in range(30)]
+    payload = encode_y4m_mono(frames, fps=10)
+    w, h, fps, parsed = decode_y4m(payload)
+    assert (w, h, fps, len(parsed)) == (6, 8, 10.0, 30)
+
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+        "duration_ms": pa.array([3000], pa.int32()),
+    })
+    out = FrameSample(every_ms=500, strict=True)(batch)
+    # 10 fps × 0.5 s = every 5th frame → sources 0,5,10,15,20,25
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3, 4, 5]
+    fills = []
+    for p in out["payload"].to_pylist():
+        img = decode_ppm(p)
+        assert img.shape == (8, 6, 3)
+        assert (img == img[0, 0, 0]).all()
+        fills.append(int(img[0, 0, 0]))
+    assert fills == [0, 5, 10, 15, 20, 25]
+
+
+def test_frame_sample_strict_rejects_compressed(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from advanced_data_profile_ray.stages.multimodal import FrameSample
+
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\x00\x00\x00 ftypmp42"], pa.binary()),
+        "duration_ms": pa.array([2000], pa.int32()),
+    })
+    with pytest.raises(NotImplementedError):
+        FrameSample(every_ms=1000, strict=True)(batch)
