@@ -2771,6 +2771,23 @@ def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
         g).reset_index(drop=True)
 
 
+def q_price_p90_disc(sf_dir: str) -> pd.DataFrame:
+    """PERCENTILE_DISC per group (discrete quantile — the actual
+    order-statistic value, never interpolated): p50/p90 of extended
+    price per return flag via the same distributed value-counts
+    exchange as the CONT path (grouped_quantiles(disc=True))."""
+    from ..stages.fast_ops import grouped_quantiles
+
+    t = grouped_quantiles(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice", [0.5, 0.9], ["p50", "p90"],
+        disc=True)
+    out = t.to_pandas()
+    out["p50"] = out["p50"].round(2)
+    out["p90"] = out["p90"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_mad_by_flag(sf_dir: str) -> pd.DataFrame:
     """Median absolute deviation per group — two exact grouped-median
     passes (distributed value counts): pass 1 per-group median, the
@@ -3707,6 +3724,14 @@ ORACLE: dict[str, str] = {
         GROUP BY l.l_returnflag
         ORDER BY l.l_returnflag
     """,
+    "price_p90_disc": """
+        SELECT l_returnflag,
+               ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+               ROUND(quantile_disc(l_extendedprice, 0.9), 2) AS p90
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "mad_by_flag": """
         WITH m AS (
             SELECT l_returnflag, MEDIAN(l_quantity) AS md
@@ -4332,6 +4357,7 @@ QUERIES = {
     "corr_by_returnflag": q_corr_by_returnflag,
     "iqr_outliers": q_iqr_outliers,
     "mad_by_flag": q_mad_by_flag,
+    "price_p90_disc": q_price_p90_disc,
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,

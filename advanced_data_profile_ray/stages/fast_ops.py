@@ -299,6 +299,20 @@ def quantile_from_value_counts(v, n, q: float) -> float:
     return s1 * (1.0 - frac) + s2 * frac
 
 
+def quantile_disc_from_value_counts(v, n, q: float) -> float:
+    """Discrete quantile (PERCENTILE_DISC(q) / DuckDB quantile_disc): the
+    smallest value whose cumulative share reaches ``q`` — the 1-based
+    ceil(q·N) order statistic, never interpolated."""
+    import math
+
+    import numpy as np
+
+    cum = np.cumsum(n)
+    N = int(cum[-1])
+    k = min(N, max(1, int(math.ceil(q * N))))
+    return float(v[np.searchsorted(cum, k, side="left")])
+
+
 def median_from_value_counts(v, n) -> float:
     """Interpolated median — quantile_from_value_counts at 0.5."""
     return quantile_from_value_counts(v, n, 0.5)
@@ -306,7 +320,8 @@ def median_from_value_counts(v, n) -> float:
 
 def grouped_quantiles(ds, group_col: str, val_col: str,
                       quantiles: list, names: list | None = None,
-                      batch_size: int | None = 131072) -> pa.Table:
+                      batch_size: int | None = 131072,
+                      disc: bool = False) -> pa.Table:
     """EXACT interpolated quantiles (SQL PERCENTILE_CONT(p) / DuckDB
     quantile_cont) per group, computed from distributed VALUE COUNTS —
     the exact path for low/moderate-cardinality value domains
@@ -326,6 +341,7 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
     names = names or [f"q{int(round(q * 100))}" for q in quantiles]
     if len(names) != len(quantiles):
         raise ValueError("names must match quantiles")
+    qfn = quantile_disc_from_value_counts if disc else quantile_from_value_counts
 
     def _pre(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -358,7 +374,7 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
         for r in range(lo, hi):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             gs.append(garr[a])
-            vals.append([quantile_from_value_counts(varr[a:b], narr[a:b], q)
+            vals.append([qfn(varr[a:b], narr[a:b], q)
                          for q in quantiles])
         return gs, vals
 
