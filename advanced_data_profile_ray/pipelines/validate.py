@@ -127,6 +127,54 @@ def _uniqueness_verdict(ds, keys: list, dup_table) -> CheckVerdict:
     return verdict
 
 
+def turn_contiguity_check(ds, conv_col: str = "conv_id",
+                          idx_col: str = "turn_idx",
+                          sample_limit: int = 10_000):
+    """Structural transcript check: each conversation's turn indexes must
+    be exactly 0..n−1. Combined with the uniqueness check (all
+    (conv, idx) distinct), per-conversation ``count = n ∧ min = 0 ∧
+    max = n−1`` is equivalent to contiguity, so ONE skinny
+    sorted_groupby exchange over the two key columns decides every
+    conversation — no per-row materialization, violation rows are the
+    failing (conv_id, n_turns, min_idx, max_idx) summaries themselves
+    (capped at ``sample_limit``)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    inner, edge = sorted_groupby(
+        ds.select_columns([conv_col, idx_col]), [conv_col],
+        [(None, "count_all", "n_turns"), (idx_col, "min", "min_idx"),
+         (idx_col, "max", "max_idx")])
+
+    def _bad(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_turns"], pa.int64())
+        bad = pc.or_(
+            pc.not_equal(pc.cast(t["min_idx"], pa.int64()),
+                         pa.scalar(0, pa.int64())),
+            pc.not_equal(pc.cast(t["max_idx"], pa.int64()),
+                         pc.subtract(n, pa.scalar(1, pa.int64()))))
+        return t.filter(bad)
+
+    bad_ds = inner.map_batches(_bad, batch_format="pyarrow",
+                               batch_size=None)
+    if edge is not None and edge.num_rows:
+        bad_ds = bad_ds.union(rd.from_arrow(_bad(edge)))
+    # two consumers (count + sample) over a tiny derived set
+    bad_ds = bad_ds.materialize()
+    n_bad = bad_ds.count()
+    v = CheckVerdict(
+        check=f"turn_contiguity({conv_col}, {idx_col})",
+        passed=n_bad == 0,
+        stats={"violating_conversations": int(n_bad)},
+        violation_count=int(n_bad),
+    )
+    if n_bad:
+        v.violations = bad_ds.limit(sample_limit)
+    return v
+
+
 def referential_check(ds, column: str, dim_values, check_name: str | None = None):
     """Broadcast-hash semi/anti-join of ``ds[column]`` against the small
     dimension value list (ray.put once, hash set per actor — never a
@@ -526,12 +574,16 @@ def validate_transcripts(
     max_text_blank_pct: float = 5.0,
     fused: bool = True,
     paths: list | None = None,
+    check_turn_contiguity: bool = False,
 ) -> ValidationReport:
     """Full engine. ``fused=True`` (default) computes profile partials,
     the ts-range count, and both referential counters in ONE wide pass;
     only the uniqueness shuffle (narrow: key columns) is a second pass.
     Violation rows are constructed lazily and only for failing checks.
-    ``fused=False`` keeps the one-pass-per-check layout (same verdicts)."""
+    ``fused=False`` keeps the one-pass-per-check layout (same verdicts).
+    ``check_turn_contiguity=True`` adds the structural 0..n−1 turn-index
+    check (one extra skinny exchange; opt-in so the headline surface
+    matches the reference's check set)."""
     if not fused:
         profile = profile_dataset(ds, transcript_profile_config())
         verdicts = [
@@ -545,6 +597,8 @@ def validate_transcripts(
             verdicts.append(referential_check(ds, "tool", valid_tools))
         if baseline is not None:
             verdicts.append(drift_check(profile, baseline))
+        if check_turn_contiguity:
+            verdicts.append(turn_contiguity_check(ds))
         return ValidationReport(profile=profile, verdicts=verdicts)
 
     import ray
@@ -623,6 +677,8 @@ def validate_transcripts(
 
     if baseline is not None:
         verdicts.append(drift_check(profile, baseline))
+    if check_turn_contiguity:
+        verdicts.append(turn_contiguity_check(ds))
     return ValidationReport(profile=profile, verdicts=verdicts)
 
 

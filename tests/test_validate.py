@@ -373,3 +373,31 @@ def test_broadcast_lookup_join_empty_dim(ray_session):
     out = broadcast_lookup_join(rd.from_arrow(fact), "k", dim, "dk", ["name"]) \
         .to_pandas()
     assert out["name"].isna().all()
+
+
+def test_turn_contiguity_check(ray_session):
+    """Gapped / nonzero-start conversations fail; contiguous ones pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.validate import (
+        turn_contiguity_check,
+    )
+
+    rows = []
+    for conv, idxs in [("c1", [0, 1, 2]),        # clean
+                       ("c2", [0, 1, 3]),        # gap
+                       ("c3", [1, 2]),           # nonzero start
+                       ("c4", [0])]:             # single-turn clean
+        rows += [{"conv_id": conv, "turn_idx": i, "text": "t"} for i in idxs]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    v = turn_contiguity_check(ds)
+    assert not v.passed
+    assert v.stats["violating_conversations"] == 2
+    bad = v.violations.to_pandas()
+    assert sorted(bad["conv_id"]) == ["c2", "c3"]
+
+    clean = rd.from_arrow(pa.Table.from_pylist(
+        [{"conv_id": c, "turn_idx": i} for c in ("a", "b")
+         for i in range(4)]))
+    assert turn_contiguity_check(clean).passed
