@@ -990,6 +990,8 @@ def _load_index_bucket(index_dir: str, bucket: int) -> np.ndarray:
     cached = _INDEX_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_INDEX_CACHE) > 64:  # bound worker memory across many ingests
+        _INDEX_CACHE.clear()
     parts = [pq.read_table(os.path.join(bdir, f),
                            columns=["content_hash"])["content_hash"]
              .to_numpy(zero_copy_only=False) for f in files]

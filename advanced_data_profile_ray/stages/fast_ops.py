@@ -1137,7 +1137,10 @@ def grouped_hll_estimate(ds, group_col: str, val_col: str, p: int = 12,
             if batch.num_rows == 0 else None
         if empty is not None:
             return empty
-        keep = batch[val_col].is_valid()
+        # nulls drop on BOTH columns: SQL COUNT DISTINCT ignores null
+        # values, and a null GROUP key would break np.unique's ordering —
+        # callers needing a null group should fill it upstream
+        keep = pc.and_(batch[val_col].is_valid(), batch[group_col].is_valid())
         sub = batch.filter(keep)
         if sub.num_rows == 0:
             return pa.table({group_col: sub[group_col],
