@@ -1106,7 +1106,12 @@ def connected_components(id_a: np.ndarray, id_b: np.ndarray) -> pd.DataFrame:
     big for one machine graduates to distributed label propagation
     (iterate min-neighbor exchange via sorted_groupby until fixpoint),
     which the same (u, v) rows feed unchanged."""
-    nodes, inv = np.unique(np.concatenate([id_a, id_b]), return_inverse=True)
+    if id_a.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    nodes, inv = np.unique(
+        np.concatenate([id_a.astype(np.int64), id_b.astype(np.int64)]),
+        return_inverse=True)
     parent = np.arange(nodes.size)
 
     def find(x: int) -> int:

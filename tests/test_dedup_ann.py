@@ -289,3 +289,15 @@ def test_incremental_dedup_two_waves_and_idempotent(ray_session, tmp_path):
     k2b, s2b = incremental_exact_dedup(wave2, "id", "text", idx, "w2")
     assert k2b.num_rows == 0
     assert s2b["n_new"] == 0
+
+
+def test_connected_components_empty_pairs():
+    """No candidate pairs (the common case at clean scale) returns a
+    typed empty frame instead of crashing on float empty indices."""
+    import numpy as np
+
+    from advanced_data_profile_ray.pipelines.dedup import connected_components
+
+    out = connected_components(np.array([]), np.array([]))
+    assert list(out.columns) == ["doc_id", "cluster_id"]
+    assert len(out) == 0 and out["doc_id"].dtype == "int64"
