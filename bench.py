@@ -137,17 +137,22 @@ def run_queries() -> dict:
 
     # min-of-2 per query: host noise spikes (±30% run-to-run, documented
     # in BASELINE.md) can triple a single-run number; min is the
-    # least-noise estimate of engine cost
+    # least-noise estimate of engine cost. Queries whose FIRST run is
+    # already long (≥4 s) keep the single measurement — the relative
+    # noise on long runs is smaller, and at 110 queries an unconditional
+    # second rep would double a multi-minute suite for little signal.
     timings = {}
     for name, fn in sorted(QUERIES.items()):
         best = None
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.time()
             res = fn(SF_DIR)
             if isinstance(res, ray.data.Dataset):
                 res.count()  # force execution
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            if dt >= 4.0:
+                break
         timings[name] = round(best, 3)
     return timings
 
