@@ -984,8 +984,12 @@ def _load_index_bucket(index_dir: str, bucket: int) -> np.ndarray:
     bdir = _index_bucket_dir(index_dir, bucket)
     if not os.path.isdir(bdir):
         return np.empty(0, np.int64)
+    # cache key includes size+mtime so an in-place tag overwrite (merge
+    # re-ingest) invalidates warm workers' stale arrays
     files = tuple(sorted(
-        f for f in os.listdir(bdir) if f.endswith(".parquet")))
+        (f, os.stat(os.path.join(bdir, f)).st_size,
+         os.stat(os.path.join(bdir, f)).st_mtime_ns)
+        for f in os.listdir(bdir) if f.endswith(".parquet")))
     key = (bdir, files)
     cached = _INDEX_CACHE.get(key)
     if cached is not None:
@@ -994,7 +998,7 @@ def _load_index_bucket(index_dir: str, bucket: int) -> np.ndarray:
         _INDEX_CACHE.clear()
     parts = [pq.read_table(os.path.join(bdir, f),
                            columns=["content_hash"])["content_hash"]
-             .to_numpy(zero_copy_only=False) for f in files]
+             .to_numpy(zero_copy_only=False) for f, _, _ in files]
     arr = (np.unique(np.concatenate(parts)) if parts
            else np.empty(0, np.int64))
     _INDEX_CACHE[key] = arr
@@ -1088,9 +1092,16 @@ def incremental_exact_dedup(ds, id_col: str, text_col: str,
         bdir = _index_bucket_dir(index_dir, int(b))
         os.makedirs(bdir, exist_ok=True)
         sub = np.sort(h[buckets == b])
+        dst = os.path.join(bdir, f"{ingest_tag}.parquet")
+        if os.path.exists(dst):
+            # tag re-used with different data: UNION with the existing
+            # file — an overwrite would silently un-index earlier hashes
+            old = pq.read_table(dst, columns=["content_hash"])[
+                "content_hash"].to_numpy(zero_copy_only=False)
+            sub = np.union1d(sub, old)
         tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(pa.table({"content_hash": pa.array(sub)}), tmp)
-        os.replace(tmp, os.path.join(bdir, f"{ingest_tag}.parquet"))
+        os.replace(tmp, dst)
     return kept, stats
 
 

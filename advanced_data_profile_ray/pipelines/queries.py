@@ -2746,8 +2746,11 @@ def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
     def _count(batch: pa.Table) -> pa.Table:
         ga = batch[g].to_numpy(zero_copy_only=False)
         va = batch[v].to_numpy(zero_copy_only=False)
-        lo_a = np.array([lo.get(k, -np.inf) for k in ga])
-        hi_a = np.array([hi.get(k, np.inf) for k in ga])
+        # vectorized fence lookup: per-UNIQUE-group dict access, then one
+        # fancy index — no per-row Python in the hot path
+        uniq, inv = np.unique(ga, return_inverse=True)
+        lo_a = np.array([lo.get(k, -np.inf) for k in uniq])[inv]
+        hi_a = np.array([hi.get(k, np.inf) for k in uniq])[inv]
         out_mask = (va < lo_a) | (va > hi_a)
         t = pa.table({g: batch[g],
                       "outliers": pa.array(out_mask.astype(np.int64)),
@@ -2805,9 +2808,15 @@ def q_mad_by_flag(sf_dir: str) -> pd.DataFrame:
     def _absdev(batch: pa.Table) -> pa.Table:
         ga = batch[g].to_numpy(zero_copy_only=False)
         va = batch[v].to_numpy(zero_copy_only=False).astype(np.float64)
-        ma = np.array([m_of[k] for k in ga])
-        return pa.table({g: batch[g],
-                         "absdev": pa.array(np.abs(va - ma), pa.float64())})
+        # vectorized median lookup; a group absent from the median table
+        # (all-null values) passes through as NaN and is dropped below,
+        # matching the SQL twin's inner join on the median CTE
+        uniq, inv = np.unique(ga, return_inverse=True)
+        ma = np.array([m_of.get(k, np.nan) for k in uniq])[inv]
+        dev = np.abs(va - ma)
+        keep = ~np.isnan(dev)
+        return pa.table({g: batch[g].filter(pa.array(keep)),
+                         "absdev": pa.array(dev[keep], pa.float64())})
 
     dev = li.map_batches(_absdev, batch_format="pyarrow", batch_size=131072)
     mad = grouped_median(dev, g, "absdev").to_pandas()

@@ -110,17 +110,25 @@ def delete_keys_from_shards(paths: list, key_col: str, keys,
     import pyarrow as pa
     import ray
 
-    tomb = np.sort(np.asarray(keys))
+    tomb = np.asarray(keys)
+    if tomb.dtype == object:  # string keys: uniform numpy string compare
+        tomb = tomb.astype(np.str_)
+    tomb = np.sort(tomb)
     ref = ray.put(tomb)
 
     def _fn(t: "pa.Table") -> "pa.Table":
         tk = ray.get(ref)
         if tk.size == 0 or t.num_rows == 0:
             return t
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(tk, k)
-        pos_c = np.minimum(pos, tk.size - 1)
-        hit = tk[pos_c] == k
+        col = t[key_col]
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        hit = np.zeros(t.num_rows, bool)
+        if valid.any():
+            k = col.to_numpy(zero_copy_only=False)[valid]
+            if k.dtype == object:
+                k = k.astype(np.str_)
+            pos = np.minimum(np.searchsorted(tk, k), tk.size - 1)
+            hit[valid] = tk[pos] == k
         return t.filter(pa.array(~hit))
 
     return write_partitioned_parquet(paths, out_dir, batch_fn=_fn,

@@ -1160,7 +1160,11 @@ def grouped_hll_estimate(ds, group_col: str, val_col: str, p: int = 12,
         kmax = np.maximum.reduceat(rs, starts)
         kk = ks[starts]
         g_out = uniq[(kk // m).astype(np.int64)]
-        return pa.table({group_col: pa.array(g_out),
+        # pin the SOURCE column type: numpy inference would emit plain
+        # string for a large_string/dictionary group column and split the
+        # block schemas before the sort
+        g_type = batch.schema.field(group_col).type
+        return pa.table({group_col: pa.array(g_out, g_type),
                          "reg": pa.array(kk % m, pa.int64()),
                          "rho": pa.array(kmax, pa.int64())})
 

@@ -280,12 +280,13 @@ def first_value_within(ds, part_col: str, order_keys: list, val_col: str,
     def _bounds(block: pa.Table):
         n = block.num_rows
         if n == 0:
-            return (None, None, None, None, 0)
+            return (None, None, None, 0)
         k = block[part_col].to_numpy(zero_copy_only=False)
         starts, _ = _run_bounds(k)
-        vf = block[val_col][0].as_py()
+        # first value of the LAST run: the only value the carry scan needs
+        # (for a single-run block it equals the block's first value)
         vl = block[val_col][int(starts[-1])].as_py()
-        return (k[0], k[-1], vf, vl, starts.size)
+        return (k[0], k[-1], vl, starts.size)
 
     @ray.remote
     def _apply(block: pa.Table, inc):
@@ -311,7 +312,7 @@ def first_value_within(ds, part_col: str, order_keys: list, val_col: str,
     infos = ray.get([_bounds.remote(r) for r in refs])
     carry_key, carry_val, have = None, None, False
     incoming = []
-    for fk, lk, vf, vl, nruns in infos:
+    for fk, lk, vl, nruns in infos:
         if nruns == 0:
             incoming.append((False, None))
             continue
@@ -797,8 +798,12 @@ def windowed_agg(ds, part_col: str, ts_col: str, id_col: str,
     def _vals_of(block: pa.Table) -> np.ndarray:
         if val_col is None:
             return np.ones(block.num_rows, agg_np)
-        v = block[val_col].to_numpy(zero_copy_only=False).astype(agg_np)
-        return np.nan_to_num(v, nan=0) if agg_np is np.float64 else v
+        arr = block[val_col]
+        if arr.null_count:
+            # SQL SUM ignores NULLs → 0 contribution; without this an
+            # int64 null becomes INT64_MIN through to_numpy's NaN cast
+            arr = pc.fill_null(arr, 0)
+        return arr.to_numpy(zero_copy_only=False).astype(agg_np)
 
     def _run_aggs(ts: np.ndarray, v: np.ndarray, starts: np.ndarray,
                   widths: np.ndarray):

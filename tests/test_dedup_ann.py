@@ -301,3 +301,26 @@ def test_connected_components_empty_pairs():
     out = connected_components(np.array([]), np.array([]))
     assert list(out.columns) == ["doc_id", "cluster_id"]
     assert len(out) == 0 and out["doc_id"].dtype == "int64"
+
+
+def test_incremental_dedup_tag_reuse_unions_not_overwrites(ray_session,
+                                                           tmp_path):
+    """Re-using an ingest tag with DIFFERENT data must union into the
+    index (an overwrite would un-index the earlier hashes)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        incremental_exact_dedup,
+    )
+
+    idx = str(tmp_path / "index")
+    w1a = rd.from_items([{"id": 0, "text": "alpha"}, {"id": 1, "text": "beta"}])
+    w1b = rd.from_items([{"id": 2, "text": "gamma"}])
+    incremental_exact_dedup(w1a, "id", "text", idx, "w1")
+    incremental_exact_dedup(w1b, "id", "text", idx, "w1")  # tag re-use
+    # both waves' contents must now be indexed: everything is a dup
+    probe = rd.from_items([{"id": 9, "text": "alpha"},
+                           {"id": 10, "text": "gamma"}])
+    kept, stats = incremental_exact_dedup(probe, "id", "text", idx, "w2")
+    assert kept.num_rows == 0
+    assert stats["n_dup_vs_index"] == 2

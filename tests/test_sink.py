@@ -116,3 +116,23 @@ def test_delete_keys_resume_skips_finished_shards(ray_session, tmp_path):
     assert sorted(kept) == sorted(want)
     r2 = delete_keys_from_shards(paths, "k", tomb, out)
     assert not r2["written"] and len(r2["skipped"]) == 3
+
+
+def test_delete_keys_string_keys_with_nulls(ray_session, tmp_path):
+    """String tombstones delete the right rows; null keys survive
+    (documented SQL NOT IN semantics) instead of crashing searchsorted."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.sources.sink import delete_keys_from_shards
+
+    t = pa.table({"k": pa.array(["a", "b", None, "c", "d"], pa.string()),
+                  "v": pa.array([1, 2, 3, 4, 5])})
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "out")
+    delete_keys_from_shards([p], "k", ["b", "d", "zz"], out)
+    kept = pq.read_table(os.path.join(out, "s.parquet"))
+    assert kept["v"].to_pylist() == [1, 3, 4]

@@ -527,3 +527,23 @@ def test_first_value_threads_through_single_run_blocks(ray_session):
     pd.testing.assert_frame_equal(
         got[["seq", "fv"]].reset_index(drop=True),
         want[["seq", "fv"]].astype({"seq": "int64"}))
+
+
+def test_windowed_agg_int_nulls_contribute_zero(ray_session):
+    """Null int values must contribute 0 (SQL SUM ignores NULLs), not
+    INT64_MIN through the NaN cast."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import windowed_agg
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(pd.to_datetime([0, 10, 20], unit="s"),
+                       pa.timestamp("us")),
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([5, None, 7], pa.int64()),
+    })
+    out = (windowed_agg(rd.from_arrow(t), "u", "ts", "id",
+                        window_us=60_000_000, val_col="v", out_col="s")
+           .to_pandas().sort_values("id"))
+    assert out["s"].tolist() == [5, 5, 12]
