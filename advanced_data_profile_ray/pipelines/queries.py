@@ -2791,6 +2791,55 @@ def q_price_p90_disc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_weighted_avg_discount(sf_dir: str) -> pd.DataFrame:
+    """GROUPED WEIGHTED AVERAGE (price-weighted mean discount per return
+    flag): both the numerator Σ(w·x) and denominator Σw accumulate as
+    exact int64 (cents × discount-bp products), ONE sorted_groupby
+    exchange, and the single float division per group happens over the
+    two exact integers — so the double is bit-identical to the SQL
+    twin's."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    g = "l_returnflag"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        bp = pc.cast(pc.round(pc.multiply(batch["l_discount"], 10000.0),
+                              round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({g: batch[g], "wx": pc.multiply(cents, bp),
+                      "w": cents})
+        out = t.group_by([g], use_threads=False).aggregate(
+            [("wx", "sum"), ("w", "sum")])
+        return out.rename_columns(
+            [c.removesuffix("_sum") for c in out.column_names]
+        ).select([g, "wx", "w"])
+
+    pre = _read(sf_dir, "lineitem",
+                [g, "l_extendedprice", "l_discount"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, [g], [("wx", "sum", "wx"),
+                                            ("w", "sum", "w")])
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        wx = t["wx"].to_numpy().astype(np.float64)
+        w = t["w"].to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(w != 0, wx / w / 10000.0, np.nan)
+        return pa.table({g: t[g],
+                         "wavg_discount": pa.array(np.round(avg, 9),
+                                                   pa.float64())})
+
+    res = inner.map_batches(_finalize, batch_format="pyarrow",
+                            batch_size=None)
+    if edge is not None and edge.num_rows:
+        res = res.union(rd.from_arrow(_finalize(edge)))
+    return res.to_pandas().sort_values(g).reset_index(drop=True)
+
+
 def q_mad_by_flag(sf_dir: str) -> pd.DataFrame:
     """Median absolute deviation per group — two exact grouped-median
     passes (distributed value counts): pass 1 per-group median, the
@@ -3741,6 +3790,16 @@ ORACLE: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "weighted_avg_discount": """
+        SELECT l_returnflag,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                     / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                            AS DOUBLE) / 10000.0, 9) AS wavg_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "mad_by_flag": """
         WITH m AS (
             SELECT l_returnflag, MEDIAN(l_quantity) AS md
@@ -4367,6 +4426,7 @@ QUERIES = {
     "iqr_outliers": q_iqr_outliers,
     "mad_by_flag": q_mad_by_flag,
     "price_p90_disc": q_price_p90_disc,
+    "weighted_avg_discount": q_weighted_avg_discount,
     "moments": q_moments,
     "outlier_pct": q_outlier_pct,
     "decimal_places": q_decimal_places,
