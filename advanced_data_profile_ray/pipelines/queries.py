@@ -3774,9 +3774,9 @@ ORACLE: dict[str, str] = {
         SELECT l.l_returnflag,
                ROUND(ANY_VALUE(b.q1), 6) AS q1,
                ROUND(ANY_VALUE(b.q3), 6) AS q3,
-               SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+               CAST(SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
                           OR l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
-                        THEN 1 ELSE 0 END) AS outliers,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
                COUNT(*) AS n_rows
         FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
         GROUP BY l.l_returnflag
@@ -4220,7 +4220,8 @@ ORACLE: dict[str, str] = {
         )
         SELECT g2.doc_id,
                COUNT(*) AS n_grams,
-               SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+               CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
         FROM grams g2 LEFT JOIN bench b ON g2.g = b.g
         WHERE g2.doc_id >= 50
         GROUP BY g2.doc_id

@@ -49,6 +49,44 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _family(s: pd.Series) -> str:
+    """Dtype family — the driver's value hash stringifies values, so an
+    int64 engine column vs a float64 oracle column ("0" vs "0.0") is a
+    hash FAIL even when every value is numerically equal. The mirror must
+    be strict at this level (VERDICT r03 item 2)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "obj"
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    """Canonical exact string hash over the canonicalized frame — mirrors
+    the driver's sorted-columns value hash ("0" != "0.0")."""
+    import hashlib
+
+    parts = []
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            vals = ["nan" if pd.isna(v) else repr(float(v)) for v in s]
+        elif pd.api.types.is_integer_dtype(s):
+            vals = [str(int(v)) for v in s]
+        else:
+            vals = [
+                "None" if v is None or (isinstance(v, float) and pd.isna(v))
+                else str(v)
+                for v in s
+            ]
+        parts.append("\x1f".join(vals))
+    return hashlib.sha256("\x1e".join(parts).encode()).hexdigest()
+
+
 def all_query_names():
     from advanced_data_profile_ray.pipelines.queries import ORACLE, QUERIES
 
@@ -69,4 +107,11 @@ def test_query_matches_oracle(ray_session, con, name):
         f"{name}: column mismatch {list(ours.columns)} vs {list(want.columns)}"
     )
     assert len(ours) == len(want), f"{name}: row count {len(ours)} vs {len(want)}"
+    for c in ours.columns:
+        fo, fw = _family(ours[c]), _family(want[c])
+        assert fo == fw, (
+            f"{name}.{c}: dtype-family mismatch engine={fo} oracle={fw} "
+            f"(driver value hash would FAIL: '0' vs '0.0')"
+        )
     pd.testing.assert_frame_equal(ours, want, check_dtype=False, atol=0, rtol=0)
+    assert _value_hash(ours) == _value_hash(want), f"{name}: value-hash mismatch"
