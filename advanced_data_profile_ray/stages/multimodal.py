@@ -280,13 +280,22 @@ class ImageFeatures:
         )
 
 
+class UnsupportedY4MChroma(NotImplementedError):
+    """A real YUV4MPEG2 stream with chroma subsampling this pure-byte
+    demuxer doesn't parse (C422/C411/10-bit)."""
+
+
 def decode_y4m(payload: bytes):
     """REAL video demux for YUV4MPEG2 (.y4m) — the standard uncompressed
     video interchange format; pure byte parsing, no codec lib. Returns
     ``(width, height, fps, [frame_bytes, ...])`` with one entry per
     FRAME section (mono = W·H luma bytes, C420 = W·H·1.5, C444 = W·H·3),
-    or None when the payload isn't Y4M. Only the stream-header
-    parameters W/H/F/C are interpreted; unknown parameters pass through."""
+    or None when the payload isn't Y4M. A REAL Y4M stream whose chroma
+    subsampling we don't parse (C422/C411/10-bit) raises
+    UnsupportedY4MChroma rather than returning None, so callers can tell
+    "not Y4M at all" from "Y4M we can't demux" (ADVICE r03). Only the
+    stream-header parameters W/H/F/C are interpreted; unknown parameters
+    pass through."""
     if not payload or not payload.startswith(b"YUV4MPEG2"):
         return None
     nl = payload.find(b"\n")
@@ -320,7 +329,9 @@ def decode_y4m(payload: bytes):
     elif fmt.startswith(b"444"):
         fsize = w * h * 3
     else:
-        return None
+        raise UnsupportedY4MChroma(
+            f"unsupported Y4M chroma C{fmt.decode('ascii', 'replace')}"
+        )
     frames, pos = [], nl + 1
     while pos < len(payload):
         if not payload.startswith(b"FRAME", pos):
@@ -368,7 +379,15 @@ class FrameSample:
             batch["duration_ms"].to_pylist(),
         ):
             payload = payload or b""
-            demux = decode_y4m(payload)
+            try:
+                demux = decode_y4m(payload)
+            except UnsupportedY4MChroma:
+                # real Y4M we can't demux: strict mode surfaces the
+                # precise reason; non-strict skips (no frames) instead of
+                # byte-slicing a real stream into bogus frames
+                if self.strict:
+                    raise
+                continue
             if demux is not None:
                 w, h, fps, frames = demux
                 step = max(1, int(round(fps * self.every_ms / 1000.0)))

@@ -269,12 +269,15 @@ def first_value_within(ds, part_col: str, order_keys: list, val_col: str,
     import ray.data as rd
 
     s = ds.sort([part_col] + order_keys).materialize()
-    refs = s.to_arrow_refs()
-    if not refs:
-        return s
-    base = s.schema().base_schema
+    sch = s.schema() or ds.schema()  # sorted-empty datasets report None
+    base = sch.base_schema
     val_t = base.field(val_col).type
     empty_out = pa.schema(list(base) + [pa.field(out_col, val_t)]).empty_table()
+    refs = s.to_arrow_refs()
+    if not refs:
+        # zero-block input: still emit the typed out_col so callers can
+        # select it (ADVICE r03 — bare `return s` raised KeyError)
+        return rd.from_arrow(empty_out)
 
     @ray.remote
     def _bounds(block: pa.Table):
@@ -739,11 +742,14 @@ def windowed_agg(ds, part_col: str, ts_col: str, id_col: str,
                  window_us: int, val_col: str | None = None,
                  out_col: str = "n_window", rows: int | None = None):
     """Time-range windowed aggregate: for every row, COUNT(*) (when
-    ``val_col`` is None) or SUM(val) over rows of the same partition
-    with ``ts`` in ``[ts - window, ts]`` — SQL ``COUNT(*)/SUM(v) OVER
-    (PARTITION BY part ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
-    CURRENT ROW)`` including ALL equal-``ts`` peers, exactly like RANGE
-    framing. Pass an integer value column (e.g. money as cents) for an
+    ``val_col`` is None) or SUM(COALESCE(val, 0)) over rows of the same
+    partition with ``ts`` in ``[ts - window, ts]`` — SQL
+    ``COUNT(*)/SUM(COALESCE(v, 0)) OVER (PARTITION BY part ORDER BY ts
+    RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)`` including ALL
+    equal-``ts`` peers, exactly like RANGE framing. NULL values
+    contribute 0, so an all-NULL frame yields 0 where bare SQL ``SUM``
+    yields NULL — mirror with ``SUM(COALESCE(v, 0))`` in oracles. Pass
+    an integer value column (e.g. money as cents) for an
     association-free exact sum.
 
     Distributed shape: ONE sort by (part, ts, id); every row's aggregate

@@ -225,11 +225,13 @@ def test_grouped_hll_matches_dense_sketch_and_truth(ray_session):
     rng = np.random.default_rng(31)
     gs, vs = [], []
     truth = {}
-    for g, card in [("a", 17), ("b", 1000), ("c", 20000)]:
+    for gi, (g, card) in enumerate([("a", 17), ("b", 1000), ("c", 20000)]):
         n = card * 3
         vals = rng.integers(0, card, n)  # ~card distinct, with repeats
         gs.extend([g] * n)
-        vs.extend((vals + hash(g) % 1000 * 1_000_000).tolist())
+        # fixed per-group offset — hash(g) is PYTHONHASHSEED-randomized
+        # and made the 5% error-bound check a fresh random trial per run
+        vs.extend((vals + gi * 1_000_000).tolist())
         truth[g] = len(set(vs[-n:]))
     t = pa.table({"g": pa.array(gs), "v": pa.array(vs, pa.int64())})
     got = grouped_hll_estimate(rd.from_arrow(t).repartition(13), "g", "v",
@@ -241,4 +243,7 @@ def test_grouped_hll_matches_dense_sketch_and_truth(ray_session):
         vals = t.filter(mask)["v"]
         ref = HyperLogLog.from_hashes(hash64_arrow(vals), p=12).estimate()
         assert est[g] == ref  # identical arithmetic, sparse vs dense
-        assert abs(est[g] - truth[g]) / truth[g] < 0.05
+        # 5% relative, with ±2 absolute slack for tiny groups where a
+        # single register collision exceeds 5% (card 16 → one collision
+        # is 6%)
+        assert abs(est[g] - truth[g]) <= max(0.05 * truth[g], 2)

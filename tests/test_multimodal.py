@@ -249,3 +249,56 @@ def test_frame_sample_strict_rejects_compressed(ray_session):
     })
     with pytest.raises(NotImplementedError):
         FrameSample(every_ms=1000, strict=True)(batch)
+
+
+def test_y4m_unsupported_chroma_distinct_error(ray_session):
+    """A REAL Y4M stream with unsupported chroma (C422) is distinguished
+    from 'not Y4M': strict mode raises UnsupportedY4MChroma (naming the
+    chroma, not 'compressed codec'); non-strict SKIPS the stream (no
+    frames) instead of byte-slice-stubbing it into bogus frames."""
+    import pyarrow as pa
+    import pytest
+
+    from advanced_data_profile_ray.stages.multimodal import (
+        FrameSample,
+        UnsupportedY4MChroma,
+        decode_y4m,
+    )
+
+    # valid YUV4MPEG2 header, chroma 422 (w*h + 2*(w/2*h) per frame)
+    payload = (b"YUV4MPEG2 W4 H2 F10:1 C422\n"
+               + b"FRAME\n" + bytes(4 * 2 + 2 * (2 * 2)))
+    with pytest.raises(UnsupportedY4MChroma, match="C422"):
+        decode_y4m(payload)
+
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+        "duration_ms": pa.array([2000], pa.int32()),
+    })
+    with pytest.raises(UnsupportedY4MChroma, match="C422"):
+        FrameSample(every_ms=1000, strict=True)(batch)
+    out = FrameSample(every_ms=1000, strict=False)(batch)
+    assert out.num_rows == 0  # skipped, not stubbed
+
+
+def test_first_value_within_empty_input(ray_session):
+    """Zero-block input still yields the typed out_col (ADVICE r03)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import first_value_within
+
+    t = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_id": pa.array([], pa.int64()),
+        "v": pa.array([], pa.string()),
+    })
+    out = first_value_within(rd.from_arrow(t), "user_id",
+                             ["ts", "event_id"], "v", out_col="first_v")
+    # Ray's to_pandas drops columns on all-empty blocks; assert on the
+    # Dataset schema, which is what select_columns(out_col) consults
+    assert "first_v" in out.schema().names
+    assert out.count() == 0
+    assert out.select_columns(["first_v"]).count() == 0  # no KeyError
