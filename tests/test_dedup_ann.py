@@ -324,3 +324,106 @@ def test_incremental_dedup_tag_reuse_unions_not_overwrites(ray_session,
     kept, stats = incremental_exact_dedup(probe, "id", "text", idx, "w2")
     assert kept.num_rows == 0
     assert stats["n_dup_vs_index"] == 2
+
+
+def test_minhash_distributed_matches_driver(ray_session, corpus):
+    """The co-partitioned pair⨝shingle verify (verify_jaccard_ds) must
+    produce the exact same near-dup set as the driver broadcast-dict
+    path — the round-3-verdict graduation of pair handling off the
+    driver."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        minhash_near_dups, minhash_near_dups_ds)
+
+    drv = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                            threshold=0.5, distributed=False)
+    dist = (minhash_near_dups_ds(rd.from_arrow(corpus), "doc_id", "text",
+                                 threshold=0.5)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        drv[["id_a", "id_b", "jaccard"]].astype(
+            {"id_a": "int64", "id_b": "int64"}).reset_index(drop=True),
+        dist.astype({"id_a": "int64", "id_b": "int64"}),
+        check_exact=False, atol=1e-12)
+    # exact copies are jaccard-1 pairs: the 10 copy pairs must be present
+    ones = dist[dist["jaccard"] >= 0.999]
+    assert {(a, b) for a, b in zip(ones["id_a"], ones["id_b"])} >= {
+        (i, 1000 + i) for i in range(10)}
+
+
+def test_simhash_distributed_matches_driver(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        simhash_near_dups, simhash_near_dups_ds)
+
+    drv = simhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                            max_hamming=3, distributed=False)
+    dist = (simhash_near_dups_ds(rd.from_arrow(corpus), "doc_id", "text",
+                                 max_hamming=3)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv.astype("int64"), dist.astype("int64"))
+
+
+def test_verify_jaccard_ds_empty_pairs(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import verify_jaccard_ds
+
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    out = verify_jaccard_ds(rd.from_arrow(corpus), "doc_id", "text", pairs)
+    # the Dataset carries the typed schema even when every block is empty
+    assert out.schema().names == ["id_a", "id_b", "jaccard"]
+    assert out.count() == 0
+
+
+def test_label_propagation_matches_union_find(ray_session, corpus):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        connected_components, jaccard_near_dups, label_propagation_ds)
+
+    pairs = jaccard_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                              threshold=0.5, max_df=64)
+    pds = rd.from_arrow(pa.table({
+        "id_a": pa.array(pairs["id_a"].astype("int64")),
+        "id_b": pa.array(pairs["id_b"].astype("int64"))}))
+    lp = (label_propagation_ds(pds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    uf = connected_components(pairs["id_a"].to_numpy(),
+                              pairs["id_b"].to_numpy())
+    pd.testing.assert_frame_equal(lp.astype("int64"), uf.astype("int64"))
+
+
+def test_label_propagation_million_pairs(ray_session):
+    """10⁶ synthetic pairs — the 'too big to union-find comfortably'
+    scale the round-3 verdict asked the distributed path to carry.
+    Structure: 4-node chains (diameter 3 → few propagation rounds) plus
+    intra-chain shortcut edges, all deterministic."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        connected_components, label_propagation_ds)
+
+    n_chains = 250_000
+    base = np.arange(n_chains, dtype=np.int64) * 10
+    # chain edges 0-1, 1-2, 2-3 per chain + one shortcut 0-3
+    a = np.concatenate([base, base + 1, base + 2, base])
+    b = np.concatenate([base + 1, base + 2, base + 3, base + 3])
+    assert a.size == 1_000_000
+    pds = rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+    lp = (label_propagation_ds(pds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(lp) == n_chains * 4
+    # every node's cluster is its chain head
+    want_cluster = (lp["doc_id"].to_numpy() // 10) * 10
+    assert (lp["cluster_id"].to_numpy() == want_cluster).all()
+    # spot-parity with driver union-find on a slice of chains
+    sl = a < 10_000
+    uf = connected_components(a[sl], b[sl])
+    lp_sl = lp[lp["doc_id"] < 10_000].reset_index(drop=True)
+    pd.testing.assert_frame_equal(lp_sl.astype("int64"), uf.astype("int64"))
