@@ -1693,60 +1693,31 @@ def q_contamination(sf_dir: str) -> pd.DataFrame:
 
 
 def q_order_overlap_counts(sf_dir: str) -> pd.DataFrame:
-    """INTERVAL OVERLAP self-join (count form) by composition: treating
-    each order as the 30-day interval [orderdate, orderdate+30d], count
-    per order the same-customer orders whose intervals overlap. Zero
-    new operator code: overlap(a) = |{b : start_b ≤ end_a}| − |{b :
-    end_b < start_a}| (the second set is a subset of the first because
-    start ≤ end), and each term is ONE range_count_join with a window
-    large enough to act as an unbounded trailing frame — two sort
-    exchanges + one (id, n)⨝(id, n) merge join, never an all-pairs
-    expansion."""
-    from ..stages.merge_join import sorted_merge_join
-    from ..stages.window import range_count_join
+    """INTERVAL OVERLAP self-join (count form): treating each order as
+    the 30-day interval [orderdate, orderdate+30d], count per order the
+    same-customer orders whose intervals overlap. Equal-length intervals
+    overlap exactly when their starts are within 30 days of each other,
+    so the whole query is ONE fused symmetric window count
+    (stages.window.interval_overlap_counts — one sort exchange; the
+    round-2 composition |start_b ≤ end_a| − |end_b < start_a| paid two
+    range joins plus a merge join for the identical result)."""
+    from ..stages.window import interval_overlap_counts
 
-    W = 1 << 51  # ~71 years in µs — exceeds any data span
     day30 = 30 * 86_400_000_000
 
-    base = _read(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def _shift(delta_us: int, out: str):
-        def _fn(t: pa.Table) -> pa.Table:
-            us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
-                         pa.int64())
-            shifted = pc.cast(pc.add(us, pa.scalar(delta_us, pa.int64())),
-                              pa.timestamp("us"))
-            return pa.table({"o_orderkey": t["o_orderkey"],
-                             "o_custkey": t["o_custkey"], out: shifted})
-        return _fn
-
-    # term 1: right starts ≤ left end  (rt ∈ [end+1−W, end+1) ⇔ rt ≤ end)
-    left_a = base.map_batches(_shift(day30 + 1 - W, "ta"),
-                              batch_format="pyarrow")
-    right_a = base.map_batches(_shift(0, "tb"), batch_format="pyarrow")
-    cnt_a = range_count_join(left_a, right_a, "o_custkey", "o_custkey",
-                             "ta", "tb", "o_orderkey", window_us=W)
-    # term 2: right ends < left start  (rt ∈ [start−W, start) ⇔ rt < start)
-    left_b = base.map_batches(_shift(-W, "ta"), batch_format="pyarrow")
-    right_b = base.map_batches(_shift(day30, "tb"), batch_format="pyarrow")
-    cnt_b = range_count_join(left_b, right_b, "o_custkey", "o_custkey",
-                             "ta", "tb", "o_orderkey", window_us=W)
-
-    rows = _read(sf_dir, "orders", ["o_orderkey"]).count()
-    cnt_b = cnt_b.map_batches(
-        lambda t: t.rename_columns(["id_b", "n_before"]),
-        batch_format="pyarrow")
-    j = sorted_merge_join(cnt_a, cnt_b, "id", "id_b",
-                          ["id", "n_range"], ["n_before"],
-                          rows_hint=rows * 2)
-
-    def _final(t: pa.Table) -> pa.Table:
+    def _us(t: pa.Table) -> pa.Table:
         return pa.table({
-            "o_orderkey": t["id"],
-            "n_overlap": pc.subtract(t["n_range"], t["n_before"])})
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "t_us": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                            pa.int64())})
 
-    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _us, batch_format="pyarrow")
+    out = interval_overlap_counts(base, "o_custkey", "t_us", "o_orderkey",
+                                  half_window_us=day30).to_pandas()
+    out = out.rename(columns={"id": "o_orderkey"})
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
@@ -3168,6 +3139,29 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dedup_clusters_lp(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED near-dup clustering: the same verified rare-word
+    Jaccard pairs as q_dedup_clusters, labeled by dedup.label_propagation_ds
+    — iterative min-label exchange (merge-join + grouped min per round,
+    exact convergence witness inside the groupby) instead of driver
+    union-find, for pair lists that outgrow one node. Shares the
+    dedup_clusters WITH RECURSIVE oracle."""
+    import ray.data as rd
+
+    from .dedup import label_propagation_ds
+
+    pairs = q_jaccard_near_dups(sf_dir)
+    pds = rd.from_arrow(pa.table({
+        "id_a": pa.array(pairs["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(pairs["id_b"].to_numpy(), pa.int64())}))
+    out = label_propagation_ds(pds).to_pandas()
+    if out.empty:  # all-empty Ray blocks drop columns in to_pandas
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "cluster_id": "int64"}))
+
+
 def q_jaccard_near_dups(sf_dir: str) -> pd.DataFrame:
     """Exact rare-word Jaccard near-dup (§2.7) — the deterministic,
     SQL-expressible member of the near-dup family (MinHash/SimHash are
@@ -4310,6 +4304,9 @@ ORACLE: dict[str, str] = {
         SELECT u AS doc_id, MIN(v) AS cluster_id
         FROM reach GROUP BY u ORDER BY u
     """,
+    # dedup_clusters_lp shares the recursive-reachability oracle: the
+    # distributed label propagation must converge to the identical
+    # min-reachable-id labeling
     "jaccard_near_dups": """
         WITH words AS (
           SELECT DISTINCT doc_id,
@@ -4403,6 +4400,10 @@ ORACLE: dict[str, str] = {
         if i < j
     ),
 }
+
+# the distributed label-propagation clustering must converge to the
+# identical min-reachable-id labeling the union-find query produces
+ORACLE["dedup_clusters_lp"] = ORACLE["dedup_clusters"]
 
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
@@ -4508,6 +4509,7 @@ QUERIES = {
     "dedup_exact_hash": q_dedup_exact_hash,
     "jaccard_near_dups": q_jaccard_near_dups,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lp": q_dedup_clusters_lp,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,

@@ -547,3 +547,36 @@ def test_windowed_agg_int_nulls_contribute_zero(ray_session):
                         window_us=60_000_000, val_col="v", out_col="s")
            .to_pandas().sort_values("id"))
     assert out["s"].tolist() == [5, 5, 12]
+
+
+def test_interval_overlap_counts_stitching(ray_session):
+    """Fused symmetric window count vs brute force, with tiny blocks so
+    nearly every key run straddles block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import (
+        interval_overlap_counts,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    keys = rng.integers(0, 25, n).astype(np.int64)   # long runs
+    ts = rng.integers(0, 1000, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    w = 40
+    t = pa.table({"k": pa.array(keys), "t": pa.array(ts),
+                  "id": pa.array(ids)})
+    ds = rd.from_arrow(t).repartition(50)  # 80-row blocks
+    got = (interval_overlap_counts(ds, "k", "t", "id", half_window_us=w)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    want = np.empty(n, np.int64)
+    for i in range(n):
+        same = keys == keys[i]
+        want[i] = int(((ts[same] >= ts[i] - w) & (ts[same] <= ts[i] + w)).sum())
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        pd.DataFrame({"id": ids, "n_overlap": want}))
