@@ -3197,6 +3197,100 @@ def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(_read(sf_dir, "embeddings"), "vec_id", "embedding", qm, k=10)
 
 
+def q_top_docs_per_source(sf_dir: str) -> pd.DataFrame:
+    """GROUPED TOP-K (training-data shape: best docs per source): the 2
+    longest docs per source by (n_chars DESC, doc_id ASC) through
+    fast_ops.grouped_topk — ONE sort exchange, per-block head-k per run,
+    O(blocks × k) edge stitch. Oracle: ROW_NUMBER() ≤ k twin."""
+    from ..stages.fast_ops import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    t = grouped_topk(docs, ["source"], "n_chars", k=2,
+                     tie_cols=["doc_id"],
+                     rows_hint=_read(sf_dir, "documents",
+                                     ["doc_id"]).count())
+    out = t.to_pandas()[["source", "doc_id", "n_chars"]]
+    return (out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_chars": "int64"}))
+
+
+# Knuth multiplicative constant — the deterministic per-row sampling
+# hash must be SQL-expressible so the oracle reproduces the exact sample
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """DETERMINISTIC STRATIFIED SAMPLING (data-mixing shape: per-language
+    keep rates): doc kept iff (doc_id · 2654435761) mod 2³² < rate(lang)
+    · 2³², rate 0.5 for 'en' and 0.25 otherwise. ZERO exchange — the
+    decision is pure per-row arithmetic, so sampling composes map-side
+    with any downstream stage; per-lang (n_total, n_sampled) counts
+    pre-aggregate per block and merge on the driver (≤ blocks×langs
+    rows). doc_id·mult stays under 2⁶³ for doc_id < 3.5e9; a wider id
+    domain salts via (doc_id mod 2³²) first (documented, not needed for
+    the test tables)."""
+    rates = {"en": 0.5}
+    default_rate = 0.25
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                 "n_total": pd.Series([], dtype="int64"),
+                                 "n_sampled": pd.Series([], dtype="int64")})
+        h = (df["doc_id"].to_numpy().astype(np.uint64)
+             * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        thr = (df["lang"].map(rates).fillna(default_rate)
+               * _SAMPLE_MOD).astype(np.uint64)
+        keep = h < thr.to_numpy()
+        g = df.assign(__keep=keep.astype(np.int64)).groupby(
+            "lang", sort=False)["__keep"].agg(["count", "sum"])
+        return pd.DataFrame({"lang": g.index,
+                             "n_total": g["count"].astype("int64"),
+                             "n_sampled": g["sum"].astype("int64")})
+
+    parts = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        _partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("lang", sort=True)[["n_total", "n_sampled"]]
+           .sum().reset_index())
+    return out.astype({"n_total": "int64", "n_sampled": "int64"})
+
+
+def q_docs_above_p90(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL QUANTILE GATE (quality-threshold filtering): per-source
+    count of docs with n_chars ≥ the global PERCENTILE_DISC(0.9) of
+    n_chars. Exact quantile from ONE value-counts exchange
+    (grouped_quantiles over a constant group), threshold broadcast into
+    a map-side filter, grouped count through one skinny exchange."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import grouped_quantiles, sorted_groupby
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _const(t: pa.Table) -> pa.Table:
+        return pa.table({"__g": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "n_chars": t["n_chars"]})
+
+    qt = grouped_quantiles(docs.map_batches(_const, batch_format="pyarrow"),
+                           "__g", "n_chars", [0.9], names=["p90"],
+                           disc=True)
+    p90 = int(qt["p90"][0].as_py())
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], p90)).select(["source"])
+
+    inner, edge = sorted_groupby(
+        docs.map_batches(_filter, batch_format="pyarrow"),
+        ["source"], [(None, "count_all", "n_above")])
+    both = inner
+    if edge is not None and edge.num_rows:
+        both = both.union(rd.from_arrow(edge))
+    out = both.to_pandas()
+    return (out.sort_values("source").reset_index(drop=True)
+            .astype({"n_above": "int64"}))
+
+
 def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     from .text import word_frequencies
 
@@ -3827,10 +3921,10 @@ ORACLE: dict[str, str] = {
     """,
     "q12_late_shipments": """
         SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem, orders
         WHERE l_orderkey = o_orderkey
           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -4405,6 +4499,32 @@ ORACLE: dict[str, str] = {
 # identical min-reachable-id labeling the union-find query produces
 ORACLE["dedup_clusters_lp"] = ORACLE["dedup_clusters"]
 
+ORACLE["top_docs_per_source"] = """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 2 ORDER BY source, doc_id
+"""
+
+ORACLE["stratified_sample"] = """
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)
+                     * 4294967296 AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["docs_above_p90"] = """
+    WITH t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP
+                      (ORDER BY n_chars) AS p FROM documents)
+    SELECT source, COUNT(*) AS n_above
+    FROM documents, t WHERE n_chars >= t.p
+    GROUP BY source ORDER BY source
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -4510,6 +4630,9 @@ QUERIES = {
     "jaccard_near_dups": q_jaccard_near_dups,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lp": q_dedup_clusters_lp,
+    "top_docs_per_source": q_top_docs_per_source,
+    "stratified_sample": q_stratified_sample,
+    "docs_above_p90": q_docs_above_p90,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,

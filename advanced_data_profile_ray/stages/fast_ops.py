@@ -1248,3 +1248,5 @@ def grouped_hll_estimate(ds, group_col: str, val_col: str, p: int = 12,
         return pa.table({group_col: pa.array([], g_t),
                          "approx_distinct": pa.array([], pa.float64())})
     return pa.concat_tables(out_parts).sort_by([(group_col, "ascending")])
+
+
