@@ -179,18 +179,22 @@ def _expand_runs(order_ids: np.ndarray, starts: np.ndarray, lo_run: int,
     """Upper-triangle pair expansion for runs [lo_run, hi_run); oversize
     buckets are skipped (template collisions grow pairs quadratically
     while true near-dups are still caught via their other bands).
-    Returns (id_a_parts, id_b_parts, n_skipped)."""
-    pair_a, pair_b, skipped = [], [], 0
-    for r in range(lo_run, hi_run):
-        s, e = starts[r], starts[r + 1]
-        if e - s < 2:
-            continue
-        if e - s > max_bucket:
-            skipped += 1
-            continue
-        ia, ib = np.triu_indices(e - s, k=1)
-        pair_a.append(order_ids[s + ia])
-        pair_b.append(order_ids[s + ib])
+    Returns (id_a_parts, id_b_parts, n_skipped).
+
+    Vectorized by WIDTH GROUPING: qualifying widths are ≤ max_bucket, so
+    runs group into ≤ max_bucket classes and each class expands its
+    upper triangle for ALL its runs in one broadcasted add — no per-run
+    Python (a dup-heavy corpus has 10⁵+ multi-doc buckets per block)."""
+    st_all = np.asarray(starts[lo_run:hi_run], dtype=np.int64)
+    w_all = np.diff(np.asarray(starts, dtype=np.int64))[lo_run:hi_run]
+    skipped = int((w_all > max_bucket).sum())
+    pair_a, pair_b = [], []
+    use = w_all[(w_all >= 2) & (w_all <= max_bucket)]
+    for w in np.unique(use):
+        sts = st_all[w_all == w]
+        ia, ib = np.triu_indices(int(w), k=1)
+        pair_a.append(order_ids[(sts[:, None] + ia[None, :]).ravel()])
+        pair_b.append(order_ids[(sts[:, None] + ib[None, :]).ravel()])
     return pair_a, pair_b, skipped
 
 
@@ -742,19 +746,74 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                                batch_size=None)
 
 
+def _est_jaccard_ds(sig_ds, pairs_ds):
+    """Distributed signature-match fraction per candidate pair: two
+    SKINNY sort-merge joins carry each side's packed signature to its
+    pair row (right side unique per id, per-key products bounded by the
+    LSH partner count); the match fraction computes vectorized per
+    batch. → Dataset (id_a, id_b, est_jaccard)."""
+    from ..stages.merge_join import sorted_merge_join
+
+    def _rn(new):
+        return lambda t: pa.table({"id": t["id"], new: t["sig"]})
+
+    sigs = sig_ds.select_columns(["id", "sig"])
+    j1 = sorted_merge_join(
+        pairs_ds, sigs.map_batches(_rn("sig_b"), batch_format="pyarrow",
+                                   batch_size=None),
+        "id_b", "id", ["id_a", "id_b"], ["sig_b"])
+    j2 = sorted_merge_join(
+        j1, sigs.map_batches(_rn("sig_a"), batch_format="pyarrow",
+                             batch_size=None),
+        "id_a", "id", ["id_a", "id_b", "sig_b"], ["sig_a"])
+
+    def _est(t: pa.Table) -> pa.Table:
+        id_t = t.schema.field("id_a").type
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], id_t),
+                             "id_b": pa.array([], id_t),
+                             "est_jaccard": pa.array([], pa.float64())})
+        A = np.frombuffer(b"".join(t["sig_a"].to_pylist()), np.uint64)
+        B = np.frombuffer(b"".join(t["sig_b"].to_pylist()), np.uint64)
+        A = A.reshape(t.num_rows, -1)
+        B = B.reshape(t.num_rows, -1)
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "est_jaccard": pa.array((A == B).mean(axis=1),
+                                                 pa.float64())})
+
+    return j2.map_batches(_est, batch_format="pyarrow", batch_size=None)
+
+
 def minhash_near_dups_ds(ds, id_col: str, text_col: str,
                          threshold: float = 0.7, num_perm: int = 64,
                          bands: int = 16, shingle_k: int = 5,
                          max_bucket: int = 64, spill_dir: str | None = None,
+                         est_margin: float | None = 0.25,
                          **verify_kw):
     """Fully distributed MinHash-LSH near-dup pipeline — Dataset in,
     Dataset (id_a, id_b, jaccard) out; candidate pairs, shingle sets and
     verification all stay in object-store blocks (the 100-TB dup-heavy
     path). The pandas wrapper ``minhash_near_dups`` auto-routes here
-    when the candidate-pair count exceeds its driver budget."""
-    _, pairs_ds = _minhash_sig_and_pairs(
+    when the candidate-pair count exceeds its driver budget.
+
+    ``est_margin``: candidates whose SIGNATURE match fraction falls
+    below ``threshold − est_margin`` skip exact verification — band
+    collisions admit mostly far-below-threshold pairs (measured 71% of
+    candidates on a 40%-dup corpus), and at the default margin the
+    false-drop probability for a true ≥ threshold pair is ~1e-5 at 64
+    perms (σ ≈ 0.057) — an order below the banding's own ~1% miss rate.
+    The driver path applies the SAME gate, so both paths stay
+    output-identical; ``None`` disables the gate in both."""
+    sig_ds, pairs_ds = _minhash_sig_and_pairs(
         ds, id_col, text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, max_bucket=max_bucket, spill_dir=spill_dir)
+    if est_margin is not None and pairs_ds.count():
+        gate = float(threshold - est_margin)
+        pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["est_jaccard"], gate)
+            ).select(["id_a", "id_b"]),
+            batch_format="pyarrow", batch_size=None).materialize()
     return verify_jaccard_ds(ds, id_col, text_col, pairs_ds,
                              shingle_k=shingle_k, threshold=threshold,
                              **verify_kw)
@@ -763,9 +822,11 @@ def minhash_near_dups_ds(ds, id_col: str, text_col: str,
 def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
                       distributed: bool | None = None,
                       driver_max_pairs: int = 500_000,
+                      est_margin: float | None = 0.25,
                       **kw) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates → exact verify →
-    pairs with true Jaccard ≥ threshold, as pandas.
+    """Full MinHash-LSH near-dup pipeline: candidates → est-jaccard gate
+    (see ``minhash_near_dups_ds``; same gate both paths) → exact verify
+    → pairs with true Jaccard ≥ threshold, as pandas.
 
     ``distributed=None`` auto-routes: when the candidate-pair count
     exceeds ``driver_max_pairs`` the pairs never collect — verification
@@ -783,6 +844,13 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
     if distributed is None:
         distributed = n_pairs > driver_max_pairs
     if distributed:
+        if n_pairs and est_margin is not None:
+            gate = float(threshold - est_margin)
+            pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds).map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["est_jaccard"], gate)
+                ).select(["id_a", "id_b"]),
+                batch_format="pyarrow", batch_size=None).materialize()
         out = verify_jaccard_ds(
             ds, id_col, text_col, pairs_ds,
             shingle_k=kw.get("shingle_k", 5),
@@ -798,6 +866,11 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
     cand = _attach_est_jaccard(
         sig_ds, pairs_ds.to_pandas().sort_values(["id_a", "id_b"])
         .reset_index(drop=True))
+    if est_margin is not None:
+        # the SAME est gate the distributed path applies — keeps the two
+        # paths output-identical (false-drop ~1e-5 per true pair)
+        cand = cand[cand["est_jaccard"]
+                    >= threshold - est_margin].reset_index(drop=True)
     verified = verify_jaccard(ds, id_col, text_col, cand,
                               shingle_k=kw.get("shingle_k", 5))
     return verified[verified["jaccard"] >= threshold].reset_index(drop=True)

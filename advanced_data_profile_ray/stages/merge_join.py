@@ -131,35 +131,33 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
     # skip decision is exact for straddling keys too.
     edge_clip = max(1024, 2 * int(max_pairs_per_key ** 0.5))
 
+    def _ragged_ranges(starts_arr: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """concatenate(arange(s, s+c) for s, c in zip(starts, counts)) —
+        fully vectorized (the per-run Python loop was the join's wall-time
+        at many-tiny-runs workloads like the dedup verify exchange)."""
+        total = int(counts.sum())
+        if total == 0:
+            return np.array([], np.int64)
+        rep = np.repeat(np.arange(counts.size), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        return starts_arr[rep] + (np.arange(total, dtype=np.int64) - excl[rep])
+
     def _join_runs(block: pa.Table, lo_run: int, hi_run: int,
                    starts, widths, side: np.ndarray) -> pa.Table:
-        l_idx_parts, r_idx_parts = [], []
-        null_l_parts = []  # LEFT/FULL OUTER: left rows of match-less keys
-        null_r_parts = []  # FULL OUTER: right rows of match-less keys
-        skipped, elongated = 0, 0
-        for r in range(lo_run, hi_run):
-            a, b = int(starts[r]), int(starts[r] + widths[r])
-            seg_side = side[a:b]
-            ri = np.flatnonzero(seg_side == 0) + a
-            li = np.flatnonzero(seg_side == 1) + a
-            if not li.size:
-                if ri.size and how == "full":
-                    null_r_parts.append(ri)
-                continue
-            if not ri.size:
-                if how in ("left", "full"):
-                    null_l_parts.append(li)
-                continue
-            if ri.size * li.size > max_pairs_per_key:
-                skipped += 1
-                continue
-            if ri.size > edge_clip or li.size > edge_clip:
-                # same bound the edge stitch enforces — skipping here too
-                # keeps output independent of block layout
-                elongated += 1
-                continue
-            l_idx_parts.append(np.repeat(li, ri.size))
-            r_idx_parts.append(np.tile(ri, li.size))
+        if hi_run <= lo_run:
+            return out_schema.empty_table()
+        st = np.asarray(starts[lo_run:hi_run], dtype=np.int64)
+        wd = np.asarray(widths[lo_run:hi_run], dtype=np.int64)
+        # per-run right-row count: rows sort (key, side), right (side=0)
+        # first within each run — prefix sums beat a per-run scan
+        cs = np.concatenate([[0], np.cumsum(side == 0)])
+        nr = cs[st + wd] - cs[st]
+        nl = wd - nr
+        both = (nl > 0) & (nr > 0)
+        over = both & (nl * nr > max_pairs_per_key)
+        elong = both & ~over & ((nl > edge_clip) | (nr > edge_clip))
+        skipped = int(over.sum())
+        elongated = int(elong.sum())
         if skipped or elongated:
             import logging
 
@@ -168,12 +166,32 @@ def sorted_merge_join(left_ds, right_ds, left_key: str, right_key: str,
                 "exceeds %d and %d elongated keys with one side longer "
                 "than %d rows — such keys need a salted/broadcast plan",
                 skipped, max_pairs_per_key, elongated, edge_clip)
-        if not l_idx_parts and not null_l_parts and not null_r_parts:
+        # matched cross products, all qualifying runs at once: output j of
+        # run r pairs left row j//nr_r with right row j%nr_r (same l-major
+        # order as the former repeat/tile per-run build)
+        ok = both & ~over & ~elong
+        p = np.where(ok, nl * nr, 0)
+        total_m = int(p.sum())
+        if total_m:
+            rep = np.repeat(np.arange(p.size), p)
+            excl = np.concatenate([[0], np.cumsum(p)[:-1]])
+            j = np.arange(total_m, dtype=np.int64) - excl[rep]
+            nr_rep = nr[rep]
+            li_m = (st + nr)[rep] + j // nr_rep
+            ri_m = st[rep] + j % nr_rep
+        else:
+            li_m = np.array([], np.int64)
+            ri_m = np.array([], np.int64)
+        li_n = np.array([], np.int64)  # LEFT/FULL: left rows of match-less keys
+        ri_n = np.array([], np.int64)  # FULL: right rows of match-less keys
+        if how in ("left", "full"):
+            lonly = (nl > 0) & (nr == 0)
+            li_n = _ragged_ranges((st + nr)[lonly], nl[lonly])
+        if how == "full":
+            ronly = (nr > 0) & (nl == 0)
+            ri_n = _ragged_ranges(st[ronly], nr[ronly])
+        if not li_m.size and not li_n.size and not ri_n.size:
             return out_schema.empty_table()
-        li_m = np.concatenate(l_idx_parts) if l_idx_parts else np.array([], np.int64)
-        ri_m = np.concatenate(r_idx_parts) if r_idx_parts else np.array([], np.int64)
-        li_n = np.concatenate(null_l_parts) if null_l_parts else np.array([], np.int64)
-        ri_n = np.concatenate(null_r_parts) if null_r_parts else np.array([], np.int64)
         # index layout: [matched | left-only (null right) | right-only
         # (null left)]; pa.array's mask=True marks nulls and Arrow take
         # propagates null indices to null output values
