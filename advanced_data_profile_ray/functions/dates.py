@@ -50,22 +50,38 @@ COMMON_FORMATS = [
 
 def _generated_formats() -> list[str]:
     """Deterministic permutation list (date orders × separators × time
-    suffixes) — the scale-down of the reference's ~10^4 permutations
-    (Profiler.py:96-123)."""
+    suffixes) mirroring the reference's ~10^4 strftime permutations
+    (Profiler.py:96-123). Order encodes disambiguation preference:
+    4-digit-year numeric orders, then month-name orders, then 2-digit
+    years, then compact (separator-less) forms — a string matching an
+    earlier candidate never falls through to a later one, so
+    distributed runs stay reproducible."""
     out = []
-    date_parts = [
-        ("%Y", "%m", "%d"),
-        ("%d", "%m", "%Y"),
-        ("%m", "%d", "%Y"),
-        ("%Y", "%d", "%m"),
-    ]
+    times = ["", " %H:%M:%S", " %H:%M", "T%H:%M:%S", " %I:%M:%S %p",
+             " %H:%M:%S.%f", " %I:%M %p", " %H:%M:%S %f"]
     seps = ["-", "/", ".", " "]
-    times = ["", " %H:%M:%S", " %H:%M", "T%H:%M:%S", " %I:%M:%S %p", " %H:%M:%S.%f"]
-    for p in date_parts:
-        for s in seps:
-            base = s.join(p)
-            for t in times:
-                out.append(base + t)
+
+    def _emit(parts_list, seps_list):
+        for p in parts_list:
+            for s in seps_list:
+                base = s.join(p)
+                for t in times:
+                    out.append(base + t)
+
+    # 4-digit-year numeric orders first (unambiguous year position)
+    _emit([("%Y", "%m", "%d"), ("%d", "%m", "%Y"), ("%m", "%d", "%Y"),
+           ("%Y", "%d", "%m")], seps)
+    # month-name orders (11-Mar-2021, Mar 11 2021, 2021 March 11, …)
+    _emit([("%d", "%b", "%Y"), ("%b", "%d", "%Y"), ("%Y", "%b", "%d"),
+           ("%d", "%B", "%Y"), ("%B", "%d", "%Y")], seps)
+    # 2-digit years AFTER every 4-digit candidate (a 4-digit match must
+    # never lose to a %y misparse)
+    _emit([("%y", "%m", "%d"), ("%d", "%m", "%y"), ("%m", "%d", "%y")],
+          seps)
+    # compact separator-less stamps
+    for base in ("%Y%m%d", "%y%m%d", "%d%m%Y", "%m%d%Y"):
+        for t in ("", "%H%M%S", " %H:%M:%S", "T%H:%M:%S"):
+            out.append(base + t)
     seen = set(COMMON_FORMATS)
     return [f for f in out if not (f in seen or seen.add(f))]
 

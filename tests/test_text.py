@@ -345,3 +345,35 @@ def test_load_fasttext_model_real_artifact(tmp_path):
     raw[8 + 4 * 8: 8 + 4 * 9] = struct.pack("<i", 2_000_000)  # bucket != 0
     open(bad, "wb").write(raw)
     assert load_fasttext_model(bad) is None
+
+
+def test_generated_format_permutations_cover_reference_shapes():
+    """Round-4 widening of the generated strftime permutation list
+    (reference tries ~10^4, Profiler.py:96-123): month-name, 2-digit-year
+    and compact stamps must resolve, 4-digit-year candidates must win
+    over %y misparses, and the list must stay deterministic."""
+    import pyarrow as pa
+
+    from advanced_data_profile_ray.functions.dates import (
+        ALL_FORMATS, find_format, try_parse_datetime_strings)
+
+    assert len(ALL_FORMATS) == len(set(ALL_FORMATS)) >= 400
+    assert ALL_FORMATS == list(ALL_FORMATS)  # import-time constant
+
+    cases = {
+        # glibc %b also matches full month names, so either form may win
+        "11-Mar-2021": (("%d-%b-%Y", "%d-%B-%Y"), "2021-03-11"),
+        "March 11, 2021": (("%b %d, %Y", "%B %d, %Y"), "2021-03-11"),
+        "Mar 11 2021 14:30:55": (("%b %d %Y %H:%M:%S",
+                                  "%B %d %Y %H:%M:%S"), "2021-03-11"),
+        "99/12/31": (("%y/%m/%d",), "1999-12-31"),
+        "2021-03-11 02:30 PM": (("%Y-%m-%d %I:%M %p",), "2021-03-11"),
+    }
+    for s, (want_fmts, want_day) in cases.items():
+        arr = pa.array([s, s])
+        assert find_format(arr) in want_fmts, s
+        ts = try_parse_datetime_strings(arr)
+        assert str(ts[0]).startswith(want_day), (s, ts[0])
+
+    # a 4-digit-year column must never resolve to a 2-digit-year format
+    assert "%y" not in find_format(pa.array(["2021-03-11", "1999-01-02"]))
