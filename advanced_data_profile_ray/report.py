@@ -119,6 +119,13 @@ def _norm_ppf(p: float) -> float:
            (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
 
 
+def hist_plot_data(col) -> dict | None:
+    """Fixed-bin histogram payload (A24) straight off the merged sketch."""
+    if col.histogram is None:
+        return None
+    return col.histogram.finalize()
+
+
 def full_report_dict(profile: TableProfile, verdicts: list | None = None,
                      top_k: int = 10) -> dict:
     out = profile.finalize(top_k)
@@ -126,7 +133,7 @@ def full_report_dict(profile: TableProfile, verdicts: list | None = None,
         col = profile.columns[col_dict["column"]]
         plots = {}
         for name, fn in (("box", box_plot_data), ("qq", qq_plot_data),
-                         ("cdf", cdf_plot_data),
+                         ("cdf", cdf_plot_data), ("hist", hist_plot_data),
                          ("date_parts", date_part_plot_data)):
             data = fn(col)
             if data is not None:
@@ -145,10 +152,130 @@ def write_json_report(profile: TableProfile, path: str,
                   default=_json_default)
 
 
+# --- inline-SVG chart primitives (driver-side render of the plot
+# payloads the distributed pass already computed — the engine-appropriate
+# closing of the reference's plotly/jinja chart gap, Profiler.py:735-794:
+# O(columns) strings, zero chart libraries, self-contained document) ---
+
+_SVG_W, _SVG_H, _SVG_PAD = 320, 120, 22
+
+
+def _svg_open(title: str) -> str:
+    return (f'<svg xmlns="http://www.w3.org/2000/svg" width="{_SVG_W}" '
+            f'height="{_SVG_H + _SVG_PAD}" font-family="sans-serif">'
+            f'<text x="4" y="12" font-size="11">{html.escape(title)}</text>')
+
+
+def _svg_bars(labels: list, ys: list, title: str) -> str:
+    """Bar chart; labels printed on first/last bars only (axis-lite)."""
+    if not ys or max(ys) <= 0:
+        return ""
+    n = len(ys)
+    top = float(max(ys))
+    bw = max(1.0, (_SVG_W - 8) / n - 1)
+    parts = [_svg_open(title)]
+    for i, y in enumerate(ys):
+        h = (float(y) / top) * (_SVG_H - 10)
+        x = 4 + i * ((_SVG_W - 8) / n)
+        parts.append(f'<rect x="{x:.1f}" y="{_SVG_PAD + _SVG_H - 10 - h:.1f}" '
+                     f'width="{bw:.1f}" height="{h:.1f}" fill="#4878a8"/>')
+    for i in (0, n - 1):
+        x = 4 + i * ((_SVG_W - 8) / n)
+        parts.append(f'<text x="{x:.1f}" y="{_SVG_PAD + _SVG_H + 2:.0f}" '
+                     f'font-size="9">{html.escape(str(labels[i]))}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _svg_line(xs: list, ys: list, title: str) -> str:
+    """Polyline (CDF / Q-Q)."""
+    if len(xs) < 2:
+        return ""
+    fx = [float(v) for v in xs]
+    fy = [float(v) for v in ys]
+    x0, x1 = min(fx), max(fx)
+    y0, y1 = min(fy), max(fy)
+    sx = (_SVG_W - 8) / ((x1 - x0) or 1.0)
+    sy = (_SVG_H - 10) / ((y1 - y0) or 1.0)
+    pts = " ".join(
+        f"{4 + (x - x0) * sx:.1f},{_SVG_PAD + _SVG_H - 10 - (y - y0) * sy:.1f}"
+        for x, y in zip(fx, fy))
+    return (_svg_open(title)
+            + f'<polyline points="{pts}" fill="none" stroke="#4878a8" '
+              'stroke-width="1.5"/>'
+            + f'<text x="4" y="{_SVG_PAD + _SVG_H + 2}" font-size="9">'
+              f'[{x0:.4g}, {x1:.4g}] → [{y0:.4g}, {y1:.4g}]</text></svg>')
+
+
+def _svg_box(b: dict, title: str) -> str:
+    """Horizontal box-and-whisker from the five-number summary."""
+    lo = min(b["min"], b["lower_fence"])
+    hi = max(b["max"], b["upper_fence"])
+    s = (_SVG_W - 8) / ((hi - lo) or 1.0)
+
+    def X(v):
+        return 4 + (float(v) - lo) * s
+
+    cy = _SVG_PAD + (_SVG_H - 10) / 2
+    bh = (_SVG_H - 10) * 0.5
+    return (_svg_open(title)
+            + f'<line x1="{X(b["min"]):.1f}" x2="{X(b["max"]):.1f}" '
+              f'y1="{cy:.1f}" y2="{cy:.1f}" stroke="#888"/>'
+            + f'<rect x="{X(b["q1"]):.1f}" y="{cy - bh / 2:.1f}" '
+              f'width="{max(1.0, X(b["q3"]) - X(b["q1"])):.1f}" height="{bh:.1f}" '
+              'fill="#a8c4e0" stroke="#4878a8"/>'
+            + f'<line x1="{X(b["median"]):.1f}" x2="{X(b["median"]):.1f}" '
+              f'y1="{cy - bh / 2:.1f}" y2="{cy + bh / 2:.1f}" '
+              'stroke="#c04848" stroke-width="2"/>'
+            + f'<text x="4" y="{_SVG_PAD + _SVG_H + 2}" font-size="9">'
+              f'min {b["min"]:.4g} · q1 {b["q1"]:.4g} · med {b["median"]:.4g} '
+              f'· q3 {b["q3"]:.4g} · max {b["max"]:.4g}</text></svg>')
+
+
+def _column_charts_html(col_dict: dict) -> str:
+    """Per-column chart block from the payloads in col_dict['plots'] and
+    top_values — collapsed by default to keep the document scannable."""
+    plots = col_dict.get("plots", {})
+    tops = col_dict.get("top_values")
+    charts = []
+    h = plots.get("hist")
+    if h and sum(h["counts"]):
+        e = h["edges"]
+        labels = [f"{e[0]:.4g}"] + [""] * (len(h["counts"]) - 2) + [f"{e[-1]:.4g}"]
+        charts.append(_svg_bars(labels, h["counts"], "histogram"))
+    if "box" in plots:
+        charts.append(_svg_box(plots["box"], "box plot"))
+    if "cdf" in plots:
+        charts.append(_svg_line(plots["cdf"]["value"],
+                                plots["cdf"]["cum_freq"], "CDF"))
+    if "qq" in plots:
+        charts.append(_svg_line(plots["qq"]["theoretical"],
+                                plots["qq"]["sample"], "Q-Q vs normal"))
+    for part, series in (plots.get("date_parts") or {}).items():
+        if series["y"] and sum(series["y"]):
+            charts.append(_svg_bars(series["x"], series["y"], f"{part} counts"))
+    if isinstance(tops, dict):  # HeavyHitters.finalize payload
+        tops = tops.get("top_k")
+    if tops:
+        try:
+            labels = [str(t[0]) for t in tops]
+            ys = [int(t[1]) for t in tops]
+        except (TypeError, KeyError, IndexError):
+            labels, ys = [], []
+        if ys:
+            charts.append(_svg_bars(labels, ys, "top values"))
+    if not charts:
+        return ""
+    return (f'<details><summary>{html.escape(col_dict["column"])} charts '
+            f'({len(charts)})</summary>' + "".join(charts) + "</details>")
+
+
 def render_html(profile: TableProfile, verdicts: list | None = None,
                 title: str = "Data Profile") -> str:
-    """Minimal self-contained HTML (driver-side, like the reference's
-    jinja render — content parity over styling parity)."""
+    """Self-contained HTML (driver-side, like the reference's jinja
+    render): table census + verdicts + per-column stats table + per-column
+    inline-SVG charts (histogram, box, CDF, Q-Q, date-part bars, top
+    values) built from the distributed pass's plot payloads."""
     d = full_report_dict(profile, verdicts)
     t = d["table"]
     rows = []
@@ -189,7 +316,10 @@ nulls={t['total_null_values']} types={html.escape(json.dumps(t['type_census']))}
 <h2>Columns</h2><table border=1>
 <tr><th>column</th><th>type</th><th>nulls</th><th>blanks</th><th>distinct</th>
 <th>uniq%</th><th>mean</th><th>max len</th><th>cat conf</th></tr>
-{''.join(rows)}</table></body></html>"""
+{''.join(rows)}</table>
+<h2>Charts</h2>
+{''.join(_column_charts_html(c) for c in d["columns"])}
+</body></html>"""
 
 
 def write_html_report(profile: TableProfile, path: str,

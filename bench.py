@@ -117,7 +117,15 @@ def run_headline() -> dict:
     wall = None
     for _ in range(3):
         t0 = time.time()
-        ds = rd.read_parquet(data_dir)
+        # FIXED 128 blocks (2/CPU at the 32-CPU leg) so both scaling legs
+        # execute the IDENTICAL plan and only resources vary — and because
+        # per-block fixed cost (profile-partial emit + merge fan-in) is
+        # the measured overhead at the default 256 read blocks:
+        # 30.5→22.5 s @8 CPUs, 9.2→8.1 s @32 (fused pass, min-of-2).
+        # ADP_BENCH_BLOCKS=0 restores the reader default (for A/Bs).
+        nb = int(os.environ.get("ADP_BENCH_BLOCKS", "128"))
+        ds = (rd.read_parquet(data_dir, override_num_blocks=nb)
+              if nb else rd.read_parquet(data_dir))
         report = validate_transcripts(
             ds, valid_conv_ids=roster, valid_tools=TOOL_CATALOG,
             max_text_null_pct=5.0, max_text_blank_pct=5.0, paths=paths,

@@ -35,3 +35,43 @@ def test_wordcloud_payload():
     assert out[0]["size"] == 64.0 and out[0]["count"] == 10
     assert out[1]["size"] < out[0]["size"]
     assert wordcloud_payload(freqs.iloc[:0]) == []
+
+
+def test_render_html_embeds_svg_charts(ray_session):
+    """Round-4 report-parity closing: the HTML document must carry
+    inline-SVG charts (histogram, box, CDF, Q-Q, date-part bars, top
+    values) rendered from the distributed pass's plot payloads — no
+    chart library, self-contained."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.report import render_html
+
+    rng = np.random.default_rng(3)
+    ts = pd.to_datetime(["2024-01-01 03:15:30"] * 40 + ["2024-02-29 11:45:00"] * 20)
+    t = pa.table({
+        "x": pa.array(rng.normal(size=60)),
+        "cat": pa.array(["a"] * 40 + ["b"] * 20),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    prof = profile_dataset(rd.from_arrow(t))
+    doc = render_html(prof, title="t")
+    assert doc.count("<svg") >= 5
+    for label in ("histogram", "box plot", "CDF", "Q-Q vs normal",
+                  "top values", "hour counts"):
+        assert label in doc, label
+    # payload numbers flow through: the categorical top value count
+    assert "polyline" in doc and "rect" in doc
+
+
+def test_hist_plot_data_payload(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.report import hist_plot_data
+
+    prof = profile_dataset(rd.from_arrow(
+        pa.table({"x": pa.array([0.0, 0.5, 1.0, 1.5, 2.0] * 8)})))
+    h = hist_plot_data(prof.columns["x"])
+    assert h is not None and sum(h["counts"]) > 0
+    assert len(h["edges"]) == len(h["counts"]) + 1
