@@ -47,6 +47,8 @@ def test_render_html_embeds_svg_charts(ray_session):
     from advanced_data_profile_ray.pipelines.profile import profile_dataset
     from advanced_data_profile_ray.report import render_html
 
+    from advanced_data_profile_ray.stages.profile_partial import ProfileConfig
+
     rng = np.random.default_rng(3)
     ts = pd.to_datetime(["2024-01-01 03:15:30"] * 40 + ["2024-02-29 11:45:00"] * 20)
     t = pa.table({
@@ -54,7 +56,8 @@ def test_render_html_embeds_svg_charts(ray_session):
         "cat": pa.array(["a"] * 40 + ["b"] * 20),
         "ts": pa.array(ts, pa.timestamp("us")),
     })
-    prof = profile_dataset(rd.from_arrow(t))
+    cfg = ProfileConfig(histogram_edges={"x": np.linspace(-3, 3, 13).tolist()})
+    prof = profile_dataset(rd.from_arrow(t), cfg)
     doc = render_html(prof, title="t")
     assert doc.count("<svg") >= 5
     for label in ("histogram", "box plot", "CDF", "Q-Q vs normal",
@@ -70,8 +73,11 @@ def test_hist_plot_data_payload(ray_session):
     from advanced_data_profile_ray.pipelines.profile import profile_dataset
     from advanced_data_profile_ray.report import hist_plot_data
 
+    from advanced_data_profile_ray.stages.profile_partial import ProfileConfig
+
+    cfg = ProfileConfig(histogram_edges={"x": [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]})
     prof = profile_dataset(rd.from_arrow(
-        pa.table({"x": pa.array([0.0, 0.5, 1.0, 1.5, 2.0] * 8)})))
+        pa.table({"x": pa.array([0.0, 0.5, 1.0, 1.5, 2.0] * 8)})), cfg)
     h = hist_plot_data(prof.columns["x"])
     assert h is not None and sum(h["counts"]) > 0
     assert len(h["edges"]) == len(h["counts"]) + 1
