@@ -1324,38 +1324,14 @@ def _batch_vec_matrix(batch: pa.Table, id_col: str, vec_col: str):
     return ids, flat[gidx]
 
 
-def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
-                        n_planes: int = 8, n_bands: int = 4, seed: int = 7,
-                        max_bucket: int = 256) -> pd.DataFrame:
-    """Banded random-hyperplane LSH near-dup over an embedding column —
-    the scale path (brute force is ann.brute_topk). Fully distributed,
-    same exchange discipline as MinHash/SimHash:
-
-    1. map task: normalize vectors, sign-hash against ``n_bands``
-       independent ``n_planes``-plane banks (seeded, cached per worker),
-       emit skinny (key, id) rows — ``n_bands`` per doc, no vector
-       payload in the exchange.
-    2. ONE sort exchange co-locates buckets; interior runs pair-expand in
-       map tasks with the ``max_bucket`` oversize cap (lsh_bucket_pairs —
-       no ``groupby().map_groups`` per-row reduce, no uncapped
-       ``mat @ mat.T`` on hot buckets).
-    3. normalized vectors are fetched ONLY for candidate ids and cosine
-       is verified in parallel ray tasks over a broadcast matrix — exact
-       precision; banding sets recall (≥1-(1-p^planes)^bands,
-       p = 1 - arccos(cos)/π; ~0.97 at cosine 0.98 with 8×4).
-
-    Zero-norm vectors carry no direction and are dropped. Returns
-    (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold."""
-    import ray
-
+def _make_band_rows(id_col: str, vec_col: str, n_planes: int, n_bands: int,
+                    seed: int):
+    """Per-batch banded hyperplane sign-hash kernel shared by both
+    embedding near-dup paths: emits skinny (key, id) rows, ``n_bands``
+    per doc, no vector payload in the exchange. Zero-norm vectors carry
+    no direction and are dropped."""
     C = np.uint64(0x9E3779B97F4A7C15)
     total_planes = n_planes * n_bands
-    # typed empty frame: the no-candidates path must carry the same
-    # schema as the populated one (int64 ids, float64 cosine) or the
-    # DuckDB oracle twin's schema check fails on an empty result
-    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
 
     def _band_rows(batch: pa.Table) -> pa.Table:
         id_t = batch.schema.field(id_col).type
@@ -1387,11 +1363,139 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
                                 pa.int64()))
         return pa.table({"key": pa.array(key, pa.int64()), "id": rep})
 
+    return _band_rows
+
+
+def _normalized_vecs_ds(narrow, id_col: str, vec_col: str):
+    """(id, vec) Dataset of L2-normalized float32 FixedSizeList vectors
+    (null / ragged / zero-norm rows dropped) — the join payload for the
+    distributed cosine verify. Same float32 normalization arithmetic as
+    the driver path's broadcast matrix, so both paths agree bit-for-bit."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_vec_matrix(batch, id_col, vec_col)
+        id_t = batch.schema.field(id_col).type
+        if ids is None:
+            return pa.table({
+                "id": pa.array([], id_t),
+                "vec": pa.array([], pa.list_(pa.float32()))})
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n, dim = mat.shape
+        # variable list<float32> (not FixedSizeList): empty blocks can't
+        # know dim, and mixed list sizes break schema unification
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+            pa.array(mat.ravel(), pa.float32()))
+        return pa.table({"id": ids, "vec": vec})
+
+    return narrow.map_batches(_fn, batch_format="pyarrow", batch_size=None)
+
+
+def _list_matrix(col) -> np.ndarray:
+    """Uniform-dim list<float32> column → (n, dim) float32 matrix, zero
+    per-row Python (all rows share one dim by construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = (col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float32, copy=False))
+    return vals.reshape(len(col), -1)
+
+
+def embedding_near_dups_ds(ds, id_col: str, vec_col: str,
+                           threshold: float = 0.95, n_planes: int = 8,
+                           n_bands: int = 4, seed: int = 7,
+                           max_bucket: int = 256):
+    """Fully distributed embedding near-dup — Dataset (id_a, id_b,
+    cosine) out, the 100-TB path: candidate pairs come from the same
+    skinny banded-hyperplane exchange as the pandas twin, and the exact
+    cosine verify runs through two sort-merge joins carrying each side's
+    NORMALIZED vector payload (right side unique per id, per-key products
+    bounded by the LSH partner count) + a vectorized row-wise dot — no
+    broadcast (ids, matrix) pair, nothing pair-shaped on the driver."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import spread_blocks
+    from ..stages.merge_join import sorted_merge_join
+
+    narrow = ds.select_columns([id_col, vec_col])
+    exploded = spread_blocks(narrow, rows=_raw_count(ds)).map_batches(
+        _make_band_rows(id_col, vec_col, n_planes, n_bands, seed),
+        batch_format="pyarrow", batch_size=None)
+    pairs_ds = lsh_bucket_pairs_ds(exploded, max_bucket=max_bucket)
+    id_t = pairs_ds.schema().base_schema.field("id_a").type
+    empty = pa.table({"id_a": pa.array([], id_t),
+                      "id_b": pa.array([], id_t),
+                      "cosine": pa.array([], pa.float64())})
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    norm = _normalized_vecs_ds(narrow, id_col, vec_col).materialize()
+
+    def _rn(new):
+        return lambda t: pa.table({"id": t["id"], new: t["vec"]})
+
+    vb = sorted_merge_join(
+        pairs_ds, norm.map_batches(_rn("vec_b"), batch_format="pyarrow",
+                                   batch_size=None),
+        "id_b", "id", ["id_a", "id_b"], ["vec_b"])
+    vab = sorted_merge_join(
+        vb, norm.map_batches(_rn("vec_a"), batch_format="pyarrow",
+                             batch_size=None),
+        "id_a", "id", ["id_a", "id_b", "vec_b"], ["vec_a"])
+
+    def _cos(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        A = _list_matrix(t["vec_a"])
+        B = _list_matrix(t["vec_b"])
+        cos = np.round(np.einsum("ij,ij->i", A, B).astype(np.float64), 6)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        return out.filter(pa.array(cos >= threshold))
+
+    return vab.map_batches(_cos, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float = 0.95,
+                        n_planes: int = 8, n_bands: int = 4, seed: int = 7,
+                        max_bucket: int = 256) -> pd.DataFrame:
+    """Banded random-hyperplane LSH near-dup over an embedding column —
+    the scale path (brute force is ann.brute_topk). Fully distributed,
+    same exchange discipline as MinHash/SimHash:
+
+    1. map task: normalize vectors, sign-hash against ``n_bands``
+       independent ``n_planes``-plane banks (seeded, cached per worker),
+       emit skinny (key, id) rows — ``n_bands`` per doc, no vector
+       payload in the exchange.
+    2. ONE sort exchange co-locates buckets; interior runs pair-expand in
+       map tasks with the ``max_bucket`` oversize cap (lsh_bucket_pairs —
+       no ``groupby().map_groups`` per-row reduce, no uncapped
+       ``mat @ mat.T`` on hot buckets).
+    3. normalized vectors are fetched ONLY for candidate ids and cosine
+       is verified in parallel ray tasks over a broadcast matrix — exact
+       precision; banding sets recall (≥1-(1-p^planes)^bands,
+       p = 1 - arccos(cos)/π; ~0.97 at cosine 0.98 with 8×4).
+
+    Zero-norm vectors carry no direction and are dropped. Returns
+    (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    ``embedding_near_dups_ds`` is the Dataset-out twin whose verify runs
+    through join exchanges instead of a broadcast matrix."""
+    import ray
+
+    # typed empty frame: the no-candidates path must carry the same
+    # schema as the populated one (int64 ids, float64 cosine) or the
+    # DuckDB oracle twin's schema check fails on an empty result
+    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+
     from ..stages.fast_ops import spread_blocks
 
     narrow = ds.select_columns([id_col, vec_col])
     exploded = spread_blocks(narrow, rows=_raw_count(ds)).map_batches(
-        _band_rows, batch_format="pyarrow", batch_size=None
+        _make_band_rows(id_col, vec_col, n_planes, n_bands, seed),
+        batch_format="pyarrow", batch_size=None
     )
     pairs = lsh_bucket_pairs(exploded, max_bucket=max_bucket)
     if pairs.empty:

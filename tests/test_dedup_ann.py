@@ -427,3 +427,34 @@ def test_label_propagation_million_pairs(ray_session):
     uf = connected_components(a[sl], b[sl])
     lp_sl = lp[lp["doc_id"] < 10_000].reset_index(drop=True)
     pd.testing.assert_frame_equal(lp_sl.astype("int64"), uf.astype("int64"))
+
+
+def test_embedding_distributed_matches_driver(ray_session):
+    """Join-based cosine verify (embedding_near_dups_ds) must reproduce
+    the broadcast-matrix driver path exactly — completes the dedup-family
+    graduation off the driver (minhash/simhash/embedding)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        embedding_near_dups, embedding_near_dups_ds)
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 32)).astype(np.float32)
+    near = base[:20] + rng.normal(scale=0.01, size=(20, 32)).astype(np.float32)
+    vecs = np.concatenate([base, near])
+    ids = list(range(200)) + [1000 + i for i in range(20)]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    drv = embedding_near_dups(rd.from_arrow(t), "vec_id", "embedding",
+                              threshold=0.98)
+    dist = (embedding_near_dups_ds(rd.from_arrow(t), "vec_id", "embedding",
+                                   threshold=0.98)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True).astype({"id_a": "int64", "id_b": "int64"}),
+        dist.astype({"id_a": "int64", "id_b": "int64"}),
+        atol=1e-9, check_exact=False)
+    found = set(zip(dist["id_a"], dist["id_b"]))
+    assert sum((i, 1000 + i) in found for i in range(20)) >= 18
