@@ -3291,6 +3291,45 @@ def q_docs_above_p90(sf_dir: str) -> pd.DataFrame:
             .astype({"n_above": "int64"}))
 
 
+def q_docs_pii_redacted(sf_dir: str) -> pd.DataFrame:
+    """PII REDACTION (training-data scrubbing, §2.8 extension): emails /
+    SSNs / phones / IPv4s → typed placeholders + per-doc redaction
+    count; RE2 kernels on both the engine (pc.replace_substring_regex)
+    and DuckDB (regexp_replace) sides, so the twin is exact. The oracle
+    SQL is generated from the SAME pattern list the engine applies."""
+    from .text import redact_pii
+
+    out = redact_pii(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     "doc_id", "text").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_redactions": "int64"}))
+
+
+def _pii_redaction_sql() -> str:
+    """Stepwise-CTE twin of text.redact_pii: count on the progressively
+    redacted text, then replace — identical order, identical RE2
+    pattern strings (imported, not copied)."""
+    from .text import PII_PATTERNS
+
+    prev_t = "text"
+    ctes, counts = [], []
+    for i, (_, pat, rep) in enumerate(PII_PATTERNS, start=1):
+        carry = ", ".join([f"c{j}" for j in range(1, i)])
+        carry = (carry + ", ") if carry else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carry}"
+            f"COALESCE(LENGTH(regexp_extract_all({prev_t}, '{pat}')), 0) AS c{i}, "
+            f"regexp_replace({prev_t}, '{pat}', '{rep}', 'g') AS t{i} "
+            f"FROM {'documents' if i == 1 else f's{i - 1}'})")
+        prev_t = f"t{i}"
+        counts.append(f"c{i}")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {prev_t} AS text_redacted, "
+        + f"CAST({' + '.join(counts)} AS BIGINT) AS n_redactions "
+        + f"FROM s{len(PII_PATTERNS)} ORDER BY doc_id")
+
+
 def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     from .text import word_frequencies
 
@@ -4517,6 +4556,8 @@ ORACLE["stratified_sample"] = """
     FROM documents GROUP BY lang ORDER BY lang
 """
 
+ORACLE["docs_pii_redacted"] = _pii_redaction_sql()
+
 ORACLE["docs_above_p90"] = """
     WITH t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP
                       (ORDER BY n_chars) AS p FROM documents)
@@ -4633,6 +4674,7 @@ QUERIES = {
     "top_docs_per_source": q_top_docs_per_source,
     "stratified_sample": q_stratified_sample,
     "docs_above_p90": q_docs_above_p90,
+    "docs_pii_redacted": q_docs_pii_redacted,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,

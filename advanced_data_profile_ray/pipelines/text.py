@@ -528,3 +528,46 @@ def contamination_check(docs_ds, bench_ds, id_col: str, text_col: str,
     return spread_blocks(docs_ds.select_columns([id_col, text_col]),
                          rows=_raw_count(docs_ds)).map_batches(
         _probe, batch_format="pandas", batch_size=None)
+
+
+# RE2 syntax on BOTH sides of the oracle: pyarrow's replace_substring_regex
+# and DuckDB's regexp_replace are each RE2, so the redaction transform is
+# exactly SQL-twinnable. Order matters (applied sequentially): emails
+# first (their digits/dots must not half-match later patterns), then the
+# most-specific digit shapes before the most general.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds, id_col: str, text_col: str):
+    """PII redaction (training-data scrubbing): emails / SSNs / phone
+    numbers / IPv4s replaced with typed placeholders, per-doc redaction
+    count alongside — one embarrassingly-parallel vectorized map, RE2
+    kernels per batch, no exchange. Null text stays null with count 0.
+    Returns a Dataset (id, text_redacted, n_redactions int64)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.fast_ops import spread_blocks
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        for _, pat, rep in PII_PATTERNS:
+            # count on the PROGRESSIVELY redacted text (same order the
+            # SQL twin counts), then replace
+            c = pc.count_substring_regex(col, pat)
+            n += pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=rep)
+        return pa.table({id_col: t[id_col], "text_redacted": col,
+                         "n_redactions": pa.array(n, pa.int64())})
+
+    return spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
+        _fn, batch_format="pyarrow", batch_size=None)

@@ -377,3 +377,30 @@ def test_generated_format_permutations_cover_reference_shapes():
 
     # a 4-digit-year column must never resolve to a 2-digit-year format
     assert "%y" not in find_format(pa.array(["2021-03-11", "1999-01-02"]))
+
+
+def test_redact_pii_planted(ray_session):
+    """Planted PII of every pattern class must redact, with exact
+    per-doc counts; null text stays null at count 0; clean text is
+    untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "contact jane.doe+x@corp.example.com or 555-123-4567",
+            "ssn 123-45-6789 from 192.168.0.1 and 10.0.0.255",
+            "perfectly clean prose with numbers 12345 and v1.2.3",
+            None,
+        ]),
+    })
+    out = (redact_pii(rd.from_arrow(t), "doc_id", "text").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text_redacted"] == "contact <EMAIL> or <PHONE>"
+    assert out.loc[1, "text_redacted"] == "ssn <SSN> from <IP> and <IP>"
+    assert out.loc[2, "text_redacted"] == t["text"][2].as_py()
+    assert pd.isna(out.loc[3, "text_redacted"])
+    assert out["n_redactions"].tolist() == [2, 3, 0, 0]
