@@ -67,6 +67,11 @@ class NumpyFastTextModel:
         import numpy as np
 
         ids = [self.vocab[w] for w in text.split() if w in self.vocab]
+        # real fastText appends EOS to every supervised input line — the
+        # hidden average must include it or probabilities diverge from
+        # the fasttext library on the identical model file
+        if "</s>" in self.vocab:
+            ids.append(self.vocab["</s>"])
         if not ids:
             return (), np.array([], dtype=np.float32)
         hidden = self.input[ids].mean(axis=0)
@@ -102,7 +107,7 @@ def _load_fasttext_bin(path: str) -> NumpyFastTextModel:
         magic, _version = struct.unpack("<ii", f.read(8))
         if magic != FASTTEXT_MAGIC:
             raise ValueError(f"{path}: not a fastText .bin (magic {magic})")
-        (dim, _ws, _epoch, _minCount, _neg, wordNgrams, _loss, _model,
+        (dim, _ws, _epoch, _minCount, _neg, wordNgrams, loss, model,
          bucket, minn, maxn, _lr) = struct.unpack("<12i", f.read(48))
         (_t,) = struct.unpack("<d", f.read(8))
         if wordNgrams != 1 or bucket != 0 or minn != 0 or maxn != 0:
@@ -110,12 +115,21 @@ def _load_fasttext_bin(path: str) -> NumpyFastTextModel:
                 "NumpyFastTextModel covers the word-feature subset only "
                 f"(wordNgrams={wordNgrams}, bucket={bucket}, minn={minn}, "
                 f"maxn={maxn}) — install fasttext for this model")
+        # loss_name {hs=1, ns=2, softmax=3}; model_name {cbow=1, sg=2,
+        # sup=3}: only flat-softmax supervised scoring is implemented —
+        # silently softmaxing an hs/ns model would return wrong labels
+        if loss != 3 or model != 3:
+            raise ValueError(
+                f"NumpyFastTextModel scores softmax supervised models only "
+                f"(loss={loss}, model={model}) — install fasttext")
         size, nwords, _nlabels = struct.unpack("<3i", f.read(12))
         _ntokens, prune_n = struct.unpack("<2q", f.read(16))
         vocab, labels = {}, []
         for i in range(size):
             chars = bytearray()
             while (c := f.read(1)) != b"\x00":
+                if not c:  # EOF mid-entry: truncated/corrupt file
+                    raise ValueError(f"{path}: truncated dictionary entry")
                 chars += c
             _count, etype = struct.unpack("<qb", f.read(9))
             word = chars.decode("utf-8")
@@ -123,7 +137,9 @@ def _load_fasttext_bin(path: str) -> NumpyFastTextModel:
                 vocab[word] = i
             else:
                 labels.append(word)
-        f.read(8 * prune_n)  # pruneidx pairs (unused in this subset)
+        # UNPRUNED dictionaries (the normal case) save pruneidx_size_ = -1;
+        # a negative read(count) would slurp to EOF and break the next unpack
+        f.read(8 * max(0, prune_n))
         (quant_in,) = struct.unpack("<b", f.read(1))
         if quant_in:
             raise ValueError("quantized .ftz needs the fasttext library")
@@ -165,9 +181,11 @@ def load_fasttext_model(model_path: str | None = None):
         return fasttext.load_model(path)
     except ImportError:
         pass
+    import struct
+
     try:
         return _load_fasttext_bin(path)
-    except ValueError:
+    except (ValueError, struct.error):  # unsupported subset / corrupt file
         return None
 
 

@@ -237,7 +237,14 @@ def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64):
     fused = s.map_batches(_make_fused_expand(max_bucket),
                           batch_format="pyarrow",
                           batch_size=None).materialize()
-    id_t = fused.schema().base_schema.field("id").type
+    # an empty exploded input sorts to ZERO blocks and fused.schema()
+    # is None — return the typed empty the pandas wrapper always had
+    # (ids are int64 in every pipeline here)
+    fused_schema = fused.schema()
+    if fused_schema is None or fused.count() == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64())}))
+    id_t = fused_schema.base_schema.field("id").type
 
     def _interior(t: pa.Table) -> pa.Table:
         pt = t.filter(pc.equal(t["kind"], 0))
@@ -834,6 +841,10 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
     only the FILTERED near-dup rows return (columns id_a, id_b,
     jaccard; the est_jaccard diagnostic is a driver-path extra). Small
     candidate sets keep the cheaper broadcast-verify driver path."""
+    unknown = set(kw) - {"num_perm", "bands", "shingle_k", "max_bucket",
+                         "spill_dir"}
+    if unknown:  # a typo'd option silently running defaults is worse
+        raise TypeError(f"minhash_near_dups: unknown options {sorted(unknown)}")
     sig_ds, pairs_ds = _minhash_sig_and_pairs(
         ds, id_col, text_col,
         num_perm=kw.get("num_perm", 64), bands=kw.get("bands", 16),
@@ -1771,16 +1782,48 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
         return rd.from_arrow(empty)
 
     # initial labels: distinct nodes (both-direction src covers all),
-    # label = own id, via one skinny exchange
+    # label = own id, via one skinny exchange; the SAME pass yields node
+    # degrees, which are static — nodes whose degree exceeds the join's
+    # bounded-rows-per-key clip are split out ONCE and handled by label
+    # broadcast each round (a silently join-skipped hot node would sever
+    # its component and report a false convergence)
     inner, edge_t = sorted_groupby(
         edges.map_batches(lambda t: t.select(["src"]),
                           batch_format="pyarrow", batch_size=None),
         ["src"], [(None, "count_all", "__n")])
-    nodes = inner.map_batches(lambda t: t.select(["src"]),
-                              batch_format="pyarrow", batch_size=None)
+    deg = inner
     if edge_t is not None and edge_t.num_rows:
-        nodes = nodes.union(rd.from_arrow(edge_t.select(["src"]).cast(
-            pa.schema([("src", pa.int64())]))))
+        deg = deg.union(rd.from_arrow(edge_t.cast(
+            pa.schema([("src", pa.int64()), ("__n", pa.int64())]))))
+    deg = deg.materialize()
+    nodes = deg.map_batches(lambda t: t.select(["src"]),
+                            batch_format="pyarrow", batch_size=None)
+    HOT_DEG = 32_768  # < edge_clip of the 2^30-capped join below
+    hot_parts = [t for t in _collect_tables(deg.map_batches(
+        lambda t: t.filter(pc.greater(t["__n"], HOT_DEG)).select(["src"]),
+        batch_format="pyarrow", batch_size=None)) if t.num_rows]
+    hot_arr = (np.sort(pa.concat_tables(hot_parts)["src"].to_numpy(
+        zero_copy_only=False)) if hot_parts else np.array([], np.int64))
+
+    def _edge_split(keep_hot: bool):
+        def _fn(t: pa.Table) -> pa.Table:
+            k = t["src"].to_numpy()
+            idx = np.searchsorted(hot_arr, k)
+            idx[idx >= hot_arr.size] = 0
+            is_hot = (hot_arr[idx] == k) if hot_arr.size else np.zeros(
+                t.num_rows, bool)
+            return t.filter(pa.array(is_hot if keep_hot else ~is_hot))
+        return _fn
+
+    if hot_arr.size:
+        hot_edges = edges.map_batches(_edge_split(True),
+                                      batch_format="pyarrow",
+                                      batch_size=None).materialize()
+        edges = edges.map_batches(_edge_split(False),
+                                  batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    else:
+        hot_edges = None
 
     def _init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"id": t["src"], "label": t["src"],
@@ -1795,11 +1838,16 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     grouped_schema = pa.schema([("id", pa.int64()), ("label", pa.int64()),
                                 ("own", pa.int64())])
 
+    import ray
+
     for _ in range(max_iters):
         # neighbor labels: edges(src→dst) ⨝ labels(id) on src — right
-        # side is unique per key, so per-key products = node degree
-        # (bounded by the LSH partner cap upstream; 2^30 product cap
-        # keeps the derived edge_clip at 2^16 rows for hot nodes)
+        # side is unique per key, so per-key products = node degree;
+        # degrees above HOT_DEG were split out above and go map-side
+        # against a broadcast of the (few) hot nodes' current labels,
+        # so no key is ever join-skipped. (Each round re-sorts the cold
+        # edge list inside the join — a persistent partitioned edge
+        # layout is the documented upgrade for very deep graphs.)
         nb = sorted_merge_join(
             edges, labels, "src", "id", ["dst"], ["label"],
             max_pairs_per_key=1 << 30, rows_hint=n_edges)
@@ -1811,6 +1859,32 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
             lambda t: pa.table({"id": t["id"], "label": t["label"],
                                 "own": t["label"]}),
             batch_format="pyarrow", batch_size=None))
+        if hot_edges is not None:
+            hot_lab = pa.concat_tables([t for t in _collect_tables(
+                labels.map_batches(
+                    lambda t: t.filter(pa.array(
+                        (hot_arr[np.minimum(np.searchsorted(
+                            hot_arr, t["id"].to_numpy()),
+                            hot_arr.size - 1)]
+                         == t["id"].to_numpy()))),
+                    batch_format="pyarrow", batch_size=None))
+                if t.num_rows]).sort_by("id")
+            h_ids = hot_lab["id"].to_numpy()
+            h_lbl = hot_lab["label"].to_numpy()
+            h_ref = ray.put((h_ids, h_lbl))
+
+            def _hot_nb(t: pa.Table) -> pa.Table:
+                ids, lbl = ray.get(h_ref)
+                k = t["src"].to_numpy()
+                pos = np.searchsorted(ids, k)
+                if (pos >= ids.size).any() or (ids[pos] != k).any():
+                    raise ValueError("hot node missing its label row")
+                return pa.table({"id": t["dst"],
+                                 "label": pa.array(lbl[pos], pa.int64()),
+                                 "own": pa.nulls(t.num_rows, pa.int64())})
+
+            cand = cand.union(hot_edges.map_batches(
+                _hot_nb, batch_format="pyarrow", batch_size=None))
         inner, edge_t = sorted_groupby(
             cand, ["id"], [("label", "min", "label"), ("own", "min", "own")])
         merged = inner

@@ -3243,16 +3243,18 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
         thr = (df["lang"].map(rates).fillna(default_rate)
                * _SAMPLE_MOD).astype(np.uint64)
         keep = h < thr.to_numpy()
+        # dropna=False: a NULL lang is a real stratum — the SQL twin's
+        # GROUP BY lang emits it, and dropping it would lose its docs
         g = df.assign(__keep=keep.astype(np.int64)).groupby(
-            "lang", sort=False)["__keep"].agg(["count", "sum"])
+            "lang", sort=False, dropna=False)["__keep"].agg(["count", "sum"])
         return pd.DataFrame({"lang": g.index,
                              "n_total": g["count"].astype("int64"),
                              "n_sampled": g["sum"].astype("int64")})
 
     parts = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
         _partial, batch_format="pandas").to_pandas()
-    out = (parts.groupby("lang", sort=True)[["n_total", "n_sampled"]]
-           .sum().reset_index())
+    out = (parts.groupby("lang", sort=True, dropna=False)
+           [["n_total", "n_sampled"]].sum().reset_index())
     return out.astype({"n_total": "int64", "n_sampled": "int64"})
 
 

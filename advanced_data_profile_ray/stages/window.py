@@ -1113,7 +1113,19 @@ def interval_overlap_counts(ds, key_col: str, ts_col: str, id_col: str,
         starts, widths = _run_bounds(k)
         n_runs = starts.size
         nloc = np.empty(n, np.int64)
-        for r in range(n_runs):
+        # vectorized fast path for 1- and 2-row runs (the bulk of a
+        # per-customer keying — the per-run Python loop only pays for
+        # runs wide enough to amortize it)
+        w1 = np.flatnonzero(widths == 1)
+        if w1.size:
+            nloc[starts[w1]] = 1
+        w2 = np.flatnonzero(widths == 2)
+        if w2.size:
+            s2 = starts[w2]
+            within = (t[s2 + 1] - t[s2]) <= w
+            nloc[s2] = 1 + within
+            nloc[s2 + 1] = 1 + within
+        for r in np.flatnonzero(widths >= 3):
             a, b = int(starts[r]), int(starts[r] + widths[r])
             seg_t = t[a:b]
             nloc[a:b] = (np.searchsorted(seg_t, seg_t + w, side="right")

@@ -458,3 +458,48 @@ def test_embedding_distributed_matches_driver(ray_session):
         atol=1e-9, check_exact=False)
     found = set(zip(dist["id_a"], dist["id_b"]))
     assert sum((i, 1000 + i) in found for i in range(20)) >= 18
+
+
+def test_label_propagation_hot_node_exact(ray_session):
+    """A node whose degree exceeds the join's bounded-rows-per-key clip
+    must still propagate (hot nodes go map-side against a label
+    broadcast) — a silent join-skip would sever the component and report
+    a false convergence."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        label_propagation_ds,
+    )
+
+    n_leaves = 40_000  # degree > the 32,768 hot threshold
+    hub = np.int64(5)  # NOT the minimum id: the min label must flow
+    leaves = np.arange(10, 10 + n_leaves, dtype=np.int64)
+    a = np.concatenate([[1], np.full(n_leaves, hub)])
+    b = np.concatenate([[hub], leaves])  # node 1 attaches to the hub
+    pds = rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+    lp = (label_propagation_ds(pds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(lp) == n_leaves + 2
+    assert (lp["cluster_id"] == 1).all()  # min id reaches every leaf
+
+
+def test_near_dups_empty_and_degenerate_corpus(ray_session):
+    """Empty corpora (and all-blank ones, which SimHash drops entirely)
+    must flow through the Dataset pair exchange as typed empties — the
+    sort-of-nothing path loses its schema inside Ray otherwise."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        minhash_near_dups, simhash_near_dups)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = minhash_near_dups(rd.from_arrow(empty), "doc_id", "text")
+    assert list(out.columns) == ["id_a", "id_b", "est_jaccard", "jaccard"]
+    assert len(out) == 0
+
+    blanks = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                       "text": pa.array(["", "   ", None])})
+    out = simhash_near_dups(rd.from_arrow(blanks), "doc_id", "text")
+    assert list(out.columns) == ["id_a", "id_b", "hamming"]
+    assert len(out) == 0

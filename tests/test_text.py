@@ -284,7 +284,9 @@ def _write_fasttext_bin(path, dim, vocab_words, labels, input_mat,
         f.write(struct.pack("<12i", dim, 5, 5, 1, 5, 1, 3, 3, 0, 0, 0, 100))
         f.write(struct.pack("<d", 1e-4))
         f.write(struct.pack("<3i", size, len(vocab_words), len(labels)))
-        f.write(struct.pack("<2q", 1000, 0))  # ntokens, pruneidx_size
+        # pruneidx_size = -1: what real UNPRUNED dictionaries save —
+        # the reader must not read(-8)
+        f.write(struct.pack("<2q", 1000, -1))  # ntokens, pruneidx_size
         for w in vocab_words:
             f.write(w.encode("utf-8") + b"\x00")
             f.write(struct.pack("<qb", 10, 0))  # count, type=word
