@@ -503,3 +503,48 @@ def test_near_dups_empty_and_degenerate_corpus(ray_session):
     out = simhash_near_dups(rd.from_arrow(blanks), "doc_id", "text")
     assert list(out.columns) == ["id_a", "id_b", "hamming"]
     assert len(out) == 0
+
+
+def test_verify_jaccard_ds_no_restrict_branch(ray_session, corpus):
+    """broadcast_max_ids=0 forces the shingle-EVERYTHING branch (the
+    dup-heavy path where candidate ids are too many to broadcast): the
+    inner joins must drop non-candidates and produce identical output
+    to the restricted branch."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        _minhash_sig_and_pairs, verify_jaccard_ds)
+
+    ds = rd.from_arrow(corpus)
+    _, pairs_ds = _minhash_sig_and_pairs(ds, "doc_id", "text")
+    restricted = (verify_jaccard_ds(ds, "doc_id", "text", pairs_ds,
+                                    threshold=0.5)
+                  .to_pandas().sort_values(["id_a", "id_b"])
+                  .reset_index(drop=True))
+    everything = (verify_jaccard_ds(ds, "doc_id", "text", pairs_ds,
+                                    threshold=0.5, broadcast_max_ids=0)
+                  .to_pandas().sort_values(["id_a", "id_b"])
+                  .reset_index(drop=True))
+    pd.testing.assert_frame_equal(restricted, everything)
+    assert len(restricted) >= 10
+
+
+def test_minhash_wrapper_distributed_route(ray_session, corpus):
+    """driver_max_pairs=0 forces the pandas wrapper onto the distributed
+    route; its (id_a, id_b, jaccard) rows must equal the driver route's
+    after dropping the est diagnostic."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import minhash_near_dups
+
+    ds = rd.from_arrow(corpus)
+    drv = minhash_near_dups(ds, "doc_id", "text", threshold=0.5,
+                            distributed=False)
+    auto = minhash_near_dups(ds, "doc_id", "text", threshold=0.5,
+                             driver_max_pairs=0)
+    assert list(auto.columns) == ["id_a", "id_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        drv[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
+        .astype({"id_a": "int64", "id_b": "int64"}),
+        auto.astype({"id_a": "int64", "id_b": "int64"}),
+        check_exact=False, atol=1e-12)
