@@ -1,0 +1,50 @@
+"""Training-data mixing: deterministic epoch-weighted source replication.
+
+Data-mixing recipes assign each source/language a repetition weight
+(e.g. en×2.5, code×0.8): every row emits floor(w) copies plus one more
+with probability frac(w), decided by a per-row hash so reruns and
+resumes reproduce the exact same mixture — no RNG state, no exchange,
+composes map-side with any downstream shuffle/pack stage. The SQL-twin
+arithmetic (same multiplier/threshold) makes the mixture exactly
+oracle-checkable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Knuth multiplicative constant (shared with the stratified sampler) and
+# an independent XOR salt so mix decisions don't correlate with sampling
+MIX_MULT = 2654435761
+MIX_MOD = 1 << 32
+MIX_SALT = 1482184749
+
+
+def epoch_mix(ds, group_col: str, id_col: str, weights: dict,
+              default_weight: float = 1.0):
+    """Dataset of mixed rows: each input row appears ``floor(w)`` times
+    plus one more iff ``((id XOR salt) · mult) mod 2³² < frac(w)·2³²``,
+    where ``w = weights.get(group, default_weight)``. A ``copy_idx``
+    column (0..k−1) distinguishes replicas so downstream dedup/packing
+    can tell them apart. Weights < 1 downsample (floor 0 + fractional
+    keep); NULL groups take the default weight. ``id · mult`` must stay
+    under 2⁶³ (ids < 3.5e9; salt the id domain down first beyond that,
+    same contract as the stratified sampler)."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(copy_idx=pd.Series([], dtype="int64"))
+        w = df[group_col].map(weights).fillna(default_weight).to_numpy()
+        base = np.floor(w).astype(np.int64)
+        frac = w - base
+        h = ((df[id_col].to_numpy().astype(np.uint64) ^ np.uint64(MIX_SALT))
+             * np.uint64(MIX_MULT)) % np.uint64(MIX_MOD)
+        copies = base + (h < (frac * MIX_MOD).astype(np.uint64))
+        total = int(copies.sum())
+        rep = np.repeat(np.arange(len(df)), copies)
+        excl = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        out = df.iloc[rep].reset_index(drop=True)
+        out["copy_idx"] = np.arange(total, dtype=np.int64) - excl[rep]
+        return out
+
+    return ds.map_batches(_fn, batch_format="pandas")

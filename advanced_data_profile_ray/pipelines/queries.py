@@ -3293,6 +3293,39 @@ def q_docs_above_p90(sf_dir: str) -> pd.DataFrame:
             .astype({"n_above": "int64"}))
 
 
+def q_epoch_mix(sf_dir: str) -> pd.DataFrame:
+    """EPOCH-WEIGHTED DATA MIXING (training-data recipe): en×2.5,
+    zh×1.25, others ×1 — per-lang input count vs mixed-row count after
+    deterministic replication (pipelines.mix.epoch_mix: floor copies +
+    hash-decided fractional copy, zero exchange). The oracle reproduces
+    the identical hash arithmetic."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from .mix import epoch_mix
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    mixed = epoch_mix(docs, "lang", "doc_id",
+                      weights={"en": 2.5, "zh": 1.25})
+
+    def _counts(src, out_name):
+        inner, edge = sorted_groupby(
+            src.map_batches(lambda t: t.select(["lang"]),
+                            batch_format="pyarrow"),
+            ["lang"], [(None, "count_all", out_name)])
+        both = inner
+        if edge is not None and edge.num_rows:
+            both = both.union(rd.from_arrow(edge))
+        return both.to_pandas()
+
+    n_docs = _counts(docs, "n_docs")
+    n_mixed = _counts(mixed, "n_mixed")
+    out = n_docs.merge(n_mixed, on="lang", how="outer")
+    out["n_mixed"] = out["n_mixed"].fillna(0)
+    return (out.sort_values("lang").reset_index(drop=True)
+            .astype({"n_docs": "int64", "n_mixed": "int64"}))
+
+
 def q_docs_pii_redacted(sf_dir: str) -> pd.DataFrame:
     """PII REDACTION (training-data scrubbing, §2.8 extension): emails /
     SSNs / phones / IPv4s → typed placeholders + per-doc redaction
@@ -4560,6 +4593,20 @@ ORACLE["stratified_sample"] = """
 
 ORACLE["docs_pii_redacted"] = _pii_redaction_sql()
 
+# identical hash arithmetic to pipelines.mix.epoch_mix: floor(w) copies
+# + one more iff ((doc_id XOR salt)·mult) mod 2^32 < frac(w)·2^32
+ORACLE["epoch_mix"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(
+             CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1 ELSE 1 END
+             + CASE WHEN (xor(doc_id, 1482184749) * 2654435761) % 4294967296
+                    < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                            ELSE 0.0 END) * 4294967296 AS BIGINT)
+                    THEN 1 ELSE 0 END
+           ) AS BIGINT) AS n_mixed
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
 ORACLE["docs_above_p90"] = """
     WITH t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP
                       (ORDER BY n_chars) AS p FROM documents)
@@ -4677,6 +4724,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "docs_above_p90": q_docs_above_p90,
     "docs_pii_redacted": q_docs_pii_redacted,
+    "epoch_mix": q_epoch_mix,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,

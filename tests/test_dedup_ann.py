@@ -548,3 +548,32 @@ def test_minhash_wrapper_distributed_route(ray_session, corpus):
         .astype({"id_a": "int64", "id_b": "int64"}),
         auto.astype({"id_a": "int64", "id_b": "int64"}),
         check_exact=False, atol=1e-12)
+
+
+def test_epoch_mix_replication_semantics(ray_session):
+    """floor(w) copies always; fractional copy decided per-id hash;
+    weights < 1 downsample; copy_idx enumerates replicas 0..k-1;
+    deterministic across runs."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.mix import epoch_mix
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array((["en", "zh", "fr", None] * 250))})
+    ds = rd.from_arrow(t)
+    w = {"en": 2.5, "zh": 0.25, "fr": 1.0}
+    out = epoch_mix(ds, "lang", "doc_id", w).to_pandas()
+    out2 = epoch_mix(ds, "lang", "doc_id", w).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True),
+        out2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True))
+
+    g = out.groupby("lang", dropna=False)["doc_id"].count()
+    assert 250 * 2 <= g["en"] <= 250 * 3          # 2.5x: 2 or 3 per doc
+    assert 0 < g["zh"] < 250                      # 0.25x downsampling
+    assert g["fr"] == 250                          # exact 1x
+    assert g[np.nan] == 250                        # NULL group: default 1.0
+    per_doc = out[out["lang"] == "en"].groupby("doc_id")["copy_idx"].agg(
+        ["count", "min", "max"])
+    assert ((per_doc["min"] == 0)
+            & (per_doc["max"] == per_doc["count"] - 1)).all()
