@@ -695,49 +695,115 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                         restrict_ref=restrict_ref,
                         rows_hint=_raw_count(ds)).materialize()
 
-    # E1: one row per (pair, shingle-of-b). Bounds: left rows per key =
-    # LSH partners of b (≤ bands × (max_bucket−1)), right rows = |S_b|
-    # (≤ max_shingles_per_doc via the derived edge_clip).
-    Sb = S.map_batches(lambda t: t.rename_columns(["id", "sh", "n_b"]),
+    # per-doc sizes WITHOUT an exchange: extraction emits each doc's
+    # shingle rows contiguously inside one batch, so first-of-run per
+    # batch is one (id, n) row per doc across the whole Dataset. The
+    # sizes ride NO big exchange — intersection counts join them back
+    # over the (small) grouped pair output instead of every E1/E2 row
+    # carrying n_a/n_b through the wide sorts (measured 25%+ of E2's
+    # exchanged bytes at 200k docs).
+    def _first_per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], id_t),
+                             "n": pa.array([], pa.int64())})
+        k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
+        take = pa.array(starts, pa.int64())
+        return pa.table({"id": t["id"].take(take), "n": t["n"].take(take)})
+
+    sizes = S.map_batches(_first_per_doc, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    # E1: one row per (pair, shingle-of-b), payload just the shingle.
+    # Bounds: left rows per key = LSH partners of b (≤ bands ×
+    # (max_bucket−1)), right rows = |S_b| (≤ max_shingles_per_doc via
+    # the derived edge_clip).
+    Sb = S.map_batches(lambda t: t.select(["id", "sh"]),
                        batch_format="pyarrow", batch_size=None)
     e1 = sorted_merge_join(
-        pairs_ds, Sb, "id_b", "id", ["id_a", "id_b"], ["sh", "n_b"],
+        pairs_ds, Sb, "id_b", "id", ["id_a", "id_b"], ["sh"],
         max_pairs_per_key=4 * max_shingles_per_doc ** 2)
+
+    # E2's right side only needs shingles of docs that appear as id_a —
+    # broadcast-restrict when the a-side id set is small enough
+    a_ref = None
+    if restrict_ref is not None:
+        a_inner, a_edge = sorted_groupby(
+            pairs_ds.map_batches(
+                lambda t: pa.table({"id": t["id_a"]}),
+                batch_format="pyarrow", batch_size=None),
+            ["id"], [(None, "count_all", "__n")])
+        a_parts = [t.select(["id"]) for t in _collect_tables(
+            a_inner.map_batches(lambda t: t.select(["id"]),
+                                batch_format="pyarrow", batch_size=None))
+            if t.num_rows]
+        if a_edge is not None and a_edge.num_rows:
+            a_parts.append(a_edge.select(["id"]))
+        a_arr = np.sort(np.concatenate(
+            [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             for t in a_parts])) if a_parts else np.array([], np.int64)
+        a_ref = ray.put(a_arr)
 
     def _hk_pairside(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column("__hk2", pa.array([], pa.int64()))
+            return pa.table({"__hk2": pa.array([], pa.int64()),
+                             "id_a": pa.array([], id_t),
+                             "id_b": pa.array([], id_t)})
         hk = _hk2(t["id_a"].cast(pa.int64()).to_numpy(zero_copy_only=False),
                   t["sh"].to_numpy(zero_copy_only=False))
         return pa.table({"__hk2": pa.array(hk, pa.int64()),
-                         "id_a": t["id_a"], "id_b": t["id_b"],
-                         "n_b": t["n_b"]})
+                         "id_a": t["id_a"], "id_b": t["id_b"]})
 
     def _hk_shingleside(t: pa.Table) -> pa.Table:
+        if t.num_rows and a_ref is not None:
+            need = ray.get(a_ref)
+            k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if need.size:
+                idx = np.searchsorted(need, k)
+                idx[idx >= need.size] = 0
+                t = t.filter(pa.array(need[idx] == k))
+            else:
+                t = t.slice(0, 0)
         if t.num_rows == 0:
             return pa.table({"__hk2": pa.array([], pa.int64()),
-                             "n_a": pa.array([], pa.int64())})
+                             "__one": pa.array([], pa.int8())})
         hk = _hk2(t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
                   t["sh"].to_numpy(zero_copy_only=False))
-        return pa.table({"__hk2": pa.array(hk, pa.int64()), "n_a": t["n"]})
+        return pa.table({"__hk2": pa.array(hk, pa.int64()),
+                         "__one": pa.array(np.ones(t.num_rows, np.int8))})
 
     # E2: right side is unique per (id, sh) key; left multiplicity is
     # bounded by the LSH partner count, so the default pair cap holds.
+    # A match means sh ∈ S_a — only the left payload survives.
     e2 = sorted_merge_join(
         e1.map_batches(_hk_pairside, batch_format="pyarrow", batch_size=None),
-        S.map_batches(_hk_shingleside, batch_format="pyarrow", batch_size=None),
-        "__hk2", "__hk2", ["id_a", "id_b", "n_b"], ["n_a"])
+        S.map_batches(_hk_shingleside, batch_format="pyarrow",
+                      batch_size=None),
+        "__hk2", "__hk2", ["id_a", "id_b"], ["__one"])
 
     inner, edge = sorted_groupby(
-        e2, ["id_a", "id_b"],
-        [(None, "count_all", "inter"), ("n_a", "min", "n_a"),
-         ("n_b", "min", "n_b")])
+        e2.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                       batch_format="pyarrow", batch_size=None),
+        ["id_a", "id_b"], [(None, "count_all", "inter")])
     grouped = inner
     if edge is not None and edge.num_rows:
         grouped = grouped.union(rd.from_arrow(edge.cast(
             pa.schema([("id_a", id_t), ("id_b", id_t),
-                       ("inter", pa.int64()), ("n_a", pa.int64()),
-                       ("n_b", pa.int64())]))))
+                       ("inter", pa.int64())]))))
+
+    # sizes join over the SMALL grouped output (one row per surviving
+    # pair), never over the wide exchanges
+    ga = sorted_merge_join(
+        grouped,
+        sizes.map_batches(lambda t: t.rename_columns(["id", "n_a"]),
+                          batch_format="pyarrow", batch_size=None),
+        "id_a", "id", ["id_a", "id_b", "inter"], ["n_a"])
+    gab = sorted_merge_join(
+        ga,
+        sizes.map_batches(lambda t: t.rename_columns(["id", "n_b"]),
+                          batch_format="pyarrow", batch_size=None),
+        "id_b", "id", ["id_a", "id_b", "inter", "n_a"], ["n_b"])
 
     def _finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -749,8 +815,8 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                         "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pa.array(jac >= threshold))
 
-    return grouped.map_batches(_finalize, batch_format="pyarrow",
-                               batch_size=None)
+    return gab.map_batches(_finalize, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def _est_jaccard_ds(sig_ds, pairs_ds):
