@@ -564,20 +564,20 @@ def _hk2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ).view(np.int64)
 
 
-def candidate_ids_ds(pairs_ds):
-    """Distinct doc ids over both pair columns — one skinny sort
+def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
+    """Distinct doc ids over the given pair columns — one skinny sort
     exchange; the id set never lands on the driver. Returns a
     materialized single-column Dataset ``id``."""
     import ray.data as rd
 
     from ..stages.fast_ops import sorted_groupby
 
-    id_t = pairs_ds.schema().base_schema.field("id_a").type
+    id_t = pairs_ds.schema().base_schema.field(cols[0]).type
 
     def _stack(t: pa.Table) -> pa.Table:
         return pa.table({"id": pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in (t["id_a"], t["id_b"])])})
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray)
+             else t[c] for c in cols])})
 
     stacked = pairs_ds.map_batches(_stack, batch_format="pyarrow",
                                    batch_size=None)
@@ -589,6 +589,14 @@ def candidate_ids_ds(pairs_ds):
         out = out.union(rd.from_arrow(
             edge.select(["id"]).cast(pa.schema([("id", id_t)]))))
     return out.materialize()
+
+
+def _sorted_id_array(ids_ds) -> np.ndarray:
+    """Collect a (small, capped-by-caller) distinct-id Dataset to the
+    sorted int64 numpy array the searchsorted broadcast filters use."""
+    parts = [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             for t in _collect_tables(ids_ds) if t.num_rows]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
 
 
 def shingle_rows_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
@@ -654,12 +662,16 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
          above that, ALL docs are shingled and the inner joins drop
          non-candidates (dup-heavy corpora restrict ≈ nothing anyway).
       2. E1: pairs ⨝ shingles on id_b — each pair expands to one row
-         per shingle of its b side, carrying n_b.
+         per shingle of its b side (payload: just the shingle).
       3. E2: E1 ⨝ shingles on the remixed (id_a, sh) key — a match
-         means sh ∈ S_a, so the per-pair match count IS |S_a ∩ S_b|;
-         n_a rides the right payload.
-      4. one sorted_groupby on (id_a, id_b): inter=count, n_a/n_b=min;
-         jaccard = inter / (n_a + n_b − inter) in the final map.
+         means sh ∈ S_a; only (id_a, id_b) survives the match, so the
+         two WIDE exchanges never carry size payloads.
+      4. one sorted_groupby on (id_a, id_b): inter=count. Per-doc
+         shingle-set sizes derive in a zero-exchange per-batch pass
+         (deduped through one skinny grouped-min — dynamic block
+         splitting may cut a doc's run across blocks) and join over the
+         SMALL grouped output; jaccard = inter / (n_a + n_b − inter) in
+         the final map.
 
     Returns a Dataset (id_a, id_b, jaccard) for pairs with
     intersection ≥ 1 and jaccard ≥ ``threshold`` (a zero-intersection
@@ -686,25 +698,22 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
     n_ids = ids_ds.count()
     restrict_ref = None
     if n_ids <= broadcast_max_ids:
-        id_arr = np.sort(np.concatenate(
-            [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-             for t in _collect_tables(ids_ds) if t.num_rows]))
-        restrict_ref = ray.put(id_arr)
+        restrict_ref = ray.put(_sorted_id_array(ids_ds))
 
     S = shingle_rows_ds(ds, id_col, text_col, shingle_k=shingle_k,
                         restrict_ref=restrict_ref,
                         rows_hint=_raw_count(ds)).materialize()
 
-    # per-doc sizes WITHOUT an exchange: extraction emits each doc's
-    # shingle rows contiguously inside one batch, so first-of-run per
-    # batch is one (id, n) row per doc across the whole Dataset. The
-    # sizes ride NO big exchange — intersection counts join them back
-    # over the (small) grouped pair output instead of every E1/E2 row
-    # carrying n_a/n_b through the wide sorts (measured 25%+ of E2's
-    # exchanged bytes at 200k docs).
+    # per-doc sizes ride NO wide exchange: extraction emits each doc's
+    # shingle rows contiguously, so first-of-run per block is ≈1 row per
+    # doc — but Ray's dynamic block splitting can cut a run across two
+    # blocks, so a SKINNY grouped-min dedupes the ≈n_docs rows exactly.
+    # Intersection counts join these back over the (small) grouped pair
+    # output instead of every E1/E2 row carrying n_a/n_b through the
+    # wide sorts (25%+ of E2's exchanged bytes at 200k docs).
     def _first_per_doc(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"id": pa.array([], id_t),
+            return pa.table({"id": pa.array([], t.schema.field("id").type),
                              "n": pa.array([], pa.int64())})
         k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         starts = np.concatenate(
@@ -712,8 +721,16 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
         take = pa.array(starts, pa.int64())
         return pa.table({"id": t["id"].take(take), "n": t["n"].take(take)})
 
-    sizes = S.map_batches(_first_per_doc, batch_format="pyarrow",
-                          batch_size=None).materialize()
+    sz_inner, sz_edge = sorted_groupby(
+        S.map_batches(_first_per_doc, batch_format="pyarrow",
+                      batch_size=None),
+        ["id"], [("n", "min", "n")])
+    sizes = sz_inner
+    if sz_edge is not None and sz_edge.num_rows:
+        sizes = sizes.union(rd.from_arrow(sz_edge.cast(
+            pa.schema([("id", sz_edge.schema.field("id").type),
+                       ("n", pa.int64())]))))
+    sizes = sizes.materialize()
 
     # E1: one row per (pair, shingle-of-b), payload just the shingle.
     # Bounds: left rows per key = LSH partners of b (≤ bands ×
@@ -729,21 +746,8 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
     # broadcast-restrict when the a-side id set is small enough
     a_ref = None
     if restrict_ref is not None:
-        a_inner, a_edge = sorted_groupby(
-            pairs_ds.map_batches(
-                lambda t: pa.table({"id": t["id_a"]}),
-                batch_format="pyarrow", batch_size=None),
-            ["id"], [(None, "count_all", "__n")])
-        a_parts = [t.select(["id"]) for t in _collect_tables(
-            a_inner.map_batches(lambda t: t.select(["id"]),
-                                batch_format="pyarrow", batch_size=None))
-            if t.num_rows]
-        if a_edge is not None and a_edge.num_rows:
-            a_parts.append(a_edge.select(["id"]))
-        a_arr = np.sort(np.concatenate(
-            [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-             for t in a_parts])) if a_parts else np.array([], np.int64)
-        a_ref = ray.put(a_arr)
+        a_ref = ray.put(_sorted_id_array(
+            candidate_ids_ds(pairs_ds, cols=("id_a",))))
 
     def _hk_pairside(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -793,17 +797,24 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                        ("inter", pa.int64())]))))
 
     # sizes join over the SMALL grouped output (one row per surviving
-    # pair), never over the wide exchanges
+    # pair), never over the wide exchanges. These joins are keyed per
+    # DOC: a hub doc's partner count is its key multiplicity, so the
+    # cap must exceed any plausible surviving-pair fan-out (the default
+    # edge_clip of 2000 would silently drop a >2000-partner hub's pairs
+    # under the bounded-rows contract).
+    SIZE_JOIN_CAP = 1 << 44  # edge_clip = 2·2^22 ≈ 8.4M partners/doc
     ga = sorted_merge_join(
         grouped,
         sizes.map_batches(lambda t: t.rename_columns(["id", "n_a"]),
                           batch_format="pyarrow", batch_size=None),
-        "id_a", "id", ["id_a", "id_b", "inter"], ["n_a"])
+        "id_a", "id", ["id_a", "id_b", "inter"], ["n_a"],
+        max_pairs_per_key=SIZE_JOIN_CAP)
     gab = sorted_merge_join(
         ga,
         sizes.map_batches(lambda t: t.rename_columns(["id", "n_b"]),
                           batch_format="pyarrow", batch_size=None),
-        "id_b", "id", ["id_a", "id_b", "inter", "n_a"], ["n_b"])
+        "id_b", "id", ["id_a", "id_b", "inter", "n_a"], ["n_b"],
+        max_pairs_per_key=SIZE_JOIN_CAP)
 
     def _finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -27,9 +27,14 @@ def epoch_mix(ds, group_col: str, id_col: str, weights: dict,
     where ``w = weights.get(group, default_weight)``. A ``copy_idx``
     column (0..k−1) distinguishes replicas so downstream dedup/packing
     can tell them apart. Weights < 1 downsample (floor 0 + fractional
-    keep); NULL groups take the default weight. ``id · mult`` must stay
-    under 2⁶³ (ids < 3.5e9; salt the id domain down first beyond that,
-    same contract as the stratified sampler)."""
+    keep); NULL groups take the default weight.
+
+    Id-domain contract: ids must be < 2³¹ so ``(id XOR salt) · mult``
+    stays under 2⁶³ and the BIGINT oracle arithmetic matches bit-for-bit
+    (the XOR can only widen the multiplicand up to the salt's 31 bits);
+    hash a wider id domain down to 31 bits first. The fractional
+    threshold is ``floor(frac(w)·2³²)`` on BOTH sides — the SQL twin
+    must use FLOOR, not a bare CAST (which rounds)."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -39,7 +44,9 @@ def epoch_mix(ds, group_col: str, id_col: str, weights: dict,
         frac = w - base
         h = ((df[id_col].to_numpy().astype(np.uint64) ^ np.uint64(MIX_SALT))
              * np.uint64(MIX_MULT)) % np.uint64(MIX_MOD)
-        copies = base + (h < (frac * MIX_MOD).astype(np.uint64))
+        # explicit floor: .astype truncates-toward-zero, which IS floor
+        # for the non-negative frac — stated so the SQL twin mirrors it
+        copies = base + (h < np.floor(frac * MIX_MOD).astype(np.uint64))
         total = int(copies.sum())
         rep = np.repeat(np.arange(len(df)), copies)
         excl = np.concatenate([[0], np.cumsum(copies)[:-1]])

@@ -3240,8 +3240,8 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
                                  "n_sampled": pd.Series([], dtype="int64")})
         h = (df["doc_id"].to_numpy().astype(np.uint64)
              * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
-        thr = (df["lang"].map(rates).fillna(default_rate)
-               * _SAMPLE_MOD).astype(np.uint64)
+        thr = np.floor(df["lang"].map(rates).fillna(default_rate)
+                       * _SAMPLE_MOD).astype(np.uint64)
         keep = h < thr.to_numpy()
         # dropna=False: a NULL lang is a real stratum — the SQL twin's
         # GROUP BY lang emits it, and dropping it would lose its docs
@@ -4585,8 +4585,8 @@ ORACLE["top_docs_per_source"] = """
 ORACLE["stratified_sample"] = """
     SELECT lang, COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 <
-                CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)
-                     * 4294967296 AS BIGINT)
+                CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END)
+                     * 4294967296) AS BIGINT)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents GROUP BY lang ORDER BY lang
 """
@@ -4600,8 +4600,9 @@ ORACLE["epoch_mix"] = """
            CAST(SUM(
              CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1 ELSE 1 END
              + CASE WHEN (xor(doc_id, 1482184749) * 2654435761) % 4294967296
-                    < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
-                            ELSE 0.0 END) * 4294967296 AS BIGINT)
+                    < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5
+                            WHEN 'zh' THEN 0.25 ELSE 0.0 END)
+                            * 4294967296) AS BIGINT)
                     THEN 1 ELSE 0 END
            ) AS BIGINT) AS n_mixed
     FROM documents GROUP BY lang ORDER BY lang
