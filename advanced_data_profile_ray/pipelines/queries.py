@@ -2255,6 +2255,88 @@ def q_order_cume_dist(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_order_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK in exact integer micro-units: pr_micro =
+    (rank − 1) · 10⁶ // (n − 1), 0 for single-row partitions — integer
+    arithmetic end-to-end like order_cume_dist (rank_within with
+    include_size)."""
+    from ..stages.window import rank_within
+
+    out = rank_within(_read(sf_dir, "orders",
+                            ["o_orderstatus", "o_totalprice",
+                             "o_orderkey"]),
+                      "o_orderstatus", "o_totalprice", "o_orderkey",
+                      include_size=True).to_pandas()
+    rnk = out["rank"].to_numpy()
+    n = out["part_n"].to_numpy()
+    pr = np.where(n > 1, ((rnk - 1) * 1_000_000) // np.maximum(n - 1, 1), 0)
+    res = pd.DataFrame({"o_orderkey": out["id"].astype("int64"),
+                        "pr_micro": pr.astype("int64")})
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ROLLUP_ALL = "\x7f~ALL~"  # sort-exchange sentinel for rolled-up keys
+
+
+def q_rollup_counts(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — counts + exact-cents
+    revenue at all THREE aggregation levels through ONE exchange: the
+    per-batch partial emits every level (rolled keys as a sentinel so
+    null keys never enter the sort), one sorted_groupby sums them, the
+    final map restores NULLs. A naive rollup pays one groupby per level;
+    this pays one total."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k1": pa.array([], pa.string()),
+                             "k2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        base = pa.table({"k1": t["l_returnflag"], "k2": t["l_linestatus"],
+                         "cents": cents}).group_by(["k1", "k2"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]).rename_columns(
+            ["k1", "k2", "cents", "n"])
+        k1 = base["k1"]
+        lvl1 = pa.table({"k1": k1,
+                         "k2": pa.array([_ROLLUP_ALL] * base.num_rows),
+                         "cents": base["cents"], "n": base["n"]}
+                        ).group_by(["k1", "k2"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]).rename_columns(
+            ["k1", "k2", "cents", "n"])
+        lvl2 = pa.table({
+            "k1": pa.array([_ROLLUP_ALL]), "k2": pa.array([_ROLLUP_ALL]),
+            "cents": pa.array([pc.sum(base["cents"]).as_py() or 0],
+                              pa.int64()),
+            "n": pa.array([int(t.num_rows)], pa.int64())})
+        cols = ["k1", "k2", "n", "cents"]
+        return pa.concat_tables([base.select(cols), lvl1.select(cols),
+                                 lvl2.select(cols)])
+
+    pre = _read(sf_dir, "lineitem",
+                ["l_returnflag", "l_linestatus", "l_extendedprice"]
+                ).map_batches(_partial, batch_format="pyarrow")
+    inner, edge = sorted_groupby(pre, ["k1", "k2"],
+                                 [("n", "sum", "n"),
+                                  ("cents", "sum", "cents")])
+    both = inner
+    if edge is not None and edge.num_rows:
+        both = both.union(rd.from_arrow(edge))
+    out = both.to_pandas()
+    out["revenue"] = (out["cents"] / 100.0).round(2)
+    out["l_returnflag"] = out["k1"].replace({_ROLLUP_ALL: None})
+    out["l_linestatus"] = out["k2"].replace({_ROLLUP_ALL: None})
+    out = out[["l_returnflag", "l_linestatus", "n", "revenue"]]
+    return (out.sort_values(["l_returnflag", "l_linestatus"],
+                            na_position="last")
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
 def q_order_quartile_tiles(sf_dir: str) -> pd.DataFrame:
     """NTILE(4) within partition (window family): orders bucketed into
     price quartiles per status — the driver's bounds scan supplies both
@@ -4252,6 +4334,25 @@ ORACLE: dict[str, str] = {
               FROM orders)
         ORDER BY o_orderkey
     """,
+    "order_percent_rank": """
+        SELECT o_orderkey,
+               CASE WHEN cnt > 1
+                    THEN ((rnk - 1) * 1000000) // (cnt - 1)
+                    ELSE 0 END AS pr_micro
+        FROM (SELECT o_orderkey,
+                     RANK() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS rnk,
+                     COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+              FROM orders)
+        ORDER BY o_orderkey
+    """,
+    "rollup_counts": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
     "order_quartile_tiles": """
         SELECT o_orderkey,
                NTILE(4) OVER (PARTITION BY o_orderstatus
@@ -4673,6 +4774,8 @@ QUERIES = {
     "order_quartile_tiles": q_order_quartile_tiles,
     "order_percent_rank": q_order_percent_rank,
     "order_cume_dist": q_order_cume_dist,
+    "order_percent_rank": q_order_percent_rank,
+    "rollup_counts": q_rollup_counts,
     "events_hourly_dense": q_events_hourly_dense,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
