@@ -2255,26 +2255,6 @@ def q_order_cume_dist(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
-def q_order_percent_rank(sf_dir: str) -> pd.DataFrame:
-    """PERCENT_RANK in exact integer micro-units: pr_micro =
-    (rank − 1) · 10⁶ // (n − 1), 0 for single-row partitions — integer
-    arithmetic end-to-end like order_cume_dist (rank_within with
-    include_size)."""
-    from ..stages.window import rank_within
-
-    out = rank_within(_read(sf_dir, "orders",
-                            ["o_orderstatus", "o_totalprice",
-                             "o_orderkey"]),
-                      "o_orderstatus", "o_totalprice", "o_orderkey",
-                      include_size=True).to_pandas()
-    rnk = out["rank"].to_numpy()
-    n = out["part_n"].to_numpy()
-    pr = np.where(n > 1, ((rnk - 1) * 1_000_000) // np.maximum(n - 1, 1), 0)
-    res = pd.DataFrame({"o_orderkey": out["id"].astype("int64"),
-                        "pr_micro": pr.astype("int64")})
-    return res.sort_values("o_orderkey").reset_index(drop=True)
-
-
 _ROLLUP_ALL = "\x7f~ALL~"  # sort-exchange sentinel for rolled-up keys
 
 
@@ -4334,18 +4314,6 @@ ORACLE: dict[str, str] = {
               FROM orders)
         ORDER BY o_orderkey
     """,
-    "order_percent_rank": """
-        SELECT o_orderkey,
-               CASE WHEN cnt > 1
-                    THEN ((rnk - 1) * 1000000) // (cnt - 1)
-                    ELSE 0 END AS pr_micro
-        FROM (SELECT o_orderkey,
-                     RANK() OVER (PARTITION BY o_orderstatus
-                                  ORDER BY o_totalprice) AS rnk,
-                     COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
-              FROM orders)
-        ORDER BY o_orderkey
-    """,
     "rollup_counts": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                ROUND(SUM(l_extendedprice), 2) AS revenue
@@ -4774,7 +4742,6 @@ QUERIES = {
     "order_quartile_tiles": q_order_quartile_tiles,
     "order_percent_rank": q_order_percent_rank,
     "order_cume_dist": q_order_cume_dist,
-    "order_percent_rank": q_order_percent_rank,
     "rollup_counts": q_rollup_counts,
     "events_hourly_dense": q_events_hourly_dense,
     "events_rollup": q_events_rollup,
