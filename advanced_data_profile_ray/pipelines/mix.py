@@ -11,7 +11,7 @@ oracle-checkable."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 # Knuth multiplicative constant (shared with the stratified sampler) and
 # an independent XOR salt so mix decisions don't correlate with sampling
@@ -36,22 +36,35 @@ def epoch_mix(ds, group_col: str, id_col: str, weights: dict,
     threshold is ``floor(frac(w)·2³²)`` on BOTH sides — the SQL twin
     must use FLOOR, not a bare CAST (which rounds)."""
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return df.assign(copy_idx=pd.Series([], dtype="int64"))
-        w = df[group_col].map(weights).fillna(default_weight).to_numpy()
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if not n:
+            return batch.append_column("copy_idx", pa.array([], pa.int64()))
+        # per-group weight via dictionary-encode: the (tiny) unique set
+        # goes through the Python dict once; rows stay vectorized
+        enc = batch[group_col].combine_chunks().dictionary_encode()
+        lut = np.array(
+            [weights.get(v, default_weight) for v in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        if enc.indices.null_count:
+            idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+            w = np.where(idx < 0, default_weight,
+                         lut[np.maximum(idx, 0)] if len(lut) else default_weight)
+        else:
+            w = lut[enc.indices.to_numpy()]
         base = np.floor(w).astype(np.int64)
         frac = w - base
-        h = ((df[id_col].to_numpy().astype(np.uint64) ^ np.uint64(MIX_SALT))
-             * np.uint64(MIX_MULT)) % np.uint64(MIX_MOD)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids ^ np.uint64(MIX_SALT)) * np.uint64(MIX_MULT)) % np.uint64(MIX_MOD)
         # explicit floor: .astype truncates-toward-zero, which IS floor
         # for the non-negative frac — stated so the SQL twin mirrors it
         copies = base + (h < np.floor(frac * MIX_MOD).astype(np.uint64))
         total = int(copies.sum())
-        rep = np.repeat(np.arange(len(df)), copies)
+        rep = np.repeat(np.arange(n), copies)
         excl = np.concatenate([[0], np.cumsum(copies)[:-1]])
-        out = df.iloc[rep].reset_index(drop=True)
-        out["copy_idx"] = np.arange(total, dtype=np.int64) - excl[rep]
-        return out
+        out = batch.take(pa.array(rep, pa.int64()))
+        copy_idx = np.arange(total, dtype=np.int64) - excl[rep]
+        return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
 
-    return ds.map_batches(_fn, batch_format="pandas")
+    return ds.map_batches(_fn, batch_format="pyarrow")

@@ -138,10 +138,21 @@ def run_headline() -> dict:
     return {"seconds": wall, "turns": n_turns, "turns_per_sec": n_turns / wall}
 
 
-def run_queries() -> dict:
+NORMALIZER_QUERY = "q1_pricing_summary"
+NORMALIZER_EVERY = 10
+
+
+def run_queries() -> tuple[dict, list]:
     from advanced_data_profile_ray.pipelines.queries import QUERIES
 
     import ray.data
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # force execution
+        return time.time() - t0
 
     # min-of-2 per query: host noise spikes (±30% run-to-run, documented
     # in BASELINE.md) can triple a single-run number; min is the
@@ -149,20 +160,35 @@ def run_queries() -> dict:
     # already long (≥4 s) keep the single measurement — the relative
     # noise on long runs is smaller, and at 110 queries an unconditional
     # second rep would double a multi-minute suite for little signal.
+    #
+    # Normalizer: a pinned reference query (q1, ~0.65 s quiet) is re-run
+    # every NORMALIZER_EVERY queries and its times recorded IN the bench
+    # artifact — host-noise bursts on this VM last minutes and previously
+    # made whole alphabetic runs of queries read 3-10x slow with no code
+    # change (BENCH_r04 tail); a per-slot normalizer makes every recorded
+    # number attributable to engine vs ambient window after the fact.
     timings = {}
-    for name, fn in sorted(QUERIES.items()):
+    norm_fn = QUERIES.get(NORMALIZER_QUERY)
+    norm_samples: list = []
+
+    def sample_normalizer(pos: int):
+        if norm_fn is None:
+            return
+        norm_samples.append({"at": pos, "sec": round(run_once(norm_fn), 3)})
+
+    sample_normalizer(0)
+    for i, (name, fn) in enumerate(sorted(QUERIES.items()), start=1):
         best = None
         for rep in range(2):
-            t0 = time.time()
-            res = fn(SF_DIR)
-            if isinstance(res, ray.data.Dataset):
-                res.count()  # force execution
-            dt = time.time() - t0
+            dt = run_once(fn)
             best = dt if best is None else min(best, dt)
             if dt >= 4.0:
                 break
         timings[name] = round(best, 3)
-    return timings
+        if i % NORMALIZER_EVERY == 0:
+            sample_normalizer(i)
+    sample_normalizer(len(QUERIES))
+    return timings, norm_samples
 
 
 def host_probe() -> float:
@@ -187,11 +213,12 @@ def wait_for_quiet_host(threshold: float = 4.2,
     (BASELINE.md), and the driver records ONE bench run per round — a
     run landing in a slow window reads as an engine regression. Poll the
     matmul probe (quiet ≈ 3.2 s) every 20 s until it drops under
-    ``threshold`` or ``max_wait`` (env ADP_BENCH_MAX_WAIT, default 360 s)
-    elapses, then proceed regardless; every probe is recorded in the
+    ``threshold`` or ``max_wait`` (env ADP_BENCH_MAX_WAIT, default 900 s
+    -- r4's 360 s cap expired mid-burst and the round artifact recorded
+    a noisy window) elapses, then proceed regardless; every probe is recorded in the
     output so a still-slow window stays attributable."""
     if max_wait is None:
-        max_wait = float(os.environ.get("ADP_BENCH_MAX_WAIT", "360"))
+        max_wait = float(os.environ.get("ADP_BENCH_MAX_WAIT", "900"))
     t0 = time.time()
     probes = []
     while True:
@@ -222,7 +249,10 @@ def main():
     quiet = wait_for_quiet_host()
     probe_before = quiet["probes"][-1]
     headline = run_headline()
-    queries = {} if os.environ.get("ADP_BENCH_SKIP_QUERIES") else run_queries()
+    if os.environ.get("ADP_BENCH_SKIP_QUERIES"):
+        queries, norm_samples = {}, []
+    else:
+        queries, norm_samples = run_queries()
     ray.shutdown()
 
     print(
@@ -236,6 +266,12 @@ def main():
                 "num_cpus": NUM_CPUS,
                 "turns": headline["turns"],
                 "turns_per_sec": round(headline["turns_per_sec"], 1),
+                # pinned-query normalizer: q1 re-timed every 10 queries;
+                # "at"=N means after the Nth query alphabetically. Quiet
+                # band for q1 is ~0.6-0.8 s; a sample far above it marks
+                # the surrounding queries as taken in a noisy host window.
+                "normalizer": {"query": NORMALIZER_QUERY,
+                               "samples": norm_samples},
                 "host_probe_sec": {"before": probe_before, "after": host_probe(),
                                    "quiet_baseline": 3.2,
                                    "quiet_wait_sec": quiet["waited_sec"],
