@@ -381,6 +381,59 @@ def test_generated_format_permutations_cover_reference_shapes():
     assert "%y" not in find_format(pa.array(["2021-03-11", "1999-01-02"]))
 
 
+def test_full_reference_permutation_space_no_fallback():
+    """Round-5: the generated list covers the reference's FULL ~4.6k
+    permutation space (Profiler.py:96-123 — year-first dates × times with
+    %j/%I/%p/%f/%z/%Z, no internal spaces). 20 exotic
+    reference-generatable stamps must resolve to a concrete format (no
+    dateutil-style fallback), parse to the right instant, and the
+    no-match path must stay fast via the regex prefilter."""
+    import time
+
+    import pyarrow as pa
+
+    from advanced_data_profile_ray.functions.dates import (
+        ALL_FORMATS, find_format, try_parse_datetime_strings)
+
+    assert len(ALL_FORMATS) >= 4500
+
+    # (value, expected day prefix of the parsed timestamp)
+    cases = [
+        ("2023-12-356 04:22:30", "2023-12-22"),       # %j day-of-year
+        ("2023/12/356 04:22:30", "2023-12-22"),
+        ("2023 12 356 04:22:30", "2023-12-22"),
+        ("2023.Dec.22 04:22:30", "2023-12-22"),
+        ("2023-December-22 04:22:30", "2023-12-22"),
+        ("23-12-22 04:22:30", "2023-12-22"),          # %y
+        ("2023-12-22 042230", "2023-12-22"),          # no time seps
+        ("2023-12-22 04:2230", "2023-12-22"),         # mixed time seps
+        ("2023-12-22 0422:30", "2023-12-22"),
+        ("2023-12-22 04:22:30PM", "2023-12-22"),      # glued %p
+        ("2023-12-22 042230PM", "2023-12-22"),
+        ("2023-12-22 04:22:30UTC", "2023-12-22"),     # glued %Z
+        ("2023-12-22 04:22:30+0500", "2023-12-21"),   # %z → naive UTC
+        ("2023-12-22 04:22:30.615016", "2023-12-22"), # dot %f
+        ("2023-12-22 04:22:30615016", "2023-12-22"),  # glued %S%f
+        ("23/Dec/22 04:22:30", "2023-12-22"),
+        ("2023 Dec 356 04:22:30", "2023-12-22"),
+        ("23.12.22 042230", "2023-12-22"),
+        ("2023/12/22 04:22:30PM+0500", "2023-12-21"), # %p%z chain
+        ("2023-Dec-22 04:22:30pm", "2023-12-22"),     # lowercase am/pm
+    ]
+    for s, want_day in cases:
+        arr = pa.array([s, s, s])
+        fmt = find_format(arr)
+        assert fmt is not None, f"fell to fallback: {s!r}"
+        ts = try_parse_datetime_strings(arr)
+        assert ts is not None and str(ts[0]).startswith(want_day), (s, fmt, ts[0])
+
+    # regex prefilter keeps the no-match sweep over ~5k candidates cheap
+    junk = pa.array(["definitely not a date"] * 64)
+    t0 = time.time()
+    assert find_format(junk) is None
+    assert time.time() - t0 < 0.5
+
+
 def test_redact_pii_planted(ray_session):
     """Planted PII of every pattern class must redact, with exact
     per-doc counts; null text stays null at count 0; clean text is
