@@ -232,6 +232,51 @@ def _svg_box(b: dict, title: str) -> str:
               f'· q3 {b["q3"]:.4g} · max {b["max"]:.4g}</text></svg>')
 
 
+def _svg_wordcloud(payload: list, title: str = "top terms",
+                   width: int = 640) -> str:
+    """Inline-SVG word cloud from a ``wordcloud_payload`` list — the
+    driver-side render of the reference's WordCloud image
+    (Profiler.py:813-850) without the wordcloud/matplotlib libraries:
+    count-scaled font sizes, deterministic row-wrap layout (biggest terms
+    first, left-to-right), self-contained document."""
+    if not payload:
+        return ""
+    rows, cur, cur_w = [], [], 0.0
+    for item in payload:
+        # ~0.6em average glyph advance for sans-serif
+        w = 0.62 * item["size"] * len(item["word"]) + 12
+        if cur and cur_w + w > width:
+            rows.append(cur)
+            cur, cur_w = [], 0.0
+        cur.append(item)
+        cur_w += w
+    if cur:
+        rows.append(cur)
+    parts, y = [], 16
+    body = []
+    for row in rows:
+        line_h = max(it["size"] for it in row) + 6
+        y += line_h
+        x = 4
+        for it in row:
+            shade = 20 + int(60 * (1 - it["size"] / 64))
+            body.append(
+                f'<text x="{x:.0f}" y="{y}" font-size="{it["size"]}" '
+                f'fill="rgb({shade}%,{shade}%,{shade}%)">'
+                f'{html.escape(it["word"])}'
+                f'<title>{it["count"]}</title></text>'
+            )
+            x += 0.62 * it["size"] * len(it["word"]) + 12
+    parts.append(
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{y + 12}" font-family="sans-serif">'
+        f'<text x="4" y="12" font-size="11">{html.escape(title)}</text>'
+    )
+    parts.extend(body)
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def _column_charts_html(col_dict: dict) -> str:
     """Per-column chart block from the payloads in col_dict['plots'] and
     top_values — collapsed by default to keep the document scannable."""
@@ -271,11 +316,17 @@ def _column_charts_html(col_dict: dict) -> str:
 
 
 def render_html(profile: TableProfile, verdicts: list | None = None,
-                title: str = "Data Profile") -> str:
+                title: str = "Data Profile",
+                word_freqs=None) -> str:
     """Self-contained HTML (driver-side, like the reference's jinja
     render): table census + verdicts + per-column stats table + per-column
     inline-SVG charts (histogram, box, CDF, Q-Q, date-part bars, top
-    values) built from the distributed pass's plot payloads."""
+    values) built from the distributed pass's plot payloads.
+
+    ``word_freqs`` (optional): a (word, n) frequency frame — e.g. the
+    ``word_frequencies`` pipeline output — rendered as an inline-SVG word
+    cloud, closing the reference's WordCloud panel (Profiler.py:813-850).
+    """
     d = full_report_dict(profile, verdicts)
     t = d["table"]
     rows = []
@@ -307,6 +358,11 @@ def render_html(profile: TableProfile, verdicts: list | None = None,
             "<tr><th>check</th><th>result</th><th>violations</th><th>stats</th></tr>"
             + vrows + "</table>"
         )
+    cloud_html = ""
+    if word_freqs is not None and len(word_freqs):
+        cloud = _svg_wordcloud(wordcloud_payload(word_freqs))
+        if cloud:
+            cloud_html = "<h2>Word cloud</h2>" + cloud
     return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
 <title>{html.escape(title)}</title></head><body>
 <h1>{html.escape(title)}</h1>
@@ -317,16 +373,18 @@ nulls={t['total_null_values']} types={html.escape(json.dumps(t['type_census']))}
 <tr><th>column</th><th>type</th><th>nulls</th><th>blanks</th><th>distinct</th>
 <th>uniq%</th><th>mean</th><th>max len</th><th>cat conf</th></tr>
 {''.join(rows)}</table>
+{cloud_html}
 <h2>Charts</h2>
 {''.join(_column_charts_html(c) for c in d["columns"])}
 </body></html>"""
 
 
 def write_html_report(profile: TableProfile, path: str,
-                      verdicts: list | None = None, compress: bool = True) -> str:
+                      verdicts: list | None = None, compress: bool = True,
+                      word_freqs=None) -> str:
     """Write the HTML report, gzip'd like the reference
     (Profiler.py:507-509 writes .html.gz)."""
-    doc = render_html(profile, verdicts)
+    doc = render_html(profile, verdicts, word_freqs=word_freqs)
     if compress:
         if not path.endswith(".gz"):
             path += ".gz"

@@ -81,3 +81,35 @@ def test_hist_plot_data_payload(ray_session):
     h = hist_plot_data(prof.columns["x"])
     assert h is not None and sum(h["counts"]) > 0
     assert len(h["edges"]) == len(h["counts"]) + 1
+
+
+def test_render_html_word_cloud_panel(ray_session):
+    """Round-5 report-parity closing: passing a (word, n) frequency frame
+    (the word_frequencies pipeline output) renders an inline-SVG word
+    cloud — the reference's WordCloud image (Profiler.py:813-850) —
+    with count-scaled font sizes, biggest terms first, XML-escaped."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.pipelines.text import word_frequencies
+    from advanced_data_profile_ray.report import render_html
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha alpha alpha beta & gamma",
+            "alpha beta beta <tag> words words",
+            "alpha gamma words everywhere here",
+        ]),
+    })
+    freqs = word_frequencies(rd.from_arrow(docs), text_col="text")
+    if not isinstance(freqs, pd.DataFrame):
+        freqs = freqs.to_pandas()
+    prof = profile_dataset(rd.from_arrow(docs))
+    doc = render_html(prof, title="t", word_freqs=freqs)
+    assert "Word cloud" in doc and "top terms" in doc
+    # biggest term renders at the max font size and carries its count
+    assert 'font-size="64.0"' in doc or 'font-size="64"' in doc
+    assert ">alpha<" in doc
+    # without freqs the panel is absent (backwards compatible)
+    assert "Word cloud" not in render_html(prof, title="t")
