@@ -553,62 +553,25 @@ def verify_jaccard(ds, id_col: str, text_col: str, pairs: pd.DataFrame,
     return out
 
 
-def _hk2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Remix two 64-bit words into ONE int64 join key. Used to express a
-    composite-key equi-join through the single-key sort-merge exchange;
-    a false match needs a 128→64-bit collision (≈2⁻⁶⁴ per probe — the
-    same standard the LSH bucket key already accepts)."""
-    C = np.uint64(0x9E3779B97F4A7C15)
-    return _splitmix64(
-        a.astype(np.int64).view(np.uint64) * C ^ b.astype(np.int64).view(np.uint64)
-    ).view(np.int64)
+def packed_shingles_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
+                       restrict_ref=None, rows_hint: int | None = None,
+                       max_shingles_per_doc: int = 1 << 18):
+    """Per-doc PACKED shingle sets as a Dataset (id, shp, n): ``shp`` is
+    a large_binary holding the doc's sorted unique 64-bit shingle hashes
+    (8 bytes each, ascending), ``n`` the set size. ONE row per doc — the
+    round-5 row-count fix for the verify exchanges: a sort that used to
+    carry O(pairs × shingles/doc) single-shingle rows now carries
+    O(docs) packed rows (same bytes, ~200× fewer rows, and the Ray sort
+    is row-count-bound). Embarrassingly parallel — no exchange; the
+    binary build is zero-copy from the unique-hash buffer (offsets +
+    values, no per-doc Python).
 
+    Docs with more than ``max_shingles_per_doc`` unique shingles are
+    dropped with a logged warning (the join contract callers rely on —
+    chunk such documents upstream). ``restrict_ref``: optional ray.put'd
+    SORTED int64 id array; only those docs are packed."""
+    import logging
 
-def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
-    """Distinct doc ids over the given pair columns — one skinny sort
-    exchange; the id set never lands on the driver. Returns a
-    materialized single-column Dataset ``id``."""
-    import ray.data as rd
-
-    from ..stages.fast_ops import sorted_groupby
-
-    id_t = pairs_ds.schema().base_schema.field(cols[0]).type
-
-    def _stack(t: pa.Table) -> pa.Table:
-        return pa.table({"id": pa.concat_arrays(
-            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray)
-             else t[c] for c in cols])})
-
-    stacked = pairs_ds.map_batches(_stack, batch_format="pyarrow",
-                                   batch_size=None)
-    inner, edge = sorted_groupby(stacked, ["id"],
-                                 [(None, "count_all", "__n")])
-    out = inner.map_batches(lambda t: t.select(["id"]),
-                            batch_format="pyarrow", batch_size=None)
-    if edge is not None and edge.num_rows:
-        out = out.union(rd.from_arrow(
-            edge.select(["id"]).cast(pa.schema([("id", id_t)]))))
-    return out.materialize()
-
-
-def _sorted_id_array(ids_ds) -> np.ndarray:
-    """Collect a (small, capped-by-caller) distinct-id Dataset to the
-    sorted int64 numpy array the searchsorted broadcast filters use."""
-    parts = [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-             for t in _collect_tables(ids_ds) if t.num_rows]
-    return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
-
-
-def shingle_rows_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
-                    restrict_ref=None, rows_hint: int | None = None):
-    """Per-doc UNIQUE shingle rows as a Dataset (id, sh, n): ``sh`` is a
-    64-bit window hash (batch_window_hashes — the SAME hash domain the
-    MinHash signatures use, so estimate and exact stay consistent) and
-    ``n`` is the doc's unique-shingle count repeated on every row, so
-    downstream joins never need a separate size lookup. Embarrassingly
-    parallel — no exchange. ``restrict_ref`` (optional): a ray.put'd
-    SORTED int64 numpy array of doc ids; only those docs are shingled
-    (searchsorted membership — ids only, never shingle sets)."""
     import ray
 
     from ..functions.hashing import batch_window_hashes
@@ -617,28 +580,47 @@ def shingle_rows_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
     def _fn(batch: pa.Table) -> pa.Table:
         id_t = batch.schema.field(id_col).type
         empty = pa.table({"id": pa.array([], id_t),
-                          "sh": pa.array([], pa.int64()),
+                          "shp": pa.array([], pa.large_binary()),
                           "n": pa.array([], pa.int64())})
         sub = batch
         if restrict_ref is not None:
             need = ray.get(restrict_ref)
             k = sub[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(need, k)
-            idx[idx >= need.size] = 0
-            sub = sub.filter(pa.array(need[idx] == k))
+            if need.size:
+                idx = np.searchsorted(need, k)
+                idx[idx >= need.size] = 0
+                sub = sub.filter(pa.array(need[idx] == k))
+            else:
+                sub = sub.slice(0, 0)
         if sub.num_rows == 0:
             return empty
         h, doc_idx, _ = batch_window_hashes(sub[text_col], shingle_k)
         if h.size == 0:
             return empty
+        # unique (doc, shingle) rows, sorted by doc then shingle — so the
+        # per-doc byte ranges below are ascending shingle sets
         uniq = np.unique(np.stack([doc_idx, h.view(np.int64)], axis=1), axis=0)
-        # uniq is sorted by doc_idx, so np.unique's ascending doc order
-        # aligns with repeat over the per-doc counts
-        _, counts = np.unique(uniq[:, 0], return_counts=True)
-        ids = sub[id_col].take(pa.array(uniq[:, 0], pa.int64()))
-        return pa.table({"id": ids,
-                         "sh": pa.array(uniq[:, 1], pa.int64()),
-                         "n": pa.array(np.repeat(counts, counts), pa.int64())})
+        docs, counts = np.unique(uniq[:, 0], return_counts=True)
+        keep = counts <= max_shingles_per_doc
+        if not keep.all():
+            logging.getLogger(__name__).warning(
+                "packed_shingles_ds: skipping %d doc(s) with > %d unique "
+                "shingles (bounded-rows contract; chunk them upstream)",
+                int((~keep).sum()), max_shingles_per_doc)
+            row_keep = np.repeat(keep, counts)
+            uniq = uniq[row_keep]
+            docs, counts = docs[keep], counts[keep]
+            if uniq.shape[0] == 0:
+                return empty
+        vals = np.ascontiguousarray(uniq[:, 1])
+        offs = np.zeros(counts.size + 1, np.int64)
+        np.cumsum(counts * 8, out=offs[1:])
+        shp = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), counts.size,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals.tobytes())])
+        return pa.table({"id": sub[id_col].take(pa.array(docs, pa.int64())),
+                         "shp": shp,
+                         "n": pa.array(counts, pa.int64())})
 
     src = ds.select_columns([id_col, text_col])
     if rows_hint is not None:
@@ -651,39 +633,41 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                       broadcast_max_ids: int = 4_000_000,
                       max_shingles_per_doc: int = 1 << 18):
     """Exact shingle-set Jaccard for a candidate-pair DATASET — the
-    scale path for dup-heavy corpora where pairs are O(corpus) (round-3
-    verdict item): neither the pair list, nor the candidate-id set, nor
-    any shingle set ever lands on the driver.
+    scale path for dup-heavy corpora where pairs are O(corpus): neither
+    the pair list, nor the candidate-id set, nor any shingle set ever
+    lands on the driver.
 
-    Plan (co-partitioned pair⨝shingle exchanges, all streaming):
+    Round-5 plan (PACKED co-partitioned joins; the round-4 verdict's
+    "cut exchange rows" item): per-doc shingle sets pack into ONE
+    large_binary row each (packed_shingles_ds), so the two wide
+    exchanges carry O(pairs + docs) rows instead of
+    O(pairs × shingles/doc) single-shingle rows — same bytes, ~200×
+    fewer rows, and the Ray sort is row-count-bound. The former third
+    exchange (the (id_a, id_b) intersection groupby) and both size
+    joins disappear: each joined row already holds BOTH packed sets
+    plus both sizes, so jaccard finalizes in a zero-exchange map.
+
       1. distinct candidate ids via one skinny exchange; if ≤
-         ``broadcast_max_ids`` they broadcast as a sorted int64 array so
-         only candidate docs are shingled (ids only — O(8·ids) bytes);
-         above that, ALL docs are shingled and the inner joins drop
-         non-candidates (dup-heavy corpora restrict ≈ nothing anyway).
-      2. E1: pairs ⨝ shingles on id_b — each pair expands to one row
-         per shingle of its b side (payload: just the shingle).
-      3. E2: E1 ⨝ shingles on the remixed (id_a, sh) key — a match
-         means sh ∈ S_a; only (id_a, id_b) survives the match, so the
-         two WIDE exchanges never carry size payloads.
-      4. one sorted_groupby on (id_a, id_b): inter=count. Per-doc
-         shingle-set sizes derive in a zero-exchange per-batch pass
-         (deduped through one skinny grouped-min — dynamic block
-         splitting may cut a doc's run across blocks) and join over the
-         SMALL grouped output; jaccard = inter / (n_a + n_b − inter) in
-         the final map.
+         ``broadcast_max_ids`` they broadcast as sorted int64 arrays so
+         only candidate docs are packed and each join side restricts to
+         the ids it can match (ids only — O(8·ids) bytes); above that,
+         ALL docs pack and the inner joins drop non-candidates.
+      2. J1: pairs ⨝ packed on id_b → one row per pair carrying
+         (shp_b, n_b).
+      3. J2: J1 ⨝ packed on id_a → one row per pair carrying both
+         packed sets; intersection = sorted-array merge per row
+         (vectorized searchsorted), jaccard = inter/(n_a+n_b−inter).
 
     Returns a Dataset (id_a, id_b, jaccard) for pairs with
     intersection ≥ 1 and jaccard ≥ ``threshold`` (a zero-intersection
     pair has jaccard 0 and is never a near-dup; callers pass
     threshold > 0). Docs with more than ``max_shingles_per_doc`` unique
-    shingles (~1 MB of text at the default) exceed the join's
-    bounded-rows-per-key contract and are skipped WITH A LOGGED WARNING
-    (sorted_merge_join's contract) — chunk such documents upstream."""
+    shingles (~1 MB of text at the default) are skipped WITH A LOGGED
+    WARNING (packed_shingles_ds contract) — chunk such documents
+    upstream."""
     import ray
     import ray.data as rd
 
-    from ..stages.fast_ops import sorted_groupby
     from ..stages.merge_join import sorted_merge_join
 
     id_t = pairs_ds.schema().base_schema.field("id_a").type
@@ -696,138 +680,87 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
 
     ids_ds = candidate_ids_ds(pairs_ds)
     n_ids = ids_ds.count()
-    restrict_ref = None
+    restrict_ref = a_ref = b_ref = None
     if n_ids <= broadcast_max_ids:
         restrict_ref = ray.put(_sorted_id_array(ids_ds))
-
-    S = shingle_rows_ds(ds, id_col, text_col, shingle_k=shingle_k,
-                        restrict_ref=restrict_ref,
-                        rows_hint=_raw_count(ds)).materialize()
-
-    # per-doc sizes ride NO wide exchange: extraction emits each doc's
-    # shingle rows contiguously, so first-of-run per block is ≈1 row per
-    # doc — but Ray's dynamic block splitting can cut a run across two
-    # blocks, so a SKINNY grouped-min dedupes the ≈n_docs rows exactly.
-    # Intersection counts join these back over the (small) grouped pair
-    # output instead of every E1/E2 row carrying n_a/n_b through the
-    # wide sorts (25%+ of E2's exchanged bytes at 200k docs).
-    def _first_per_doc(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"id": pa.array([], t.schema.field("id").type),
-                             "n": pa.array([], pa.int64())})
-        k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        starts = np.concatenate(
-            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
-        take = pa.array(starts, pa.int64())
-        return pa.table({"id": t["id"].take(take), "n": t["n"].take(take)})
-
-    sz_inner, sz_edge = sorted_groupby(
-        S.map_batches(_first_per_doc, batch_format="pyarrow",
-                      batch_size=None),
-        ["id"], [("n", "min", "n")])
-    sizes = sz_inner
-    if sz_edge is not None and sz_edge.num_rows:
-        sizes = sizes.union(rd.from_arrow(sz_edge.cast(
-            pa.schema([("id", sz_edge.schema.field("id").type),
-                       ("n", pa.int64())]))))
-    sizes = sizes.materialize()
-
-    # E1: one row per (pair, shingle-of-b), payload just the shingle.
-    # Bounds: left rows per key = LSH partners of b (≤ bands ×
-    # (max_bucket−1)), right rows = |S_b| (≤ max_shingles_per_doc via
-    # the derived edge_clip).
-    Sb = S.map_batches(lambda t: t.select(["id", "sh"]),
-                       batch_format="pyarrow", batch_size=None)
-    e1 = sorted_merge_join(
-        pairs_ds, Sb, "id_b", "id", ["id_a", "id_b"], ["sh"],
-        max_pairs_per_key=4 * max_shingles_per_doc ** 2)
-
-    # E2's right side only needs shingles of docs that appear as id_a —
-    # broadcast-restrict when the a-side id set is small enough
-    a_ref = None
-    if restrict_ref is not None:
+        # per-side restricts: J1's right side can only match b-side ids,
+        # J2's only a-side ids — half the packed rows per join sort
         a_ref = ray.put(_sorted_id_array(
             candidate_ids_ds(pairs_ds, cols=("id_a",))))
+        b_ref = ray.put(_sorted_id_array(
+            candidate_ids_ds(pairs_ds, cols=("id_b",))))
 
-    def _hk_pairside(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"__hk2": pa.array([], pa.int64()),
-                             "id_a": pa.array([], id_t),
-                             "id_b": pa.array([], id_t)})
-        hk = _hk2(t["id_a"].cast(pa.int64()).to_numpy(zero_copy_only=False),
-                  t["sh"].to_numpy(zero_copy_only=False))
-        return pa.table({"__hk2": pa.array(hk, pa.int64()),
-                         "id_a": t["id_a"], "id_b": t["id_b"]})
+    S = packed_shingles_ds(
+        ds, id_col, text_col, shingle_k=shingle_k,
+        restrict_ref=restrict_ref, rows_hint=_raw_count(ds),
+        max_shingles_per_doc=max_shingles_per_doc).materialize()
 
-    def _hk_shingleside(t: pa.Table) -> pa.Table:
-        if t.num_rows and a_ref is not None:
-            need = ray.get(a_ref)
-            k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            if need.size:
-                idx = np.searchsorted(need, k)
-                idx[idx >= need.size] = 0
-                t = t.filter(pa.array(need[idx] == k))
-            else:
-                t = t.slice(0, 0)
-        if t.num_rows == 0:
-            return pa.table({"__hk2": pa.array([], pa.int64()),
-                             "__one": pa.array([], pa.int8())})
-        hk = _hk2(t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
-                  t["sh"].to_numpy(zero_copy_only=False))
-        return pa.table({"__hk2": pa.array(hk, pa.int64()),
-                         "__one": pa.array(np.ones(t.num_rows, np.int8))})
+    def _side_filter(ref, names):
+        def _fn(t: pa.Table) -> pa.Table:
+            if t.num_rows and ref is not None:
+                need = ray.get(ref)
+                k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                if need.size:
+                    idx = np.searchsorted(need, k)
+                    idx[idx >= need.size] = 0
+                    t = t.filter(pa.array(need[idx] == k))
+                else:
+                    t = t.slice(0, 0)
+            return t.rename_columns(names)
+        return _fn
 
-    # E2: right side is unique per (id, sh) key; left multiplicity is
-    # bounded by the LSH partner count, so the default pair cap holds.
-    # A match means sh ∈ S_a — only the left payload survives.
-    e2 = sorted_merge_join(
-        e1.map_batches(_hk_pairside, batch_format="pyarrow", batch_size=None),
-        S.map_batches(_hk_shingleside, batch_format="pyarrow",
-                      batch_size=None),
-        "__hk2", "__hk2", ["id_a", "id_b"], ["__one"])
+    # J1/J2 key multiplicity: right side is unique per doc id; left rows
+    # per key = the doc's LSH partner count — the cap must clear any
+    # plausible hub fan-out (edge_clip = 2·2^22 ≈ 8.4M partners/doc)
+    PARTNER_CAP = 1 << 44
+    Sb = S.map_batches(_side_filter(b_ref, ["id", "shp_b", "n_b"]),
+                       batch_format="pyarrow", batch_size=None)
+    j1 = sorted_merge_join(
+        pairs_ds, Sb, "id_b", "id", ["id_a", "id_b"], ["shp_b", "n_b"],
+        max_pairs_per_key=PARTNER_CAP)
+    Sa = S.map_batches(_side_filter(a_ref, ["id", "shp_a", "n_a"]),
+                       batch_format="pyarrow", batch_size=None)
+    j2 = sorted_merge_join(
+        j1, Sa, "id_a", "id", ["id_a", "id_b", "shp_b", "n_b"],
+        ["shp_a", "n_a"], max_pairs_per_key=PARTNER_CAP)
 
-    inner, edge = sorted_groupby(
-        e2.map_batches(lambda t: t.select(["id_a", "id_b"]),
-                       batch_format="pyarrow", batch_size=None),
-        ["id_a", "id_b"], [(None, "count_all", "inter")])
-    grouped = inner
-    if edge is not None and edge.num_rows:
-        grouped = grouped.union(rd.from_arrow(edge.cast(
-            pa.schema([("id_a", id_t), ("id_b", id_t),
-                       ("inter", pa.int64())]))))
-
-    # sizes join over the SMALL grouped output (one row per surviving
-    # pair), never over the wide exchanges. These joins are keyed per
-    # DOC: a hub doc's partner count is its key multiplicity, so the
-    # cap must exceed any plausible surviving-pair fan-out (the default
-    # edge_clip of 2000 would silently drop a >2000-partner hub's pairs
-    # under the bounded-rows contract).
-    SIZE_JOIN_CAP = 1 << 44  # edge_clip = 2·2^22 ≈ 8.4M partners/doc
-    ga = sorted_merge_join(
-        grouped,
-        sizes.map_batches(lambda t: t.rename_columns(["id", "n_a"]),
-                          batch_format="pyarrow", batch_size=None),
-        "id_a", "id", ["id_a", "id_b", "inter"], ["n_a"],
-        max_pairs_per_key=SIZE_JOIN_CAP)
-    gab = sorted_merge_join(
-        ga,
-        sizes.map_batches(lambda t: t.rename_columns(["id", "n_b"]),
-                          batch_format="pyarrow", batch_size=None),
-        "id_b", "id", ["id_a", "id_b", "inter", "n_a"], ["n_b"],
-        max_pairs_per_key=SIZE_JOIN_CAP)
+    def _packed_views(col):
+        """(starts, ends, values) int64 views over a large_binary column's
+        raw buffers — per-row shingle sets slice zero-copy, no as_py()."""
+        arr = col.combine_chunks()
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], np.int64, count=len(arr) + 1,
+                            offset=arr.offset * 8)
+        vals = np.frombuffer(bufs[2], np.int64)
+        return off[:-1] // 8, off[1:] // 8, vals
 
     def _finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        inter = t["inter"].to_numpy().astype(np.float64)
-        union = (t["n_a"].to_numpy() + t["n_b"].to_numpy()).astype(np.float64) - inter
+        sa0, sa1, va = _packed_views(t["shp_a"])
+        sb0, sb1, vb = _packed_views(t["shp_b"])
+        n_a = t["n_a"].to_numpy(zero_copy_only=False)
+        n_b = t["n_b"].to_numpy(zero_copy_only=False)
+        inter = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            a = va[sa0[i]:sa1[i]]
+            b = vb[sb0[i]:sb1[i]]
+            if a.size > b.size:
+                a, b = b, a
+            if a.size == 0:
+                continue
+            pos = np.searchsorted(b, a)
+            pos[pos == b.size] = b.size - 1
+            inter[i] = int(np.count_nonzero(b[pos] == a))
+        union = (n_a + n_b).astype(np.float64) - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        keep = (inter >= 1) & (jac >= threshold)
         out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                         "jaccard": pa.array(jac, pa.float64())})
-        return out.filter(pa.array(jac >= threshold))
+        return out.filter(pa.array(keep))
 
-    return gab.map_batches(_finalize, batch_format="pyarrow",
-                           batch_size=None)
+    return j2.map_batches(_finalize, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def _est_jaccard_ds(sig_ds, pairs_ds):
