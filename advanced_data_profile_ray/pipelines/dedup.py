@@ -553,6 +553,41 @@ def verify_jaccard(ds, id_col: str, text_col: str, pairs: pd.DataFrame,
     return out
 
 
+def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
+    """Distinct doc ids over the given pair columns — one skinny sort
+    exchange; the id set never lands on the driver. Returns a
+    materialized single-column Dataset ``id``."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    id_t = pairs_ds.schema().base_schema.field(cols[0]).type
+
+    def _stack(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.concat_arrays(
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray)
+             else t[c] for c in cols])})
+
+    stacked = pairs_ds.map_batches(_stack, batch_format="pyarrow",
+                                   batch_size=None)
+    inner, edge = sorted_groupby(stacked, ["id"],
+                                 [(None, "count_all", "__n")])
+    out = inner.map_batches(lambda t: t.select(["id"]),
+                            batch_format="pyarrow", batch_size=None)
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(
+            edge.select(["id"]).cast(pa.schema([("id", id_t)]))))
+    return out.materialize()
+
+
+def _sorted_id_array(ids_ds) -> np.ndarray:
+    """Collect a (small, capped-by-caller) distinct-id Dataset to the
+    sorted int64 numpy array the searchsorted broadcast filters use."""
+    parts = [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             for t in _collect_tables(ids_ds) if t.num_rows]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+
+
 def packed_shingles_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
                        restrict_ref=None, rows_hint: int | None = None,
                        max_shingles_per_doc: int = 1 << 18):
