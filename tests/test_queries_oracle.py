@@ -1,27 +1,32 @@
-"""Every QUERIES entry vs its DuckDB ORACLE twin on sf0.001 — the local
-mirror of the driver's CORRECTNESS gate (row count + schema + sorted
-value equality)."""
+"""Every QUERIES entry vs its DuckDB ORACLE twin on sf0.001 AND sf0.01
+— the local mirror of the driver's CORRECTNESS gate (row count + schema
++ sorted value equality). sf0.01 is the gate's own scale factor; sf0.001
+additionally exercises the small/empty-intermediate edge class (empty
+Ray blocks losing columns, SUM-over-zero-rows NULL semantics)."""
 
 import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-@pytest.fixture(scope="module")
-def con():
+@pytest.fixture(scope="module", params=SF_DIRS,
+                ids=[d.rsplit("/", 1)[1] for d in SF_DIRS])
+def sf_env(request):
+    sf_dir = request.param
     c = duckdb.connect()
     for t in TABLES:
         c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return c
+    yield sf_dir, c
+    c.close()
 
 
 def _to_pandas(result):
@@ -95,10 +100,11 @@ def all_query_names():
 
 
 @pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(ray_session, con, name):
+def test_query_matches_oracle(ray_session, sf_env, name):
     from advanced_data_profile_ray.pipelines.queries import ORACLE, QUERIES
 
-    ours = _canon(_to_pandas(QUERIES[name](SF_DIR)))
+    sf_dir, con = sf_env
+    ours = _canon(_to_pandas(QUERIES[name](sf_dir)))
     if name not in ORACLE:
         assert len(ours) >= 0  # rows-only check
         return
