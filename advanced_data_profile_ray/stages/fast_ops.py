@@ -848,19 +848,28 @@ def _mix_key_hashes(batch: pa.Table, keys: list) -> "np.ndarray":
 
 
 def start_duplicate_keys_from_files(paths: list, keys: list,
-                                    n_reducers: int | None = None) -> dict:
-    """Launch the uniqueness hash-partition exchange WITHOUT blocking:
-    returns a handle whose pending reduce futures run concurrently with
-    whatever Dataset pipeline the caller executes next (the two passes
-    of the validation engine are independent — overlapping them removes
-    one full pipeline latency from the job's critical path).
+                                    n_reducers: int | None = None,
+                                    limit: int = 2_000_000) -> dict:
+    """Launch the ENTIRE uniqueness pipeline WITHOUT blocking: map-side
+    hash split, per-bucket dup-hash reduce, dup-set concat, exact verify
+    re-read and per-bucket group/limit are all chained as dependent Ray
+    tasks at call time, so every stage runs as soon as its inputs
+    resolve — fully overlapped with whatever Dataset pipeline the caller
+    executes next (round-5 scaling item: the verify pass used to start
+    only after the fused pass finished, a serial ~3 s tail at 32 CPUs).
+    ``finish_duplicate_keys_from_files`` just gathers.
 
     map (1 task / file): read ONLY the key columns, hash each key tuple
     to uint64, split by the top hash bits into ``n_reducers`` buckets
     (fixed boundaries — no sampling, deterministic, no skew: hashes are
     uniform). reduce (1 task / bucket): concat + np.unique(counts) →
     duplicate hashes. No edges, no stitching: each hash lands in exactly
-    one reducer, so counts are exact by construction.
+    one reducer, so counts are exact by construction. verify (1 task /
+    file, gated on the global dup-hash set): re-read keys, keep rows
+    whose hash is a candidate, re-bucket; group/limit (1 task / bucket):
+    exact group count, filter n>1, key-sort, clip to ``limit`` BEFORE
+    anything reaches the driver. An empty dup-hash set short-circuits
+    the verify tasks without re-reading any file.
     """
     import numpy as np
     import pyarrow.parquet as pq
@@ -893,42 +902,15 @@ def start_duplicate_keys_from_files(paths: list, keys: list,
         u, c = np.unique(allh, return_counts=True)
         return u[c > 1]
 
-    map_refs = [_map_hashes.remote(p) for p in paths]
-    if K == 1:
-        map_refs = [[r] for r in map_refs]
-    reduce_refs = [
-        _reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
-        for k in range(K)
-    ]
-    return {"reduce_refs": reduce_refs, "paths": paths, "keys": keys,
-            "K": K, "shift": int(shift)}
-
-
-def finish_duplicate_keys_from_files(handle: dict, limit: int = 2_000_000):
-    """Collect the exchange started by start_duplicate_keys_from_files
-    and run the exact verify pass (hash collisions resolved by grouping
-    the recovered key rows exactly). The verify hits are re-bucketed by
-    the same top hash bits, and each bucket reducer groups, filters n>1,
-    key-sorts and applies ``limit`` BEFORE anything reaches the driver —
-    a pathological dup rate is bounded at K×limit driver rows instead of
-    the full hit volume. Per-reducer limit is exact: every key lives in
-    exactly one bucket, and the globally-first ``limit`` key-sorted
-    groups are each among their own reducer's first ``limit``.
-    Returns pa.Table (keys..., n) or None when no duplicates exist."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    import ray
-
-    paths, keys = handle["paths"], handle["keys"]
-    K, shift = handle["K"], np.uint64(handle["shift"])
-    dup_parts = ray.get(handle["reduce_refs"])
-    dup_hashes = np.sort(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.uint64)
-    if dup_hashes.size == 0:
-        return None
+    @ray.remote
+    def _concat_dups(*parts):
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
     @ray.remote(num_returns=K)
     def _verify_split(path, dups):
+        if dups.size == 0:
+            t = pq.read_schema(path).empty_table().select(keys)
+            return (tuple(t for _ in range(K)) if K > 1 else t)
         t = pq.read_table(path, columns=keys)
         h = _mix_key_hashes(t, keys)
         pos = np.searchsorted(dups, h)
@@ -958,15 +940,35 @@ def finish_duplicate_keys_from_files(handle: dict, limit: int = 2_000_000):
         out = out.select(keys + ["n"]).sort_by([(k, "ascending") for k in keys])
         return out.slice(0, limit)
 
-    dup_ref = ray.put(dup_hashes)
-    ver_refs = [_verify_split.remote(p, dup_ref) for p in paths]
+    map_refs = [_map_hashes.remote(p) for p in paths]
+    if K == 1:
+        map_refs = [[r] for r in map_refs]
+    reduce_refs = [
+        _reduce_dups.remote(*[map_refs[m][k] for m in range(len(paths))])
+        for k in range(K)
+    ]
+    dups_ref = _concat_dups.remote(*reduce_refs)
+    ver_refs = [_verify_split.remote(p, dups_ref) for p in paths]
     if K == 1:
         ver_refs = [[r] for r in ver_refs]
     bucket_refs = [
         _group_limit.remote(*[ver_refs[m][k] for m in range(len(paths))])
         for k in range(K)
     ]
-    buckets = [b for b in ray.get(bucket_refs) if b is not None]
+    return {"bucket_refs": bucket_refs, "keys": keys, "limit": limit}
+
+
+def finish_duplicate_keys_from_files(handle: dict, limit: int | None = None):
+    """Gather the pipeline launched by start_duplicate_keys_from_files
+    (every stage of which has been running concurrently with the
+    caller's own work since launch). Returns pa.Table (keys..., n) or
+    None when no duplicates exist. ``limit`` (≤ the start-time limit)
+    clips the final driver-side merge."""
+    import ray
+
+    keys = handle["keys"]
+    limit = handle["limit"] if limit is None else min(limit, handle["limit"])
+    buckets = [b for b in ray.get(handle["bucket_refs"]) if b is not None]
     if not buckets:
         return None
     out = pa.concat_tables(buckets).sort_by([(k, "ascending") for k in keys])
@@ -978,7 +980,7 @@ def duplicate_keys_from_files(paths: list, keys: list, n_reducers: int | None = 
     """Blocking wrapper: start + finish the file-backed uniqueness
     exchange (see start_duplicate_keys_from_files for the design)."""
     return finish_duplicate_keys_from_files(
-        start_duplicate_keys_from_files(paths, keys, n_reducers), limit
+        start_duplicate_keys_from_files(paths, keys, n_reducers, limit=limit)
     )
 
 
