@@ -553,6 +553,20 @@ def verify_jaccard(ds, id_col: str, text_col: str, pairs: pd.DataFrame,
     return out
 
 
+def _restrict_to_sorted_ids(t: pa.Table, need: np.ndarray, col: str) -> pa.Table:
+    """Rows whose int64 ``col`` is in the SORTED broadcast id array
+    (searchsorted membership); an empty array drops every row. The one
+    home for the clamp/empty edge cases every broadcast restrict needs."""
+    if t.num_rows == 0:
+        return t
+    if need.size == 0:
+        return t.slice(0, 0)
+    k = t[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(need, k)
+    idx[idx >= need.size] = 0
+    return t.filter(pa.array(need[idx] == k))
+
+
 def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
     """Distinct doc ids over the given pair columns — one skinny sort
     exchange; the id set never lands on the driver. Returns a
@@ -577,6 +591,41 @@ def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
     if edge is not None and edge.num_rows:
         out = out.union(rd.from_arrow(
             edge.select(["id"]).cast(pa.schema([("id", id_t)]))))
+    return out.materialize()
+
+
+def candidate_id_flags_ds(pairs_ds):
+    """Distinct candidate ids WITH side flags — (id, a, b) where a/b
+    mark appearance as id_a/id_b — via ONE skinny exchange, so the
+    verify path derives its union/a-side/b-side broadcast arrays from a
+    single pass over the pair list instead of three."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    def _stack(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks() if isinstance(
+            t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = t["id_b"].combine_chunks() if isinstance(
+            t["id_b"], pa.ChunkedArray) else t["id_b"]
+        n = len(a)
+        return pa.table({
+            "id": pa.concat_arrays([a, b]),
+            "a": pa.array(np.concatenate([np.ones(n, np.int8),
+                                          np.zeros(len(b), np.int8)])),
+            "b": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                          np.ones(len(b), np.int8)])),
+        })
+
+    stacked = pairs_ds.map_batches(_stack, batch_format="pyarrow",
+                                   batch_size=None)
+    inner, edge = sorted_groupby(stacked, ["id"],
+                                 [("a", "max", "a"), ("b", "max", "b")])
+    out = inner
+    if edge is not None and edge.num_rows:
+        out = out.union(rd.from_arrow(edge.cast(
+            pa.schema([("id", edge.schema.field("id").type),
+                       ("a", pa.int8()), ("b", pa.int8())]))))
     return out.materialize()
 
 
@@ -619,14 +668,7 @@ def packed_shingles_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
                           "n": pa.array([], pa.int64())})
         sub = batch
         if restrict_ref is not None:
-            need = ray.get(restrict_ref)
-            k = sub[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            if need.size:
-                idx = np.searchsorted(need, k)
-                idx[idx >= need.size] = 0
-                sub = sub.filter(pa.array(need[idx] == k))
-            else:
-                sub = sub.slice(0, 0)
+            sub = _restrict_to_sorted_ids(sub, ray.get(restrict_ref), id_col)
         if sub.num_rows == 0:
             return empty
         h, doc_idx, _ = batch_window_hashes(sub[text_col], shingle_k)
@@ -713,17 +755,26 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
     if n_pairs == 0:
         return rd.from_arrow(empty)
 
-    ids_ds = candidate_ids_ds(pairs_ds)
-    n_ids = ids_ds.count()
+    # one skinny exchange yields the union AND both per-side id arrays
+    # (per-side restricts: J1's right side can only match b-side ids,
+    # J2's only a-side ids — half the packed rows per join sort)
+    flags_ds = candidate_id_flags_ds(pairs_ds)
+    n_ids = flags_ds.count()
     restrict_ref = a_ref = b_ref = None
     if n_ids <= broadcast_max_ids:
-        restrict_ref = ray.put(_sorted_id_array(ids_ds))
-        # per-side restricts: J1's right side can only match b-side ids,
-        # J2's only a-side ids — half the packed rows per join sort
-        a_ref = ray.put(_sorted_id_array(
-            candidate_ids_ds(pairs_ds, cols=("id_a",))))
-        b_ref = ray.put(_sorted_id_array(
-            candidate_ids_ds(pairs_ds, cols=("id_b",))))
+        parts = [t for t in _collect_tables(flags_ds) if t.num_rows]
+        flags = (pa.concat_tables(parts) if parts else
+                 pa.table({"id": pa.array([], pa.int64()),
+                           "a": pa.array([], pa.int8()),
+                           "b": pa.array([], pa.int8())}))
+        ids = flags["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        a_m = flags["a"].to_numpy(zero_copy_only=False)[order] > 0
+        b_m = flags["b"].to_numpy(zero_copy_only=False)[order] > 0
+        restrict_ref = ray.put(ids)
+        a_ref = ray.put(ids[a_m])
+        b_ref = ray.put(ids[b_m])
 
     S = packed_shingles_ds(
         ds, id_col, text_col, shingle_k=shingle_k,
@@ -732,15 +783,8 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
 
     def _side_filter(ref, names):
         def _fn(t: pa.Table) -> pa.Table:
-            if t.num_rows and ref is not None:
-                need = ray.get(ref)
-                k = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-                if need.size:
-                    idx = np.searchsorted(need, k)
-                    idx[idx >= need.size] = 0
-                    t = t.filter(pa.array(need[idx] == k))
-                else:
-                    t = t.slice(0, 0)
+            if ref is not None:
+                t = _restrict_to_sorted_ids(t, ray.get(ref), "id")
             return t.rename_columns(names)
         return _fn
 
@@ -776,6 +820,10 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
         sb0, sb1, vb = _packed_views(t["shp_b"])
         n_a = t["n_a"].to_numpy(zero_copy_only=False)
         n_b = t["n_b"].to_numpy(zero_copy_only=False)
+        # per-row loop is measured at ~11 µs/pair (3 numpy calls on
+        # ~200-element views): <1 s per 10⁶ pairs across workers — the
+        # verify stage is exchange-bound, not loop-bound, so a batch
+        # vectorization of the ragged merge isn't worth its complexity
         inter = np.zeros(t.num_rows, np.int64)
         for i in range(t.num_rows):
             a = va[sa0[i]:sa1[i]]
@@ -1836,7 +1884,11 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     @ray.remote
     def _build_layout(tbl: pa.Table):
         """Static per-block index: (src sorted ascending, dst-grouping
-        permutation, unique dst + run starts, src range)."""
+        permutation, unique dst + run starts, src range). None for an
+        empty block — Ray's sort emits empty (even schema-less) blocks
+        on skewed keys, e.g. a hub doc duplicated across the corpus."""
+        if tbl.num_rows == 0:
+            return None
         src = tbl["src"].to_numpy(zero_copy_only=False)
         dst = tbl["dst"].to_numpy(zero_copy_only=False)
         perm = np.argsort(dst, kind="stable")
@@ -1848,12 +1900,16 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
                 "starts": starts, "lo": int(src[0]), "hi": int(src[-1])}
 
     @ray.remote
-    def _layout_range(d: dict):
-        return (d["lo"], d["hi"])
+    def _layout_range(d):
+        return None if d is None else (d["lo"], d["hi"])
 
     layout_refs = [_build_layout.remote(r)
                    for r in edges_sorted.to_arrow_refs()]
-    layouts = ray.get([_layout_range.remote(r) for r in layout_refs])
+    ranges = ray.get([_layout_range.remote(r) for r in layout_refs])
+    layout_refs, layouts = (
+        [r for r, b in zip(layout_refs, ranges) if b is not None],
+        [b for b in ranges if b is not None],
+    )
 
     # initial labels: distinct nodes (both-direction src covers all),
     # label = own id, via one skinny exchange
@@ -1870,6 +1926,11 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     labels = nodes.map_batches(
         lambda t: pa.table({"id": t["src"], "label": t["src"]}),
         batch_format="pyarrow", batch_size=None).materialize()
+
+    # the numpy layouts duplicate the edge data; dropping the Dataset
+    # frees the arrow edge blocks so the object store holds ONE copy of
+    # the (cold, large) edge list through the iterations
+    del edges_sorted
 
     @ray.remote
     def _label_bounds(tbl: pa.Table):

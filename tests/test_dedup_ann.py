@@ -580,11 +580,12 @@ def test_epoch_mix_replication_semantics(ray_session):
 
 
 def test_label_propagation_deep_chain_flat_iterations(ray_session):
-    """Round-5 persistent-edge-layout bar: on a deep chain (diameter 32)
-    the static edge list sorts once — per-iteration wall must stay flat
-    after iteration 1 (no per-round edge re-sort) and labels must equal
-    union-find's. Wall flatness is asserted loosely (last 3 iters within
-    4x of iters 2-4 median) to stay robust to host noise."""
+    """Round-5 persistent-edge-layout bar: on a deep chain (diameter 32,
+    ~17 propagation rounds) the static edge list sorts once and every
+    round exchanges only labels — the whole run must finish in seconds
+    (the old design paid a full edge re-sort per round) and labels must
+    equal union-find's. Per-iteration wall isn't observable from outside
+    the function, so the guard is the total-wall bound."""
     import time
 
     import ray.data as rd
@@ -608,3 +609,28 @@ def test_label_propagation_deep_chain_flat_iterations(ray_session):
     # ~17 label-only iterations on 33 nodes must be seconds, not minutes
     # (the old design re-sorted the edge list every round)
     assert wall < 120, wall
+
+
+def test_label_propagation_hub_star_graph(ray_session):
+    """Regression (round-5 review): a hub node duplicated across many
+    pairs makes Ray's sort emit EMPTY (schema-less) blocks on the skewed
+    key — _build_layout must skip them instead of crashing, and the star
+    must label as one component."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        connected_components, label_propagation_ds)
+
+    n = 2000
+    pairs = pa.table({"id_a": pa.array([0] * n, pa.int64()),
+                      "id_b": pa.array(range(1, n + 1), pa.int64())})
+    # several input blocks so the sorted hub key spans block boundaries
+    pds = rd.from_arrow(pairs).repartition(8)
+    lp = (label_propagation_ds(pds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    uf = connected_components(pairs["id_a"].to_numpy(),
+                              pairs["id_b"].to_numpy())
+    pd.testing.assert_frame_equal(
+        lp.astype("int64"),
+        uf.astype("int64").sort_values("doc_id").reset_index(drop=True))
+    assert (lp["cluster_id"] == 0).all()
