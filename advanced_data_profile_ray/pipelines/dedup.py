@@ -567,33 +567,6 @@ def _restrict_to_sorted_ids(t: pa.Table, need: np.ndarray, col: str) -> pa.Table
     return t.filter(pa.array(need[idx] == k))
 
 
-def candidate_ids_ds(pairs_ds, cols: tuple = ("id_a", "id_b")):
-    """Distinct doc ids over the given pair columns — one skinny sort
-    exchange; the id set never lands on the driver. Returns a
-    materialized single-column Dataset ``id``."""
-    import ray.data as rd
-
-    from ..stages.fast_ops import sorted_groupby
-
-    id_t = pairs_ds.schema().base_schema.field(cols[0]).type
-
-    def _stack(t: pa.Table) -> pa.Table:
-        return pa.table({"id": pa.concat_arrays(
-            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray)
-             else t[c] for c in cols])})
-
-    stacked = pairs_ds.map_batches(_stack, batch_format="pyarrow",
-                                   batch_size=None)
-    inner, edge = sorted_groupby(stacked, ["id"],
-                                 [(None, "count_all", "__n")])
-    out = inner.map_batches(lambda t: t.select(["id"]),
-                            batch_format="pyarrow", batch_size=None)
-    if edge is not None and edge.num_rows:
-        out = out.union(rd.from_arrow(
-            edge.select(["id"]).cast(pa.schema([("id", id_t)]))))
-    return out.materialize()
-
-
 def candidate_id_flags_ds(pairs_ds):
     """Distinct candidate ids WITH side flags — (id, a, b) where a/b
     mark appearance as id_a/id_b — via ONE skinny exchange, so the
@@ -627,14 +600,6 @@ def candidate_id_flags_ds(pairs_ds):
             pa.schema([("id", edge.schema.field("id").type),
                        ("a", pa.int8()), ("b", pa.int8())]))))
     return out.materialize()
-
-
-def _sorted_id_array(ids_ds) -> np.ndarray:
-    """Collect a (small, capped-by-caller) distinct-id Dataset to the
-    sorted int64 numpy array the searchsorted broadcast filters use."""
-    parts = [t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-             for t in _collect_tables(ids_ds) if t.num_rows]
-    return np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
 
 
 def packed_shingles_ds(ds, id_col: str, text_col: str, shingle_k: int = 5,
