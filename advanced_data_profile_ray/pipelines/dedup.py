@@ -1877,20 +1877,25 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     )
 
     # initial labels: distinct nodes (both-direction src covers all),
-    # label = own id, via one skinny exchange
-    inner, edge_t = sorted_groupby(
+    # label = own id, via one skinny exchange. Labels stay SPLIT as
+    # (inner, edge): sorted_groupby's inner blocks are globally
+    # key-sorted with disjoint ranges, and the straddling-run edge table
+    # is tiny — keeping them separate means NO per-round label sort
+    # (the r5 first cut re-sorted the union every iteration); the edge
+    # rows broadcast to every gather task instead.
+    inner0, edge_t0 = sorted_groupby(
         edges_sorted.map_batches(lambda t: t.select(["src"]),
                                  batch_format="pyarrow", batch_size=None),
         ["src"], [(None, "count_all", "__n")])
-    nodes = inner.map_batches(lambda t: t.select(["src"]),
-                              batch_format="pyarrow", batch_size=None)
-    if edge_t is not None and edge_t.num_rows:
-        nodes = nodes.union(rd.from_arrow(
-            edge_t.select(["src"]).cast(pa.schema([("src", pa.int64())]))))
-
-    labels = nodes.map_batches(
+    labels_inner = inner0.map_batches(
         lambda t: pa.table({"id": t["src"], "label": t["src"]}),
         batch_format="pyarrow", batch_size=None).materialize()
+    label_schema = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+    if edge_t0 is not None and edge_t0.num_rows:
+        e = edge_t0["src"].combine_chunks().cast(pa.int64())
+        labels_edge = pa.table({"id": e, "label": e})
+    else:
+        labels_edge = label_schema.empty_table()
 
     # the numpy layouts duplicate the edge data; dropping the Dataset
     # frees the arrow edge blocks so the object store holds ONE copy of
@@ -1905,13 +1910,22 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
         return (ids[0].as_py(), ids[tbl.num_rows - 1].as_py())
 
     @ray.remote
-    def _nb_min_partial(layout: dict, *label_tbls) -> pa.Table:
+    def _nb_min_partial(layout: dict, edge_tbl: pa.Table,
+                        *label_tbls) -> pa.Table:
         """min neighbor label per distinct dst of one static edge block:
-        positional gather (labels sorted by id, searchsorted on src) +
+        positional gather (searchsorted on src over the range-matched
+        label blocks + the broadcast edge rows, argsorted locally) +
         reduceat over the block's precomputed dst grouping."""
-        lab = pa.concat_tables([t for t in label_tbls if t.num_rows])
+        parts = [t for t in label_tbls if t.num_rows]
+        if edge_tbl.num_rows:
+            parts.append(edge_tbl)
+        lab = pa.concat_tables(parts) if parts else edge_tbl
         ids = lab["id"].to_numpy(zero_copy_only=False)
         lbl = lab["label"].to_numpy(zero_copy_only=False)
+        # inner blocks are sorted and disjoint; only the few appended
+        # edge rows are out of place — argsort is near-free here
+        order = np.argsort(ids, kind="stable")
+        ids, lbl = ids[order], lbl[order]
         src = layout["src"]
         pos = np.searchsorted(ids, src)
         if pos.size and ((pos >= ids.size).any() or (ids[pos] != src).any()):
@@ -1927,43 +1941,52 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     grouped_schema = pa.schema([("id", pa.int64()), ("label", pa.int64()),
                                 ("own", pa.int64())])
 
+    def _self_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["id"], "label": t["label"],
+                         "own": t["label"]})
+
     for _ in range(max_iters):
-        # labels (skinny, O(nodes)) are the ONLY thing exchanged per
-        # round: one sort by id, then bounds-matched gathers
-        lab_m = labels.sort("id").materialize()
-        lab_refs = lab_m.to_arrow_refs()
+        # per-round exchanges touch ONLY the new-label groupby: the
+        # sorted inner label blocks carry their own disjoint key ranges,
+        # so gathers are bounds-matched with no label re-sort
+        lab_refs = labels_inner.to_arrow_refs()
         lab_bounds = ray.get([_label_bounds.remote(r) for r in lab_refs])
         live = [(r, b) for r, b in zip(lab_refs, lab_bounds)
                 if b is not None]
+        edge_ref = ray.put(labels_edge)
 
         partial_refs = []
         for lref, (elo, ehi) in zip(layout_refs, layouts):
             need = [r for r, (llo, lhi) in live
                     if not (lhi < elo or llo > ehi)]
-            partial_refs.append(_nb_min_partial.remote(lref, *need))
+            partial_refs.append(_nb_min_partial.remote(lref, edge_ref, *need))
 
         cand = rd.from_arrow_refs(partial_refs).union(
-            labels.map_batches(
-                lambda t: pa.table({"id": t["id"], "label": t["label"],
-                                    "own": t["label"]}),
-                batch_format="pyarrow", batch_size=None))
+            labels_inner.map_batches(_self_rows, batch_format="pyarrow",
+                                     batch_size=None))
+        if labels_edge.num_rows:
+            cand = cand.union(rd.from_arrow(_self_rows(labels_edge)))
         inner, edge_t = sorted_groupby(
             cand, ["id"], [("label", "min", "label"), ("own", "min", "own")])
-        merged = inner
-        if edge_t is not None and edge_t.num_rows:
-            merged = merged.union(rd.from_arrow(edge_t.cast(grouped_schema)))
-        merged = merged.materialize()
+        inner = inner.materialize()
 
         changed = sum(
             t["c"][0].as_py()
-            for t in _collect_tables(merged.map_batches(
+            for t in _collect_tables(inner.map_batches(
                 lambda t: pa.table({"c": pa.array(
                     [int(pc.sum(pc.less(t["label"], t["own"])).as_py() or 0)
                      if t.num_rows else 0], pa.int64())}),
                 batch_format="pyarrow", batch_size=None)))
-        labels = merged.map_batches(lambda t: t.select(["id", "label"]),
-                                    batch_format="pyarrow", batch_size=None
-                                    ).materialize()
+        labels_inner = inner.map_batches(
+            lambda t: t.select(["id", "label"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+        if edge_t is not None and edge_t.num_rows:
+            edge_t = edge_t.cast(grouped_schema)
+            changed += int(pc.sum(
+                pc.less(edge_t["label"], edge_t["own"])).as_py() or 0)
+            labels_edge = edge_t.select(["id", "label"])
+        else:
+            labels_edge = label_schema.empty_table()
         if changed == 0:
             break
     else:
@@ -1972,6 +1995,9 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
             "iterations — component diameter exceeds the bound; raise "
             "max_iters")
 
+    labels = labels_inner
+    if labels_edge.num_rows:
+        labels = labels.union(rd.from_arrow(labels_edge))
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["id"], "cluster_id": t["label"]}),
         batch_format="pyarrow", batch_size=None)
