@@ -1196,6 +1196,249 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"avg_yearly": [round(total_cents / 700.0, 6)]})
 
 
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q8-shaped composite (national market share): NATION_8's
+    share of EUROPE-customer revenue on ECONOMY parts per order year,
+    1995-1996. Scale plan: part prunes to the type map-side then ONE
+    big⨝big merge join tags qualifying lineitems; orders date-filter
+    map-side BEFORE their join; customers prune to the region's nations
+    by a broadcast nation⨝region key set BEFORE the third join;
+    supplier nation rides a broadcast lookup (q7 discipline). Revenue
+    in exact integer 10^-4 units; the share divides num/den ONCE on the
+    driver per year, so the double is bit-identical to the SQL twin's."""
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.referential import broadcast_lookup_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    europe_key = int(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"].iloc[0])
+    euro_nations = sorted(
+        nat.loc[nat["n_regionkey"] == europe_key, "n_nationkey"])
+    target_key = int(nat.loc[nat["n_name"] == "NATION_8",
+                             "n_nationkey"].iloc[0])
+
+    def _li(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_partkey": batch["l_partkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    def _part_econ(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.fill_null(pc.equal(t["p_type"], "ECONOMY"), False))
+        return pa.table({"p_partkey": sub["p_partkey"],
+                         "__econ": pa.array(np.ones(sub.num_rows, np.int8))})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        _part_econ, batch_format="pyarrow", batch_size=None)
+    hint = (_read(sf_dir, "lineitem", ["l_partkey"]).count()
+            + _read(sf_dir, "part", ["p_partkey"]).count())
+    j = sorted_merge_join(li, part, "l_partkey", "p_partkey",
+                          ["l_orderkey", "l_suppkey", "rev4"], ["__econ"],
+                          rows_hint=hint)
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        batch = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        yr = pc.cast(pc.year(pc.cast(batch["o_orderdate"],
+                                     pa.timestamp("us"))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "o_year": yr})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=131072)
+    hint2 = hint  # same magnitude; an upper bound is fine
+    j = sorted_merge_join(j, orders, "l_orderkey", "o_orderkey",
+                          ["l_suppkey", "rev4"], ["o_custkey", "o_year"],
+                          rows_hint=hint2)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(euro_nations)))
+    j = broadcast_lookup_join(j, "o_custkey", cust, "c_custkey",
+                              ["c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(j, "l_suppkey", supp, "s_suppkey",
+                              ["s_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["c_nationkey"].is_valid())
+        if batch.num_rows == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "num4": pa.array([], pa.int64()),
+                             "den4": pa.array([], pa.int64())})
+        is_t = pc.equal(batch["s_nationkey"], pa.scalar(target_key))
+        num = pc.if_else(pc.fill_null(is_t, False), batch["rev4"],
+                         pa.scalar(0, pa.int64()))
+        t = pa.table({"o_year": batch["o_year"], "num4": num,
+                      "den4": batch["rev4"]})
+        g = t.group_by(["o_year"], use_threads=False).aggregate(
+            [("num4", "sum"), ("den4", "sum")])
+        return g.rename_columns(["num4" if c == "num4_sum" else
+                                 "den4" if c == "den4_sum" else c
+                                 for c in g.column_names])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64"),
+                             "total_volume": pd.Series([], dtype="float64")})
+    agg = parts.groupby("o_year", as_index=False)[["num4", "den4"]].sum()
+    agg["mkt_share"] = (agg["num4"] / agg["den4"]).round(6)
+    agg["total_volume"] = ((agg["den4"] + 50) // 100) / 100.0
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return (agg.sort_values("o_year")[["o_year", "mkt_share",
+                                       "total_volume"]]
+            .reset_index(drop=True))
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q15-shaped composite (top supplier): supplier(s) with the
+    maximum three-month revenue. Per-supplier revenue via per-block
+    Arrow partials into ONE grouped exchange (exact integer 10^-4
+    units); the global max and the (≤ handful of) max rows reduce over
+    the grouped Dataset without collecting the supplier census, then
+    names come from a key-pruned supplier read."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        batch = batch.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_suppkey": batch["l_suppkey"],
+                      "total4": pc.multiply(cents, disc)})
+        g = t.group_by(["l_suppkey"], use_threads=False).aggregate(
+            [("total4", "sum")])
+        return g.rename_columns(["total4" if c == "total4_sum" else c
+                                 for c in g.column_names])
+
+    pre = _read(sf_dir, "lineitem",
+                ["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["l_suppkey"],
+                                 [("total4", "sum", "total4")])
+    grouped = inner
+    if edge is not None and edge.num_rows:
+        grouped = grouped.union(rd.from_arrow(edge.cast(
+            pa.schema([("l_suppkey", pa.int64()),
+                       ("total4", pa.int64())]))))
+    grouped = grouped.materialize()
+    best = grouped.max("total4")
+    if best is None:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([], dtype="float64")})
+    top = grouped.map_batches(
+        lambda t: t.filter(pc.equal(t["total4"], pa.scalar(int(best)))),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", sorted(top["l_suppkey"]))]).to_pandas()
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = ((out["total4"] + 50) // 100) / 100.0
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out.sort_values("s_suppkey")[["s_suppkey", "s_name",
+                                          "total_revenue"]]
+            .reset_index(drop=True))
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q19-shaped composite (discounted revenue, disjunctive
+    predicates; the reference tables carry no shipmode/shipinstruct, so
+    the three OR arms pair brand+size ranges with quantity bands): part
+    prunes map-side to the union of the arms' (brand, size) windows,
+    ONE big⨝big merge join carries (brand, size) to the lines, the arm
+    disjunction evaluates vectorized post-join, and the revenue sum
+    reduces in exact integer 10^-4 units."""
+    from ..stages.merge_join import sorted_merge_join
+
+    ARMS = [("Brand#1", 1, 15, 1, 11),
+            ("Brand#2", 1, 25, 10, 20),
+            ("Brand#3", 1, 35, 20, 30)]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        keep = None
+        for brand, slo, shi, _, _ in ARMS:
+            arm = pc.and_(pc.equal(batch["p_brand"], brand),
+                          pc.and_(pc.greater_equal(batch["p_size"], slo),
+                                  pc.less_equal(batch["p_size"], shi)))
+            keep = arm if keep is None else pc.or_(keep, arm)
+        return batch.filter(pc.fill_null(keep, False)).select(
+            ["p_partkey", "p_brand", "p_size"])
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).map_batches(
+        _part, batch_format="pyarrow", batch_size=None)
+
+    def _li(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "l_quantity": batch["l_quantity"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    hint = (_read(sf_dir, "lineitem", ["l_partkey"]).count()
+            + _read(sf_dir, "part", ["p_partkey"]).count())
+    j = sorted_merge_join(li, part, "l_partkey", "p_partkey",
+                          ["l_quantity", "rev4"], ["p_brand", "p_size"],
+                          rows_hint=hint)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = None
+        for brand, slo, shi, qlo, qhi in ARMS:
+            arm = pc.and_(
+                pc.and_(pc.equal(batch["p_brand"], brand),
+                        pc.and_(pc.greater_equal(batch["p_size"], slo),
+                                pc.less_equal(batch["p_size"], shi))),
+                pc.and_(pc.greater_equal(batch["l_quantity"], qlo),
+                        pc.less_equal(batch["l_quantity"], qhi)))
+            keep = arm if keep is None else pc.or_(keep, arm)
+        sub = batch.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "rev4": pa.array([pc.sum(sub["rev4"]).as_py() or 0], pa.int64()),
+            "n": pa.array([sub.num_rows], pa.int64())})
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        return pd.DataFrame({"revenue": [None]}, dtype="float64")
+    total4 = int(parts["rev4"].sum())
+    return pd.DataFrame({"revenue": [((total4 + 50) // 100) / 100.0]})
+
+
 def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q22-shaped composite (global sales opportunity): per-segment
     census of above-average-balance customers with NO event activity
@@ -4088,6 +4331,61 @@ ORACLE: dict[str, str] = {
           AND l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
+    "q8_market_share": """
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN nation = 'NATION_8'
+                              THEN volume4 ELSE 0 END) AS DOUBLE)
+                     / SUM(volume4), 6) AS mkt_share,
+               ((SUM(volume4) + 50) // 100) / 100.0 AS total_volume
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS volume4,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                       AS total4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               ((total4 + 50) // 100) / 100.0 AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total4 = (SELECT MAX(total4) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q19_discounted_revenue": """
+        SELECT ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                 + 50) // 100) / 100.0 AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30))
+    """,
     "q17_small_quantity_revenue": """
         SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                      / 700.0, 6) AS avg_yearly
@@ -4769,6 +5067,9 @@ QUERIES = {
     "q12_late_shipments": q12_late_shipments,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
