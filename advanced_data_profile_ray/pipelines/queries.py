@@ -2752,6 +2752,23 @@ def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Per-user sessionization under a 30-minute inactivity gap (the
+    event-pipeline primitive; SQL twin = LAG + CASE new-session flag +
+    SUM): sort + interior runs finalized in block tasks + O(blocks)
+    boundary-fragment carry (stages.window.sessionize)."""
+    from ..stages.window import sessionize
+
+    out = sessionize(_read(sf_dir, "events",
+                           ["user_id", "ts", "event_id"]),
+                     "user_id", "ts", "event_id",
+                     gap_us=1_800_000_000).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Single-row document-table census from the profile pass."""
     from .profile import profile_dataset
@@ -4660,6 +4677,20 @@ ORACLE: dict[str, str] = {
          AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
         ORDER BY o.o_orderkey
     """,
+    "events_sessions": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
     "user_gap_stats": """
         WITH g AS (
           SELECT user_id,
@@ -5015,6 +5046,7 @@ QUERIES = {
     "shipdate_parts": q_shipdate_parts,
     "events_hour_hist": q_events_hour_hist,
     "user_gap_stats": q_user_gap_stats,
+    "events_sessions": q_events_sessions,
     "window_counts": q_window_counts,
     "window_spend": q_window_spend,
     "user_first_event": q_user_first_event,

@@ -1307,6 +1307,114 @@ def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
                               + [ray.put(edge_table)])
 
 
+def sessionize(ds, part_col: str, ts_col: str, order_col: str,
+               gap_us: int = 1_800_000_000):
+    """Per-partition session census under an inactivity-gap rule — the
+    sessionization primitive of event/training-data pipelines: a new
+    session starts at a partition's first event and whenever the gap to
+    the previous event exceeds ``gap_us`` (default 30 min). SQL twin:
+    ``SUM(CASE WHEN lag IS NULL OR ts - lag > gap THEN 1 ELSE 0 END)
+    OVER (PARTITION BY part ORDER BY ts, order)`` then GROUP BY part.
+
+    Distributed shape (same as session_gap_stats): ONE sort by
+    (part, ts, order); interior runs finalize (n_sessions, n_events)
+    vectorized per block; each block ships ≤2 tiny boundary fragments
+    and the driver carry-merges them in block order — a cross-block
+    continuation cancels the continuing fragment's first session start
+    iff the boundary gap is within ``gap_us``. Driver traffic is
+    O(blocks). Returns a Dataset (part_col, n_sessions, n_events)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = ds.count()  # metadata-only on the raw read
+    except Exception:
+        rows = None
+    s = rightsize_blocks(ds.select_columns([part_col, ts_col, order_col]),
+                         rows=rows).sort(
+        [part_col, ts_col, order_col]).materialize()
+    refs = s.to_arrow_refs()
+    part_t = (s.schema().base_schema.field(part_col).type
+              if refs else pa.int64())
+    out_schema = pa.schema([(part_col, part_t), ("n_sessions", pa.int64()),
+                            ("n_events", pa.int64())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        # fragments: (pos, part, n_events, n_sessions, first_ts, last_ts)
+        # pos 0 = first run of a multi-run block, 1 = last run, 2 = only
+        if block.num_rows == 0:
+            return out_schema.empty_table(), []
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        starts, widths = _run_bounds(k)
+        n_runs = starts.size
+
+        def _sessions(a: int, b: int) -> int:
+            seg = ts[a:b]
+            if seg.size < 2:
+                return seg.size
+            return 1 + int(np.count_nonzero(np.diff(seg) > gap_us))
+
+        parts_, sess, ns = [], [], []
+        for r in range(1, n_runs - 1):
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            parts_.append(k[a])
+            sess.append(_sessions(a, b))
+            ns.append(int(widths[r]))
+        inner = pa.table({part_col: pa.array(parts_, part_t),
+                          "n_sessions": pa.array(sess, pa.int64()),
+                          "n_events": pa.array(ns, pa.int64())})
+        frags = []
+        edge_runs = [(0, 0)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
+        for r, pos in edge_runs:
+            a, b = int(starts[r]), int(starts[r] + widths[r])
+            frags.append((2 if n_runs == 1 else pos, k[a].item()
+                          if hasattr(k[a], "item") else k[a],
+                          int(b - a), _sessions(a, b),
+                          int(ts[a]), int(ts[b - 1])))
+        return inner, frags
+
+    results = [_block.remote(r) for r in refs]
+    frag_lists = ray.get([r[1] for r in results])
+
+    finals = []
+
+    def _finalize(c):
+        if c is not None:
+            finals.append((c[0], c[1], c[2]))
+
+    carry = None  # (part, n_sessions, n_events, last_ts)
+    for frags in frag_lists:
+        for pos, part, n, ses, fts, lts in frags:
+            if carry is not None and carry[0] == part:
+                # the continuing fragment counted its first event as a
+                # session start; cancel it iff the boundary gap is small
+                joined = ses - (1 if fts - carry[3] <= gap_us else 0)
+                merged = (part, carry[1] + joined, carry[2] + n, lts)
+            else:
+                _finalize(carry)
+                merged = (part, ses, n, lts)
+            if pos == 0:  # completes inside this block
+                _finalize(merged)
+                carry = None
+            else:
+                carry = merged
+    _finalize(carry)
+    edge_table = pa.table({
+        part_col: pa.array([f[0] for f in finals], part_t),
+        "n_sessions": pa.array([f[1] for f in finals], pa.int64()),
+        "n_events": pa.array([f[2] for f in finals], pa.int64()),
+    })
+    return rd.from_arrow_refs([r[0] for r in results]
+                              + [ray.put(edge_table)])
+
+
 _SESSION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

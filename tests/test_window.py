@@ -580,3 +580,49 @@ def test_interval_overlap_counts_stitching(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"),
         pd.DataFrame({"id": ids, "n_overlap": want}))
+
+
+def test_sessionize_boundary_stitch(ray_session):
+    """sessionize must count sessions exactly when a user's run straddles
+    many tiny sorted blocks: a cross-block continuation cancels the
+    continuing fragment's first session start iff the boundary gap is
+    within the threshold. Brute-force numpy oracle over a 3-user corpus
+    with planted gap structure, forced through 40 blocks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(7)
+    GAP = 1_000_000  # 1s in us
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = 0
+        for _ in range(500):
+            # ~30% of steps exceed the gap -> new session
+            t += int(rng.choice([GAP // 2, GAP * 3], p=[0.7, 0.3]))
+            rows.append((user, t, eid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id"])
+    want = (
+        df.sort_values(["user_id", "ts_us", "event_id"])
+        .groupby("user_id")
+        .agg(n_sessions=("ts_us", lambda s: 1 + int((s.diff() > GAP).sum())),
+             n_events=("ts_us", "size"))
+        .reset_index()
+    )
+    t = pa.table({
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(pd.to_datetime(df["ts_us"], unit="us"),
+                       pa.timestamp("us")),
+        "event_id": pa.array(df["event_id"], pa.int64()),
+    })
+    ds = rd.from_arrow(t).random_shuffle(seed=3).repartition(40)
+    got = (sessionize(ds, "user_id", "ts", "event_id", gap_us=GAP)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        want.astype("int64").sort_values("user_id").reset_index(drop=True))
