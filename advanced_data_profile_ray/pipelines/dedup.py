@@ -474,7 +474,11 @@ def _attach_est_jaccard(sig_ds, pairs: pd.DataFrame) -> pd.DataFrame:
     ib = idx.get_indexer(pairs["id_b"])
     assert (ia >= 0).all() and (ib >= 0).all(), "candidate id missing signature"
     out = pairs.copy()
-    out["est_jaccard"] = (M[ia] == M[ib]).mean(axis=1)
+    # same LOW-32 truncation as _est_jaccard_ds's gate payloads, so the
+    # est values (and thus gate decisions) are bit-identical across the
+    # driver and distributed paths
+    M32 = M.astype(np.uint32)
+    out["est_jaccard"] = (M32[ia] == M32[ib]).mean(axis=1)
     return out.reset_index(drop=True)
 
 
@@ -811,16 +815,57 @@ def verify_jaccard_ds(ds, id_col: str, text_col: str, pairs_ds,
                           batch_size=None)
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """(rows x perms) uint64 view over a variable-binary signature column
+    — zero-copy from the offsets/values buffers, no to_pylist."""
+    arr = col.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32, count=len(arr) + 1,
+                        offset=arr.offset * 4).astype(np.int64)
+    widths = np.diff(off)
+    if widths.size and not (widths == widths[0]).all():
+        raise ValueError("ragged signature column")
+    data = np.frombuffer(bufs[2], np.uint8)[int(off[0]):int(off[-1])]
+    return data.view(np.uint64).reshape(len(arr), -1)
+
+
+def _lo32_fixed(col) -> pa.Array:
+    """Signature column truncated to the LOW 32 BITS of each perm value,
+    as fixed_size_binary(perms*4) — HALF the bytes through the est-gate
+    join exchanges. Estimate semantics are preserved: the match fraction
+    compares per-perm equality, and a low-half collision on unequal
+    perms costs 2^-32 per probe (~1.5e-8 per 64-perm pair) — both the
+    driver and distributed paths truncate identically, so gate decisions
+    stay path-identical."""
+    M = _sig_matrix(col)
+    lo = np.ascontiguousarray(M.astype(np.uint32))
+    w = lo.shape[1] * 4 if lo.size else 4
+    return pa.Array.from_buffers(pa.binary(w), len(M),
+                                 [None, pa.py_buffer(lo.tobytes())])
+
+
+def _fsb_matrix_u32(col) -> np.ndarray:
+    """(rows x perms) uint32 view over a fixed_size_binary column."""
+    arr = col.combine_chunks()
+    w = arr.type.byte_width
+    data = np.frombuffer(arr.buffers()[1], np.uint8, count=len(arr) * w,
+                         offset=arr.offset * w)
+    return data.view(np.uint32).reshape(len(arr), -1)
+
+
 def _est_jaccard_ds(sig_ds, pairs_ds):
     """Distributed signature-match fraction per candidate pair: two
-    SKINNY sort-merge joins carry each side's packed signature to its
-    pair row (right side unique per id, per-key products bounded by the
-    LSH partner count); the match fraction computes vectorized per
-    batch. → Dataset (id_a, id_b, est_jaccard)."""
+    SKINNY sort-merge joins carry each side's LOW-32-truncated packed
+    signature to its pair row (right side unique per id, per-key
+    products bounded by the LSH partner count); the match fraction
+    computes vectorized per batch over raw-buffer views. → Dataset
+    (id_a, id_b, est_jaccard)."""
     from ..stages.merge_join import sorted_merge_join
 
     def _rn(new):
-        return lambda t: pa.table({"id": t["id"], new: t["sig"]})
+        def _fn(t: pa.Table) -> pa.Table:
+            return pa.table({"id": t["id"], new: _lo32_fixed(t["sig"])})
+        return _fn
 
     sigs = sig_ds.select_columns(["id", "sig"])
     j1 = sorted_merge_join(
@@ -838,10 +883,8 @@ def _est_jaccard_ds(sig_ds, pairs_ds):
             return pa.table({"id_a": pa.array([], id_t),
                              "id_b": pa.array([], id_t),
                              "est_jaccard": pa.array([], pa.float64())})
-        A = np.frombuffer(b"".join(t["sig_a"].to_pylist()), np.uint64)
-        B = np.frombuffer(b"".join(t["sig_b"].to_pylist()), np.uint64)
-        A = A.reshape(t.num_rows, -1)
-        B = B.reshape(t.num_rows, -1)
+        A = _fsb_matrix_u32(t["sig_a"])
+        B = _fsb_matrix_u32(t["sig_b"])
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                          "est_jaccard": pa.array((A == B).mean(axis=1),
                                                  pa.float64())})
