@@ -198,6 +198,47 @@ def _expand_runs(order_ids: np.ndarray, starts: np.ndarray, lo_run: int,
     return pair_a, pair_b, skipped
 
 
+def _resolve_prefix_bar(prefix_bar, threshold: float, bands: int):
+    """Resolve the generation-time prefix-gate bar.
+
+    ``"auto"`` → ``threshold − 0.45``: the prefix is one low-32 perm per
+    band (``bands`` values), so for a true pair with Jaccard ≥ t the
+    match count is ≥ 1 (the colliding band's perm matches by
+    construction) + Binomial(bands−1, t) — at bands=16, t=0.7 the bar
+    0.25 (≥4/16) false-drops with P ≈ 5e-8, two orders below the
+    est-gate's own ~1e-5 and three below banding's ~1% miss rate —
+    while a typical junk band collision (J ≈ 0.03) needs 3 more random
+    matches in 15 and passes with only ~1.1%. Bars ≤ 1/bands are a
+    structural no-op (the colliding band always contributes one match),
+    so they resolve to None and the 4·bands-byte payload never rides
+    the exploded rows at all."""
+    if prefix_bar == "auto":
+        prefix_bar = threshold - 0.45
+    if prefix_bar is not None and prefix_bar <= 1.0 / bands:
+        return None
+    return prefix_bar
+
+
+def _pfx_filter_pairs(pfx_col, pos_a_parts, pos_b_parts, ids: np.ndarray,
+                      bar: float, chunk: int = 1 << 20):
+    """Position-pair prefix gate: keep pairs whose prefix match fraction
+    ≥ ``bar``; returns (id_a, id_b) arrays. Chunked so the per-side
+    (pairs × perms) u32 gathers stay ~256 MB-bounded regardless of how
+    pair-dense a block is."""
+    if not pos_a_parts:
+        e = np.array([], dtype=ids.dtype if ids.size else np.int64)
+        return e, e
+    pos_a = np.concatenate(pos_a_parts)
+    pos_b = np.concatenate(pos_b_parts)
+    P = _fsb_matrix_u32(pfx_col)
+    keeps = [
+        (P[pos_a[s:s + chunk]] == P[pos_b[s:s + chunk]]).mean(axis=1) >= bar
+        for s in range(0, pos_a.size, chunk)
+    ]
+    keep = np.concatenate(keeps) if len(keeps) > 1 else keeps[0]
+    return ids[pos_a[keep]], ids[pos_b[keep]]
+
+
 def _normalized_pair_table(a: np.ndarray, b: np.ndarray, id_t) -> pa.Table:
     """(id_a, id_b) table with id_a < id_b, self-pairs dropped."""
     if len(a) == 0:
@@ -211,7 +252,8 @@ def _normalized_pair_table(a: np.ndarray, b: np.ndarray, id_t) -> pa.Table:
                      "id_b": pa.array(hi[keep]).cast(id_t)})
 
 
-def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64):
+def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64,
+                        prefix_bar: float | None = None):
     """Distributed LSH bucket → candidate-pair expansion, Dataset out.
 
     ``exploded`` is a Dataset of skinny rows (key: int64 bucket key,
@@ -228,13 +270,23 @@ def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64):
     self-drop) runs in map tasks, and dedup is one ``sorted_groupby``
     exchange on (id_a, id_b). Returns a MATERIALIZED Dataset of unique
     (id_a, id_b) rows.
+
+    ``prefix_bar``: when set, ``exploded`` must carry a ``pfx``
+    fixed_size_binary column (a uint32 signature prefix per row, same
+    bytes for every band row of a doc) and each expanded pair is kept
+    only if its prefix match fraction ≥ ``prefix_bar`` — the filter
+    runs AT GENERATION, inside the bucket blocks, so junk band
+    collisions (the overwhelming majority on dense corpora) never
+    reach the pair-dedup exchange or any later join. The same rule is
+    applied to the driver-side edge stitch, so the candidate set is
+    identical regardless of where a run lands.
     """
     import ray.data as rd
 
     from ..stages.fast_ops import sorted_groupby
 
     s = exploded.sort("key")
-    fused = s.map_batches(_make_fused_expand(max_bucket),
+    fused = s.map_batches(_make_fused_expand(max_bucket, prefix_bar),
                           batch_format="pyarrow",
                           batch_size=None).materialize()
     # an empty exploded input sorts to ZERO blocks and fused.schema()
@@ -253,8 +305,9 @@ def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64):
             pt["id_b"].to_numpy(zero_copy_only=False), id_t)
 
     # edge stitch: O(blocks × max_bucket) clipped rows — driver-safe
+    edge_cols = ["key", "id"] + (["pfx"] if prefix_bar is not None else [])
     edge_rows = [t for t in _collect_tables(fused.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], 1)).select(["key", "id"]),
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(edge_cols),
         batch_format="pyarrow", batch_size=None)) if t.num_rows]
     edge_pairs = _normalized_pair_table(np.array([]), np.array([]), id_t)
     if edge_rows:
@@ -262,17 +315,25 @@ def lsh_bucket_pairs_ds(exploded, max_bucket: int = 64):
         key = et["key"].to_numpy()
         ids = et["id"].to_numpy(zero_copy_only=False)
         starts = _run_starts(key)
-        ea, eb, skipped = _expand_runs(ids, starts, 0, starts.size - 1,
-                                       max_bucket)
+        if prefix_bar is not None:
+            pos_a, pos_b, skipped = _expand_runs(
+                np.arange(et.num_rows, dtype=np.int64), starts, 0,
+                starts.size - 1, max_bucket)
+            ea_ids, eb_ids = _pfx_filter_pairs(et["pfx"], pos_a, pos_b, ids,
+                                               prefix_bar)
+        else:
+            ea, eb, skipped = _expand_runs(ids, starts, 0, starts.size - 1,
+                                           max_bucket)
+            ea_ids = np.concatenate(ea) if ea else np.array([], dtype=ids.dtype)
+            eb_ids = np.concatenate(eb) if eb else np.array([], dtype=ids.dtype)
         if skipped:
             import logging
 
             logging.getLogger(__name__).info(
                 "LSH edge stitch: skipped %d buckets larger than %d docs",
                 skipped, max_bucket)
-        if ea:
-            edge_pairs = _normalized_pair_table(
-                np.concatenate(ea), np.concatenate(eb), id_t)
+        if ea_ids.size:
+            edge_pairs = _normalized_pair_table(ea_ids, eb_ids, id_t)
 
     pairs = fused.map_batches(
         _interior, batch_format="pyarrow", batch_size=None
@@ -298,9 +359,12 @@ def lsh_bucket_pairs(exploded, max_bucket: int = 64) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
-def _make_fused_expand(max_bucket: int):
+def _make_fused_expand(max_bucket: int, prefix_bar: float | None = None):
     """Per-sorted-block fused kernel for the bucket exchange (shared by
-    lsh_bucket_pairs_ds): interior-run pairs + clipped edge rows."""
+    lsh_bucket_pairs_ds): interior-run pairs + clipped edge rows. With
+    ``prefix_bar`` set, interior pairs are prefix-gated AT GENERATION
+    and edge rows carry the ``pfx`` payload for the driver stitch to
+    apply the identical rule."""
 
     def _fused(batch: pa.Table) -> pa.Table:
         """ONE pass per sorted block: interior-run pairs (kind=0 rows with
@@ -308,17 +372,32 @@ def _make_fused_expand(max_bucket: int):
         set) in a union-schema table — half the dataset executions of a
         separate interior/edge split."""
         id_t = batch.schema.field("id").type
+        gate = prefix_bar is not None
+        pfx_t = batch.schema.field("pfx").type if gate else None
         if batch.num_rows == 0:
-            return pa.table({"kind": pa.array([], pa.int8()),
-                             "key": pa.array([], pa.int64()),
-                             "id": pa.array([], id_t),
-                             "id_a": pa.array([], id_t),
-                             "id_b": pa.array([], id_t)})
+            cols = {"kind": pa.array([], pa.int8()),
+                    "key": pa.array([], pa.int64()),
+                    "id": pa.array([], id_t),
+                    "id_a": pa.array([], id_t),
+                    "id_b": pa.array([], id_t)}
+            if gate:
+                cols["pfx"] = pa.array([], pfx_t)
+            return pa.table(cols)
         key = batch["key"].to_numpy()
         ids = batch["id"].to_numpy(zero_copy_only=False)
         starts = _run_starts(key)
         n_runs = starts.size - 1
-        pair_a, pair_b, skipped = _expand_runs(ids, starts, 1, n_runs - 1, max_bucket)
+        if gate:
+            pos_a, pos_b, skipped = _expand_runs(
+                np.arange(batch.num_rows, dtype=np.int64), starts, 1,
+                n_runs - 1, max_bucket)
+            a, b = _pfx_filter_pairs(batch["pfx"], pos_a, pos_b, ids,
+                                     prefix_bar)
+        else:
+            pair_a, pair_b, skipped = _expand_runs(ids, starts, 1,
+                                                   n_runs - 1, max_bucket)
+            a = np.concatenate(pair_a) if pair_a else np.array([], dtype=ids.dtype)
+            b = np.concatenate(pair_b) if pair_b else np.array([], dtype=ids.dtype)
         if skipped:
             import logging
 
@@ -328,11 +407,9 @@ def _make_fused_expand(max_bucket: int):
         for r in {0, n_runs - 1}:
             s_, e_ = int(starts[r]), int(starts[r + 1])
             take.extend(range(s_, min(e_, s_ + max_bucket + 1)))
-        a = np.concatenate(pair_a) if pair_a else np.array([], dtype=ids.dtype)
-        b = np.concatenate(pair_b) if pair_b else np.array([], dtype=ids.dtype)
         np_, ne = len(a), len(take)
         take_arr = pa.array(take, pa.int64())
-        return pa.table({
+        cols = {
             "kind": pa.array(np.concatenate(
                 [np.zeros(np_, np.int8), np.ones(ne, np.int8)])),
             "key": pa.concat_arrays(
@@ -342,7 +419,12 @@ def _make_fused_expand(max_bucket: int):
                 [pa.nulls(np_, id_t), batch["id"].take(take_arr).combine_chunks()]),
             "id_a": pa.concat_arrays([pa.array(a).cast(id_t), pa.nulls(ne, id_t)]),
             "id_b": pa.concat_arrays([pa.array(b).cast(id_t), pa.nulls(ne, id_t)]),
-        })
+        }
+        if gate:
+            cols["pfx"] = pa.concat_arrays(
+                [pa.nulls(np_, pfx_t),
+                 batch["pfx"].take(take_arr).combine_chunks()])
+        return pa.table(cols)
 
     return _fused
 
@@ -374,7 +456,8 @@ def _fetch_rows_for_ids(ds, id_col: str, ids_needed) -> pa.Table:
 def _minhash_sig_and_pairs(ds, id_col: str, text_col: str,
                            num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 5, max_bucket: int = 64,
-                           spill_dir: str | None = None):
+                           spill_dir: str | None = None,
+                           prefix_bar: float | None = None):
     """Shared front half of the MinHash pipelines: distributed signature
     pass → band-bucket explode → ONE sort exchange (lsh_bucket_pairs_ds).
     Returns (sig_ds, pairs_ds): the materialized signature Dataset
@@ -387,7 +470,11 @@ def _minhash_sig_and_pairs(ds, id_col: str, text_col: str,
     to disk under pressure, fine multi-node. At extreme corpus sizes
     (~10^12 docs) pass ``spill_dir`` to park the signatures as
     partitioned parquet via the resumable sink instead and re-read them
-    per consumer — durable storage, column-pruned candidate fetch."""
+    per consumer — durable storage, column-pruned candidate fetch.
+
+    ``prefix_bar`` (resolved; see _resolve_prefix_bar): when set, each
+    exploded band row carries a 4·bands-byte strided signature prefix
+    and the bucket expansion drops pairs below the bar at generation."""
     # task-pool stage: the "state" is a seeded permutation table that
     # costs microseconds to rebuild, so a plain function schedules at
     # full width with no actor-pool ramp-up
@@ -408,12 +495,16 @@ def _minhash_sig_and_pairs(ds, id_col: str, text_col: str,
         sig_ds = sig_pipe.materialize()
 
     C = np.uint64(0x9E3779B97F4A7C15)
+    r_band = num_perm // bands
 
     def _explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "id": pa.array([], batch.schema.field("id").type)})
+            cols = {"key": pa.array([], pa.int64()),
+                    "id": pa.array([], batch.schema.field("id").type)}
+            if prefix_bar is not None:
+                cols["pfx"] = pa.array([], pa.binary(4 * bands))
+            return pa.table(cols)
         bh_col = batch["band_hashes"]
         if isinstance(bh_col, pa.ChunkedArray):
             bh_col = bh_col.combine_chunks()
@@ -422,11 +513,26 @@ def _minhash_sig_and_pairs(ds, id_col: str, text_col: str,
         # remix band index into the hash → one int64 key preserves the
         # (band, band_hash) bucket identity up to a 2^-64 collision
         key = _splitmix64(flat ^ (band * C)).view(np.int64)
-        ids = batch["id"].take(pa.array(np.repeat(np.arange(n), bands), pa.int64()))
-        return pa.table({"key": pa.array(key, pa.int64()), "id": ids})
+        rep = pa.array(np.repeat(np.arange(n), bands), pa.int64())
+        cols = {"key": pa.array(key, pa.int64()), "id": batch["id"].take(rep)}
+        if prefix_bar is not None:
+            # generation-time gate payload: ONE low-32 perm per band
+            # (the first), 4·bands bytes per exploded row — a band
+            # collision thus guarantees exactly one prefix match, so
+            # _resolve_prefix_bar's statistics hold (a contiguous
+            # 16-perm prefix would auto-pass every collision in its
+            # first 4 bands)
+            M = _sig_matrix(batch["sig"])
+            P = np.ascontiguousarray(
+                M[:, : bands * r_band : r_band].astype(np.uint32))
+            pfx_doc = pa.Array.from_buffers(
+                pa.binary(4 * bands), n, [None, pa.py_buffer(P.tobytes())])
+            cols["pfx"] = pfx_doc.take(rep)
+        return pa.table(cols)
 
     exploded = sig_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
-    return sig_ds, lsh_bucket_pairs_ds(exploded, max_bucket=max_bucket)
+    return sig_ds, lsh_bucket_pairs_ds(exploded, max_bucket=max_bucket,
+                                       prefix_bar=prefix_bar)
 
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str,
@@ -897,6 +1003,7 @@ def minhash_near_dups_ds(ds, id_col: str, text_col: str,
                          bands: int = 16, shingle_k: int = 5,
                          max_bucket: int = 64, spill_dir: str | None = None,
                          est_margin: float | None = 0.25,
+                         prefix_bar: float | str | None = "auto",
                          **verify_kw):
     """Fully distributed MinHash-LSH near-dup pipeline — Dataset in,
     Dataset (id_a, id_b, jaccard) out; candidate pairs, shingle sets and
@@ -911,10 +1018,19 @@ def minhash_near_dups_ds(ds, id_col: str, text_col: str,
     false-drop probability for a true ≥ threshold pair is ~1e-5 at 64
     perms (σ ≈ 0.057) — an order below the banding's own ~1% miss rate.
     The driver path applies the SAME gate, so both paths stay
-    output-identical; ``None`` disables the gate in both."""
+    output-identical; ``None`` disables the gate in both.
+
+    ``prefix_bar``: a COARSER gate applied even earlier — at pair
+    GENERATION inside the LSH bucket blocks (see _resolve_prefix_bar) —
+    so on dense corpora the junk band collisions (typically >95% of
+    candidates) never even reach the pair-dedup exchange or the
+    est-gate's signature joins. ``"auto"`` derives the bar from
+    ``threshold`` (no-op below threshold ≈ 0.51); both wrapper paths
+    share the generation step, so path parity is structural."""
     sig_ds, pairs_ds = _minhash_sig_and_pairs(
         ds, id_col, text_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, max_bucket=max_bucket, spill_dir=spill_dir)
+        shingle_k=shingle_k, max_bucket=max_bucket, spill_dir=spill_dir,
+        prefix_bar=_resolve_prefix_bar(prefix_bar, threshold, bands))
     if est_margin is not None and pairs_ds.count():
         gate = float(threshold - est_margin)
         pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds).map_batches(
@@ -931,6 +1047,7 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
                       distributed: bool | None = None,
                       driver_max_pairs: int = 500_000,
                       est_margin: float | None = 0.25,
+                      prefix_bar: float | str | None = "auto",
                       **kw) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → est-jaccard gate
     (see ``minhash_near_dups_ds``; same gate both paths) → exact verify
@@ -951,7 +1068,9 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
         num_perm=kw.get("num_perm", 64), bands=kw.get("bands", 16),
         shingle_k=kw.get("shingle_k", 5),
         max_bucket=kw.get("max_bucket", 64),
-        spill_dir=kw.get("spill_dir"))
+        spill_dir=kw.get("spill_dir"),
+        prefix_bar=_resolve_prefix_bar(prefix_bar, threshold,
+                                       kw.get("bands", 16)))
     n_pairs = pairs_ds.count()
     if distributed is None:
         distributed = n_pairs > driver_max_pairs

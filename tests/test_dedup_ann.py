@@ -217,6 +217,68 @@ def test_lsh_bucket_pairs_oversize_cap(ray_session):
     assert set(got["id_a"]).issubset(set(range(n_big, n_big + n_small)))
 
 
+def test_lsh_prefix_gate_mechanics(ray_session):
+    """Generation-time prefix gate: pairs below the prefix-match bar die
+    inside the bucket blocks (interior runs) AND in the driver edge
+    stitch, with the same ≥-bar rule; resolution rules per
+    _resolve_prefix_bar."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        _resolve_prefix_bar, lsh_bucket_pairs_ds)
+
+    # auto-resolution: no-op at/below bar == 1/bands, threshold-derived above
+    assert _resolve_prefix_bar("auto", 0.5, 16) is None
+    assert _resolve_prefix_bar("auto", 0.7, 16) == pytest.approx(0.25)
+    assert _resolve_prefix_bar(0.05, 0.9, 16) is None   # explicit but no-op
+    assert _resolve_prefix_bar(None, 0.9, 16) is None
+
+    def pfx(vals):
+        return np.asarray(list(vals), np.uint32).tobytes()
+
+    same = pfx(range(16))
+    disj = pfx(range(100, 116))
+    four = pfx(list(range(4)) + list(range(200, 212)))    # 4/16 vs `same`
+    three = pfx(list(range(3)) + list(range(300, 313)))   # 3/16 vs `same`
+    # ONE block → first/last runs (keys 0, 4) go through the driver edge
+    # stitch, middle runs (keys 1-3) expand interior to the block
+    rows = [
+        (0, 1, same), (0, 2, disj),    # edge run, frac 0      → dropped
+        (1, 3, same), (1, 4, same),    # interior, frac 1      → kept
+        (2, 5, same), (2, 6, disj),    # interior, frac 0      → dropped
+        (3, 7, same), (3, 8, four),    # interior, frac 4/16   → kept (≥ bar)
+        (4, 9, same), (4, 10, three),  # edge run, frac 3/16   → dropped
+    ]
+    t = pa.table({
+        "key": pa.array([r[0] for r in rows], pa.int64()),
+        "id": pa.array([r[1] for r in rows], pa.int64()),
+        "pfx": pa.array([r[2] for r in rows], pa.binary(64)),
+    })
+    out = lsh_bucket_pairs_ds(rd.from_arrow(t), prefix_bar=0.25).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(3, 4), (7, 8)}
+    # and without the gate every bucket pairs up
+    ungated = lsh_bucket_pairs_ds(
+        rd.from_arrow(t.select(["key", "id"]))).to_pandas()
+    assert len(ungated) == 5
+
+
+def test_minhash_prefix_gate_output_parity(ray_session, corpus):
+    """The auto prefix gate must not change the near-dup output at the
+    default threshold (false-drop ~5e-8 per true pair): gated vs
+    ungated runs are frame-identical on the known-structure corpus."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import minhash_near_dups
+
+    gated = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                              threshold=0.7)
+    plain = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                              threshold=0.7, prefix_bar=None)
+    pd.testing.assert_frame_equal(gated, plain)
+    found = set(zip(gated["id_a"], gated["id_b"]))
+    assert found >= {(i, 1000 + i) for i in range(10)}
+
+
 def test_jaccard_near_dups_oracle(ray_session, corpus):
     """Exact rare-word Jaccard vs a DuckDB twin on the known corpus."""
     import ray.data as rd
