@@ -925,6 +925,8 @@ def _sig_matrix(col) -> np.ndarray:
     """(rows x perms) uint64 view over a variable-binary signature column
     — zero-copy from the offsets/values buffers, no to_pylist."""
     arr = col.combine_chunks()
+    if len(arr) == 0:  # reshape(0, -1) raises; empty blocks are real
+        return np.empty((0, 0), np.uint64)
     bufs = arr.buffers()
     off = np.frombuffer(bufs[1], np.int32, count=len(arr) + 1,
                         offset=arr.offset * 4).astype(np.int64)
@@ -935,18 +937,22 @@ def _sig_matrix(col) -> np.ndarray:
     return data.view(np.uint64).reshape(len(arr), -1)
 
 
-def _lo32_fixed(col) -> pa.Array:
+def _lo32_fixed(col, num_perm: int) -> pa.Array:
     """Signature column truncated to the LOW 32 BITS of each perm value,
-    as fixed_size_binary(perms*4) — HALF the bytes through the est-gate
-    join exchanges. Estimate semantics are preserved: the match fraction
-    compares per-perm equality, and a low-half collision on unequal
-    perms costs 2^-32 per probe (~1.5e-8 per 64-perm pair) — both the
-    driver and distributed paths truncate identically, so gate decisions
-    stay path-identical."""
+    as fixed_size_binary(num_perm*4) — HALF the bytes through the
+    est-gate join exchanges. ``num_perm`` fixes the output width so an
+    EMPTY block emits the same fixed_size_binary type as populated ones
+    (deriving it from the batch would give width-0 empties — a
+    cross-block schema mismatch). Estimate semantics are preserved: the
+    match fraction compares per-perm equality, and a low-half collision
+    on unequal perms costs 2^-32 per probe (~1.5e-8 per 64-perm pair) —
+    both the driver and distributed paths truncate identically, so gate
+    decisions stay path-identical."""
     M = _sig_matrix(col)
+    if M.shape[0] and M.shape[1] != num_perm:
+        raise ValueError(f"signature width {M.shape[1]} != {num_perm} perms")
     lo = np.ascontiguousarray(M.astype(np.uint32))
-    w = lo.shape[1] * 4 if lo.size else 4
-    return pa.Array.from_buffers(pa.binary(w), len(M),
+    return pa.Array.from_buffers(pa.binary(num_perm * 4), len(M),
                                  [None, pa.py_buffer(lo.tobytes())])
 
 
@@ -959,7 +965,7 @@ def _fsb_matrix_u32(col) -> np.ndarray:
     return data.view(np.uint32).reshape(len(arr), -1)
 
 
-def _est_jaccard_ds(sig_ds, pairs_ds):
+def _est_jaccard_ds(sig_ds, pairs_ds, num_perm: int = 64):
     """Distributed signature-match fraction per candidate pair: two
     SKINNY sort-merge joins carry each side's LOW-32-truncated packed
     signature to its pair row (right side unique per id, per-key
@@ -970,7 +976,8 @@ def _est_jaccard_ds(sig_ds, pairs_ds):
 
     def _rn(new):
         def _fn(t: pa.Table) -> pa.Table:
-            return pa.table({"id": t["id"], new: _lo32_fixed(t["sig"])})
+            return pa.table({"id": t["id"],
+                             new: _lo32_fixed(t["sig"], num_perm)})
         return _fn
 
     sigs = sig_ds.select_columns(["id", "sig"])
@@ -1033,7 +1040,7 @@ def minhash_near_dups_ds(ds, id_col: str, text_col: str,
         prefix_bar=_resolve_prefix_bar(prefix_bar, threshold, bands))
     if est_margin is not None and pairs_ds.count():
         gate = float(threshold - est_margin)
-        pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds).map_batches(
+        pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds, num_perm).map_batches(
             lambda t: t.filter(
                 pc.greater_equal(t["est_jaccard"], gate)
             ).select(["id_a", "id_b"]),
@@ -1077,7 +1084,8 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
     if distributed:
         if n_pairs and est_margin is not None:
             gate = float(threshold - est_margin)
-            pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds).map_batches(
+            pairs_ds = _est_jaccard_ds(
+                sig_ds, pairs_ds, kw.get("num_perm", 64)).map_batches(
                 lambda t: t.filter(
                     pc.greater_equal(t["est_jaccard"], gate)
                 ).select(["id_a", "id_b"]),
@@ -2066,10 +2074,15 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
 
     @ray.remote
     def _label_bounds(tbl: pa.Table):
+        # min/max, NOT positional first/last: sorted_groupby's inner
+        # blocks come out of Arrow's hash group_by, whose emission order
+        # is first-encounter by happenstance, not contract (the shared
+        # module documents the output as hash-ordered) — the overlap
+        # filter below must stay correct if that order ever changes
         if tbl.num_rows == 0:
             return None
-        ids = tbl["id"]
-        return (ids[0].as_py(), ids[tbl.num_rows - 1].as_py())
+        mm = pc.min_max(tbl["id"]).as_py()
+        return (mm["min"], mm["max"])
 
     @ray.remote
     def _nb_min_partial(layout: dict, edge_tbl: pa.Table,

@@ -1204,21 +1204,26 @@ def interval_overlap_counts(ds, key_col: str, ts_col: str, id_col: str,
     return rd.from_arrow_refs(inner_refs + [edge_ref])
 
 
-def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
-    """Per-partition inter-event gap stats — the LAG() window twin: for
-    every partition with ≥2 events, (n_events, max_gap_us) where gaps
-    are consecutive ts differences under (ts, order_col) ordering, i.e.
-    SQL ``MAX(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY part
-    ORDER BY ts, order))`` with ``HAVING COUNT(*) > 1``.
+def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
+                          out_fields: list, run_agg, merge, emit):
+    """Shared scaffold for per-partition ordered-run reductions
+    (session_gap_stats, sessionize — the LAG()-family primitives): ONE
+    sort by (part, ts, order); every run interior to a sorted block
+    finalizes via ``run_agg`` inside the block task; each block ships at
+    most TWO tiny boundary fragments (pos, part, *agg values, first_ts,
+    last_ts) with pos 0 = first run of a multi-run block (completes
+    in-block), 1 = last run (may continue), 2 = single-run block; the
+    driver carry-merges fragments in block order via ``merge`` — driver
+    traffic is O(blocks), independent of partition sizes.
 
-    Distributed shape: ONE sort by (part, ts, order); every run interior
-    to a sorted block finalizes (n, max consecutive diff) vectorized in
-    the block task; each block ships at most TWO tiny boundary fragments
-    (part, n, local max gap, first/last ts) and the driver carry-merges
-    them in block order — cross-block gaps are exactly the fragment
-    boundary differences. Driver traffic is O(blocks), independent of
-    partition sizes. Returns a Dataset (part_col, n_events, max_gap_us).
-    """
+    ``run_agg(seg)``: int64-µs ts segment of one run → tuple of agg
+    values, one per ``out_fields`` name. ``merge(carry_vals, frag_vals,
+    boundary_gap_us)``: combine a continuing partition's accumulated
+    values with its next fragment's. ``emit(vals)``: False drops a
+    finished partition (e.g. HAVING COUNT(*) > 1) — applied identically
+    to interior runs and carry-merged edge partitions.
+
+    Returns a Dataset (part_col, *out_fields) with int64 agg columns."""
     import ray
     import ray.data as rd
 
@@ -1234,16 +1239,19 @@ def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
     refs = s.to_arrow_refs()
     part_t = (s.schema().base_schema.field(part_col).type
               if refs else pa.int64())
-    out_schema = pa.schema([(part_col, part_t), ("n_events", pa.int64()),
-                            ("max_gap_us", pa.int64())])
+    out_schema = pa.schema([(part_col, part_t)]
+                           + [(f, pa.int64()) for f in out_fields])
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
 
+    def _table(rows_):
+        cols = {part_col: pa.array([r[0] for r in rows_], part_t)}
+        for i, f in enumerate(out_fields):
+            cols[f] = pa.array([r[1 + i] for r in rows_], pa.int64())
+        return pa.table(cols)
+
     @ray.remote(num_returns=2)
     def _block(block: pa.Table):
-        # fragments: (pos, part, n, max_gap, first_ts, last_ts) with
-        # pos 0 = first run of a multi-run block (completes in-block),
-        # pos 1 = last run (may continue), pos 2 = single-run block
         if block.num_rows == 0:
             return out_schema.empty_table(), []
         k = block[part_col].to_numpy(zero_copy_only=False)
@@ -1251,27 +1259,20 @@ def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
             "datetime64[us]").view(np.int64)
         starts, widths = _run_bounds(k)
         n_runs = starts.size
-        parts_, ns, gaps = [], [], []
+        inner_rows = []
         for r in range(1, n_runs - 1):
-            if widths[r] < 2:
-                continue  # single-event partition: HAVING COUNT(*) > 1
             a, b = int(starts[r]), int(starts[r] + widths[r])
-            parts_.append(k[a])
-            ns.append(int(widths[r]))
-            gaps.append(int(np.diff(ts[a:b]).max()))
-        inner = pa.table({part_col: pa.array(parts_, part_t),
-                          "n_events": pa.array(ns, pa.int64()),
-                          "max_gap_us": pa.array(gaps, pa.int64())})
+            vals = run_agg(ts[a:b])
+            if emit(vals):
+                inner_rows.append((k[a], *vals))
         frags = []
         edge_runs = [(0, 0)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
         for r, pos in edge_runs:
             a, b = int(starts[r]), int(starts[r] + widths[r])
-            seg = ts[a:b]
-            mg = int(np.diff(seg).max()) if seg.size >= 2 else -1
             frags.append((2 if n_runs == 1 else pos, k[a].item()
                           if hasattr(k[a], "item") else k[a],
-                          int(seg.size), mg, int(seg[0]), int(seg[-1])))
-        return inner, frags
+                          run_agg(ts[a:b]), int(ts[a]), int(ts[b - 1])))
+        return _table(inner_rows), frags
 
     results = [_block.remote(r) for r in refs]
     frag_lists = ray.get([r[1] for r in results])
@@ -1280,31 +1281,42 @@ def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
     finals = []
 
     def _finalize(c):
-        if c is not None and c[1] >= 2:
-            finals.append((c[0], c[1], c[2]))
+        if c is not None and emit(c[1]):
+            finals.append((c[0], *c[1]))
 
-    carry = None  # (part, n, max_gap, last_ts)
+    carry = None  # (part, vals, last_ts)
     for frags in frag_lists:
-        for pos, part, n, mg, fts, lts in frags:
+        for pos, part, vals, fts, lts in frags:
             if carry is not None and carry[0] == part:
-                merged = (part, carry[1] + n,
-                          max(carry[2], mg, fts - carry[3]), lts)
+                merged = (part, merge(carry[1], vals, fts - carry[2]), lts)
             else:
                 _finalize(carry)
-                merged = (part, n, mg, lts)
+                merged = (part, vals, lts)
             if pos == 0:  # completes inside this block
                 _finalize(merged)
                 carry = None
             else:  # pos 1 or 2: may continue into the next block
                 carry = merged
     _finalize(carry)
-    edge_table = pa.table({
-        part_col: pa.array([f[0] for f in finals], part_t),
-        "n_events": pa.array([f[1] for f in finals], pa.int64()),
-        "max_gap_us": pa.array([f[2] for f in finals], pa.int64()),
-    })
     return rd.from_arrow_refs([r[0] for r in results]
-                              + [ray.put(edge_table)])
+                              + [ray.put(_table(finals))])
+
+
+def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
+    """Per-partition inter-event gap stats — the LAG() window twin: for
+    every partition with ≥2 events, (n_events, max_gap_us) where gaps
+    are consecutive ts differences under (ts, order_col) ordering, i.e.
+    SQL ``MAX(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY part
+    ORDER BY ts, order))`` with ``HAVING COUNT(*) > 1``. Cross-block
+    gaps are exactly the fragment boundary differences the shared
+    scaffold hands to ``merge``. Returns a Dataset
+    (part_col, n_events, max_gap_us)."""
+    return _partition_run_reduce(
+        ds, part_col, ts_col, order_col, ["n_events", "max_gap_us"],
+        run_agg=lambda seg: (int(seg.size),
+                             int(np.diff(seg).max()) if seg.size >= 2 else -1),
+        merge=lambda c, f, bg: (c[0] + f[0], max(c[1], f[1], bg)),
+        emit=lambda v: v[0] >= 2)
 
 
 def sessionize(ds, part_col: str, ts_col: str, order_col: str,
@@ -1315,104 +1327,22 @@ def sessionize(ds, part_col: str, ts_col: str, order_col: str,
     the previous event exceeds ``gap_us`` (default 30 min). SQL twin:
     ``SUM(CASE WHEN lag IS NULL OR ts - lag > gap THEN 1 ELSE 0 END)
     OVER (PARTITION BY part ORDER BY ts, order)`` then GROUP BY part.
+    A cross-block continuation cancels the continuing fragment's first
+    session start iff the boundary gap is within ``gap_us``. Returns a
+    Dataset (part_col, n_sessions, n_events)."""
 
-    Distributed shape (same as session_gap_stats): ONE sort by
-    (part, ts, order); interior runs finalize (n_sessions, n_events)
-    vectorized per block; each block ships ≤2 tiny boundary fragments
-    and the driver carry-merges them in block order — a cross-block
-    continuation cancels the continuing fragment's first session start
-    iff the boundary gap is within ``gap_us``. Driver traffic is
-    O(blocks). Returns a Dataset (part_col, n_sessions, n_events)."""
-    import ray
-    import ray.data as rd
+    def _sessions(seg):
+        if seg.size < 2:
+            return (int(seg.size), int(seg.size))
+        return (1 + int(np.count_nonzero(np.diff(seg) > gap_us)),
+                int(seg.size))
 
-    from .fast_ops import rightsize_blocks
-
-    try:
-        rows = ds.count()  # metadata-only on the raw read
-    except Exception:
-        rows = None
-    s = rightsize_blocks(ds.select_columns([part_col, ts_col, order_col]),
-                         rows=rows).sort(
-        [part_col, ts_col, order_col]).materialize()
-    refs = s.to_arrow_refs()
-    part_t = (s.schema().base_schema.field(part_col).type
-              if refs else pa.int64())
-    out_schema = pa.schema([(part_col, part_t), ("n_sessions", pa.int64()),
-                            ("n_events", pa.int64())])
-    if not refs:
-        return rd.from_arrow(out_schema.empty_table())
-
-    @ray.remote(num_returns=2)
-    def _block(block: pa.Table):
-        # fragments: (pos, part, n_events, n_sessions, first_ts, last_ts)
-        # pos 0 = first run of a multi-run block, 1 = last run, 2 = only
-        if block.num_rows == 0:
-            return out_schema.empty_table(), []
-        k = block[part_col].to_numpy(zero_copy_only=False)
-        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").view(np.int64)
-        starts, widths = _run_bounds(k)
-        n_runs = starts.size
-
-        def _sessions(a: int, b: int) -> int:
-            seg = ts[a:b]
-            if seg.size < 2:
-                return seg.size
-            return 1 + int(np.count_nonzero(np.diff(seg) > gap_us))
-
-        parts_, sess, ns = [], [], []
-        for r in range(1, n_runs - 1):
-            a, b = int(starts[r]), int(starts[r] + widths[r])
-            parts_.append(k[a])
-            sess.append(_sessions(a, b))
-            ns.append(int(widths[r]))
-        inner = pa.table({part_col: pa.array(parts_, part_t),
-                          "n_sessions": pa.array(sess, pa.int64()),
-                          "n_events": pa.array(ns, pa.int64())})
-        frags = []
-        edge_runs = [(0, 0)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
-        for r, pos in edge_runs:
-            a, b = int(starts[r]), int(starts[r] + widths[r])
-            frags.append((2 if n_runs == 1 else pos, k[a].item()
-                          if hasattr(k[a], "item") else k[a],
-                          int(b - a), _sessions(a, b),
-                          int(ts[a]), int(ts[b - 1])))
-        return inner, frags
-
-    results = [_block.remote(r) for r in refs]
-    frag_lists = ray.get([r[1] for r in results])
-
-    finals = []
-
-    def _finalize(c):
-        if c is not None:
-            finals.append((c[0], c[1], c[2]))
-
-    carry = None  # (part, n_sessions, n_events, last_ts)
-    for frags in frag_lists:
-        for pos, part, n, ses, fts, lts in frags:
-            if carry is not None and carry[0] == part:
-                # the continuing fragment counted its first event as a
-                # session start; cancel it iff the boundary gap is small
-                joined = ses - (1 if fts - carry[3] <= gap_us else 0)
-                merged = (part, carry[1] + joined, carry[2] + n, lts)
-            else:
-                _finalize(carry)
-                merged = (part, ses, n, lts)
-            if pos == 0:  # completes inside this block
-                _finalize(merged)
-                carry = None
-            else:
-                carry = merged
-    _finalize(carry)
-    edge_table = pa.table({
-        part_col: pa.array([f[0] for f in finals], part_t),
-        "n_sessions": pa.array([f[1] for f in finals], pa.int64()),
-        "n_events": pa.array([f[2] for f in finals], pa.int64()),
-    })
-    return rd.from_arrow_refs([r[0] for r in results]
-                              + [ray.put(edge_table)])
+    return _partition_run_reduce(
+        ds, part_col, ts_col, order_col, ["n_sessions", "n_events"],
+        run_agg=_sessions,
+        merge=lambda c, f, bg: (c[0] + f[0] - (1 if bg <= gap_us else 0),
+                                c[1] + f[1]),
+        emit=lambda v: True)
 
 
 _SESSION_SCHEMA = pa.schema(

@@ -262,6 +262,25 @@ def test_lsh_prefix_gate_mechanics(ray_session):
     assert len(ungated) == 5
 
 
+def test_lo32_fixed_empty_and_width():
+    """Empty signature blocks (real after skewed sorts) must not crash
+    the est-gate's truncation and must emit the SAME fixed_size_binary
+    width as populated blocks (schema consistency across blocks); a
+    populated block whose width disagrees with num_perm raises."""
+    from advanced_data_profile_ray.pipelines.dedup import (
+        _lo32_fixed, _sig_matrix)
+
+    empty = pa.chunked_array([pa.array([], pa.binary())])
+    assert _sig_matrix(empty).shape == (0, 0)
+    out = _lo32_fixed(empty, 64)
+    assert out.type == pa.binary(256) and len(out) == 0
+    sig = np.arange(64, dtype=np.uint64).tobytes()
+    one = pa.chunked_array([pa.array([sig], pa.binary())])
+    assert _lo32_fixed(one, 64).type == pa.binary(256)
+    with pytest.raises(ValueError):
+        _lo32_fixed(one, 32)
+
+
 def test_minhash_prefix_gate_output_parity(ray_session, corpus):
     """The auto prefix gate must not change the near-dup output at the
     default threshold (false-drop ~5e-8 per true pair): gated vs
