@@ -262,6 +262,27 @@ def test_lsh_prefix_gate_mechanics(ray_session):
     assert len(ungated) == 5
 
 
+def test_minhash_prefix_gate_nondefault_config(ray_session, corpus):
+    """Stride math at 128 perms / 32 bands (r=4) and gate+spill_dir
+    together (prefix built from the parquet-roundtripped signature
+    column): output must equal the ungated in-memory run."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import minhash_near_dups
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        gated = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                                  threshold=0.7, num_perm=128, bands=32,
+                                  spill_dir=d + "/sigs")
+    plain = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                              threshold=0.7, num_perm=128, bands=32,
+                              prefix_bar=None)
+    pd.testing.assert_frame_equal(gated, plain)
+    assert {(i, 1000 + i) for i in range(10)} <= set(
+        zip(gated["id_a"], gated["id_b"]))
+
+
 def test_lo32_fixed_empty_and_width():
     """Empty signature blocks (real after skewed sorts) must not crash
     the est-gate's truncation and must emit the SAME fixed_size_binary
