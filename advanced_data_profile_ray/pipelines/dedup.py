@@ -952,8 +952,10 @@ def _lo32_fixed(col, num_perm: int) -> pa.Array:
     if M.shape[0] and M.shape[1] != num_perm:
         raise ValueError(f"signature width {M.shape[1]} != {num_perm} perms")
     lo = np.ascontiguousarray(M.astype(np.uint32))
+    # py_buffer wraps the ndarray's memory directly (and keeps it alive)
+    # — no tobytes() second copy of the full payload
     return pa.Array.from_buffers(pa.binary(num_perm * 4), len(M),
-                                 [None, pa.py_buffer(lo.tobytes())])
+                                 [None, pa.py_buffer(lo)])
 
 
 def _fsb_matrix_u32(col) -> np.ndarray:
@@ -1005,6 +1007,20 @@ def _est_jaccard_ds(sig_ds, pairs_ds, num_perm: int = 64):
     return j2.map_batches(_est, batch_format="pyarrow", batch_size=None)
 
 
+def _apply_est_gate(sig_ds, pairs_ds, threshold: float, est_margin: float,
+                    num_perm: int):
+    """Shared est-jaccard gate (both near-dup wrapper paths MUST apply
+    the identical rule to stay output-parallel): drop candidates whose
+    signature match fraction < threshold − est_margin, keeping only the
+    (id_a, id_b) columns."""
+    gate = float(threshold - est_margin)
+    return _est_jaccard_ds(sig_ds, pairs_ds, num_perm).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["est_jaccard"], gate)
+        ).select(["id_a", "id_b"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+
 def minhash_near_dups_ds(ds, id_col: str, text_col: str,
                          threshold: float = 0.7, num_perm: int = 64,
                          bands: int = 16, shingle_k: int = 5,
@@ -1039,12 +1055,8 @@ def minhash_near_dups_ds(ds, id_col: str, text_col: str,
         shingle_k=shingle_k, max_bucket=max_bucket, spill_dir=spill_dir,
         prefix_bar=_resolve_prefix_bar(prefix_bar, threshold, bands))
     if est_margin is not None and pairs_ds.count():
-        gate = float(threshold - est_margin)
-        pairs_ds = _est_jaccard_ds(sig_ds, pairs_ds, num_perm).map_batches(
-            lambda t: t.filter(
-                pc.greater_equal(t["est_jaccard"], gate)
-            ).select(["id_a", "id_b"]),
-            batch_format="pyarrow", batch_size=None).materialize()
+        pairs_ds = _apply_est_gate(sig_ds, pairs_ds, threshold, est_margin,
+                                   num_perm)
     return verify_jaccard_ds(ds, id_col, text_col, pairs_ds,
                              shingle_k=shingle_k, threshold=threshold,
                              **verify_kw)
@@ -1083,13 +1095,8 @@ def minhash_near_dups(ds, id_col: str, text_col: str, threshold: float = 0.7,
         distributed = n_pairs > driver_max_pairs
     if distributed:
         if n_pairs and est_margin is not None:
-            gate = float(threshold - est_margin)
-            pairs_ds = _est_jaccard_ds(
-                sig_ds, pairs_ds, kw.get("num_perm", 64)).map_batches(
-                lambda t: t.filter(
-                    pc.greater_equal(t["est_jaccard"], gate)
-                ).select(["id_a", "id_b"]),
-                batch_format="pyarrow", batch_size=None).materialize()
+            pairs_ds = _apply_est_gate(sig_ds, pairs_ds, threshold,
+                                       est_margin, kw.get("num_perm", 64))
         out = verify_jaccard_ds(
             ds, id_col, text_col, pairs_ds,
             shingle_k=kw.get("shingle_k", 5),
@@ -2048,11 +2055,12 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
 
     # initial labels: distinct nodes (both-direction src covers all),
     # label = own id, via one skinny exchange. Labels stay SPLIT as
-    # (inner, edge): sorted_groupby's inner blocks are globally
-    # key-sorted with disjoint ranges, and the straddling-run edge table
-    # is tiny — keeping them separate means NO per-round label sort
-    # (the r5 first cut re-sorted the union every iteration); the edge
-    # rows broadcast to every gather task instead.
+    # (inner, edge): sorted_groupby's inner blocks cover DISJOINT key
+    # ranges (the sort range-partitions blocks; rows WITHIN a block are
+    # hash-ordered — see fast_ops), and the straddling-run edge table
+    # is tiny — keeping them separate means NO per-round global label
+    # sort (the r5 first cut re-sorted the union every iteration); the
+    # edge rows broadcast to every gather task instead.
     inner0, edge_t0 = sorted_groupby(
         edges_sorted.map_batches(lambda t: t.select(["src"]),
                                  batch_format="pyarrow", batch_size=None),
@@ -2097,8 +2105,10 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
         lab = pa.concat_tables(parts) if parts else edge_tbl
         ids = lab["id"].to_numpy(zero_copy_only=False)
         lbl = lab["label"].to_numpy(zero_copy_only=False)
-        # inner blocks are sorted and disjoint; only the few appended
-        # edge rows are out of place — argsort is near-free here
+        # inner blocks cover disjoint key ranges but rows within each
+        # are HASH-ordered (group_by emission order is not a contract) —
+        # the per-block argsort here is required for the searchsorted
+        # gather, not an optimization to be dropped
         order = np.argsort(ids, kind="stable")
         ids, lbl = ids[order], lbl[order]
         src = layout["src"]
@@ -2121,9 +2131,10 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
                          "own": t["label"]})
 
     for _ in range(max_iters):
-        # per-round exchanges touch ONLY the new-label groupby: the
-        # sorted inner label blocks carry their own disjoint key ranges,
-        # so gathers are bounds-matched with no label re-sort
+        # per-round exchanges touch ONLY the new-label groupby: inner
+        # label blocks carry disjoint key ranges (min/max-computed —
+        # rows within a block are hash-ordered), so gathers are
+        # bounds-matched with no global label re-sort
         lab_refs = labels_inner.to_arrow_refs()
         lab_bounds = ray.get([_label_bounds.remote(r) for r in lab_refs])
         live = [(r, b) for r, b in zip(lab_refs, lab_bounds)

@@ -262,25 +262,33 @@ def test_lsh_prefix_gate_mechanics(ray_session):
     assert len(ungated) == 5
 
 
-def test_minhash_prefix_gate_nondefault_config(ray_session, corpus):
+def test_minhash_prefix_gate_nondefault_config(ray_session, corpus, tmp_path):
     """Stride math at 128 perms / 32 bands (r=4) and gate+spill_dir
     together (prefix built from the parquet-roundtripped signature
-    column): output must equal the ungated in-memory run."""
+    column): output must equal the ungated in-memory run. The forced
+    distributed route (driver_max_pairs=0) additionally exercises the
+    est-gate's _lo32_fixed width threading at non-default perms."""
     import ray.data as rd
 
     from advanced_data_profile_ray.pipelines.dedup import minhash_near_dups
 
-    import tempfile
-    with tempfile.TemporaryDirectory() as d:
-        gated = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
-                                  threshold=0.7, num_perm=128, bands=32,
-                                  spill_dir=d + "/sigs")
+    gated = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                              threshold=0.7, num_perm=128, bands=32,
+                              spill_dir=str(tmp_path / "sigs"))
     plain = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
                               threshold=0.7, num_perm=128, bands=32,
                               prefix_bar=None)
     pd.testing.assert_frame_equal(gated, plain)
     assert {(i, 1000 + i) for i in range(10)} <= set(
         zip(gated["id_a"], gated["id_b"]))
+    dist = minhash_near_dups(rd.from_arrow(corpus), "doc_id", "text",
+                             threshold=0.7, num_perm=128, bands=32,
+                             driver_max_pairs=0)
+    pd.testing.assert_frame_equal(
+        plain[["id_a", "id_b", "jaccard"]].reset_index(drop=True)
+        .astype({"id_a": "int64", "id_b": "int64"}),
+        dist.astype({"id_a": "int64", "id_b": "int64"}),
+        check_exact=False, atol=1e-12)
 
 
 def test_lo32_fixed_empty_and_width():
