@@ -582,6 +582,63 @@ def test_interval_overlap_counts_stitching(ray_session):
         pd.DataFrame({"id": ids, "n_overlap": want}))
 
 
+def test_partition_run_reduce_random_sweep(ray_session):
+    """Shared scaffold (_partition_run_reduce) under adversarial shapes:
+    many SINGLE-event partitions (gap stats' HAVING filter must drop
+    them even when they land on block boundaries), mixed run widths,
+    and block counts 1 / 7 / 40 — both primitives vs pandas oracles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import (
+        session_gap_stats, sessionize)
+
+    rng = np.random.default_rng(11)
+    GAP = 1_000_000
+    rows = []
+    eid = 0
+    for user in range(60):
+        n_ev = int(rng.choice([1, 1, 2, 3, 17]))  # many singletons
+        t = int(rng.integers(0, GAP))
+        for _ in range(n_ev):
+            t += int(rng.choice([GAP // 3, GAP * 2]))
+            rows.append((user, t, eid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id"])
+    srt = df.sort_values(["user_id", "ts_us", "event_id"])
+    want_gap = (srt.groupby("user_id")
+                .agg(n_events=("ts_us", "size"),
+                     max_gap_us=("ts_us", lambda s: s.diff().max()))
+                .reset_index())
+    want_gap = want_gap[want_gap["n_events"] >= 2].reset_index(drop=True)
+    want_sess = (srt.groupby("user_id")
+                 .agg(n_sessions=("ts_us",
+                                  lambda s: 1 + int((s.diff() > GAP).sum())),
+                      n_events=("ts_us", "size"))
+                 .reset_index())
+    t = pa.table({
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(pd.to_datetime(df["ts_us"], unit="us"),
+                       pa.timestamp("us")),
+        "event_id": pa.array(df["event_id"], pa.int64()),
+    })
+    for blocks in (1, 7, 40):
+        ds = rd.from_arrow(t).random_shuffle(seed=blocks).repartition(blocks)
+        got_gap = (session_gap_stats(ds, "user_id", "ts", "event_id")
+                   .to_pandas().sort_values("user_id")
+                   .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_gap.astype("int64"),
+                                      want_gap.astype("int64"))
+        ds = rd.from_arrow(t).random_shuffle(seed=blocks).repartition(blocks)
+        got_sess = (sessionize(ds, "user_id", "ts", "event_id", gap_us=GAP)
+                    .to_pandas().sort_values("user_id")
+                    .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_sess.astype("int64"),
+                                      want_sess.astype("int64"))
+
+
 def test_sessionize_boundary_stitch(ray_session):
     """sessionize must count sessions exactly when a user's run straddles
     many tiny sorted blocks: a cross-block continuation cancels the
