@@ -565,6 +565,223 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
     return out[["conv_id", "n_turns", "max_turn_idx", "n_tool_turns"]]
 
 
+def q_role_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov ROLE-TRANSITION counts over the derived transcripts (which
+    role follows which within a conversation) — LAG + GROUP BY twin via
+    stages.window.transition_counts: ONE sort exchange, per-block pair
+    reduction to a ≤|roles|² partial, O(blocks) boundary stitch; the
+    per-row lag column never materializes. Runs over a projected events
+    read (user_id ↔ conv_id are 1:1 and (ts, event_id) IS the turn
+    order, so transitions over user_id equal transitions over conv_id —
+    props/text never leaves storage)."""
+    from ..stages.window import event_roles, transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _roles(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        role = event_roles(ev.to_numpy(zero_copy_only=False))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "role": pa.array(role, pa.string())})
+
+    inner, edge = transition_counts(
+        ds.map_batches(_roles, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "role",
+        prev_name="prev_role", cur_name="role")
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
+
+
+def q_user_retention(sf_dir: str) -> pd.DataFrame:
+    """COHORT RETENTION matrix: users grouped by their first active day,
+    counted per (cohort_day, day_offset) — the classic training-corpus /
+    product-analytics retention triangle. Distributed shape: distinct
+    (user, day) pairs through one skinny sorted_groupby exchange, the
+    per-user cohort day via first_value_within (FIRST_VALUE carry — no
+    self-join back to the fact table), then one tiny (cohort, offset)
+    count exchange. The fact table is never joined against itself."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import first_value_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        # epoch ts are nonnegative, so int64 truncation == floor division
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    inner, edge = sorted_groupby(ds.map_batches(_days, batch_format="pyarrow"),
+                                 ["user_id", "day"],
+                                 [(None, "count_all", "__n")])
+    pairs = inner.select_columns(["user_id", "day"])
+    if edge is not None and edge.num_rows:
+        pairs = pairs.union(rd.from_arrow(edge.select(["user_id", "day"])))
+
+    fv = first_value_within(pairs, "user_id", ["day"], "day",
+                            out_col="cohort_day")
+
+    def _offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty group_by can drop key columns
+            return pa.schema([("cohort_day", pa.int64()),
+                              ("day_offset", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        tt = pa.table({"cohort_day": t["cohort_day"],
+                       "day_offset": pc.subtract(t["day"], t["cohort_day"])})
+        g = tt.group_by(["cohort_day", "day_offset"],
+                        use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names]
+        ).select(["cohort_day", "day_offset", "n"])
+
+    inner2, edge2 = sorted_groupby(
+        fv.map_batches(_offsets, batch_format="pyarrow"),
+        ["cohort_day", "day_offset"], [("n", "sum", "n_users")])
+    out = inner2.to_pandas()
+    if edge2 is not None and edge2.num_rows:
+        out = pd.concat([out, edge2.to_pandas()], ignore_index=True)
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+def q_gini_by_priority(sf_dir: str) -> pd.DataFrame:
+    """GINI COEFFICIENT of order value per priority class (inequality /
+    concentration index — how skewed is spend across orders). Uses the
+    sorted-values identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), whose
+    Σ i·x₍ᵢ₎ is computed WITHOUT per-row ranks: grouped value counts
+    (one sorted_groupby exchange) + running_sum give each distinct value
+    its preceding-row count b, and the tied block at that value
+    contributes x·(c·b + c(c+1)/2) — exact int64 cents throughout, tie-
+    order invariant (equal values make Σ i·x independent of tiebreak),
+    one float expression per group at the very end mirroring the SQL
+    twin's CAST placement. Bound: Σ i·x ≤ max_cents·n(n+1)/2 — int64-
+    safe to ~10⁵ × the sf1 table at TPC-H price ranges."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import running_sum
+
+    g = "o_orderpriority"
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({g: t[g], "cents": cents})
+
+    pre = _read(sf_dir, "orders", [g, "o_totalprice"]).map_batches(
+        _cents, batch_format="pyarrow")
+    inner, edge = sorted_groupby(pre, [g, "cents"],
+                                 [(None, "count_all", "cnt")])
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+    cum = running_sum(vc, g, ["cents"], "cnt", out_col="cum")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty group_by can drop key columns
+            return pa.schema([(g, pa.string()), ("s", pa.int64()),
+                              ("t", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        x = t["cents"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        base = t["cum"].to_numpy(zero_copy_only=False) - c
+        s = x * (c * base + c * (c + 1) // 2)  # Σ i·x over the tied block
+        tt = pa.table({g: t[g], "s": pa.array(s, pa.int64()),
+                       "t": pc.multiply(t["cents"], t["cnt"]), "n": t["cnt"]})
+        out = tt.group_by([g], use_threads=False).aggregate(
+            [("s", "sum"), ("t", "sum"), ("n", "sum")])
+        return out.rename_columns(
+            [c2.removesuffix("_sum") for c2 in out.column_names]
+        ).select([g, "s", "t", "n"])
+
+    inner2, edge2 = sorted_groupby(
+        cum.map_batches(_partial, batch_format="pyarrow"),
+        [g], [("s", "sum", "s"), ("t", "sum", "t"), ("n", "sum", "n")])
+    out = inner2.to_pandas()
+    if edge2 is not None and edge2.num_rows:
+        out = pd.concat([out, edge2.to_pandas()], ignore_index=True)
+    # float expression mirrors the oracle: 2.0*S, (n+1.0)*T, (n*1.0)*T
+    s_f = out["s"].astype("float64")
+    t_f = out["t"].astype("float64")
+    n_f = out["n"].astype("float64")
+    gini = (2.0 * s_f - (n_f + 1.0) * t_f) / ((n_f * 1.0) * t_f)
+    res = pd.DataFrame({g: out[g], "gini": gini.round(6)})
+    return res.sort_values(g).reset_index(drop=True)
+
+
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """GROUPED WEIGHTED MEDIAN (quantity-weighted median extended price
+    per return flag): smallest value whose cumulative weight reaches
+    half the group total — pure operator composition: grouped value
+    counts with int64 weight sums (one exchange) → running_sum over the
+    distinct (flag, cents) rows → broadcast per-flag totals (one tiny
+    exchange; groups = |flags|) → map-side threshold filter → grouped
+    min. Exact integer arithmetic end-to-end; the only float is the
+    final cents→price division, mirrored in the SQL twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import running_sum
+
+    g = "l_returnflag"
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({g: t[g], "c": cents,
+                         "w": pc.cast(t["l_quantity"], pa.int64())})
+
+    pre = _read(sf_dir, "lineitem",
+                [g, "l_extendedprice", "l_quantity"]).map_batches(
+        _pre, batch_format="pyarrow")
+    inner, edge = sorted_groupby(pre, [g, "c"], [("w", "sum", "w")])
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+    vc = vc.materialize()  # consumed twice: totals pass + running_sum
+
+    ti, te = sorted_groupby(vc.select_columns([g, "w"]), [g],
+                            [("w", "sum", "tot")])
+    tot = ti.to_pandas()
+    if te is not None and te.num_rows:
+        tot = pd.concat([tot, te.to_pandas()], ignore_index=True)
+    tot = tot.sort_values(g)
+    keys = tot[g].to_numpy()
+    tots = tot["tot"].to_numpy().astype(np.int64)
+
+    cum = running_sum(vc, g, ["c"], "w", out_col="cum")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({g: pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        k = t[g].to_numpy(zero_copy_only=False)
+        tot_row = tots[np.searchsorted(keys, k)]
+        keep = 2 * t["cum"].to_numpy(zero_copy_only=False) >= tot_row
+        return t.filter(pa.array(keep)).select([g, "c"])
+
+    gated = cum.map_batches(_gate, batch_format="pyarrow")
+    mi, me = sorted_groupby(gated, [g], [("c", "min", "c")])
+    out = mi.to_pandas()
+    if me is not None and me.num_rows:
+        out = pd.concat([out, me.to_pandas()], ignore_index=True)
+    out["weighted_median_price"] = (out["c"] / 100.0).round(2)
+    return (out[[g, "weighted_median_price"]].sort_values(g)
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup, tokens, stats
 
@@ -3995,6 +4212,66 @@ ORACLE: dict[str, str] = {
                COUNT(tool) AS n_tool_turns
         FROM t GROUP BY conv_id
     """,
+    "role_transitions": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        l AS (
+            SELECT role,
+                   LAG(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev_role
+            FROM t
+        )
+        SELECT prev_role, role, COUNT(*) AS n
+        FROM l WHERE prev_role IS NOT NULL
+        GROUP BY prev_role, role
+        ORDER BY prev_role, role
+    """,
+    "user_retention": """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+               COUNT(*) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "gini_by_priority": """
+        WITH r AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               ROUND((2.0 * CAST(SUM(rn * cents) AS DOUBLE)
+                      - (COUNT(*) + 1.0) * CAST(SUM(cents) AS DOUBLE))
+                     / ((COUNT(*) * 1.0) * CAST(SUM(cents) AS DOUBLE)),
+                     6) AS gini
+        FROM r GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "weighted_median_price": """
+        WITH vc AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                   SUM(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cw AS (
+            SELECT l_returnflag, c, w,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM vc
+        )
+        SELECT l_returnflag, ROUND(MIN(c) / 100.0, 2) AS weighted_median_price
+        FROM cw WHERE 2 * cum >= tot
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "docs_stats": """
         SELECT COUNT(*) AS n_docs,
                COUNT(*) - COUNT(text) AS null_text,
@@ -5027,6 +5304,10 @@ QUERIES = {
     "referential_counts": q_referential_counts,
     "transcripts": q_transcripts,
     "conv_stats": q_conv_stats,
+    "role_transitions": q_role_transitions,
+    "user_retention": q_user_retention,
+    "gini_by_priority": q_gini_by_priority,
+    "weighted_median_price": q_weighted_median_price,
     "docs_stats": q_docs_stats,
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,

@@ -557,6 +557,90 @@ def lag_values(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
 
 
+def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
+                      prev_name: str = "prev", cur_name: str = "cur"):
+    """Markov transition counts: for every ADJACENT row pair within a
+    partition under ``order_keys``, count (previous value, current value)
+    occurrences — SQL ``LAG(val) OVER (PARTITION BY part ORDER BY ...)``
+    followed by ``GROUP BY (prev, cur)``, but the per-row lag column is
+    never materialized: each sorted block reduces its own adjacent pairs
+    to a tiny (prev, cur, n) partial (cardinality ≤ |value domain|²,
+    never rows), the B cross-block pairs are resolved by the same
+    O(blocks) driver boundary scan as ``lag_values``, and the partials
+    merge through one skinny ``sorted_groupby`` exchange. Returns
+    (inner_ds, edge_table) in sorted_groupby's contract."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    base = (s.schema() or ds.schema()).base_schema
+    val_t = base.field(val_col).type
+    part_schema = pa.schema([pa.field(prev_name, val_t),
+                             pa.field(cur_name, val_t),
+                             pa.field("n", pa.int64())])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        # sort can emit empty (schema-less) blocks on skewed keys — guard
+        # BEFORE touching columns
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, _ = _run_bounds(k)
+        vals = block[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        n = block.num_rows
+        info = (k[0], vals[0].as_py(), k[-1], vals[n - 1].as_py())
+        # pair (i-1, i) exists for i in 1..n-1 unless row i starts a new
+        # partition run
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        if starts.size > 1:
+            keep[starts[1:] - 1] = False
+        idx = np.nonzero(keep)[0]
+        if idx.size == 0:
+            # empty group_by can drop key columns — emit the typed empty
+            return part_schema.empty_table(), info
+        pairs = pa.table({
+            prev_name: vals.take(pa.array(idx, pa.int64())),
+            cur_name: vals.take(pa.array(idx + 1, pa.int64())),
+        })
+        g = pairs.group_by([prev_name, cur_name],
+                           use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names]
+        ).select([prev_name, cur_name, "n"])
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    # driver boundary scan: block b's first row pairs with the previous
+    # nonempty block's last row when both belong to one partition
+    prevs, curs = [], []
+    last_key, last_val = object(), None  # sentinel unequal to any key
+    for info in infos:
+        if info is None:
+            continue
+        first_k, first_v, lk, lv = info
+        if first_k == last_key:
+            prevs.append(last_val)
+            curs.append(first_v)
+        last_key, last_val = lk, lv
+    edge = pa.table({prev_name: pa.array(prevs, val_t),
+                     cur_name: pa.array(curs, val_t),
+                     "n": pa.array([1] * len(prevs), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
+    inner, edge_groups = sorted_groupby(partials, [prev_name, cur_name],
+                                        [("n", "sum", "n")])
+    # an all-singleton input has zero pairs; sorting an empty dataset
+    # yields zero blocks and a None schema, so pin the typed schema with
+    # one empty block (harmless when nonempty)
+    return inner.union(rd.from_arrow(part_schema.empty_table())), edge_groups
+
+
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int, agg: str = "sum"):
     """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min or
@@ -1357,6 +1441,17 @@ _SESSION_SCHEMA = pa.schema(
 )
 
 
+def event_roles(evn: np.ndarray) -> np.ndarray:
+    """Vectorized event_type → transcript role mapping (the CASE in
+    queries._TRANSCRIPTS_SQL): click/view→user, signup→system,
+    purchase→assistant, error→tool, else user."""
+    role = np.full(evn.size, "user", dtype=object)
+    role[evn == "signup"] = "system"
+    role[evn == "purchase"] = "assistant"
+    role[evn == "error"] = "tool"
+    return role
+
+
 def _shape_transcript_block(block: pa.Table, rn: np.ndarray) -> pa.Table:
     """Arrow-vectorized projection of a numbered events block into the
     transcript layout (conv_id from user_id, role/tool from event_type)."""
@@ -1364,11 +1459,8 @@ def _shape_transcript_block(block: pa.Table, rn: np.ndarray) -> pa.Table:
     if isinstance(ev, pa.ChunkedArray):
         ev = ev.combine_chunks()
     evn = ev.to_numpy(zero_copy_only=False)
-    role = np.full(evn.size, "user", dtype=object)
-    role[evn == "signup"] = "system"
-    role[evn == "purchase"] = "assistant"
+    role = event_roles(evn)
     err = evn == "error"
-    role[err] = "tool"
     tool = np.where(err, evn, None)
     conv = pc.binary_join_element_wise(
         pa.scalar("c"),

@@ -683,3 +683,54 @@ def test_sessionize_boundary_stitch(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"),
         want.astype("int64").sort_values("user_id").reset_index(drop=True))
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    """Markov transition counts vs the LAG + GROUP BY twin, with a hot
+    partition spanning many blocks (boundary pairs resolved by the
+    driver stitch) and single-row partitions (no pairs)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import transition_counts
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    part = np.where(rng.random(n) < 0.35, 9, rng.integers(0, 80, n))
+    vals = rng.choice(["a", "b", "c", "d"], n)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(vals, pa.string())})
+    inner, edge = transition_counts(rd.from_arrow(t).repartition(27),
+                                    "g", ["o"], "v",
+                                    prev_name="prev", cur_name="cur")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = got.sort_values(["prev", "cur"]).reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        WITH l AS (SELECT v, LAG(v) OVER (PARTITION BY g ORDER BY o) AS p
+                   FROM t)
+        SELECT p AS prev, v AS cur, COUNT(*) AS n FROM l
+        WHERE p IS NOT NULL GROUP BY p, v ORDER BY p, v
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_transition_counts_single_row_partitions(ray_session):
+    """All-singleton partitions produce zero pairs — typed empty result,
+    no KeyError from empty group_by blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import transition_counts
+
+    t = pa.table({"g": pa.array(np.arange(50), pa.int64()),
+                  "o": pa.array(np.zeros(50), pa.int64()),
+                  "v": pa.array(["x"] * 50, pa.string())})
+    inner, edge = transition_counts(rd.from_arrow(t).repartition(7),
+                                    "g", ["o"], "v")
+    assert inner.count() == 0
+    assert edge is None or edge.num_rows == 0
+    # the typed-empty union pins the schema even though every block is
+    # empty (ray to_pandas drops columns on all-empty blocks — assert at
+    # the Dataset level, which is the operator's contract)
+    assert inner.schema().names == ["prev", "cur", "n"]
