@@ -782,6 +782,48 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_conv_tool_ffill(sf_dir: str) -> pd.DataFrame:
+    """Forward-fill / LOCF over the transcripts: each turn carries the
+    most recent tool invoked earlier in its conversation (null until the
+    first tool turn) — SQL LAST_VALUE(IGNORE NULLS) twin via
+    stages.window.forward_fill_within: one sort, vectorized
+    maximum.accumulate fill per block, O(blocks) last-non-null carry.
+    The gap-fill shape every event/transcript feature pipeline needs
+    (state-as-of-turn columns)."""
+    from ..stages.window import forward_fill_within, sessionize_events
+
+    ds = sessionize_events(_read(sf_dir, "events"))
+    out = forward_fill_within(ds, "conv_id", ["turn_idx"], "tool",
+                              out_col="tool_filled")
+    res = out.select_columns(["conv_id", "turn_idx", "tool_filled"]).to_pandas()
+    return (res.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+def q_rolling_median_value(sf_dir: str) -> pd.DataFrame:
+    """ROWS-framed ROLLING MEDIAN (7-event window of value per user) —
+    the robust-smoothing window no partial-aggregate trick covers:
+    median is not combinable, but every value a block-edge row's window
+    needs is already in the O(blocks·k) candidate/pool stitch, so the
+    stitch re-medians explicit windows (stages.window.rolling_agg_rows
+    agg="median"); interior rows vectorize via sliding_window_view."""
+    from ..stages.window import rolling_agg_rows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"], "value": t["value"]})
+
+    out = rolling_agg_rows(ds.map_batches(_us, batch_format="pyarrow"),
+                           "user_id", ["ts_us", "event_id"], "value",
+                           "event_id", k=7, agg="median").to_pandas()
+    out = out.rename(columns={"id": "event_id"})
+    out["roll_median"] = out["roll_median"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup, tokens, stats
 
@@ -4272,6 +4314,23 @@ ORACLE: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "conv_tool_ffill": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL})
+        SELECT conv_id, turn_idx,
+               LAST_VALUE(tool IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS tool_filled
+        FROM t ORDER BY conv_id, turn_idx
+    """,
+    "rolling_median_value": """
+        SELECT event_id, ROUND(MEDIAN(value) OVER w, 6) AS roll_median,
+               COUNT(*) OVER w AS n_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "docs_stats": """
         SELECT COUNT(*) AS n_docs,
                COUNT(*) - COUNT(text) AS null_text,
@@ -5308,6 +5367,8 @@ QUERIES = {
     "user_retention": q_user_retention,
     "gini_by_priority": q_gini_by_priority,
     "weighted_median_price": q_weighted_median_price,
+    "conv_tool_ffill": q_conv_tool_ffill,
+    "rolling_median_value": q_rolling_median_value,
     "docs_stats": q_docs_stats,
     "dedup_exact": q_dedup_exact,
     "docs_tokens": q_docs_tokens,

@@ -329,6 +329,102 @@ def first_value_within(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def forward_fill_within(ds, part_col: str, order_keys: list, val_col: str,
+                        out_col: str = "filled"):
+    """Forward fill / last-observation-carried-forward: each row gets
+    the most recent non-null ``val_col`` of its partition at or before
+    it — SQL ``LAST_VALUE(val IGNORE NULLS) OVER (PARTITION BY part
+    ORDER BY order_keys ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW)``. ``order_keys`` should end in a unique tiebreaker.
+
+    Same shape as ``first_value_within``: ONE sort; per block the fill
+    is one ``np.maximum.accumulate`` over valid-row positions clamped at
+    partition-run starts (fully vectorized, any value type via take);
+    only rows BEFORE a block's first in-run non-null can depend on an
+    earlier block, so blocks ship one boundary tuple — (first_key,
+    last_key, last run's last non-null or None, whether the last run has
+    one) — and a driver carry scan threads the last non-null through
+    single-run all-null blocks. Driver traffic is O(blocks)."""
+    import ray
+    import ray.data as rd
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    sch = s.schema() or ds.schema()
+    base = sch.base_schema
+    val_t = base.field(val_col).type
+    empty_out = pa.schema(list(base) + [pa.field(out_col, val_t)]).empty_table()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(empty_out)
+
+    @ray.remote
+    def _bounds(block: pa.Table):
+        """(first_key, last_key, last-run last non-null value,
+        last-run-has-non-null, nruns)"""
+        if block.num_rows == 0:
+            return (None, None, None, False, 0)
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, _ = _run_bounds(k)
+        col = block[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tail = col.slice(int(starts[-1]))
+        valid = pc.is_valid(tail).to_numpy(zero_copy_only=False)
+        nz = np.flatnonzero(valid)
+        has = nz.size > 0
+        lv = tail[int(nz[-1])].as_py() if has else None
+        return (k[0], k[-1], lv, has, starts.size)
+
+    @ray.remote
+    def _apply(block: pa.Table, inc):
+        """inc: (has_carry, carried value) for rows of the block's first
+        run that precede its first in-run non-null."""
+        if block.num_rows == 0:
+            return empty_out
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        col = block[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = block.num_rows
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        last = np.maximum.accumulate(np.where(valid, idx, -1))
+        run_start = np.repeat(starts, widths)
+        have_local = last >= run_start
+        out = col.take(pa.array(np.where(have_local, last, 0), pa.int64()))
+        out = pc.if_else(pa.array(have_local), out, pa.nulls(n, val_t))
+        has_carry, cv = inc
+        if has_carry and cv is not None:
+            # only the first run's pre-first-non-null rows inherit carry
+            need = ~have_local & (run_start == starts[0])
+            if need.any():
+                if isinstance(out, pa.ChunkedArray):
+                    out = out.combine_chunks()
+                out = pc.if_else(pa.array(need),
+                                 pa.array([cv] * n, val_t), out)
+        return block.append_column(out_col, out)
+
+    infos = ray.get([_bounds.remote(r) for r in refs])
+    carry_key, carry_val, have = object(), None, False
+    incoming = []
+    for fk, lk, lv, has, nruns in infos:
+        if nruns == 0:
+            incoming.append((False, None))
+            continue
+        cont = have and fk == carry_key
+        incoming.append((cont, carry_val if cont else None))
+        if has:
+            carry_key, carry_val, have = lk, lv, True
+        elif nruns == 1 and cont:
+            carry_key, carry_val, have = lk, carry_val, True
+        else:
+            # last run starts in this block and is all-null so far
+            carry_key, carry_val, have = lk, None, True
+    out_refs = [_apply.remote(r, inc) for r, inc in zip(refs, incoming)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def rank_within(ds, part_col: str, order_col: str, id_col: str,
                 dense: bool = False, include_size: bool = False,
                 descending: bool = False):
@@ -643,33 +739,38 @@ def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
 
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int, agg: str = "sum"):
-    """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min or
-    max) and count of the last ``k`` rows (current included) of its
-    partition — SQL ``SUM/MIN/MAX(val) OVER (PARTITION BY part ORDER BY
-    order_keys ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)`` plus the
-    matching ``COUNT(*)``. ``order_keys`` must end in a unique
-    tiebreaker (ROWS framing needs a total order). Exact for integer
-    ``val_col``.
+    """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min,
+    max or median) and count of the last ``k`` rows (current included)
+    of its partition — SQL ``SUM/MIN/MAX/MEDIAN(val) OVER (PARTITION BY
+    part ORDER BY order_keys ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW)`` plus the matching ``COUNT(*)``. ``order_keys`` must end in a
+    unique tiebreaker (ROWS framing needs a total order). Exact for
+    integer ``val_col`` with sum/min/max; median accumulates float64
+    (interpolated midpoint on even windows, matching QUANTILE_CONT).
 
     Distributed shape (windowed_count's candidate/pool discipline, ROWS
     variant): ONE sort by (part, *order_keys); per block the rolling sum
-    is one global cumsum + a clamped lower-bound gather, and min/max use
-    a per-run sliding-window view + prefix extrema. Rows of the block's
-    FIRST run with fewer than k-1 in-block predecessors ship as
-    CANDIDATES carrying their local agg/count; the LAST run's trailing
-    min(k-1, len) rows ship as POOL. The stitch task walks each
+    is one global cumsum + a clamped lower-bound gather, and min/max/
+    median use a per-run sliding-window view + prefix accumulation. Rows
+    of the block's FIRST run with fewer than k-1 in-block predecessors
+    ship as CANDIDATES carrying their local agg/count; the LAST run's
+    trailing min(k-1, len) rows ship as POOL. The stitch task walks each
     partition's shipped rows in (block, position) order and combines
     every candidate with the latest ≤ k-1 pool values of earlier blocks
     — a partition spanning B blocks ships O(B·k) rows, never its data.
-    Returns a Dataset of (id, roll_<agg>, n_win) rows.
+    Median is not partial-combinable, but every value a candidate's
+    window can need IS in the stitch: its in-block predecessors are
+    themselves candidates (contiguous rows right before it in the
+    (part, blk, pos) sort), so the stitch re-medians the explicit
+    window. Returns a Dataset of (id, roll_<agg>, n_win) rows.
     """
     import ray
     import ray.data as rd
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if agg not in ("sum", "min", "max"):
-        raise ValueError(f"agg must be sum/min/max, got {agg!r}")
+    if agg not in ("sum", "min", "max", "median"):
+        raise ValueError(f"agg must be sum/min/max/median, got {agg!r}")
     out_val = f"roll_{agg}"
     s = ds.sort([part_col] + order_keys).materialize()
     refs = s.to_arrow_refs()
@@ -679,7 +780,7 @@ def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
              ("n_win", pa.int64())]).empty_table())
     base = s.schema().base_schema
     val_t = base.field(val_col).type
-    is_int = pa.types.is_integer(val_t)
+    is_int = pa.types.is_integer(val_t) and agg != "median"
     acc_np = np.int64 if is_int else np.float64
     acc_pa = pa.int64() if is_int else pa.float64()
     id_t = base.field(id_col).type
@@ -706,6 +807,20 @@ def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
         if agg == "sum":
             cs = np.cumsum(v)
             roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        elif agg == "median":
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            roll = np.empty(n, np.float64)
+            for r in range(starts.size):
+                a, b = int(starts[r]), int(starts[r] + widths[r])
+                seg = v[a:b]
+                w = seg.size
+                head = min(k - 1, w)
+                for i in range(head):  # growing prefixes, ≤ k-1 each
+                    roll[a + i] = np.median(seg[: i + 1])
+                if w >= k:
+                    roll[a + k - 1:b] = np.median(
+                        sliding_window_view(seg, k), axis=1)
         else:
             from numpy.lib.stride_tricks import sliding_window_view
 
@@ -788,6 +903,14 @@ def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                 if agg == "sum":
                     out_agg[c] = nloc[c] + pcs[end - 1] - (
                         pcs[end - 1 - take_n] if end - 1 - take_n >= 0 else 0)
+                elif agg == "median":
+                    # the candidate's in-block predecessors are the j[c]
+                    # rows right before it in et (same part/blk,
+                    # consecutive pos — all shipped, all cand); re-median
+                    # the explicit window
+                    tail = pv[end - take_n: end]
+                    local = v[c - int(j[c]): c + 1]
+                    out_agg[c] = np.median(np.concatenate([tail, local]))
                 else:
                     tail = pv[end - take_n: end]
                     out_agg[c] = (min(nloc[c], tail.min()) if agg == "min"

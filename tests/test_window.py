@@ -734,3 +734,75 @@ def test_transition_counts_single_row_partitions(ray_session):
     # empty (ray to_pandas drops columns on all-empty blocks — assert at
     # the Dataset level, which is the operator's contract)
     assert inner.schema().names == ["prev", "cur", "n"]
+
+
+def test_rolling_median_matches_duckdb(ray_session):
+    """Rolling MEDIAN (non-combinable agg): the stitch re-medians
+    explicit windows from shipped candidate+pool rows; hot partition
+    forced across many blocks, plus partitions shorter than k."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import rolling_agg_rows
+
+    rng = np.random.default_rng(53)
+    n = 2200
+    part = np.where(rng.random(n) < 0.45, 3, rng.integers(0, 70, n))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(rng.normal(size=n), pa.float64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    out = rolling_agg_rows(rd.from_arrow(t).repartition(24), "g",
+                           ["o", "rid"], "v", "rid", k=5,
+                           agg="median").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT rid AS id, MEDIAN(v) OVER w AS roll_median,
+               COUNT(*) OVER w AS n_win
+        FROM t
+        WINDOW w AS (PARTITION BY g ORDER BY o, rid
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY id
+    """).fetch_df()
+    got = out.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_forward_fill_matches_duckdb(ray_session):
+    """LOCF vs LAST_VALUE(IGNORE NULLS): ~60% nulls force carries
+    through all-null block prefixes and all-null single-run blocks."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import forward_fill_within
+
+    rng = np.random.default_rng(59)
+    n = 2600
+    part = np.where(rng.random(n) < 0.4, 5, rng.integers(0, 40, n))
+    raw = rng.integers(0, 1000, n)
+    vals = np.where(rng.random(n) < 0.6, None, raw.astype(object))
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(list(vals), pa.int64())})
+    out = forward_fill_within(rd.from_arrow(t).repartition(26), "g", ["o"],
+                              "v", out_col="f").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT g, o, v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY g ORDER BY o
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        FROM t ORDER BY g, o
+    """).fetch_df()
+    got = out.sort_values(["g", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_forward_fill_all_null_column(ray_session):
+    """A partition with zero non-nulls stays all-null end to end."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import forward_fill_within
+
+    t = pa.table({"g": pa.array([1] * 40, pa.int64()),
+                  "o": pa.array(np.arange(40), pa.int64()),
+                  "v": pa.array([None] * 40, pa.string())})
+    out = forward_fill_within(rd.from_arrow(t).repartition(9), "g", ["o"],
+                              "v", out_col="f").to_pandas()
+    assert out["f"].isna().all()
