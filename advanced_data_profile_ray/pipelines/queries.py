@@ -3962,6 +3962,18 @@ def q_docs_quality(sf_dir: str) -> pd.DataFrame:
                 "digit_ratio", "upper_ratio"]]
 
 
+def q_docs_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style per-doc repetition quality rules (dup-word /
+    top-word / dup-bigram fractions) — zero-exchange vectorized map;
+    SQL twin unnests ``string_split(text, ' ')`` with the identical
+    empty-token filter and division placement."""
+    from .text import repetition_stats
+
+    out = repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           "doc_id", "text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from .dedup import minhash_near_dups
 
@@ -5291,6 +5303,48 @@ ORACLE: dict[str, str] = {
                      / GREATEST(LENGTH(text), 1), 6) AS upper_ratio
         FROM documents
     """,
+    "docs_repetition": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+                 unnest(range(len(list_filter(string_split(text, ' '),
+                                              x -> x <> '')))) AS i
+          FROM documents
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+        per_word AS (
+          SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+                 MAX(c) AS max_c
+          FROM wc GROUP BY doc_id
+        ),
+        big AS (
+          SELECT doc_id, w,
+                 LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+          FROM toks
+        ),
+        bc AS (SELECT doc_id, pw, w, COUNT(*) AS c FROM big
+               WHERE pw IS NOT NULL GROUP BY doc_id, pw, w),
+        per_big AS (
+          SELECT doc_id, SUM(c) AS n_big, COUNT(*) AS d_big
+          FROM bc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(pw.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(pw.n_distinct, 0) AS BIGINT) AS n_distinct_words,
+               ROUND(CAST(COALESCE(pw.n_words, 0) - COALESCE(pw.n_distinct, 0)
+                          AS DOUBLE)
+                     / GREATEST(COALESCE(pw.n_words, 0), 1), 6) AS dup_word_frac,
+               ROUND(CAST(COALESCE(pw.max_c, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(pw.n_words, 0), 1), 6) AS top_word_frac,
+               CAST(COALESCE(pb.d_big, 0) AS BIGINT) AS n_distinct_bigrams,
+               ROUND(CAST(COALESCE(pb.n_big, 0) - COALESCE(pb.d_big, 0)
+                          AS DOUBLE)
+                     / GREATEST(COALESCE(pb.n_big, 0), 1), 6) AS dup_bigram_frac
+        FROM documents d
+        LEFT JOIN per_word pw USING (doc_id)
+        LEFT JOIN per_big pb USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "readability": _READABILITY_SQL,
     "tfidf_top_ngrams": _TFIDF_SQL,
     "lang_histogram": _lang_histogram_sql(),
@@ -5475,6 +5529,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,
     "docs_quality": q_docs_quality,
+    "docs_repetition": q_docs_repetition,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,

@@ -571,3 +571,83 @@ def redact_pii(ds, id_col: str, text_col: str):
     return spread_blocks(ds.select_columns([id_col, text_col]),
                          rows=_raw_count(ds)).map_batches(
         _fn, batch_format="pyarrow", batch_size=None)
+
+
+def repetition_stats(ds, id_col: str, text_col: str):
+    """Gopher-style per-doc REPETITION features (quality-filter rules for
+    training corpora: Rae et al. 2021 "Scaling Language Models", table
+    A1): duplicate-word fraction, top-word fraction, duplicate-bigram
+    fraction. The reference's profiler exposes uniqueness ratios per
+    COLUMN (Profiler.py:330-338); this is the per-DOCUMENT analog a
+    100-TB corpus filter needs.
+
+    Distributed shape: a ZERO-exchange vectorized map — every feature is
+    intra-document, so blocks never talk to each other. Tokenization is
+    single-space split (exactly DuckDB's ``string_split(text, ' ')`` with
+    empties dropped) so the oracle twin is bit-exact. Per batch the
+    token stream is factorized once; per-doc distinct/max counts come
+    from ``np.unique`` on a composite (doc, code) int64 key + ``reduceat``
+    — no Python loop over rows or tokens.
+    """
+
+    def _rep(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ids = df[id_col].to_numpy()
+        if n == 0:
+            return pd.DataFrame({
+                id_col: ids,
+                "n_words": np.zeros(0, np.int64),
+                "n_distinct_words": np.zeros(0, np.int64),
+                "dup_word_frac": np.zeros(0, np.float64),
+                "top_word_frac": np.zeros(0, np.float64),
+                "n_distinct_bigrams": np.zeros(0, np.int64),
+                "dup_bigram_frac": np.zeros(0, np.float64),
+            })
+        tok = df[text_col].fillna("").str.split(" ").to_numpy()
+        lens = np.fromiter((len(x) for x in tok), np.int64, n)
+        flat = np.concatenate(tok) if lens.sum() else np.empty(0, object)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        codes, uniques = pd.factorize(flat)
+        V = np.int64(len(uniques)) + 1
+        codes = codes.astype(np.int64)
+
+        n_words = np.bincount(doc, minlength=n).astype(np.int64)
+        key = doc * V + codes
+        uk, ucnt = np.unique(key, return_counts=True)
+        udoc = uk // V
+        n_distinct = np.bincount(udoc, minlength=n).astype(np.int64)
+        max_c = np.zeros(n, np.int64)
+        if uk.size:
+            ud, starts = np.unique(udoc, return_index=True)
+            max_c[ud] = np.maximum.reduceat(ucnt, starts)
+
+        if doc.size > 1:
+            adj = doc[1:] == doc[:-1]
+            bdoc = doc[:-1][adj]
+            bkey = codes[:-1][adj] * V + codes[1:][adj]
+        else:
+            bdoc = np.zeros(0, np.int64)
+            bkey = np.zeros(0, np.int64)
+        n_big = np.bincount(bdoc, minlength=n).astype(np.int64)
+        d_big = np.bincount(np.unique(bdoc * (V * V) + bkey) // (V * V),
+                            minlength=n).astype(np.int64)
+
+        nw = np.maximum(n_words, 1).astype(np.float64)
+        nb = np.maximum(n_big, 1).astype(np.float64)
+        return pd.DataFrame({
+            id_col: ids,
+            "n_words": n_words,
+            "n_distinct_words": n_distinct,
+            "dup_word_frac": ((n_words - n_distinct) / nw).round(6),
+            "top_word_frac": (max_c / nw).round(6),
+            "n_distinct_bigrams": d_big,
+            "dup_bigram_frac": ((n_big - d_big) / nb).round(6),
+        })
+
+    from ..stages.fast_ops import spread_blocks
+
+    return spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
+        _rep, batch_format="pandas", batch_size=None)

@@ -459,3 +459,35 @@ def test_redact_pii_planted(ray_session):
     assert out.loc[2, "text_redacted"] == t["text"][2].as_py()
     assert pd.isna(out.loc[3, "text_redacted"])
     assert out["n_redactions"].tolist() == [2, 3, 0, 0]
+
+
+def test_repetition_stats_planted(ray_session):
+    """Hand-computed Gopher repetition features on a planted corpus:
+    dup/top word fractions and dup-bigram fraction, incl. empty/null
+    text and multi-space runs (empty split tokens must be dropped)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import repetition_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a a b",            # words 3/2 distinct; bigrams (a,a),(a,b)
+            "x  y",             # double space -> empty token dropped
+            "",                 # no words at all
+            "w w w w",          # maximal repetition
+        ],
+    })
+    docs.loc[2, "text"] = None  # null text behaves like empty
+    out = (repetition_stats(rd.from_pandas(docs), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert out["n_words"].tolist() == [3, 2, 0, 4]
+    assert out["n_distinct_words"].tolist() == [2, 2, 0, 1]
+    assert out["dup_word_frac"].tolist() == [
+        round(1 / 3, 6), 0.0, 0.0, 0.75]
+    assert out["top_word_frac"].tolist() == [
+        round(2 / 3, 6), 0.5, 0.0, 1.0]
+    assert out["n_distinct_bigrams"].tolist() == [2, 1, 0, 1]
+    assert out["dup_bigram_frac"].tolist() == [0.0, 0.0, 0.0,
+                                               round(2 / 3, 6)]
