@@ -599,6 +599,45 @@ def q_role_transitions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
 
 
+def q_response_latency(sf_dir: str) -> pd.DataFrame:
+    """RESPONSE-LATENCY profile per role transition over the derived
+    transcripts: for every adjacent turn pair within a conversation,
+    COUNT / mean / MAX of the timestamp gap grouped by (prev_role,
+    role) — the SLO-style check a transcript validation engine runs
+    (is the assistant answering promptly after user turns?). Same
+    distributed shape as role_transitions (stages.window.pair_gap_stats:
+    one sort, per-block pair reduction to ≤|roles|² partials carrying
+    int64 gap sums/maxes, O(blocks) boundary stitch); the mean is
+    finalized driver-side from exact int64 sums."""
+    from ..stages.window import event_roles, pair_gap_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _roles(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        role = event_roles(ev.to_numpy(zero_copy_only=False))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "role": pa.array(role, pa.string())})
+
+    inner, edge = pair_gap_stats(
+        ds.map_batches(_roles, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "role", "ts_us",
+        prev_name="prev_role", cur_name="role")
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["avg_gap_us"] = (out["sum_gap_us"].astype("float64")
+                         / out["n"]).round(6)
+    out["max_gap_us"] = out["max_gap_us"].astype("int64")
+    return (out[["prev_role", "role", "n", "avg_gap_us", "max_gap_us"]]
+            .sort_values(["prev_role", "role"]).reset_index(drop=True))
+
+
 def q_user_retention(sf_dir: str) -> pd.DataFrame:
     """COHORT RETENTION matrix: users grouped by their first active day,
     counted per (cohort_day, day_offset) — the classic training-corpus /
@@ -4279,6 +4318,21 @@ ORACLE: dict[str, str] = {
         GROUP BY prev_role, role
         ORDER BY prev_role, role
     """,
+    "response_latency": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        l AS (
+            SELECT role,
+                   LAG(role) OVER w AS prev_role,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS d
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT prev_role, role, COUNT(*) AS n,
+               ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS avg_gap_us,
+               CAST(MAX(d) AS BIGINT) AS max_gap_us
+        FROM l WHERE prev_role IS NOT NULL
+        GROUP BY prev_role, role
+        ORDER BY prev_role, role
+    """,
     "user_retention": """
         WITH d AS (
             SELECT DISTINCT user_id,
@@ -5418,6 +5472,7 @@ QUERIES = {
     "transcripts": q_transcripts,
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
+    "response_latency": q_response_latency,
     "user_retention": q_user_retention,
     "gini_by_priority": q_gini_by_priority,
     "weighted_median_price": q_weighted_median_price,

@@ -737,6 +737,93 @@ def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
     return inner.union(rd.from_arrow(part_schema.empty_table())), edge_groups
 
 
+def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
+                   ts_col: str, prev_name: str = "prev",
+                   cur_name: str = "cur"):
+    """Adjacent-pair GAP statistics per (previous value, current value)
+    — the response-latency profile of a transcript table (how long the
+    assistant takes after a user turn, per role transition): SQL
+    ``LAG(val)`` and ``ts − LAG(ts) OVER (PARTITION BY part ORDER BY
+    ...)`` followed by ``GROUP BY (prev, cur)`` with COUNT/SUM/MAX of
+    the gap. Same distributed shape as ``transition_counts``: ONE sort,
+    per-block reduction of adjacent pairs to a ≤|domain|² partial (the
+    per-row lag columns never materialize), O(blocks) driver boundary
+    stitch for pairs spanning block edges, one skinny ``sorted_groupby``
+    merge. ``ts_col`` must be int64 µs. Returns (inner_ds, edge_table)
+    of (prev, cur, n, sum_gap_us, max_gap_us)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    base = (s.schema() or ds.schema()).base_schema
+    val_t = base.field(val_col).type
+    part_schema = pa.schema([pa.field(prev_name, val_t),
+                             pa.field(cur_name, val_t),
+                             pa.field("n", pa.int64()),
+                             pa.field("sum_gap_us", pa.int64()),
+                             pa.field("max_gap_us", pa.int64())])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False)
+        starts, _ = _run_bounds(k)
+        vals = block[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        n = block.num_rows
+        info = (k[0], vals[0].as_py(), int(ts[0]),
+                k[-1], vals[n - 1].as_py(), int(ts[n - 1]))
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        if starts.size > 1:
+            keep[starts[1:] - 1] = False
+        idx = np.nonzero(keep)[0]
+        if idx.size == 0:
+            return part_schema.empty_table(), info
+        pairs = pa.table({
+            prev_name: vals.take(pa.array(idx, pa.int64())),
+            cur_name: vals.take(pa.array(idx + 1, pa.int64())),
+            "g": pa.array(ts[idx + 1] - ts[idx], pa.int64()),
+        })
+        g = pairs.group_by([prev_name, cur_name], use_threads=False).aggregate(
+            [([], "count_all"), ("g", "sum"), ("g", "max")])
+        g = g.rename_columns([{"count_all": "n", "g_sum": "sum_gap_us",
+                               "g_max": "max_gap_us"}.get(c, c)
+                              for c in g.column_names]).select(
+            [prev_name, cur_name, "n", "sum_gap_us", "max_gap_us"])
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    prevs, curs, gaps = [], [], []
+    last_key, last_val, last_ts = object(), None, 0
+    for info in infos:
+        if info is None:
+            continue
+        first_k, first_v, first_ts, lk, lv, lts = info
+        if first_k == last_key:
+            prevs.append(last_val)
+            curs.append(first_v)
+            gaps.append(first_ts - last_ts)
+        last_key, last_val, last_ts = lk, lv, lts
+    edge = pa.table({prev_name: pa.array(prevs, val_t),
+                     cur_name: pa.array(curs, val_t),
+                     "n": pa.array([1] * len(prevs), pa.int64()),
+                     "sum_gap_us": pa.array(gaps, pa.int64()),
+                     "max_gap_us": pa.array(gaps, pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
+    inner, edge_groups = sorted_groupby(
+        partials, [prev_name, cur_name],
+        [("n", "sum", "n"), ("sum_gap_us", "sum", "sum_gap_us"),
+         ("max_gap_us", "max", "max_gap_us")])
+    return inner.union(rd.from_arrow(part_schema.empty_table())), edge_groups
+
+
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int, agg: str = "sum"):
     """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min,

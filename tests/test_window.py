@@ -806,3 +806,56 @@ def test_forward_fill_all_null_column(ray_session):
     out = forward_fill_within(rd.from_arrow(t).repartition(9), "g", ["o"],
                               "v", out_col="f").to_pandas()
     assert out["f"].isna().all()
+
+
+def test_pair_gap_stats_matches_duckdb(ray_session):
+    """Adjacent-pair gap stats (count/sum/max of ts deltas per
+    (prev, cur) value pair) vs the LAG twin, with a hot partition
+    spanning many blocks so boundary gaps flow through the stitch."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import pair_gap_stats
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    part = np.where(rng.random(n) < 0.35, 9, rng.integers(0, 80, n))
+    vals = rng.choice(["a", "b", "c"], n)
+    ts = rng.integers(0, 10**9, n)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(vals, pa.string())})
+    inner, edge = pair_gap_stats(rd.from_arrow(t).repartition(27),
+                                 "g", ["ts", "o"], "v", "ts",
+                                 prev_name="prev", cur_name="cur")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = got.sort_values(["prev", "cur"]).reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        WITH l AS (SELECT v, LAG(v) OVER w AS p, ts - LAG(ts) OVER w AS d
+                   FROM t WINDOW w AS (PARTITION BY g ORDER BY ts, o))
+        SELECT p AS prev, v AS cur, COUNT(*) AS n,
+               SUM(d) AS sum_gap_us, MAX(d) AS max_gap_us
+        FROM l WHERE p IS NOT NULL GROUP BY p, v ORDER BY p, v
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pair_gap_stats_single_row_partitions(ray_session):
+    """All-singleton partitions: zero pairs, typed empty result."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import pair_gap_stats
+
+    t = pa.table({"g": pa.array(np.arange(50), pa.int64()),
+                  "ts": pa.array(np.zeros(50), pa.int64()),
+                  "v": pa.array(["x"] * 50, pa.string())})
+    inner, edge = pair_gap_stats(rd.from_arrow(t).repartition(7),
+                                 "g", ["ts"], "v", "ts")
+    assert inner.count() == 0
+    assert edge is None or edge.num_rows == 0
+    # ray to_pandas drops columns on all-empty blocks — assert the typed
+    # schema at the Dataset level, which is the operator's contract
+    assert inner.schema().names == ["prev", "cur", "n", "sum_gap_us",
+                                    "max_gap_us"]
