@@ -821,6 +821,78 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_price_deciles_by_flag(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped deciles (d1..d9 of extended price per return flag)
+    via distributed selection — the exact complement to the t-digest
+    approximations (A8): grouped value counts (one exchange) →
+    running_sum over distinct (flag, cents) rows → broadcast per-flag
+    totals → map-side emission. Each distinct-value row covers deciles d
+    with 10·(cum−w) < d·tot ≤ 10·cum, so every (flag, d) is emitted by
+    EXACTLY one row globally — after running_sum the decile extraction
+    is a zero-exchange vectorized map, one pass for all nine levels
+    (never nine gate passes). Exact int64 arithmetic end-to-end; the SQL
+    twin mirrors the identical 10·cum ≥ d·tot rule."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import running_sum
+
+    g = "l_returnflag"
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({g: t[g], "c": cents})
+
+    pre = _read(sf_dir, "lineitem", [g, "l_extendedprice"]).map_batches(
+        _pre, batch_format="pyarrow")
+    inner, edge = sorted_groupby(pre, [g, "c"], [("c", "count", "w")])
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+    vc = vc.materialize()  # consumed twice: totals pass + running_sum
+
+    ti, te = sorted_groupby(vc.select_columns([g, "w"]), [g],
+                            [("w", "sum", "tot")])
+    tot = ti.to_pandas()
+    if te is not None and te.num_rows:
+        tot = pd.concat([tot, te.to_pandas()], ignore_index=True)
+    tot = tot.sort_values(g)
+    keys = tot[g].to_numpy()
+    tots = tot["tot"].to_numpy().astype(np.int64)
+
+    cum = running_sum(vc, g, ["c"], "w", out_col="cum")
+
+    def _emit(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(g, pa.string()), ("decile", pa.int64()),
+                                ("c", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        k = t[g].to_numpy(zero_copy_only=False)
+        tot_row = tots[np.searchsorted(keys, k)]
+        cums = t["cum"].to_numpy(zero_copy_only=False)
+        pcum = cums - t["w"].to_numpy(zero_copy_only=False)
+        # deciles covered by this row: floor(10·pcum/tot) < d ≤ floor(10·cum/tot)
+        d_lo = (10 * pcum) // tot_row + 1
+        d_hi = np.minimum((10 * cums) // tot_row, 9)
+        cnt = np.maximum(d_hi - d_lo + 1, 0).astype(np.int64)
+        rep = np.repeat(np.arange(len(cnt)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        return pa.table({
+            g: pa.array(k[rep], pa.string()),
+            "decile": pa.array(d_lo[rep] + offs, pa.int64()),
+            "c": pa.array(t["c"].to_numpy(zero_copy_only=False)[rep],
+                          pa.int64()),
+        })
+
+    out = cum.map_batches(_emit, batch_format="pyarrow").to_pandas()
+    out["value"] = (out["c"] / 100.0).round(2)
+    return (out[[g, "decile", "value"]].sort_values([g, "decile"])
+            .reset_index(drop=True))
+
+
 def q_conv_tool_ffill(sf_dir: str) -> pd.DataFrame:
     """Forward-fill / LOCF over the transcripts: each turn carries the
     most recent tool invoked earlier in its conversation (null until the
@@ -4380,6 +4452,27 @@ ORACLE: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "price_deciles_by_flag": """
+        WITH vc AS (
+            SELECT l_returnflag AS g,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                   COUNT(*) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cw AS (
+            SELECT g, c, w,
+                   SUM(w) OVER (PARTITION BY g ORDER BY c) AS cum,
+                   SUM(w) OVER (PARTITION BY g) AS tot
+            FROM vc
+        ),
+        d AS (SELECT unnest(range(1, 10)) AS dec)
+        SELECT g AS l_returnflag, CAST(dec AS BIGINT) AS decile,
+               ROUND(MIN(c) / 100.0, 2) AS value
+        FROM cw, d
+        WHERE 10 * cum >= dec * tot
+        GROUP BY g, dec
+        ORDER BY g, dec
+    """,
     "conv_tool_ffill": f"""
         WITH t AS ({_TRANSCRIPTS_SQL})
         SELECT conv_id, turn_idx,
@@ -5473,6 +5566,7 @@ QUERIES = {
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
     "response_latency": q_response_latency,
+    "price_deciles_by_flag": q_price_deciles_by_flag,
     "user_retention": q_user_retention,
     "gini_by_priority": q_gini_by_priority,
     "weighted_median_price": q_weighted_median_price,

@@ -247,3 +247,49 @@ def test_grouped_hll_matches_dense_sketch_and_truth(ray_session):
         # single register collision exceeds 5% (card 16 → one collision
         # is 6%)
         assert abs(est[g] - truth[g]) <= max(0.05 * truth[g], 2)
+
+
+def test_price_deciles_emission_rule(ray_session, tmp_path):
+    """Exact grouped deciles: each (group, decile) is emitted by exactly
+    one distinct-value row (the 10·(cum−w) < d·tot ≤ 10·cum rule), and
+    the values match DuckDB's cumulative selection on a duplicate-heavy
+    skewed sample — incl. a group so skewed one value covers many
+    deciles at once."""
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    flags = np.concatenate([
+        np.repeat("A", 4000), np.repeat("N", 300), np.repeat("R", 7)])
+    price = np.concatenate([
+        np.round(rng.choice([1.0, 2.5, 2.5, 9.99, 100.0], 4000), 2),
+        np.full(300, 42.42),      # one value covers ALL nine deciles
+        np.round(rng.uniform(1, 10, 7), 2),
+    ])
+    t = pa.table({"l_returnflag": pa.array(flags.astype(object)),
+                  "l_extendedprice": pa.array(price, pa.float64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+    got = QUERIES["price_deciles_by_flag"](str(tmp_path))
+    # exactly one row per (flag, decile)
+    assert len(got) == 27
+    assert not got.duplicated(["l_returnflag", "decile"]).any()
+    assert (got[got.l_returnflag == "N"]["value"] == 42.42).all()
+
+    want = duckdb.connect().execute("""
+        WITH vc AS (SELECT l_returnflag AS g,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                           COUNT(*) AS w
+                    FROM t GROUP BY 1, 2),
+        cw AS (SELECT g, c,
+                      SUM(w) OVER (PARTITION BY g ORDER BY c) AS cum,
+                      SUM(w) OVER (PARTITION BY g) AS tot
+               FROM vc),
+        d AS (SELECT unnest(range(1, 10)) AS dec)
+        SELECT g AS l_returnflag, CAST(dec AS BIGINT) AS decile,
+               ROUND(MIN(c) / 100.0, 2) AS value
+        FROM cw, d WHERE 10 * cum >= dec * tot
+        GROUP BY g, dec ORDER BY g, dec
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
