@@ -4085,6 +4085,25 @@ def q_docs_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lm_surprisal(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM quality scores (CCNet/Gopher-style perplexity filter):
+    Laplace bigram model built over the corpus in one skinny exchange,
+    broadcast once, then zero-exchange per-doc integer micro-bit
+    surprisal sums — exact int64 arithmetic, mirrored bit-for-bit by the
+    SQL twin's FLOOR(-1e6·log2(...)) rule."""
+    from .text import bigram_lm_surprisal
+
+    out = bigram_lm_surprisal(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id", "text").to_pandas()
+    out["avg_surprisal_microbits"] = (
+        out["total_surprisal_microbits"].astype("float64")
+        / out["n_bigrams"].clip(lower=1)).round(6)
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_bigrams", "total_surprisal_microbits",
+              "avg_surprisal_microbits"]])
+
+
 def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from .dedup import minhash_near_dups
 
@@ -5492,6 +5511,45 @@ ORACLE: dict[str, str] = {
         LEFT JOIN per_big pb USING (doc_id)
         ORDER BY d.doc_id
     """,
+    "lm_surprisal": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+                 unnest(range(len(list_filter(string_split(text, ' '),
+                                              x -> x <> '')))) AS i
+          FROM documents
+        ),
+        uni AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+        v AS (SELECT COUNT(*) AS v FROM uni),
+        bpairs AS (
+          SELECT doc_id, pw AS w1, w AS w2
+          FROM (SELECT doc_id, w,
+                       LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+                FROM toks)
+          WHERE pw IS NOT NULL
+        ),
+        bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bpairs GROUP BY w1, w2),
+        s AS (
+          SELECT p.doc_id,
+                 CAST(FLOOR(-1000000.0 * log2((bc.cb + 1.0) / (uni.cu + v.v)))
+                      AS BIGINT) AS s
+          FROM bpairs p
+          JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+          JOIN uni ON p.w1 = uni.w
+          CROSS JOIN v
+        ),
+        agg AS (SELECT doc_id, COUNT(*) AS nb, SUM(s) AS tot
+                FROM s GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(agg.tot, 0) AS BIGINT)
+                   AS total_surprisal_microbits,
+               ROUND(CAST(COALESCE(agg.tot, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(agg.nb, 0), 1), 6)
+                   AS avg_surprisal_microbits
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "readability": _READABILITY_SQL,
     "tfidf_top_ngrams": _TFIDF_SQL,
     "lang_histogram": _lang_histogram_sql(),
@@ -5679,6 +5737,7 @@ QUERIES = {
     "word_freqs": q_word_freqs,
     "docs_quality": q_docs_quality,
     "docs_repetition": q_docs_repetition,
+    "lm_surprisal": q_lm_surprisal,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,

@@ -603,12 +603,7 @@ def repetition_stats(ds, id_col: str, text_col: str):
                 "n_distinct_bigrams": np.zeros(0, np.int64),
                 "dup_bigram_frac": np.zeros(0, np.float64),
             })
-        tok = df[text_col].fillna("").str.split(" ").to_numpy()
-        lens = np.fromiter((len(x) for x in tok), np.int64, n)
-        flat = np.concatenate(tok) if lens.sum() else np.empty(0, object)
-        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-        keep = flat != ""
-        flat, doc = flat[keep], doc[keep]
+        flat, doc, _ = _split_tokens(df[text_col])
         codes, uniques = pd.factorize(flat)
         V = np.int64(len(uniques)) + 1
         codes = codes.astype(np.int64)
@@ -651,3 +646,117 @@ def repetition_stats(ds, id_col: str, text_col: str):
     return spread_blocks(ds.select_columns([id_col, text_col]),
                          rows=_raw_count(ds)).map_batches(
         _rep, batch_format="pandas", batch_size=None)
+
+
+def _split_tokens(texts: pd.Series):
+    """Single-space tokenization shared with repetition_stats (exactly
+    DuckDB ``string_split(text, ' ')`` with empties dropped): returns
+    (flat token array, doc index array, n_docs)."""
+    n = len(texts)
+    tok = texts.fillna("").str.split(" ").to_numpy()
+    lens = np.fromiter((len(x) for x in tok), np.int64, n)
+    flat = np.concatenate(tok) if lens.sum() else np.empty(0, object)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = flat != ""
+    return flat[keep], doc[keep], n
+
+
+def bigram_lm_surprisal(ds, id_col: str, text_col: str, model_ds=None):
+    """BIGRAM LANGUAGE-MODEL quality scoring (the perplexity filter of
+    training-data pipelines, e.g. CCNet / Gopher quality stage): build a
+    Laplace-smoothed bigram LM over ``model_ds`` (default: the scored
+    corpus itself), then score every document's mean token surprisal.
+    Surprisal is an INTEGER: ``floor(-10^6 · log2((C(w1,w2)+1) /
+    (C(w1)+V)))`` micro-bits per bigram, so per-doc totals are exact
+    int64 sums — order-independent, exactly reproducible in SQL (the
+    only float is the final total/n display division).
+
+    Distributed shape: pass 1 builds unigram+bigram counts through ONE
+    skinny exchange (a single token-pair stream where unigram rows carry
+    an empty-string sentinel in w2; sorted_groupby pre-aggregates inside
+    map tasks, so the exchange carries per-block distinct pairs, never
+    tokens). The finished model broadcasts once via ray.put (assumption:
+    the distinct-bigram table fits worker memory — word-level vocab,
+    ~30 MB per million bigrams; cap or hash the tail for open-domain
+    byte-level corpora). Pass 2 is a zero-exchange vectorized map:
+    searchsorted word→id, combined-int64-key bigram lookup, reduceat
+    per-doc sums. Unseen bigrams/unigrams fall back to the +1 smoothing
+    mass (cross-corpus scoring exercises this; self-scoring never does).
+    Returns a Dataset (id, n_bigrams, total_surprisal_microbits)."""
+    import ray
+
+    from ..stages.fast_ops import sorted_groupby, spread_blocks
+
+    if model_ds is None:
+        model_ds = ds
+
+    def _pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        flat, doc, _ = _split_tokens(df[text_col])
+        if flat.size == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        adj = doc[1:] == doc[:-1]
+        w1 = np.concatenate([flat, flat[:-1][adj]])
+        # unigram rows: sentinel '' in w2 (never a token — empties dropped)
+        w2 = np.concatenate([np.full(flat.size, "", object), flat[1:][adj]])
+        out = pd.DataFrame({"w1": w1, "w2": w2})
+        return (out.groupby(["w1", "w2"], sort=False).size()
+                .rename("n").reset_index())
+
+    pre = model_ds.select_columns([text_col]).map_batches(
+        _pair_counts, batch_format="pandas", batch_size=None)
+    inner, edge = sorted_groupby(pre, ["w1", "w2"], [("n", "sum", "n")])
+    counts = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        counts = pd.concat([counts, edge.to_pandas()], ignore_index=True)
+
+    uni = counts[counts["w2"] == ""].sort_values("w1")
+    uni_words = uni["w1"].to_numpy()
+    uni_counts = uni["n"].to_numpy().astype(np.int64)
+    V = np.int64(len(uni_words))
+    big = counts[counts["w2"] != ""]
+    i1 = np.searchsorted(uni_words, big["w1"].to_numpy())
+    i2 = np.searchsorted(uni_words, big["w2"].to_numpy())
+    bkey = i1 * (V + 1) + i2
+    order = np.argsort(bkey)
+    model_ref = ray.put((uni_words, uni_counts, bkey[order],
+                         big["n"].to_numpy().astype(np.int64)[order]))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        uw, uc, bk, bc = ray.get(model_ref)
+        ids = df[id_col].to_numpy()
+        n = len(df)
+        flat, doc, _ = _split_tokens(df[text_col])
+        nb = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        if flat.size > 1:
+            adj = doc[1:] == doc[:-1]
+            bdoc = doc[:-1][adj]
+            w1, w2 = flat[:-1][adj], flat[1:][adj]
+            # word → model id; OOV words get C(w)=0 (smoothing mass only)
+            p1 = np.searchsorted(uw, w1)
+            in1 = (p1 < uw.size)
+            in1[in1] = uw[p1[in1]] == w1[in1]
+            cu = np.where(in1, uc[np.minimum(p1, uw.size - 1)], 0)
+            p2 = np.searchsorted(uw, w2)
+            in2 = (p2 < uw.size)
+            in2[in2] = uw[p2[in2]] == w2[in2]
+            key = np.where(in1 & in2,
+                           p1 * (np.int64(uw.size) + 1) + p2, -1)
+            pb = np.searchsorted(bk, key)
+            hit = (pb < bk.size) & (key >= 0)
+            hit[hit] = bk[np.minimum(pb, max(bk.size - 1, 0))][hit] == key[hit]
+            cb = np.where(hit, bc[np.minimum(pb, max(bk.size - 1, 0))], 0)
+            s = np.floor(-1e6 * np.log2(
+                (cb + 1.0) / (cu + np.float64(uw.size)))).astype(np.int64)
+            if bdoc.size:
+                nb = np.bincount(bdoc, minlength=n).astype(np.int64)
+                ud, starts = np.unique(bdoc, return_index=True)
+                tot[ud] = np.add.reduceat(s, starts)
+        return pd.DataFrame({id_col: ids, "n_bigrams": nb,
+                             "total_surprisal_microbits": tot})
+
+    return spread_blocks(ds.select_columns([id_col, text_col]),
+                         rows=_raw_count(ds)).map_batches(
+        _score, batch_format="pandas", batch_size=None)

@@ -491,3 +491,27 @@ def test_repetition_stats_planted(ray_session):
     assert out["n_distinct_bigrams"].tolist() == [2, 1, 0, 1]
     assert out["dup_bigram_frac"].tolist() == [0.0, 0.0, 0.0,
                                                round(2 / 3, 6)]
+
+
+def test_bigram_lm_surprisal_cross_corpus_oov(ray_session):
+    """Hand-computed Laplace bigram scores with a SEPARATE model corpus,
+    exercising the OOV fallbacks self-scoring never hits: unseen bigram
+    over a seen leading word, and fully-OOV words (smoothing mass only).
+
+    Model 'a b a c': C(a)=2, C(b)=C(c)=1, V=3, C(a,b)=1.
+    Scored 'a b z': (a,b) → (1+1)/(2+3) = 0.4 → floor(-1e6·log2(.4)) =
+    1321928; (b,z) → 1/(1+3) = 0.25 → exactly 2000000.
+    Scored 'z q': (z,q) → 1/(0+3) → floor(1e6·log2 3) = 1584962."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import bigram_lm_surprisal
+
+    model = rd.from_items([{"doc_id": 0, "text": "a b a c"}])
+    scored = rd.from_items([{"doc_id": 1, "text": "a b z"},
+                            {"doc_id": 2, "text": "z q"},
+                            {"doc_id": 3, "text": "a"}])  # no bigrams
+    out = (bigram_lm_surprisal(scored, "doc_id", "text", model_ds=model)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_bigrams"].tolist() == [2, 1, 0]
+    assert out["total_surprisal_microbits"].tolist() == [
+        1321928 + 2000000, 1584962, 0]
