@@ -638,6 +638,35 @@ def q_response_latency(sf_dir: str) -> pd.DataFrame:
             .sort_values(["prev_role", "role"]).reset_index(drop=True))
 
 
+def q_time_weighted_value(sf_dir: str) -> pd.DataFrame:
+    """TIME-WEIGHTED average value per user (each event's value holds
+    until the next event) — the metrics/sensor aggregate plain AVG gets
+    wrong on irregular sampling. stages.window.time_weighted_sum: one
+    sort, exact int64 cents·µs sums per run, boundary intervals carried
+    as (last value × boundary gap) through the O(blocks) stitch; the
+    only float is the final display division, mirrored in the twin."""
+    from ..stages.window import time_weighted_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "vc": vc})
+
+    out = time_weighted_sum(ds.map_batches(_pre, batch_format="pyarrow"),
+                            "user_id", "ts", "event_id", "vc").to_pandas()
+    out = out[out["span_us"] > 0].copy()
+    out["twa_value"] = (out["wsum"]
+                        / (out["span_us"] * 100.0)).round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["span_us"] = out["span_us"].astype("int64")
+    return (out[["user_id", "n_events", "span_us", "twa_value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_user_retention(sf_dir: str) -> pd.DataFrame:
     """COHORT RETENTION matrix: users grouped by their first active day,
     counted per (cohort_day, day_offset) — the classic training-corpus /
@@ -4424,6 +4453,30 @@ ORACLE: dict[str, str] = {
         GROUP BY prev_role, role
         ORDER BY prev_role, role
     """,
+    "time_weighted_value": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS tu,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc, event_id
+            FROM events
+        ),
+        l AS (
+            SELECT user_id, vc,
+                   LEAD(tu) OVER (PARTITION BY user_id
+                                  ORDER BY tu, event_id) - tu AS dt
+            FROM e
+        ),
+        a AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   SUM(vc * dt) AS wsum, SUM(dt) AS span_us
+            FROM l GROUP BY user_id
+            HAVING COUNT(*) >= 2 AND SUM(dt) > 0
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(span_us AS BIGINT) AS span_us,
+               ROUND(CAST(wsum AS DOUBLE)
+                     / (CAST(span_us AS DOUBLE) * 100.0), 6) AS twa_value
+        FROM a ORDER BY user_id
+    """,
     "user_retention": """
         WITH d AS (
             SELECT DISTINCT user_id,
@@ -5625,6 +5678,7 @@ QUERIES = {
     "role_transitions": q_role_transitions,
     "response_latency": q_response_latency,
     "price_deciles_by_flag": q_price_deciles_by_flag,
+    "time_weighted_value": q_time_weighted_value,
     "user_retention": q_user_retention,
     "gini_by_priority": q_gini_by_priority,
     "weighted_median_price": q_weighted_median_price,

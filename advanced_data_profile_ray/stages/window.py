@@ -1499,7 +1499,8 @@ def interval_overlap_counts(ds, key_col: str, ts_col: str, id_col: str,
 
 
 def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
-                          out_fields: list, run_agg, merge, emit):
+                          out_fields: list, run_agg, merge, emit,
+                          val_col: str | None = None):
     """Shared scaffold for per-partition ordered-run reductions
     (session_gap_stats, sessionize — the LAG()-family primitives): ONE
     sort by (part, ts, order); every run interior to a sorted block
@@ -1517,6 +1518,11 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
     finished partition (e.g. HAVING COUNT(*) > 1) — applied identically
     to interior runs and carry-merged edge partitions.
 
+    When ``val_col`` is given (an int64 measure column), ``run_agg``
+    receives ``(ts_seg, val_seg)`` instead — value-weighted reductions
+    (e.g. time-weighted averages) smuggle whatever boundary state they
+    need (a run's last value) through their own ``out_fields``.
+
     Returns a Dataset (part_col, *out_fields) with int64 agg columns."""
     import ray
     import ray.data as rd
@@ -1527,8 +1533,8 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
         rows = ds.count()  # metadata-only on the raw read
     except Exception:
         rows = None
-    s = rightsize_blocks(ds.select_columns([part_col, ts_col, order_col]),
-                         rows=rows).sort(
+    sel = [part_col, ts_col, order_col] + ([val_col] if val_col else [])
+    s = rightsize_blocks(ds.select_columns(sel), rows=rows).sort(
         [part_col, ts_col, order_col]).materialize()
     refs = s.to_arrow_refs()
     part_t = (s.schema().base_schema.field(part_col).type
@@ -1551,12 +1557,19 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
         k = block[part_col].to_numpy(zero_copy_only=False)
         ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").view(np.int64)
+        v = (block[val_col].to_numpy(zero_copy_only=False)
+             if val_col else None)
+
+        def _agg(a, b):
+            return (run_agg(ts[a:b], v[a:b]) if val_col
+                    else run_agg(ts[a:b]))
+
         starts, widths = _run_bounds(k)
         n_runs = starts.size
         inner_rows = []
         for r in range(1, n_runs - 1):
             a, b = int(starts[r]), int(starts[r] + widths[r])
-            vals = run_agg(ts[a:b])
+            vals = _agg(a, b)
             if emit(vals):
                 inner_rows.append((k[a], *vals))
         frags = []
@@ -1565,7 +1578,7 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
             a, b = int(starts[r]), int(starts[r] + widths[r])
             frags.append((2 if n_runs == 1 else pos, k[a].item()
                           if hasattr(k[a], "item") else k[a],
-                          run_agg(ts[a:b]), int(ts[a]), int(ts[b - 1])))
+                          _agg(a, b), int(ts[a]), int(ts[b - 1])))
         return _table(inner_rows), frags
 
     results = [_block.remote(r) for r in refs]
@@ -1611,6 +1624,41 @@ def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
                              int(np.diff(seg).max()) if seg.size >= 2 else -1),
         merge=lambda c, f, bg: (c[0] + f[0], max(c[1], f[1], bg)),
         emit=lambda v: v[0] >= 2)
+
+
+def time_weighted_sum(ds, part_col: str, ts_col: str, order_col: str,
+                      val_col: str):
+    """Per-partition TIME-WEIGHTED value aggregate — the sensor/metrics
+    twin of AVG: each event's value holds from its ts until the next
+    event (last event carries no duration), so the partition aggregate
+    is Σ vᵢ·(tsᵢ₊₁−tsᵢ) over Σ dt. SQL: ``SUM(v·(LEAD(ts) OVER w − ts))``
+    / ``SUM(LEAD(ts) OVER w − ts)`` with ``HAVING COUNT(*) >= 2``.
+
+    ``val_col`` must be int64 (scale floats to cents beforehand) —
+    everything is EXACT int64 end-to-end. Overflow bound: a partition's
+    Σ|v·dt| must stay under 2^63, i.e. max|v| · partition-ts-span(µs)
+    < 9.2·10^18 — cents-scaled metrics over year-long spans sit ~5×
+    under it (56k·3.2·10^13). A cross-block boundary interval is the
+    carry fragment's LAST value × the boundary gap, which is why the
+    run aggregate ships ``last_v`` as a field. Returns a Dataset
+    (part_col, n_events, wsum, span_us)."""
+
+    def _twa(seg, vseg):
+        if seg.size < 2:
+            return (int(seg.size), 0, 0, int(vseg[-1]))
+        dt = np.diff(seg)
+        return (int(seg.size), int(np.sum(vseg[:-1] * dt)),
+                int(seg[-1] - seg[0]), int(vseg[-1]))
+
+    out = _partition_run_reduce(
+        ds, part_col, ts_col, order_col,
+        ["n_events", "wsum", "span_us", "last_v"],
+        run_agg=_twa,
+        merge=lambda c, f, bg: (c[0] + f[0], c[1] + f[1] + c[3] * bg,
+                                c[2] + f[2] + bg, f[3]),
+        emit=lambda v: v[0] >= 2,
+        val_col=val_col)
+    return out.select_columns([part_col, "n_events", "wsum", "span_us"])
 
 
 def sessionize(ds, part_col: str, ts_col: str, order_col: str,

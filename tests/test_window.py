@@ -859,3 +859,37 @@ def test_pair_gap_stats_single_row_partitions(ray_session):
     # schema at the Dataset level, which is the operator's contract
     assert inner.schema().names == ["prev", "cur", "n", "sum_gap_us",
                                     "max_gap_us"]
+
+
+def test_time_weighted_sum_matches_duckdb(ray_session):
+    """Time-weighted sums vs the LEAD twin: hot partition spanning many
+    blocks (boundary intervals = carry's last value × boundary gap),
+    all-tie partitions (span 0 kept, caller filters), singletons
+    dropped by the n>=2 emit rule."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import time_weighted_sum
+
+    rng = np.random.default_rng(59)
+    n = 2500
+    part = np.where(rng.random(n) < 0.3, 7, rng.integers(0, 60, n))
+    ts = rng.integers(0, 10**7, n)
+    ts[part == 11] = 42  # an all-tie partition: span 0
+    v = rng.integers(-500, 500, n)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    got = (time_weighted_sum(rd.from_arrow(t).repartition(23),
+                             "g", "ts", "o", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH l AS (SELECT g, v,
+                          epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt
+                   FROM t WINDOW w AS (PARTITION BY g ORDER BY ts, o))
+        SELECT g, COUNT(*) AS n_events,
+               COALESCE(SUM(v * dt), 0) AS wsum,
+               COALESCE(SUM(dt), 0) AS span_us
+        FROM l GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
