@@ -3361,19 +3361,15 @@ def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
-    """GROUPED Pearson correlation (CORR ... GROUP BY twin): per-batch
-    per-group algebraic partials (n, Σx, Σy, Σx², Σy², Σxy) via one
-    arrow group_by, ONE sorted_groupby sum exchange, correlation
-    finalized per group row — the data never reaches the driver, only
-    one 6-number partial per (group, block) enters the exchange.
-    Pairwise-complete semantics (rows with either value null drop),
-    matching SQL CORR."""
-    import ray.data as rd
-
+def _grouped_xy_moments(sf_dir: str, table: str, g: str, x: str, y: str):
+    """Shared partial builder for the grouped bivariate family (Pearson
+    correlation, OLS regression): per-batch per-group algebraic partials
+    (n, Σx, Σy, Σx², Σy², Σxy) via one arrow group_by, ONE sorted_groupby
+    sum exchange — the data never reaches the driver, only one 6-number
+    partial per (group, block) enters the exchange. Pairwise-complete
+    semantics (rows with either value null drop), matching SQL CORR /
+    REGR_*. Returns the merged moments as a small pandas frame."""
     from ..stages.fast_ops import sorted_groupby
-
-    x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
 
     def _partial(batch: pa.Table) -> pa.Table:
         keep = pc.and_(batch[x].is_valid(), batch[y].is_valid())
@@ -3392,31 +3388,58 @@ def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
              for c in out.column_names]
         ).select([g, "n", "sx", "sy", "sxx", "syy", "sxy"])
 
-    pre = _read(sf_dir, "lineitem", [g, x, y]).map_batches(
+    pre = _read(sf_dir, table, [g, x, y]).map_batches(
         _partial, batch_format="pyarrow", batch_size=131072)
     inner, edge = sorted_groupby(
         pre, [g], [("n", "sum", "n"), ("sx", "sum", "sx"),
                    ("sy", "sum", "sy"), ("sxx", "sum", "sxx"),
                    ("syy", "sum", "syy"), ("sxy", "sum", "sxy")])
-
-    def _finalize(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy().astype(np.float64)
-        sx = t["sx"].to_numpy()
-        sy = t["sy"].to_numpy()
-        cov = n * t["sxy"].to_numpy() - sx * sy
-        vx = n * t["sxx"].to_numpy() - sx * sx
-        vy = n * t["syy"].to_numpy() - sy * sy
-        denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            r = np.where(denom > 0, cov / denom, np.nan)
-        return pa.table({g: t[g],
-                         "corr": pa.array(np.round(r, 6), pa.float64())})
-
-    res = inner.map_batches(_finalize, batch_format="pyarrow",
-                            batch_size=None)
+    out = inner.to_pandas()
     if edge is not None and edge.num_rows:
-        res = res.union(rd.from_arrow(_finalize(edge)))
-    return (res.to_pandas().sort_values(g).reset_index(drop=True))
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    return out.sort_values(g).reset_index(drop=True)
+
+
+def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """GROUPED Pearson correlation (CORR ... GROUP BY twin) finalized
+    from the shared moment partials (one exchange, driver sees one row
+    per group)."""
+    x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
+    t = _grouped_xy_moments(sf_dir, "lineitem", g, x, y)
+    n = t["n"].to_numpy().astype(np.float64)
+    sx = t["sx"].to_numpy()
+    sy = t["sy"].to_numpy()
+    cov = n * t["sxy"].to_numpy() - sx * sy
+    vx = n * t["sxx"].to_numpy() - sx * sx
+    vy = n * t["syy"].to_numpy() - sy * sy
+    denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.where(denom > 0, cov / denom, np.nan)
+    return pd.DataFrame({g: t[g], "corr": np.round(r, 6)})
+
+
+def q_regr_by_flag(sf_dir: str) -> pd.DataFrame:
+    """GROUPED OLS simple regression (price ~ quantity per return flag):
+    slope / intercept / r² finalized from the SAME shared moment
+    partials as the grouped correlation — REGR_SLOPE / REGR_INTERCEPT /
+    REGR_R2 twins, one exchange, one 6-number partial per (group,
+    block)."""
+    x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
+    t = _grouped_xy_moments(sf_dir, "lineitem", g, x, y)
+    n = t["n"].to_numpy().astype(np.float64)
+    sx = t["sx"].to_numpy()
+    sy = t["sy"].to_numpy()
+    cov = n * t["sxy"].to_numpy() - sx * sy
+    vx = n * t["sxx"].to_numpy() - sx * sx
+    vy = n * t["syy"].to_numpy() - sy * sy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(vx > 0, cov / vx, np.nan)
+        intercept = sy / n - slope * (sx / n)
+        r2 = np.where((vx > 0) & (vy > 0), (cov * cov) / (vx * vy), np.nan)
+    return pd.DataFrame({g: t[g], "n": t["n"].astype("int64"),
+                         "slope": np.round(slope, 6),
+                         "intercept": np.round(intercept, 6),
+                         "r2": np.round(r2, 6)})
 
 
 def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
@@ -4815,6 +4838,16 @@ ORACLE: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "regr_by_flag": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "iqr_outliers": """
         WITH b AS (
             SELECT l_returnflag,
@@ -5691,6 +5724,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "corr_lineitem": q_corr_lineitem,
     "corr_by_returnflag": q_corr_by_returnflag,
+    "regr_by_flag": q_regr_by_flag,
     "iqr_outliers": q_iqr_outliers,
     "mad_by_flag": q_mad_by_flag,
     "price_p90_disc": q_price_p90_disc,
