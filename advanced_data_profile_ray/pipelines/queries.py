@@ -599,6 +599,24 @@ def q_role_transitions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
 
 
+def q_conv_documents(sf_dir: str) -> pd.DataFrame:
+    """TRANSCRIPT → TRAINING DOCUMENT assembly: one document per
+    conversation, non-null turn texts joined with newlines in turn
+    order — SQL ``STRING_AGG(text, chr(10) ORDER BY turn_idx)``. The
+    canonical corpus-prep step between a transcript fact table and the
+    dedup/quality/tokenize stages. stages.window.concat_group_strings:
+    one sort, zero-copy LargeList binary_join per block, edge runs
+    re-joined in a single stitch task — text never crosses the driver."""
+    from ..stages.window import concat_group_strings, sessionize_events
+
+    ds = sessionize_events(_read(sf_dir, "events"))
+    out = concat_group_strings(ds, "conv_id", ["turn_idx"], "text",
+                               sep="\n").to_pandas()
+    out = out.rename(columns={"text": "doc", "n_parts": "n_text_turns"})
+    out["n_text_turns"] = out["n_text_turns"].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def q_response_latency(sf_dir: str) -> pd.DataFrame:
     """RESPONSE-LATENCY profile per role transition over the derived
     transcripts: for every adjacent turn pair within a conversation,
@@ -4461,6 +4479,15 @@ ORACLE: dict[str, str] = {
         GROUP BY prev_role, role
         ORDER BY prev_role, role
     """,
+    "conv_documents": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL})
+        SELECT conv_id,
+               STRING_AGG(text, chr(10) ORDER BY turn_idx) AS doc,
+               COUNT(text) AS n_text_turns
+        FROM t GROUP BY conv_id
+        HAVING COUNT(text) > 0
+        ORDER BY conv_id
+    """,
     "response_latency": f"""
         WITH t AS ({_TRANSCRIPTS_SQL}),
         l AS (
@@ -5710,6 +5737,7 @@ QUERIES = {
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
     "response_latency": q_response_latency,
+    "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
     "user_retention": q_user_retention,

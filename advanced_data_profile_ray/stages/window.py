@@ -1687,6 +1687,122 @@ def sessionize(ds, part_col: str, ts_col: str, order_col: str,
         emit=lambda v: True)
 
 
+def concat_group_strings(ds, part_col: str, order_keys: list,
+                         text_col: str, sep: str = "\n"):
+    """Ordered per-partition string concatenation — SQL ``STRING_AGG(text,
+    sep ORDER BY order_keys)`` — the transcript→training-document
+    assembly op (one document per conversation, turns joined in order).
+    NULL text rows are dropped first (STRING_AGG semantics); partitions
+    with zero non-null texts are omitted.
+
+    Distributed shape: ONE sort by (part, *order_keys); per block every
+    interior run concatenates via a zero-copy Arrow LargeListArray +
+    ``pc.binary_join`` (no Python string loop); the ≤2 edge runs per
+    block ship as (part, blk, pos, partial_text, n) fragment rows into a
+    single stitch task that re-joins them in (blk, pos) order — text
+    never flows through the driver, and only boundary-straddling
+    partitions' text moves twice. Assumption (same as any groupby): one
+    partition's text fits a worker; the stitch task holds only the
+    edge-straddling partitions, O(blocks) fragments. Returns a Dataset
+    (part_col, text_col, n_parts)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    def _drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(t[text_col].is_valid() if not isinstance(
+            t[text_col], pa.ChunkedArray)
+            else pc.is_valid(t[text_col]))
+
+    try:
+        rows = ds.count()
+    except Exception:
+        rows = None
+    s = rightsize_blocks(
+        ds.select_columns([part_col, text_col] + order_keys).map_batches(
+            _drop_null, batch_format="pyarrow"),
+        rows=rows).sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    part_t = (s.schema().base_schema.field(part_col).type
+              if refs else pa.string())
+    out_schema = pa.schema([(part_col, part_t), (text_col, pa.string()),
+                            ("n_parts", pa.int64())])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    frag_schema = pa.schema([(part_col, part_t), ("blk", pa.int64()),
+                             ("pos", pa.int64()), (text_col, pa.string()),
+                             ("n", pa.int64())])
+
+    def _join_runs_table(keys, texts, starts, widths, sel, blk=None,
+                         pos=None):
+        """Concatenate the selected runs of a sorted block via one
+        vectorized binary_join over a LargeListArray view."""
+        # gather the selected runs' rows (runs need not be adjacent, so
+        # build an explicit values-index; each arange is one run slice)
+        idx = np.concatenate([np.arange(starts[r], starts[r] + widths[r])
+                              for r in sel]) if len(sel) else np.zeros(0, np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(widths[sel])]),
+                     pa.int64()),
+            texts.take(pa.array(idx, pa.int64())))
+        joined = pc.binary_join(la, sep)
+        cols = {part_col: keys.take(pa.array(starts[sel], pa.int64()))}
+        if blk is None:
+            return pa.table({**cols, text_col: pc.cast(joined, pa.string()),
+                             "n_parts": pa.array(widths[sel], pa.int64())})
+        return pa.table({**cols,
+                         "blk": pa.array([blk] * len(sel), pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         text_col: pc.cast(joined, pa.string()),
+                         "n": pa.array(widths[sel], pa.int64())})
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table, blk: int):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), frag_schema.empty_table()
+        k = block[part_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        texts = block[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        starts, widths = _run_bounds(k.to_numpy(zero_copy_only=False))
+        n_runs = starts.size
+        interior = np.arange(1, max(n_runs - 1, 1))
+        inner = (_join_runs_table(k, texts, starts, widths, interior)
+                 if interior.size else out_schema.empty_table())
+        edge_sel = np.array([0] if n_runs == 1 else [0, n_runs - 1],
+                            np.int64)
+        frags = _join_runs_table(k, texts, starts, widths, edge_sel,
+                                 blk=blk, pos=list(range(len(edge_sel))))
+        return inner, frags
+
+    results = [_block.remote(r, i) for i, r in enumerate(refs)]
+
+    @ray.remote
+    def _stitch(*frag_tables):
+        t = pa.concat_tables([f for f in frag_tables if f.num_rows])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[(part_col, "ascending"),
+                                            ("blk", "ascending"),
+                                            ("pos", "ascending")])
+        t = t.take(idx)
+        k = t[part_col].combine_chunks()
+        texts = t[text_col].combine_chunks()
+        starts, widths = _run_bounds(k.to_numpy(zero_copy_only=False))
+        out = _join_runs_table(k, texts, starts, widths,
+                               np.arange(starts.size))
+        ns = t["n"].to_numpy()
+        n_parts = np.add.reduceat(ns, starts)
+        return out.set_column(out.schema.get_field_index("n_parts"),
+                              "n_parts", pa.array(n_parts, pa.int64()))
+
+    stitched = _stitch.remote(*[r[1] for r in results])
+    return rd.from_arrow_refs([r[0] for r in results] + [stitched])
+
+
 _SESSION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -893,3 +893,31 @@ def test_time_weighted_sum_matches_duckdb(ray_session):
         FROM l GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_concat_group_strings_matches_duckdb(ray_session):
+    """Ordered STRING_AGG vs DuckDB with a hot partition spanning many
+    blocks (edge fragments re-joined in the stitch task), null texts
+    dropped mid-run, and an all-null partition omitted entirely."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import concat_group_strings
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    part = np.where(rng.random(n) < 0.3, 5, rng.integers(0, 50, n))
+    texts = np.array([f"w{i}" for i in range(n)], dtype=object)
+    texts[rng.random(n) < 0.15] = None
+    texts[part == 13] = None  # all-null partition
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "txt": pa.array(texts, pa.string())})
+    got = (concat_group_strings(rd.from_arrow(t).repartition(19),
+                                "g", ["o"], "txt", sep="\n")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        SELECT g, STRING_AGG(txt, chr(10) ORDER BY o) AS txt,
+               COUNT(txt) AS n_parts
+        FROM t GROUP BY g HAVING COUNT(txt) > 0 ORDER BY g
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
