@@ -607,14 +607,20 @@ def q_conv_documents(sf_dir: str) -> pd.DataFrame:
     dedup/quality/tokenize stages. stages.window.concat_group_strings:
     one sort, zero-copy LargeList binary_join per block, edge runs
     re-joined in a single stitch task — text never crosses the driver."""
-    from ..stages.window import concat_group_strings, sessionize_events
+    from ..stages.window import concat_group_strings
 
-    ds = sessionize_events(_read(sf_dir, "events"))
-    out = concat_group_strings(ds, "conv_id", ["turn_idx"], "text",
+    # assemble straight off the projected events read: turn_idx order IS
+    # (ts, event_id) order within user, and user_id ↔ conv_id are 1:1,
+    # so the transcript projection (and its extra sort) never runs —
+    # ONE sort carrying only (user_id, ts, event_id, non-null props)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    out = concat_group_strings(ds, "user_id", ["ts", "event_id"], "props",
                                sep="\n").to_pandas()
-    out = out.rename(columns={"text": "doc", "n_parts": "n_text_turns"})
+    out["conv_id"] = "c" + out["user_id"].astype(str).str.zfill(8)
+    out = out.rename(columns={"props": "doc", "n_parts": "n_text_turns"})
     out["n_text_turns"] = out["n_text_turns"].astype("int64")
-    return out.sort_values("conv_id").reset_index(drop=True)
+    return (out[["conv_id", "doc", "n_text_turns"]]
+            .sort_values("conv_id").reset_index(drop=True))
 
 
 def q_response_latency(sf_dir: str) -> pd.DataFrame:
