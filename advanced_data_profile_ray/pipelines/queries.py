@@ -616,6 +616,12 @@ def q_conv_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
     out = concat_group_strings(ds, "user_id", ["ts", "event_id"], "props",
                                sep="\n").to_pandas()
+    # same bound sessionize_events enforces: zfill never truncates but
+    # SQL lpad does, so ids outside [0, 10^8) would silently diverge
+    if len(out) and (out["user_id"].min() < 0
+                     or out["user_id"].max() >= 10**8):
+        raise ValueError("conv_documents: user_id outside [0, 10^8) — "
+                         "8-digit zero-padding would not match lpad")
     out["conv_id"] = "c" + out["user_id"].astype(str).str.zfill(8)
     out = out.rename(columns={"props": "doc", "n_parts": "n_text_turns"})
     out["n_text_turns"] = out["n_text_turns"].astype("int64")
@@ -3421,7 +3427,15 @@ def _grouped_xy_moments(sf_dir: str, table: str, g: str, x: str, y: str):
     out = inner.to_pandas()
     if edge is not None and edge.num_rows:
         out = pd.concat([out, edge.to_pandas()], ignore_index=True)
-    return out.sort_values(g).reset_index(drop=True)
+    out = out.sort_values(g).reset_index(drop=True)
+    # derive the shared scale-free moments both finalizers consume
+    n = out["n"].to_numpy().astype(np.float64)
+    sx = out["sx"].to_numpy()
+    sy = out["sy"].to_numpy()
+    out["cov"] = n * out["sxy"].to_numpy() - sx * sy
+    out["vx"] = n * out["sxx"].to_numpy() - sx * sx
+    out["vy"] = n * out["syy"].to_numpy() - sy * sy
+    return out
 
 
 def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
@@ -3430,15 +3444,10 @@ def q_corr_by_returnflag(sf_dir: str) -> pd.DataFrame:
     per group)."""
     x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
     t = _grouped_xy_moments(sf_dir, "lineitem", g, x, y)
-    n = t["n"].to_numpy().astype(np.float64)
-    sx = t["sx"].to_numpy()
-    sy = t["sy"].to_numpy()
-    cov = n * t["sxy"].to_numpy() - sx * sy
-    vx = n * t["sxx"].to_numpy() - sx * sx
-    vy = n * t["syy"].to_numpy() - sy * sy
-    denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+    denom = np.sqrt(np.maximum(t["vx"].to_numpy(), 0.0)
+                    * np.maximum(t["vy"].to_numpy(), 0.0))
     with np.errstate(invalid="ignore", divide="ignore"):
-        r = np.where(denom > 0, cov / denom, np.nan)
+        r = np.where(denom > 0, t["cov"].to_numpy() / denom, np.nan)
     return pd.DataFrame({g: t[g], "corr": np.round(r, 6)})
 
 
@@ -3446,20 +3455,20 @@ def q_regr_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUPED OLS simple regression (price ~ quantity per return flag):
     slope / intercept / r² finalized from the SAME shared moment
     partials as the grouped correlation — REGR_SLOPE / REGR_INTERCEPT /
-    REGR_R2 twins, one exchange, one 6-number partial per (group,
-    block)."""
+    REGR_R2 / REGR_COUNT twins (pairwise-complete n), one exchange, one
+    6-number partial per (group, block). r² follows REGR_R2's
+    convention: constant-y over varying x is a perfect fit (1.0)."""
     x, y, g = "l_quantity", "l_extendedprice", "l_returnflag"
     t = _grouped_xy_moments(sf_dir, "lineitem", g, x, y)
     n = t["n"].to_numpy().astype(np.float64)
-    sx = t["sx"].to_numpy()
-    sy = t["sy"].to_numpy()
-    cov = n * t["sxy"].to_numpy() - sx * sy
-    vx = n * t["sxx"].to_numpy() - sx * sx
-    vy = n * t["syy"].to_numpy() - sy * sy
+    cov, vx, vy = (t[c].to_numpy() for c in ("cov", "vx", "vy"))
     with np.errstate(invalid="ignore", divide="ignore"):
         slope = np.where(vx > 0, cov / vx, np.nan)
-        intercept = sy / n - slope * (sx / n)
-        r2 = np.where((vx > 0) & (vy > 0), (cov * cov) / (vx * vy), np.nan)
+        intercept = (t["sy"].to_numpy() / n
+                     - slope * (t["sx"].to_numpy() / n))
+        r2 = np.where(vx > 0,
+                      np.where(vy > 0, (cov * cov) / (vx * vy), 1.0),
+                      np.nan)
     return pd.DataFrame({g: t[g], "n": t["n"].astype("int64"),
                          "slope": np.round(slope, 6),
                          "intercept": np.round(intercept, 6),
@@ -4872,7 +4881,8 @@ ORACLE: dict[str, str] = {
         ORDER BY l_returnflag
     """,
     "regr_by_flag": """
-        SELECT l_returnflag, COUNT(*) AS n,
+        SELECT l_returnflag,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
                ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
                ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6)
                    AS intercept,

@@ -626,7 +626,15 @@ def repetition_stats(ds, id_col: str, text_col: str):
             bdoc = np.zeros(0, np.int64)
             bkey = np.zeros(0, np.int64)
         n_big = np.bincount(bdoc, minlength=n).astype(np.int64)
-        d_big = np.bincount(np.unique(bdoc * (V * V) + bkey) // (V * V),
+        # composite (doc, bigram) key: bkey < V² is always int64-safe
+        # (V ≤ batch tokens), but docs·V² can overflow on huge batches —
+        # re-factorize bigrams to a dense code space first in that case
+        span = np.int64(V * V)
+        if float(n) * float(span) >= 2.0**62:
+            bcode, buniq = pd.factorize(bkey)
+            span = np.int64(len(buniq)) + 1
+            bkey = bcode.astype(np.int64)
+        d_big = np.bincount(np.unique(bdoc * span + bkey) // span,
                             minlength=n).astype(np.int64)
 
         nw = np.maximum(n_words, 1).astype(np.float64)
@@ -710,6 +718,12 @@ def bigram_lm_surprisal(ds, id_col: str, text_col: str, model_ds=None):
     counts = inner.to_pandas()
     if edge is not None and edge.num_rows:
         counts = pd.concat([counts, edge.to_pandas()], ignore_index=True)
+    if len(counts) == 0:
+        # fully empty model corpus: ray to_pandas drops columns on
+        # all-empty blocks — pin the typed empty frame
+        counts = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                               "w2": pd.Series([], dtype=object),
+                               "n": pd.Series([], dtype="int64")})
 
     uni = counts[counts["w2"] == ""].sort_values("w1")
     uni_words = uni["w1"].to_numpy()
@@ -735,21 +749,35 @@ def bigram_lm_surprisal(ds, id_col: str, text_col: str, model_ds=None):
             bdoc = doc[:-1][adj]
             w1, w2 = flat[:-1][adj], flat[1:][adj]
             # word → model id; OOV words get C(w)=0 (smoothing mass only)
-            p1 = np.searchsorted(uw, w1)
-            in1 = (p1 < uw.size)
-            in1[in1] = uw[p1[in1]] == w1[in1]
-            cu = np.where(in1, uc[np.minimum(p1, uw.size - 1)], 0)
-            p2 = np.searchsorted(uw, w2)
-            in2 = (p2 < uw.size)
-            in2[in2] = uw[p2[in2]] == w2[in2]
-            key = np.where(in1 & in2,
-                           p1 * (np.int64(uw.size) + 1) + p2, -1)
-            pb = np.searchsorted(bk, key)
-            hit = (pb < bk.size) & (key >= 0)
-            hit[hit] = bk[np.minimum(pb, max(bk.size - 1, 0))][hit] == key[hit]
-            cb = np.where(hit, bc[np.minimum(pb, max(bk.size - 1, 0))], 0)
+            # np.where evaluates both branches, so fancy-index lookups
+            # must stay in-bounds even when the model side is EMPTY (a
+            # degenerate model corpus: no vocab, or only 1-token docs
+            # hence zero bigrams) — clamp-then-mask handles both
+            if uw.size:
+                p1 = np.searchsorted(uw, w1)
+                in1 = (p1 < uw.size)
+                in1[in1] = uw[p1[in1]] == w1[in1]
+                cu = np.where(in1, uc[np.minimum(p1, uw.size - 1)], 0)
+                p2 = np.searchsorted(uw, w2)
+                in2 = (p2 < uw.size)
+                in2[in2] = uw[p2[in2]] == w2[in2]
+                key = np.where(in1 & in2,
+                               p1 * (np.int64(uw.size) + 1) + p2, -1)
+            else:
+                cu = np.zeros(w1.size, np.int64)
+                key = np.full(w1.size, -1, np.int64)
+            if bk.size:
+                pb = np.searchsorted(bk, key)
+                hit = (pb < bk.size) & (key >= 0)
+                hit[hit] = bk[np.minimum(pb, bk.size - 1)][hit] == key[hit]
+                cb = np.where(hit, bc[np.minimum(pb, bk.size - 1)], 0)
+            else:
+                cb = np.zeros(w1.size, np.int64)
+            # V=0 (empty model) degrades to p = 1/(0+0+1)? — use V>=1 so
+            # the smoothing mass stays a valid probability
+            vv = np.float64(max(uw.size, 1))
             s = np.floor(-1e6 * np.log2(
-                (cb + 1.0) / (cu + np.float64(uw.size)))).astype(np.int64)
+                (cb + 1.0) / (cu + vv))).astype(np.int64)
             if bdoc.size:
                 nb = np.bincount(bdoc, minlength=n).astype(np.int64)
                 ud, starts = np.unique(bdoc, return_index=True)

@@ -653,18 +653,18 @@ def lag_values(ds, part_col: str, order_keys: list, val_col: str,
     return rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
 
 
-def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
-                      prev_name: str = "prev", cur_name: str = "cur"):
-    """Markov transition counts: for every ADJACENT row pair within a
-    partition under ``order_keys``, count (previous value, current value)
-    occurrences — SQL ``LAG(val) OVER (PARTITION BY part ORDER BY ...)``
-    followed by ``GROUP BY (prev, cur)``, but the per-row lag column is
-    never materialized: each sorted block reduces its own adjacent pairs
-    to a tiny (prev, cur, n) partial (cardinality ≤ |value domain|²,
-    never rows), the B cross-block pairs are resolved by the same
-    O(blocks) driver boundary scan as ``lag_values``, and the partials
-    merge through one skinny ``sorted_groupby`` exchange. Returns
-    (inner_ds, edge_table) in sorted_groupby's contract."""
+def _adjacent_pair_reduce(ds, part_col: str, order_keys: list,
+                          val_col: str, prev_name: str, cur_name: str,
+                          ts_col: str | None = None):
+    """Shared scaffold for the adjacent-pair family (transition_counts,
+    pair_gap_stats): ONE sort by (part, *order_keys); each sorted block
+    reduces its own adjacent pairs to a tiny (prev, cur, n[, gap sum,
+    gap max]) partial (cardinality ≤ |value domain|², never rows); the B
+    cross-block pairs are resolved by an O(blocks) driver boundary scan;
+    the partials merge through one skinny ``sorted_groupby`` exchange.
+    With ``ts_col`` (int64 µs) each pair additionally carries its time
+    gap into sum/max aggregates. Returns (inner_ds, edge_table) in
+    sorted_groupby's contract."""
     import ray
     import ray.data as rd
 
@@ -674,9 +674,11 @@ def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
     refs = s.to_arrow_refs()
     base = (s.schema() or ds.schema()).base_schema
     val_t = base.field(val_col).type
+    gap_fields = ([pa.field("sum_gap_us", pa.int64()),
+                   pa.field("max_gap_us", pa.int64())] if ts_col else [])
     part_schema = pa.schema([pa.field(prev_name, val_t),
                              pa.field(cur_name, val_t),
-                             pa.field("n", pa.int64())])
+                             pa.field("n", pa.int64())] + gap_fields)
 
     @ray.remote(num_returns=2)
     def _block(block: pa.Table):
@@ -685,12 +687,15 @@ def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
         if block.num_rows == 0:
             return part_schema.empty_table(), None
         k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = (block[ts_col].to_numpy(zero_copy_only=False)
+              if ts_col else None)
         starts, _ = _run_bounds(k)
         vals = block[val_col]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         n = block.num_rows
-        info = (k[0], vals[0].as_py(), k[-1], vals[n - 1].as_py())
+        info = (k[0], vals[0].as_py(), int(ts[0]) if ts_col else 0,
+                k[-1], vals[n - 1].as_py(), int(ts[n - 1]) if ts_col else 0)
         # pair (i-1, i) exists for i in 1..n-1 unless row i starts a new
         # partition run
         keep = np.ones(max(n - 1, 0), dtype=bool)
@@ -700,41 +705,66 @@ def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
         if idx.size == 0:
             # empty group_by can drop key columns — emit the typed empty
             return part_schema.empty_table(), info
-        pairs = pa.table({
+        cols = {
             prev_name: vals.take(pa.array(idx, pa.int64())),
             cur_name: vals.take(pa.array(idx + 1, pa.int64())),
-        })
-        g = pairs.group_by([prev_name, cur_name],
-                           use_threads=False).aggregate([([], "count_all")])
+        }
+        aggs = [([], "count_all")]
+        if ts_col:
+            cols["g"] = pa.array(ts[idx + 1] - ts[idx], pa.int64())
+            aggs += [("g", "sum"), ("g", "max")]
+        g = pa.table(cols).group_by([prev_name, cur_name],
+                                    use_threads=False).aggregate(aggs)
         g = g.rename_columns(
-            [{"count_all": "n"}.get(c, c) for c in g.column_names]
-        ).select([prev_name, cur_name, "n"])
+            [{"count_all": "n", "g_sum": "sum_gap_us",
+              "g_max": "max_gap_us"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
         return g.cast(part_schema), info
 
     results = [_block.remote(r) for r in refs]
     infos = ray.get([r[1] for r in results])
     # driver boundary scan: block b's first row pairs with the previous
     # nonempty block's last row when both belong to one partition
-    prevs, curs = [], []
-    last_key, last_val = object(), None  # sentinel unequal to any key
+    prevs, curs, gaps = [], [], []
+    last_key, last_val, last_ts = object(), None, 0  # sentinel key
     for info in infos:
         if info is None:
             continue
-        first_k, first_v, lk, lv = info
+        first_k, first_v, first_ts, lk, lv, lts = info
         if first_k == last_key:
             prevs.append(last_val)
             curs.append(first_v)
-        last_key, last_val = lk, lv
-    edge = pa.table({prev_name: pa.array(prevs, val_t),
-                     cur_name: pa.array(curs, val_t),
-                     "n": pa.array([1] * len(prevs), pa.int64())})
-    partials = rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
+            gaps.append(first_ts - last_ts)
+        last_key, last_val, last_ts = lk, lv, lts
+    edge_cols = {prev_name: pa.array(prevs, val_t),
+                 cur_name: pa.array(curs, val_t),
+                 "n": pa.array([1] * len(prevs), pa.int64())}
+    if ts_col:
+        edge_cols["sum_gap_us"] = pa.array(gaps, pa.int64())
+        edge_cols["max_gap_us"] = pa.array(gaps, pa.int64())
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(pa.table(edge_cols))])
+    merge_aggs = [("n", "sum", "n")] + (
+        [("sum_gap_us", "sum", "sum_gap_us"),
+         ("max_gap_us", "max", "max_gap_us")] if ts_col else [])
     inner, edge_groups = sorted_groupby(partials, [prev_name, cur_name],
-                                        [("n", "sum", "n")])
+                                        merge_aggs)
     # an all-singleton input has zero pairs; sorting an empty dataset
     # yields zero blocks and a None schema, so pin the typed schema with
     # one empty block (harmless when nonempty)
     return inner.union(rd.from_arrow(part_schema.empty_table())), edge_groups
+
+
+def transition_counts(ds, part_col: str, order_keys: list, val_col: str,
+                      prev_name: str = "prev", cur_name: str = "cur"):
+    """Markov transition counts: for every ADJACENT row pair within a
+    partition under ``order_keys``, count (previous value, current value)
+    occurrences — SQL ``LAG(val) OVER (PARTITION BY part ORDER BY ...)``
+    followed by ``GROUP BY (prev, cur)``, but the per-row lag column is
+    never materialized (see _adjacent_pair_reduce). Returns
+    (inner_ds, edge_table) in sorted_groupby's contract."""
+    return _adjacent_pair_reduce(ds, part_col, order_keys, val_col,
+                                 prev_name, cur_name)
 
 
 def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
@@ -745,83 +775,12 @@ def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
     assistant takes after a user turn, per role transition): SQL
     ``LAG(val)`` and ``ts − LAG(ts) OVER (PARTITION BY part ORDER BY
     ...)`` followed by ``GROUP BY (prev, cur)`` with COUNT/SUM/MAX of
-    the gap. Same distributed shape as ``transition_counts``: ONE sort,
-    per-block reduction of adjacent pairs to a ≤|domain|² partial (the
-    per-row lag columns never materialize), O(blocks) driver boundary
-    stitch for pairs spanning block edges, one skinny ``sorted_groupby``
-    merge. ``ts_col`` must be int64 µs. Returns (inner_ds, edge_table)
-    of (prev, cur, n, sum_gap_us, max_gap_us)."""
-    import ray
-    import ray.data as rd
-
-    from .fast_ops import sorted_groupby
-
-    s = ds.sort([part_col] + order_keys).materialize()
-    refs = s.to_arrow_refs()
-    base = (s.schema() or ds.schema()).base_schema
-    val_t = base.field(val_col).type
-    part_schema = pa.schema([pa.field(prev_name, val_t),
-                             pa.field(cur_name, val_t),
-                             pa.field("n", pa.int64()),
-                             pa.field("sum_gap_us", pa.int64()),
-                             pa.field("max_gap_us", pa.int64())])
-
-    @ray.remote(num_returns=2)
-    def _block(block: pa.Table):
-        if block.num_rows == 0:
-            return part_schema.empty_table(), None
-        k = block[part_col].to_numpy(zero_copy_only=False)
-        ts = block[ts_col].to_numpy(zero_copy_only=False)
-        starts, _ = _run_bounds(k)
-        vals = block[val_col]
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        n = block.num_rows
-        info = (k[0], vals[0].as_py(), int(ts[0]),
-                k[-1], vals[n - 1].as_py(), int(ts[n - 1]))
-        keep = np.ones(max(n - 1, 0), dtype=bool)
-        if starts.size > 1:
-            keep[starts[1:] - 1] = False
-        idx = np.nonzero(keep)[0]
-        if idx.size == 0:
-            return part_schema.empty_table(), info
-        pairs = pa.table({
-            prev_name: vals.take(pa.array(idx, pa.int64())),
-            cur_name: vals.take(pa.array(idx + 1, pa.int64())),
-            "g": pa.array(ts[idx + 1] - ts[idx], pa.int64()),
-        })
-        g = pairs.group_by([prev_name, cur_name], use_threads=False).aggregate(
-            [([], "count_all"), ("g", "sum"), ("g", "max")])
-        g = g.rename_columns([{"count_all": "n", "g_sum": "sum_gap_us",
-                               "g_max": "max_gap_us"}.get(c, c)
-                              for c in g.column_names]).select(
-            [prev_name, cur_name, "n", "sum_gap_us", "max_gap_us"])
-        return g.cast(part_schema), info
-
-    results = [_block.remote(r) for r in refs]
-    infos = ray.get([r[1] for r in results])
-    prevs, curs, gaps = [], [], []
-    last_key, last_val, last_ts = object(), None, 0
-    for info in infos:
-        if info is None:
-            continue
-        first_k, first_v, first_ts, lk, lv, lts = info
-        if first_k == last_key:
-            prevs.append(last_val)
-            curs.append(first_v)
-            gaps.append(first_ts - last_ts)
-        last_key, last_val, last_ts = lk, lv, lts
-    edge = pa.table({prev_name: pa.array(prevs, val_t),
-                     cur_name: pa.array(curs, val_t),
-                     "n": pa.array([1] * len(prevs), pa.int64()),
-                     "sum_gap_us": pa.array(gaps, pa.int64()),
-                     "max_gap_us": pa.array(gaps, pa.int64())})
-    partials = rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
-    inner, edge_groups = sorted_groupby(
-        partials, [prev_name, cur_name],
-        [("n", "sum", "n"), ("sum_gap_us", "sum", "sum_gap_us"),
-         ("max_gap_us", "max", "max_gap_us")])
-    return inner.union(rd.from_arrow(part_schema.empty_table())), edge_groups
+    the gap. transition_counts' distributed shape with int64 gap
+    aggregates riding the same partials (see _adjacent_pair_reduce).
+    ``ts_col`` must be int64 µs. Returns (inner_ds, edge_table) of
+    (prev, cur, n, sum_gap_us, max_gap_us)."""
+    return _adjacent_pair_reduce(ds, part_col, order_keys, val_col,
+                                 prev_name, cur_name, ts_col=ts_col)
 
 
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
@@ -1634,8 +1593,11 @@ def time_weighted_sum(ds, part_col: str, ts_col: str, order_col: str,
     is Σ vᵢ·(tsᵢ₊₁−tsᵢ) over Σ dt. SQL: ``SUM(v·(LEAD(ts) OVER w − ts))``
     / ``SUM(LEAD(ts) OVER w − ts)`` with ``HAVING COUNT(*) >= 2``.
 
-    ``val_col`` must be int64 (scale floats to cents beforehand) —
-    everything is EXACT int64 end-to-end. Overflow bound: a partition's
+    ``val_col`` must be int64 (scale floats to cents beforehand); NULL
+    values contribute ZERO weighted mass for their interval while the
+    interval still counts toward the span — exactly SQL's SUM skipping
+    NULL products while SUM(dt) keeps the row. Otherwise everything is
+    EXACT int64 end-to-end. Overflow bound: a partition's
     Σ|v·dt| must stay under 2^63, i.e. max|v| · partition-ts-span(µs)
     < 9.2·10^18 — cents-scaled metrics over year-long spans sit ~5×
     under it (56k·3.2·10^13). A cross-block boundary interval is the
@@ -1644,6 +1606,8 @@ def time_weighted_sum(ds, part_col: str, ts_col: str, order_col: str,
     (part_col, n_events, wsum, span_us)."""
 
     def _twa(seg, vseg):
+        if vseg.dtype.kind == "f":  # nulls arrived as NaN → zero mass
+            vseg = np.nan_to_num(vseg, nan=0.0).astype(np.int64)
         if seg.size < 2:
             return (int(seg.size), 0, 0, int(vseg[-1]))
         dt = np.diff(seg)

@@ -293,3 +293,31 @@ def test_price_deciles_emission_rule(ray_session, tmp_path):
         GROUP BY g, dec ORDER BY g, dec
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_regr_by_flag_degenerate_groups(ray_session, tmp_path):
+    """REGR_* twin semantics on degenerate groups: constant-y over
+    varying x is a perfect fit (r2 = 1.0, REGR_R2's convention), n is
+    pairwise-complete (REGR_COUNT), and constant-x gives NULL slope."""
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import ORACLE, QUERIES
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 4 + ["N"] * 3 + ["R"] * 3),
+        "l_quantity": pa.array([1.0, 2, 3, None, 1, 2, 3, 5, 5, 5],
+                               pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20, 30, 40, 7, 7, 7, 1, 2, 3],
+                                    pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = QUERIES["regr_by_flag"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    want = con.sql(ORACLE["regr_by_flag"]).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    assert got.set_index("l_returnflag").loc["N", "r2"] == 1.0
+    assert got.set_index("l_returnflag").loc["A", "n"] == 3

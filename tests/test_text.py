@@ -515,3 +515,26 @@ def test_bigram_lm_surprisal_cross_corpus_oov(ray_session):
     assert out["n_bigrams"].tolist() == [2, 1, 0]
     assert out["total_surprisal_microbits"].tolist() == [
         1321928 + 2000000, 1584962, 0]
+
+
+def test_bigram_lm_surprisal_degenerate_model(ray_session):
+    """A model corpus with zero bigrams (single-token docs) or zero
+    vocab must score with smoothing mass, not crash on empty-array
+    fancy indexing."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.text import bigram_lm_surprisal
+
+    scored = rd.from_items([{"doc_id": 1, "text": "a b"}])
+    # zero bigrams, vocab {a, b}: (a,b) -> (0+1)/(1+2) = 1/3
+    model = rd.from_items([{"doc_id": 0, "text": "a"},
+                           {"doc_id": 9, "text": "b"}])
+    out = (bigram_lm_surprisal(scored, "doc_id", "text", model_ds=model)
+           .to_pandas())
+    assert out["total_surprisal_microbits"].tolist() == [1584962]
+    # fully empty model: p = 1/max(V,1) = 1 -> zero surprisal
+    empty = rd.from_items([{"doc_id": 0, "text": ""}])
+    out2 = (bigram_lm_surprisal(scored, "doc_id", "text", model_ds=empty)
+            .to_pandas())
+    assert out2["total_surprisal_microbits"].tolist() == [0]
+    assert out2["n_bigrams"].tolist() == [1]

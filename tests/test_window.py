@@ -921,3 +921,20 @@ def test_concat_group_strings_matches_duckdb(ray_session):
         FROM t GROUP BY g HAVING COUNT(txt) > 0 ORDER BY g
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_time_weighted_sum_null_values(ray_session):
+    """NULL values contribute zero mass for their interval while the
+    interval still counts toward the span — SQL SUM-skip semantics."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import time_weighted_sum
+
+    t = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                  "ts": pa.array([0, 10, 30], pa.timestamp("us")),
+                  "o": pa.array([0, 1, 2], pa.int64()),
+                  "v": pa.array([5, None, 7], pa.int64())})
+    got = time_weighted_sum(rd.from_arrow(t), "g", "ts", "o", "v").to_pandas()
+    assert got["n_events"].tolist() == [3]
+    assert got["wsum"].tolist() == [5 * 10 + 0 * 20]
+    assert got["span_us"].tolist() == [30]
