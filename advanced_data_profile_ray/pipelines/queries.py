@@ -3146,6 +3146,25 @@ def q_asof_last_event(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_asof_next_event(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join: for each order, the earliest event of the
+    same customer/user at or after the order date — backward as-of
+    machinery reused through time negation (stages.asof.asof_join_next);
+    same one-sort/carry-stitch scale shape."""
+    from ..stages.asof import asof_join_next
+
+    out = asof_join_next(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        left_key="o_custkey", right_key="user_id",
+        left_time="o_orderdate", right_time="ts", left_id="o_orderkey",
+    ).to_pandas()
+    out = out.rename(columns={"lid": "o_orderkey",
+                              "asof_ts": "next_event_ts"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_range_join_counts(sf_dir: str) -> pd.DataFrame:
     """Range join (§2 custom operator): per order, the number of events
     of the same customer/user within 7 days from the order date —
@@ -5320,6 +5339,14 @@ ORACLE: dict[str, str] = {
          AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
         ORDER BY o.o_orderkey
     """,
+    "asof_next_event": """
+        SELECT o.o_orderkey, MIN(e.ts) AS next_event_ts
+        FROM orders o LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+        GROUP BY o.o_orderkey
+        ORDER BY o.o_orderkey
+    """,
     "events_sessions": """
         WITH g AS (
           SELECT user_id,
@@ -5815,6 +5842,7 @@ QUERIES = {
     "props_json_sum": q_props_json_sum,
     "embedding_dim_stats": q_embedding_dim_stats,
     "asof_last_event": q_asof_last_event,
+    "asof_next_event": q_asof_next_event,
     "range_join_counts": q_range_join_counts,
     "orders_with_events": q_orders_with_events,
     "orders_without_events": q_orders_without_events,

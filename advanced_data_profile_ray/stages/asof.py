@@ -157,3 +157,38 @@ def asof_join_latest(left_ds, right_ds, left_key: str, right_key: str,
             carry_key, carry_ts = last, None
     out_refs = [_resolve.remote(r, c) for r, c in zip(refs, carries)]
     return rd.from_arrow_refs(out_refs)
+
+
+def asof_join_next(left_ds, right_ds, left_key: str, right_key: str,
+                   left_time: str, right_time: str, left_id: str):
+    """FORWARD as-of: for every left row, the EARLIEST ``right_time``
+    with the same key and ``right_time >= left_time`` (null when none) —
+    the scheduling/"next event after" twin of ``asof_join_latest``.
+
+    Implemented by TIME NEGATION: t → −t turns "earliest at-or-after"
+    into "latest at-or-before" (equality included on both readings), so
+    the backward machinery — one sort, vectorized last-right fill,
+    O(blocks) carry stitch — is reused verbatim and the output negates
+    back. Returns a Dataset of (``left_id`` as lid, asof_ts) rows."""
+
+    def _negate(col):
+        def _f(batch: pa.Table) -> pa.Table:
+            t = pc.multiply(
+                pc.cast(pc.cast(batch[col], pa.timestamp("us")), pa.int64()),
+                pa.scalar(-1, pa.int64()))
+            return batch.set_column(batch.schema.get_field_index(col),
+                                    col, t)
+        return _f
+
+    out = asof_join_latest(
+        left_ds.map_batches(_negate(left_time), batch_format="pyarrow"),
+        right_ds.map_batches(_negate(right_time), batch_format="pyarrow"),
+        left_key, right_key, left_time, right_time, left_id)
+
+    def _unneg(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.multiply(pc.cast(batch["asof_ts"], pa.int64()),
+                                pa.scalar(-1, pa.int64())),
+                    pa.timestamp("us"))
+        return pa.table({"lid": batch["lid"], "asof_ts": t})
+
+    return out.map_batches(_unneg, batch_format="pyarrow")
