@@ -668,6 +668,53 @@ def q_response_latency(sf_dir: str) -> pd.DataFrame:
             .sort_values(["prev_role", "role"]).reset_index(drop=True))
 
 
+def q_role_alternation(sf_dir: str) -> pd.DataFrame:
+    """ROLE-ALTERNATION conformance census over the derived transcripts
+    — a first-class transcript validation check (north rule family): how
+    many multi-turn conversations strictly alternate roles (no two
+    adjacent turns share a role) vs not. stages.window.alternation_stats:
+    ONE sort, per-block adjacent same-code counting per conversation
+    run, O(blocks) boundary stitch comparing the carried last code with
+    the next fragment's first code; the final bool census folds 2-row
+    per-block partials. Roles ride as fixed int64 codes (only adjacent
+    equality matters), so the sort never carries strings. Runs over a
+    projected events read — user_id ↔ conv_id are 1:1 and (ts, event_id)
+    IS the turn order, so the transcript projection never materializes."""
+    from ..stages.window import alternation_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    # fixed role encoding: the _TRANSCRIPTS_SQL CASE collapsed to codes
+    # (click/view/else→user=0, signup→system=1, purchase→assistant=2,
+    # error→tool=3) — any fixed dictionary works, only equality matters
+    special = pa.array(["signup", "purchase", "error"])
+
+    def _codes(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        idx = pc.index_in(ev, value_set=special)
+        code = pc.add(pc.cast(pc.fill_null(idx, -1), pa.int64()), 1)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "role_code": code})
+
+    per_conv = alternation_stats(
+        ds.map_batches(_codes, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", "role_code")
+
+    def _census(t: pa.Table) -> pa.Table:
+        alt = pc.equal(t["same_pairs"], 0)
+        vc = pc.value_counts(alt)
+        return pa.table({"alternating": vc.field("values"),
+                         "n_convs": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = per_conv.map_batches(
+        _census, batch_format="pyarrow", batch_size=131072).to_pandas()
+    out = (parts.groupby("alternating", as_index=False)["n_convs"].sum()
+           .sort_values("alternating").reset_index(drop=True))
+    out["n_convs"] = out["n_convs"].astype("int64")
+    return out[["alternating", "n_convs"]]
+
+
 def q_time_weighted_value(sf_dir: str) -> pd.DataFrame:
     """TIME-WEIGHTED average value per user (each event's value holds
     until the next event) — the metrics/sensor aggregate plain AVG gets
@@ -4537,6 +4584,23 @@ ORACLE: dict[str, str] = {
         GROUP BY prev_role, role
         ORDER BY prev_role, role
     """,
+    "role_alternation": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        l AS (
+            SELECT conv_id,
+                   CASE WHEN role = LAG(role) OVER (PARTITION BY conv_id
+                                                    ORDER BY turn_idx)
+                        THEN 1 ELSE 0 END AS same
+            FROM t
+        ),
+        p AS (
+            SELECT conv_id, COUNT(*) AS n_turns, SUM(same) AS same_pairs
+            FROM l GROUP BY conv_id HAVING COUNT(*) >= 2
+        )
+        SELECT (same_pairs = 0) AS alternating,
+               CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM p GROUP BY 1 ORDER BY 1
+    """,
     "time_weighted_value": """
         WITH e AS (
             SELECT user_id, epoch_us(ts) AS tu,
@@ -5780,6 +5844,7 @@ QUERIES = {
     "conv_stats": q_conv_stats,
     "role_transitions": q_role_transitions,
     "response_latency": q_response_latency,
+    "role_alternation": q_role_alternation,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,

@@ -1625,6 +1625,40 @@ def time_weighted_sum(ds, part_col: str, ts_col: str, order_col: str,
     return out.select_columns([part_col, "n_events", "wsum", "span_us"])
 
 
+def alternation_stats(ds, part_col: str, ts_col: str, order_col: str,
+                      val_col: str):
+    """Per-partition adjacent SAME-VALUE pair census — the
+    role-alternation conformance check of a transcript validation
+    engine (does any adjacent turn pair within a conversation share a
+    role?): for every partition with ≥2 rows, (n_turns, same_pairs)
+    where same_pairs counts ordered-adjacent pairs with equal
+    ``val_col``. SQL twin: ``SUM(CASE WHEN val = LAG(val) OVER
+    (PARTITION BY part ORDER BY ts, order) THEN 1 ELSE 0 END)`` with
+    ``HAVING COUNT(*) >= 2``. ``val_col`` must be int64 codes (encode
+    categorical values with any fixed dictionary first — only equality
+    of adjacent codes matters). Cross-block adjacency is exact: each
+    run fragment smuggles its first/last code through its own agg
+    fields and the carry-merge compares them (time_weighted_sum's
+    last_v discipline). Returns a Dataset (part_col, n_turns,
+    same_pairs)."""
+
+    def _alt(seg, vseg):
+        n = int(seg.size)
+        same = int(np.count_nonzero(vseg[1:] == vseg[:-1])) if n >= 2 else 0
+        return (n, same, int(vseg[0]), int(vseg[-1]))
+
+    out = _partition_run_reduce(
+        ds, part_col, ts_col, order_col,
+        ["n_turns", "same_pairs", "first_v", "last_v"],
+        run_agg=_alt,
+        merge=lambda c, f, bg: (c[0] + f[0],
+                                c[1] + f[1] + (1 if c[3] == f[2] else 0),
+                                c[2], f[3]),
+        emit=lambda v: v[0] >= 2,
+        val_col=val_col)
+    return out.select_columns([part_col, "n_turns", "same_pairs"])
+
+
 def sessionize(ds, part_col: str, ts_col: str, order_col: str,
                gap_us: int = 1_800_000_000):
     """Per-partition session census under an inactivity-gap rule — the

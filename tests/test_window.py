@@ -938,3 +938,57 @@ def test_time_weighted_sum_null_values(ray_session):
     assert got["n_events"].tolist() == [3]
     assert got["wsum"].tolist() == [5 * 10 + 0 * 20]
     assert got["span_us"].tolist() == [30]
+
+
+def test_alternation_stats_matches_duckdb(ray_session):
+    """Adjacent same-value pair census vs the LAG twin: a hot partition
+    spanning many blocks (cross-block same-pairs detected via the
+    carried last/first codes), ts ties broken by the order column,
+    singletons dropped by the n>=2 emit rule."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import alternation_stats
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    part = np.where(rng.random(n) < 0.35, 9, rng.integers(0, 80, n))
+    ts = rng.integers(0, 500, n)  # heavy ts ties -> order col matters
+    code = rng.integers(0, 3, n)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "c": pa.array(code, pa.int64())})
+    got = (alternation_stats(rd.from_arrow(t).repartition(29),
+                             "g", "ts", "o", "c")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH l AS (SELECT g,
+                          CASE WHEN c = LAG(c) OVER (PARTITION BY g
+                                                     ORDER BY ts, o)
+                               THEN 1 ELSE 0 END AS same
+                   FROM t)
+        SELECT g, COUNT(*) AS n_turns, SUM(same) AS same_pairs
+        FROM l GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_alternation_stats_boundary_same_pair(ray_session):
+    """A same-code pair that straddles a block boundary must be counted
+    exactly once (two single-run blocks of one partition)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import alternation_stats
+
+    t1 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([10, 20], pa.timestamp("us")),
+                   "o": pa.array([0, 1], pa.int64()),
+                   "c": pa.array([0, 2], pa.int64())})
+    t2 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([30, 40], pa.timestamp("us")),
+                   "o": pa.array([2, 3], pa.int64()),
+                   "c": pa.array([2, 0], pa.int64())})
+    ds = rd.from_arrow([t1, t2])
+    got = alternation_stats(ds, "g", "ts", "o", "c").to_pandas()
+    assert got["n_turns"].tolist() == [4]
+    assert got["same_pairs"].tolist() == [1]
