@@ -1672,6 +1672,110 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"avg_yearly": [round(total_cents / 700.0, 6)]})
 
 
+def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q21-shaped composite (suppliers who kept orders waiting):
+    among finished ('F') multi-supplier orders, count per supplier the
+    orders where THAT supplier was the only one to ship late (> 60 days
+    after the order date; the testdata lineitem carries no
+    commit/receipt dates, so lateness is anchored to o_orderdate). The
+    EXISTS/NOT-EXISTS pair of the original collapses to per-order
+    distinct-supplier census: n_supp > 1 AND n_late == 1.
+
+    Scale plan: orders filter to 'F' map-side and carry only an int64
+    lateness threshold into ONE big⨝big sort-merge join with lineitem;
+    a (orderkey, suppkey) grouped exchange dedups supplier lines
+    (MAX(late) per pair); a second exchange keyed on the same orderkey
+    prefix folds the per-order census, smuggling the sole late supplier
+    through MIN(supp-if-late-else-2^62); qualifying orders reduce
+    through a third skinny exchange keyed on supplier; names broadcast
+    from the small supplier table at the end. All predicates integer."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    _SENT = 1 << 62
+    day_us = 86_400_000_000
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], pa.scalar("F")))
+        od = pc.cast(pc.cast(sub["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"o_orderkey": sub["o_orderkey"],
+                         "thresh_us": pc.add(od, pa.scalar(60 * day_us,
+                                                           pa.int64()))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=131072)
+
+    def _li(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"], "ship_us": ship})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    j = sorted_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                          ["l_orderkey", "l_suppkey", "ship_us"],
+                          ["thresh_us"], rows_hint=hint)
+
+    def _late(batch: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(batch["ship_us"], batch["thresh_us"]),
+                       pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"], "late": late})
+
+    pairs_in, pairs_edge = sorted_groupby(
+        j.map_batches(_late, batch_format="pyarrow", batch_size=131072),
+        ["l_orderkey", "l_suppkey"], [("late", "max", "late")])
+    pairs = pairs_in
+    if pairs_edge is not None and pairs_edge.num_rows:
+        pairs = pairs.union(rd.from_arrow(pairs_edge))
+
+    def _census_prep(batch: pa.Table) -> pa.Table:
+        late_key = pc.if_else(pc.equal(batch["late"], 1), batch["l_suppkey"],
+                              pa.scalar(_SENT, pa.int64()))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "late": batch["late"], "late_key": late_key})
+
+    per_in, per_edge = sorted_groupby(
+        pairs.map_batches(_census_prep, batch_format="pyarrow",
+                          batch_size=131072),
+        ["l_orderkey"],
+        [(None, "count_all", "n_supp"), ("late", "sum", "n_late"),
+         ("late_key", "min", "late_supp")])
+    per_order = per_in
+    if per_edge is not None and per_edge.num_rows:
+        per_order = per_order.union(rd.from_arrow(per_edge))
+
+    def _qualify(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch["n_supp"], 1),
+                       pc.equal(batch["n_late"], 1))
+        return pa.table({"late_supp": pc.filter(batch["late_supp"], keep)})
+
+    waits_in, waits_edge = sorted_groupby(
+        per_order.map_batches(_qualify, batch_format="pyarrow",
+                              batch_size=131072),
+        ["late_supp"], [(None, "count_all", "numwait")])
+    out = waits_in.to_pandas()
+    if waits_edge is not None and waits_edge.num_rows:
+        out = pd.concat([out, waits_edge.to_pandas()], ignore_index=True)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(supp, left_on="late_supp", right_on="s_suppkey",
+                    how="inner")
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True]).head(10)
+            [["s_name", "numwait"]].reset_index(drop=True))
+
+
 def q8_market_share(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q8-shaped composite (national market share): NATION_8's
     share of EUROPE-customer revenue on ECONOMY parts per order year,
@@ -5140,6 +5244,30 @@ ORACLE: dict[str, str] = {
               < (SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
+    "q21_sole_late_supplier": """
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        pairs AS (
+            SELECT l_orderkey, l_suppkey, MAX(late) AS late
+            FROM j GROUP BY 1, 2
+        ),
+        per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                   MIN(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+            FROM pairs GROUP BY 1
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+        WHERE p.n_supp > 1 AND p.n_late = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
     "q22_dormant_customers": """
         WITH s AS (
             SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
@@ -5930,6 +6058,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "q22_dormant_customers": q22_dormant_customers,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
