@@ -4011,6 +4011,144 @@ def q_entropy(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_priority_entropy_by_status(sf_dir: str) -> pd.DataFrame:
+    """GROUPED Shannon entropy — the per-segment generalization of A16
+    (Profiler.py:262-282): how mixed is the order-priority distribution
+    within each order status. Distributed shape: per-batch grouped
+    value counts fold to ≤|status×priority| partials per block, the
+    driver merges the tiny histogram and finalizes entropy per group —
+    no wide exchange, one scan."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus", "o_orderpriority"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    hist = (parts.groupby(["o_orderstatus", "o_orderpriority"],
+                          as_index=False)["n"].sum())
+    rows = []
+    for status, grp in hist.groupby("o_orderstatus"):
+        # deterministic fold order (sorted by priority value) — the twin
+        # sums ≤5 doubles whose order DuckDB leaves unspecified; at 6 dp
+        # the ≤1 ulp spread is far inside the rounding step (the A16
+        # precedent: the global `entropy` query, green since r02)
+        grp = grp.sort_values("o_orderpriority")
+        n = grp["n"].to_numpy(dtype=np.float64)
+        p = n / n.sum()
+        rows.append({"o_orderstatus": status,
+                     "entropy_bits": round(float(-(p * np.log2(p)).sum()), 6),
+                     "n_orders": int(n.sum())})
+    out = pd.DataFrame(rows).sort_values("o_orderstatus").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_event_value_share(sf_dir: str) -> pd.DataFrame:
+    """RATIO-TO-REPORT window: each (hour, event_type) cell's share of
+    its hour's total value — ``SUM(x) OVER (PARTITION BY hour)`` as a
+    composition of ONE grouped exchange (exact int64 cents) + a tiny
+    driver-side per-hour total; the share divides two exact integers so
+    the float is bit-identical to the twin's."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        vc = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(batch["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"hour": hour, "event_type": batch["event_type"],
+                         "vc": vc})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["hour", "event_type"], [("vc", "sum", "cents")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    tot = out.groupby("hour")["cents"].transform("sum")
+    out["cents"] = out["cents"].astype("int64")
+    out["share"] = (out["cents"] / tot).round(6)
+    return (out[["hour", "event_type", "cents", "share"]]
+            .sort_values(["hour", "event_type"]).reset_index(drop=True))
+
+
+def q_event_type_nearest(sf_dir: str) -> pd.DataFrame:
+    """FUZZY DICTIONARY MATCH: each distinct event_type's nearest other
+    distinct value by Levenshtein edit distance — the typo-repair /
+    catalog-reconciliation op next to the referential checks (ST4).
+    Distributed shape: the distinct domain extracts through per-batch
+    uniques folded on the driver (a dictionary-sized domain by
+    construction); the all-pairs DP runs driver-side over |domain|²
+    pairs (functions.similarity.levenshtein, bit-exact vs DuckDB's)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        col = batch["event_type"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"v": col.unique()})
+
+    from ..functions.similarity import nearest_by_levenshtein
+
+    vals = sorted(ds.map_batches(_uniq, batch_format="pyarrow",
+                                 batch_size=131072).to_pandas()["v"].unique())
+    nearest, dist = nearest_by_levenshtein(vals, vals)
+    out = pd.DataFrame({"event_type": vals, "nearest": nearest,
+                        "dist": dist})
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_chi2_type_dow(sf_dir: str) -> pd.DataFrame:
+    """CHI-SQUARE independence contingency (event_type × day-of-week):
+    observed count, expected count under independence, and the per-cell
+    χ² contribution — the drift-style statistical test a validation
+    engine runs on categorical×categorical structure. Distributed
+    shape: per-batch grouped counts fold to ≤|types×7| partials per
+    block, margins and cells finalize on the driver — one scan, no
+    exchange. Per-cell floats are single expressions over exact integer
+    margins ((r·c)/t then (n−e)²/e), so they are bit-identical to the
+    SQL twin's — no float SUM whose order could differ."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday..6=Saturday -> week_start=7 (Sunday)
+        dow = pc.cast(pc.day_of_week(pc.cast(batch["ts"], pa.timestamp("us")),
+                                     week_start=7), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "dow": dow})
+        g = t.group_by(["event_type", "dow"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    cells = (parts.groupby(["event_type", "dow"], as_index=False)["n"].sum())
+    row_m = cells.groupby("event_type")["n"].sum().to_dict()
+    col_m = cells.groupby("dow")["n"].sum().to_dict()
+    tot = int(cells["n"].sum())
+    rows = []
+    for _, r in cells.iterrows():
+        e = (int(row_m[r["event_type"]]) * int(col_m[r["dow"]])) / tot
+        n = int(r["n"])
+        rows.append({"event_type": r["event_type"], "dow": int(r["dow"]),
+                     "n": n, "expected": round(e, 6),
+                     "chi2_contrib": round((n - e) * (n - e) / e, 6)})
+    out = pd.DataFrame(rows).sort_values(["event_type", "dow"]).reset_index(drop=True)
+    out["dow"] = out["dow"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_minmax_ts(sf_dir: str) -> pd.DataFrame:
     """Min/max datetime per event_type (A15, Profiler.py:675-679): ONE
     scan emitting both aggregates per batch (arrow group_by), driver-
@@ -5777,6 +5915,58 @@ ORACLE: dict[str, str] = {
                            ("lineitem", "l_linestatus"),
                            ("customer", "c_mktsegment")]
     ),
+    "priority_entropy_by_status": """
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus,
+               ROUND(-SUM(p * LOG2(p)), 6) AS entropy_bits,
+               CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM (SELECT o_orderstatus, n,
+                     n::DOUBLE / SUM(n) OVER (PARTITION BY o_orderstatus) AS p
+              FROM c)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "event_value_share": """
+        WITH e AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS vc
+            FROM events
+        ),
+        c AS (SELECT hour, event_type, SUM(vc) AS cents FROM e GROUP BY 1, 2)
+        SELECT hour, event_type, CAST(cents AS BIGINT) AS cents,
+               ROUND(CAST(cents AS DOUBLE)
+                     / SUM(cents) OVER (PARTITION BY hour), 6) AS share
+        FROM c ORDER BY hour, event_type
+    """,
+    "event_type_nearest": """
+        WITH d AS (SELECT DISTINCT event_type AS v FROM events)
+        SELECT a.v AS event_type, b.v AS nearest,
+               CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.v <> b.v
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY a.v
+                                   ORDER BY levenshtein(a.v, b.v), b.v) = 1
+        ORDER BY event_type
+    """,
+    "chi2_type_dow": """
+        WITH c AS (
+            SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (SELECT event_type, SUM(n) AS rn FROM c GROUP BY 1),
+        k AS (SELECT dow, SUM(n) AS cn FROM c GROUP BY 1),
+        t AS (SELECT SUM(n) AS tot FROM c)
+        SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+               ROUND(CAST(r.rn * k.cn AS DOUBLE) / t.tot, 6) AS expected,
+               ROUND((c.n - CAST(r.rn * k.cn AS DOUBLE) / t.tot)
+                     * (c.n - CAST(r.rn * k.cn AS DOUBLE) / t.tot)
+                     / (CAST(r.rn * k.cn AS DOUBLE) / t.tot), 6)
+                   AS chi2_contrib
+        FROM c JOIN r USING (event_type) JOIN k USING (dow), t
+        ORDER BY c.event_type, c.dow
+    """,
     "minmax_ts": """
         SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts
         FROM events GROUP BY event_type
@@ -6072,6 +6262,10 @@ QUERIES = {
     "sample_sorted": q_sample_sorted,
     "pca_importance": q_pca_importance,
     "entropy": q_entropy,
+    "priority_entropy_by_status": q_priority_entropy_by_status,
+    "chi2_type_dow": q_chi2_type_dow,
+    "event_value_share": q_event_value_share,
+    "event_type_nearest": q_event_type_nearest,
     "minmax_ts": q_minmax_ts,
     "non_ascii": q_non_ascii,
     # dedup / similarity / text extensions (entries without an ORACLE twin
