@@ -744,6 +744,25 @@ def q_time_weighted_value(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q_user_coverage(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL UNION per user: each event opens a 5-minute activity
+    window; overlapping windows merge (gaps-and-islands) — per user the
+    merged island count and total covered seconds. The distributed
+    shape is stages.window.interval_coverage: ONE sort, vectorized
+    in-block island reduction, O(blocks) boundary stitch with exact
+    overlap subtraction; the SQL twin runs the classic cumulative-max
+    island construction."""
+    from ..stages.window import interval_coverage
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = interval_coverage(ds, "user_id", "ts", "event_id",
+                            length_us=300_000_000).to_pandas()
+    out["n_islands"] = out["n_islands"].astype("int64")
+    out["covered_us"] = out["covered_us"].astype("int64")
+    return (out[["user_id", "n_islands", "covered_us"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_user_retention(sf_dir: str) -> pd.DataFrame:
     """COHORT RETENTION matrix: users grouped by their first active day,
     counted per (cohort_day, day_offset) — the classic training-corpus /
@@ -4456,6 +4475,28 @@ def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=50)
 
 
+def q_word_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """ZIPF FIT of the corpus word distribution: OLS slope of log2(freq)
+    vs log2(rank) over the top-500 words — the rank-frequency diagnostic
+    for synthetic/degenerate corpora (natural language sits near −1).
+    Reuses the word_freqs distributed shape (per-block token counts →
+    one skinny word exchange → per-block top-k, driver merges k×blocks
+    rows); the regression itself folds 500 points on the driver with
+    the textbook cov/var estimator — REGR_SLOPE's exact definition."""
+    from .text import word_frequencies
+
+    top = word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=500)
+    if len(top) < 2:
+        return pd.DataFrame({"zipf_slope": pd.Series([None], dtype="float64"),
+                             "n_words": pd.Series([len(top)], dtype="int64")})
+    x = np.log2(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log2(top["n"].to_numpy(dtype=np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    return pd.DataFrame({"zipf_slope": [round(slope, 6)],
+                         "n_words": pd.Series([len(top)], dtype="int64")})
+
+
 def q_docs_quality(sf_dir: str) -> pd.DataFrame:
     """Per-doc quality features (SQL-checkable subset)."""
     from .text import quality_scores
@@ -4842,6 +4883,35 @@ ORACLE: dict[str, str] = {
         SELECT (same_pairs = 0) AS alternating,
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
+    """,
+    "user_coverage": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 300000000 AS e, event_id
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, s, e,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+            FROM e
+        ),
+        g AS (
+            SELECT user_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM m
+        ),
+        i AS (
+            SELECT user_id, grp, MIN(s) AS s0, MAX(e) AS e1
+            FROM g GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+        FROM i GROUP BY user_id ORDER BY user_id
     """,
     "time_weighted_value": """
         WITH e AS (
@@ -5995,6 +6065,21 @@ ORACLE: dict[str, str] = {
               FROM documents)
         GROUP BY w ORDER BY n DESC, w LIMIT 50
     """,
+    "word_zipf_slope": """
+        WITH w AS (
+            SELECT w AS word, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        r AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+            FROM w QUALIFY rnk <= 500
+        )
+        SELECT ROUND(REGR_SLOPE(LOG2(n), LOG2(rnk)), 6) AS zipf_slope,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM r
+    """,
     "docs_quality": """
         SELECT doc_id,
                CAST(LENGTH(text) AS BIGINT) AS char_count,
@@ -6163,6 +6248,7 @@ QUERIES = {
     "role_transitions": q_role_transitions,
     "response_latency": q_response_latency,
     "role_alternation": q_role_alternation,
+    "user_coverage": q_user_coverage,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
@@ -6283,6 +6369,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,
+    "word_zipf_slope": q_word_zipf_slope,
     "docs_quality": q_docs_quality,
     "docs_repetition": q_docs_repetition,
     "lm_surprisal": q_lm_surprisal,

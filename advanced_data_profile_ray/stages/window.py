@@ -1659,6 +1659,45 @@ def alternation_stats(ds, part_col: str, ts_col: str, order_col: str,
     return out.select_columns([part_col, "n_turns", "same_pairs"])
 
 
+def interval_coverage(ds, part_col: str, ts_col: str, order_col: str,
+                      length_us: int):
+    """Per-partition INTERVAL UNION of fixed-length event intervals —
+    the gaps-and-islands coverage aggregate: each event covers
+    [ts, ts+length); overlapping/touching intervals merge into islands;
+    returns per partition the island count and total covered
+    microseconds. SQL twin: the classic cumulative-max island detection
+    (prev_max = MAX(e) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING); new island iff s > prev_max) then per-island
+    MAX(e)−MIN(s) sums. For sorted fixed-length intervals an island
+    break is exactly gap > length, so a block's run reduces to one
+    vectorized np.diff; a cross-block continuation subtracts the
+    double-counted overlap max(0, length − boundary_gap) and cancels
+    one island — both exact int64 from the scaffold's boundary gap.
+    Returns a Dataset (part_col, n_islands, covered_us)."""
+    if length_us <= 0:
+        raise ValueError(f"length_us must be positive, got {length_us}")
+
+    def _cov(seg):
+        if seg.size == 1:
+            return (1, int(length_us))
+        d = np.diff(seg)
+        breaks = d > length_us
+        n = 1 + int(np.count_nonzero(breaks))
+        # coverage = Σ islands (last − first + length); equivalently
+        # span plus length minus the closed inter-island gaps' excess:
+        # Σ min(d, length) over non-break gaps + n·length... simplest
+        # exact form: total = Σ d[~breaks] + n·length
+        return (n, int(d[~breaks].sum()) + n * int(length_us))
+
+    return _partition_run_reduce(
+        ds, part_col, ts_col, order_col, ["n_islands", "covered_us"],
+        run_agg=_cov,
+        merge=lambda c, f, bg: (
+            (c[0] + f[0] - 1, c[1] + f[1] - (int(length_us) - bg))
+            if bg <= length_us else (c[0] + f[0], c[1] + f[1])),
+        emit=lambda v: True)
+
+
 def sessionize(ds, part_col: str, ts_col: str, order_col: str,
                gap_us: int = 1_800_000_000):
     """Per-partition session census under an inactivity-gap rule — the

@@ -992,3 +992,42 @@ def test_alternation_stats_boundary_same_pair(ray_session):
     got = alternation_stats(ds, "g", "ts", "o", "c").to_pandas()
     assert got["n_turns"].tolist() == [4]
     assert got["same_pairs"].tolist() == [1]
+
+
+def test_interval_coverage_matches_duckdb(ray_session):
+    """Interval union vs DuckDB's cumulative-max island construction:
+    hot partition spanning many blocks (cross-block overlap subtracted
+    exactly once), duplicate timestamps, singletons."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import interval_coverage
+
+    rng = np.random.default_rng(67)
+    n = 3000
+    L = 1000
+    part = np.where(rng.random(n) < 0.35, 5, rng.integers(0, 70, n))
+    ts = rng.integers(0, 40_000, n)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64())})
+    got = (interval_coverage(rd.from_arrow(t).repartition(31),
+                             "g", "ts", "o", length_us=L)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute(f"""
+        WITH e AS (SELECT g, epoch_us(ts) AS s, epoch_us(ts) + {L} AS e, o
+                   FROM t),
+        m AS (SELECT g, s, e,
+                     MAX(e) OVER (PARTITION BY g ORDER BY s, o
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM e),
+        x AS (SELECT g, s, e,
+                     SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY g ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS grp
+              FROM m),
+        i AS (SELECT g, grp, MIN(s) AS s0, MAX(e) AS e1 FROM x GROUP BY 1, 2)
+        SELECT g, COUNT(*) AS n_islands, SUM(e1 - s0) AS covered_us
+        FROM i GROUP BY g ORDER BY g
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
