@@ -763,6 +763,133 @@ def q_user_coverage(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q_user_breadth_hist(sf_dir: str) -> pd.DataFrame:
+    """TWO-LEVEL DISTINCT aggregation: histogram of per-user event-type
+    breadth (how many users touch exactly k distinct event types) —
+    COUNT(DISTINCT) per group, then GROUP BY the count. Distributed
+    shape: (user, type) dedup through one grouped exchange; the per-user
+    breadth folds through a second exchange on the SAME user-prefixed
+    key (cheap re-sort of already-clustered blocks); the ≤|types|-wide
+    histogram folds per-block partials on the driver."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pi, pe = sorted_groupby(ds, ["user_id", "event_type"],
+                            [(None, "count_all", "_n")])
+    pairs = pi
+    if pe is not None and pe.num_rows:
+        pairs = pairs.union(rd.from_arrow(pe))
+    bi, be = sorted_groupby(pairs.select_columns(["user_id"]), ["user_id"],
+                            [(None, "count_all", "breadth")])
+    breadth = bi
+    if be is not None and be.num_rows:
+        breadth = breadth.union(rd.from_arrow(be))
+
+    def _hist(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.cast(t["breadth"], pa.int64()))
+        return pa.table({"breadth": vc.field("values"),
+                         "n_users": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = breadth.map_batches(_hist, batch_format="pyarrow",
+                                batch_size=131072).to_pandas()
+    out = (parts.groupby("breadth", as_index=False)["n_users"].sum()
+           .sort_values("breadth").reset_index(drop=True))
+    out["breadth"] = out["breadth"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_hourly_delta(sf_dir: str) -> pd.DataFrame:
+    """AGGREGATE-THEN-WINDOW composition: hour-over-hour change of each
+    event type's count — LAG over the aggregated (type, hour) series.
+    One grouped exchange builds the series; the delta is a vectorized
+    per-type diff over the aggregate output (hours×types rows, bounded
+    by the time span — never the fact table). First-present-hour rows
+    (no LAG) are dropped on both sides so the delta stays int64."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [(None, "count_all", "n")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out = out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["delta"] = out.groupby("event_type")["n"].diff()
+    out = out.dropna(subset=["delta"])
+    out["delta"] = out["delta"].astype("int64")
+    return out[["event_type", "hour", "n", "delta"]].reset_index(drop=True)
+
+
+def q_median_gap_by_user(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-user lower-median inter-event gap — grouped selection
+    over a DERIVED (windowed) measure: the gap multiset extracts through
+    stages.window.adjacent_gap_counts (one sort, in-block LAG-delta
+    value counts, O(blocks) boundary gaps), then the weighted-median
+    machinery (running_sum + broadcast per-group totals + the integer
+    2·cum ≥ tot gate + grouped min) selects without ever materializing
+    per-row gaps on the driver. The broadcast totals array is |users| —
+    the documented driver bound of this path (the merge-join totals
+    variant graduates it at 10^9 groups). All-integer; no
+    QUANTILE_CONT interpolation ambiguity on either side."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import adjacent_gap_counts, running_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    inner, edge = adjacent_gap_counts(ds, "user_id", "ts", "event_id")
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+    vc = vc.materialize()  # consumed twice: totals pass + running_sum
+
+    ti, te = sorted_groupby(vc.select_columns(["user_id", "w"]),
+                            ["user_id"], [("w", "sum", "tot")])
+    tot = ti.to_pandas()
+    if te is not None and te.num_rows:
+        tot = pd.concat([tot, te.to_pandas()], ignore_index=True)
+    tot = tot.sort_values("user_id")
+    keys = tot["user_id"].to_numpy(dtype=np.int64)
+    tots = tot["tot"].to_numpy(dtype=np.int64)
+
+    cum = running_sum(vc, "user_id", ["gap_us"], "w", out_col="cum")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        tot_row = tots[np.searchsorted(keys, k)]
+        keep = 2 * t["cum"].to_numpy(zero_copy_only=False) >= tot_row
+        return t.filter(pa.array(keep)).select(["user_id", "gap_us"])
+
+    gi, ge = sorted_groupby(
+        cum.map_batches(_gate, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("gap_us", "min", "median_gap_us")])
+    out = gi.to_pandas()
+    if ge is not None and ge.num_rows:
+        out = pd.concat([out, ge.to_pandas()], ignore_index=True)
+    out = out.merge(pd.DataFrame({"user_id": keys, "n_gaps": tots}),
+                    on="user_id", how="left")
+    out["median_gap_us"] = out["median_gap_us"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return (out[["user_id", "median_gap_us", "n_gaps"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_user_retention(sf_dir: str) -> pd.DataFrame:
     """COHORT RETENTION matrix: users grouped by their first active day,
     counted per (cohort_day, day_offset) — the classic training-corpus /
@@ -4884,6 +5011,50 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
     """,
+    "user_breadth_hist": """
+        SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (SELECT user_id,
+                     CAST(COUNT(DISTINCT event_type) AS BIGINT) AS breadth
+              FROM events GROUP BY user_id)
+        GROUP BY breadth ORDER BY breadth
+    """,
+    "hourly_delta": """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        l AS (
+            SELECT event_type, hour, n,
+                   n - LAG(n) OVER (PARTITION BY event_type
+                                    ORDER BY hour) AS delta
+            FROM c
+        )
+        SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+               CAST(delta AS BIGINT) AS delta
+        FROM l WHERE delta IS NOT NULL
+        ORDER BY event_type, hour
+    """,
+    "median_gap_by_user": """
+        WITH l AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap
+            FROM events
+        ),
+        c AS (SELECT user_id, gap AS gap_us, COUNT(*) AS w
+              FROM l WHERE gap IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT user_id, gap_us, w,
+                     SUM(w) OVER (PARTITION BY user_id ORDER BY gap_us
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(w) OVER (PARTITION BY user_id) AS tot
+              FROM c)
+        SELECT user_id, CAST(MIN(gap_us) AS BIGINT) AS median_gap_us,
+               CAST(MAX(tot) AS BIGINT) AS n_gaps
+        FROM r WHERE 2 * cum >= tot
+        GROUP BY user_id ORDER BY user_id
+    """,
     "user_coverage": """
         WITH e AS (
             SELECT user_id, epoch_us(ts) AS s,
@@ -6249,6 +6420,9 @@ QUERIES = {
     "response_latency": q_response_latency,
     "role_alternation": q_role_alternation,
     "user_coverage": q_user_coverage,
+    "median_gap_by_user": q_median_gap_by_user,
+    "user_breadth_hist": q_user_breadth_hist,
+    "hourly_delta": q_hourly_delta,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,

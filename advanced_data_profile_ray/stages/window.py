@@ -783,6 +783,79 @@ def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
                                  prev_name, cur_name, ts_col=ts_col)
 
 
+def adjacent_gap_counts(ds, part_col: str, ts_col: str, order_col: str):
+    """Per-partition adjacent-gap VALUE COUNTS: the multiset of LAG time
+    deltas as (part, gap_us, w) rows — the exact-selection input for
+    grouped gap quantiles (median inter-event gap per user), where
+    pair_gap_stats' bounded (prev,cur) reduction cannot apply (the gap
+    multiset itself is the payload). ONE sort by (part, ts, order); each
+    block folds its in-run gaps to (part, gap) counts; the B cross-block
+    boundary gaps join as weight-1 rows from an O(blocks) driver scan;
+    one skinny sorted_groupby merges the partials. Returns
+    (inner_ds, edge_table) in sorted_groupby's contract over
+    (part_col, gap_us, w)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = (ds.select_columns([part_col, ts_col, order_col])
+         .sort([part_col, ts_col, order_col]).materialize())
+    refs = s.to_arrow_refs()
+    part_t = (s.schema().base_schema.field(part_col).type
+              if refs else pa.int64())
+    part_schema = pa.schema([(part_col, part_t), ("gap_us", pa.int64()),
+                             ("w", pa.int64())])
+    if not refs:
+        return rd.from_arrow(part_schema.empty_table()), None
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        n = block.num_rows
+        starts, _ = _run_bounds(k)
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        if starts.size > 1:
+            keep[starts[1:] - 1] = False
+        gaps = (ts[1:] - ts[:-1])[keep]
+        info = (k[0], int(ts[0]), k[-1], int(ts[-1]))
+        if gaps.size == 0:
+            return part_schema.empty_table(), info
+        t = pa.table({part_col: pa.array(k[1:][keep], part_t),
+                      "gap_us": pa.array(gaps, pa.int64())})
+        g = t.group_by([part_col, "gap_us"],
+                       use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [{"count_all": "w"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    parts_e, gaps_e = [], []
+    last_key, last_ts = object(), 0
+    for info in infos:
+        if info is None:
+            continue
+        fk, fts, lk, lts = info
+        if fk == last_key:
+            parts_e.append(fk)
+            gaps_e.append(fts - last_ts)
+        last_key, last_ts = lk, lts
+    edge_t = pa.table({part_col: pa.array(parts_e, part_t),
+                       "gap_us": pa.array(gaps_e, pa.int64()),
+                       "w": pa.array([1] * len(parts_e), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(edge_t)])
+    inner, edge = sorted_groupby(partials, [part_col, "gap_us"],
+                                 [("w", "sum", "w")])
+    return inner.union(rd.from_arrow(part_schema.empty_table())), edge
+
+
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int, agg: str = "sum"):
     """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min,

@@ -1031,3 +1031,35 @@ def test_interval_coverage_matches_duckdb(ray_session):
         FROM i GROUP BY g ORDER BY g
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_adjacent_gap_counts_matches_duckdb(ray_session):
+    """Gap value-counts vs the LAG twin: hot partition spanning blocks
+    (boundary gaps enter as weight-1 rows exactly once), duplicate
+    gaps collapse to weights."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import adjacent_gap_counts
+
+    rng = np.random.default_rng(71)
+    n = 2500
+    part = np.where(rng.random(n) < 0.4, 3, rng.integers(0, 50, n))
+    ts = rng.integers(0, 2_000, n)  # small domain -> many repeated gaps
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64())})
+    inner, edge = adjacent_gap_counts(rd.from_arrow(t).repartition(27),
+                                      "g", "ts", "o")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = got.sort_values(["g", "gap_us"]).reset_index(drop=True)
+    got["w"] = got["w"].astype("int64")
+    want = duckdb.connect().execute("""
+        WITH l AS (SELECT g, epoch_us(ts) - LAG(epoch_us(ts))
+                              OVER (PARTITION BY g ORDER BY ts, o) AS gap
+                   FROM t)
+        SELECT g, gap AS gap_us, COUNT(*) AS w
+        FROM l WHERE gap IS NOT NULL GROUP BY 1, 2 ORDER BY g, gap_us
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
