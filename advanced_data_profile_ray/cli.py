@@ -66,10 +66,22 @@ def cmd_profile(args) -> int:
     t0 = time.time()
     ds = read_any(args.paths)
     prof = profile_dataset(ds)
+    corr = None
+    if getattr(args, "corr", False):
+        # fifth_phase parity (Profiler.py:997-1077): one extra streaming
+        # pass builds the Gram partials; heatmap renders driver-side
+        from .pipelines.profile import gram_state
+
+        num_cols = [n for n, c in prof.columns.items()
+                    if c.finalize().get("logical_type") in ("integer", "float")]
+        if len(num_cols) >= 2:
+            st = gram_state(ds.select_columns(num_cols), num_cols)
+            if st is not None:
+                corr = (num_cols, st.corr_matrix())
     schema, table = derive_table_name(args.paths[0])
     base = os.path.join(args.output, f"profile_{schema}_{table}")
     write_json_report(prof, base + ".json")
-    html_path = write_html_report(prof, base + ".html")
+    html_path = write_html_report(prof, base + ".html", corr=corr)
     fin = prof.finalize()["table"]
     print(
         f"profiled {fin['row_count']} rows x {fin['column_count']} cols "
@@ -116,6 +128,9 @@ def main(argv=None) -> int:
     pp = sub.add_parser("profile", help="profile tables to JSON+HTML reports")
     pp.add_argument("paths", nargs="+")
     pp.add_argument("-o", "--output", default="output")
+    pp.add_argument("--corr", action="store_true",
+                    help="add a correlation heatmap (one extra pass; "
+                         "the reference's fifth_phase)")
     pp.set_defaults(fn=cmd_profile)
 
     pv = sub.add_parser("validate", help="run the transcript validation engine")

@@ -112,6 +112,37 @@ def profile_dataset(ds, cfg: ProfileConfig | None = None,
     )
 
 
+def gram_state(ds, cols: list, batch_size: int = 65536):
+    """Streaming Gram-matrix partials over ``cols`` merged through the
+    SAME distributed tree-merge level the fused profile pass uses
+    (merge_stage): one pickled CorrState per input batch → merge tasks
+    fold ~4k partials each → the driver folds only the merge-task
+    outputs, never one blob per input block (A17/A18 backbone,
+    Profiler.py:1019-1065). Returns the merged CorrState (or None on an
+    empty dataset); ``.corr_matrix()`` gives Pearson pairs, its
+    eigendecomposition the PCA importances."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..state.corr import CorrState
+
+    def _partial(df) -> pa.Table:
+        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
+        return pa.table({"column": pa.array(["__gram__"], pa.string()),
+                         "state": pa.array([pickle.dumps(st)], pa.binary())})
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pandas", batch_size=batch_size)
+        .map_batches(merge_stage, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    st = None
+    for r in rows:
+        s = pickle.loads(r["state"])
+        st = s if st is None else st.merge(s)
+    return st
+
+
 def profile_parquet(path: str, columns: list | None = None,
                     cfg: ProfileConfig | None = None, **kw) -> TableProfile:
     import ray.data as rd

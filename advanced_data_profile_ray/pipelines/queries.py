@@ -3605,34 +3605,12 @@ def q_doc_packing(sf_dir: str) -> pd.DataFrame:
 
 
 def _merged_gram_state(sf_dir: str, cols: list, batch_size: int = 65536):
-    """Streaming Gram-matrix partials merged through the SAME distributed
-    tree-merge level the fused profile pass uses (merge_stage): one
-    pickled CorrState per input batch → merge tasks fold ~4k partials
-    each → the driver folds only the merge-task outputs (≤ a few dozen
-    rows), never one blob per input block. At 10^5-10^6 blocks the old
-    take_all()+serial-unpickle driver fold was the scale bottleneck."""
-    import pickle
+    """Lineitem Gram partials via the shared pipelines.profile.gram_state
+    (distributed tree merge; see its docstring for the scale notes)."""
+    from .profile import gram_state
 
-    from ..stages.profile_partial import merge_stage
-    from ..state.corr import CorrState
-
-    ds = _read(sf_dir, "lineitem", cols)
-
-    def _partial(df: pd.DataFrame) -> pa.Table:
-        st = CorrState.from_matrix(df[cols].to_numpy(dtype=np.float64), cols)
-        return pa.table({"column": pa.array(["__gram__"], pa.string()),
-                         "state": pa.array([pickle.dumps(st)], pa.binary())})
-
-    rows = (
-        ds.map_batches(_partial, batch_format="pandas", batch_size=batch_size)
-        .map_batches(merge_stage, batch_format="pyarrow", batch_size=4096)
-        .take_all()
-    )
-    st = None
-    for r in rows:
-        s = pickle.loads(r["state"])
-        st = s if st is None else st.merge(s)
-    return st
+    return gram_state(_read(sf_dir, "lineitem", cols), cols,
+                      batch_size=batch_size)
 
 
 def q_corr_lineitem(sf_dir: str) -> pd.DataFrame:

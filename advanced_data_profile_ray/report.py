@@ -277,6 +277,53 @@ def _svg_wordcloud(payload: list, title: str = "top terms",
     return "".join(parts)
 
 
+def _svg_heatmap(labels: list, matrix, title: str = "correlation",
+                 cell: int = 44) -> str:
+    """Inline-SVG correlation heatmap — the driver-side stand-in for
+    the reference's plotly corr figure (Profiler.py:1019-1031): one
+    shaded cell per (i, j) pair over a symmetric [-1, 1] matrix, blue
+    for negative, red for positive, value printed in-cell. ``matrix``
+    is any 2-D indexable (numpy array / list of lists) aligned with
+    ``labels``."""
+    n = len(labels)
+    if n == 0:
+        return ""
+    left = 8 + max(len(str(l)) for l in labels) * 7
+    top = 16 + max(len(str(l)) for l in labels) * 4
+    w = left + n * cell + 8
+    h_tot = top + n * cell + 8
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+        f'height="{h_tot + 16}" font-family="sans-serif" font-size="10">'
+        f'<text x="4" y="12" font-size="11">{html.escape(title)}</text>'
+    ]
+    for j, lab in enumerate(labels):
+        x = left + j * cell + cell // 2
+        parts.append(f'<text x="{x}" y="{top - 4}" text-anchor="middle" '
+                     f'font-size="9">{html.escape(str(lab))}</text>')
+    for i, lab in enumerate(labels):
+        y = top + i * cell + cell // 2 + 4
+        parts.append(f'<text x="{left - 6}" y="{y}" text-anchor="end">'
+                     f'{html.escape(str(lab))}</text>')
+        for j in range(n):
+            v = float(matrix[i][j])
+            v = max(-1.0, min(1.0, v if v == v else 0.0))
+            # diverging shade: red for +, blue for -, white at 0
+            mag = int(95 - 55 * abs(v))
+            color = (f"rgb(95%,{mag}%,{mag}%)" if v >= 0
+                     else f"rgb({mag}%,{mag}%,95%)")
+            x = left + j * cell
+            y0 = top + i * cell
+            parts.append(
+                f'<rect x="{x}" y="{y0}" width="{cell - 2}" '
+                f'height="{cell - 2}" fill="{color}"/>'
+                f'<text x="{x + cell // 2 - 1}" y="{y0 + cell // 2 + 3}" '
+                f'text-anchor="middle">{v:+.2f}</text>'
+            )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def _column_charts_html(col_dict: dict) -> str:
     """Per-column chart block from the payloads in col_dict['plots'] and
     top_values — collapsed by default to keep the document scannable."""
@@ -317,7 +364,7 @@ def _column_charts_html(col_dict: dict) -> str:
 
 def render_html(profile: TableProfile, verdicts: list | None = None,
                 title: str = "Data Profile",
-                word_freqs=None) -> str:
+                word_freqs=None, corr=None) -> str:
     """Self-contained HTML (driver-side, like the reference's jinja
     render): table census + verdicts + per-column stats table + per-column
     inline-SVG charts (histogram, box, CDF, Q-Q, date-part bars, top
@@ -326,6 +373,11 @@ def render_html(profile: TableProfile, verdicts: list | None = None,
     ``word_freqs`` (optional): a (word, n) frequency frame — e.g. the
     ``word_frequencies`` pipeline output — rendered as an inline-SVG word
     cloud, closing the reference's WordCloud panel (Profiler.py:813-850).
+
+    ``corr`` (optional): a (labels, matrix) pair — e.g. feature names +
+    ``CorrState.corr_matrix()`` from the streaming Gram partials —
+    rendered as an inline-SVG heatmap, closing the reference's plotly
+    correlation panel (Profiler.py:1019-1031).
     """
     d = full_report_dict(profile, verdicts)
     t = d["table"]
@@ -363,6 +415,12 @@ def render_html(profile: TableProfile, verdicts: list | None = None,
         cloud = _svg_wordcloud(wordcloud_payload(word_freqs))
         if cloud:
             cloud_html = "<h2>Word cloud</h2>" + cloud
+    corr_html = ""
+    if corr is not None:
+        labels, matrix = corr
+        heat = _svg_heatmap(list(labels), matrix)
+        if heat:
+            corr_html = "<h2>Correlation</h2>" + heat
     return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
 <title>{html.escape(title)}</title></head><body>
 <h1>{html.escape(title)}</h1>
@@ -374,6 +432,7 @@ nulls={t['total_null_values']} types={html.escape(json.dumps(t['type_census']))}
 <th>uniq%</th><th>mean</th><th>max len</th><th>cat conf</th></tr>
 {''.join(rows)}</table>
 {cloud_html}
+{corr_html}
 <h2>Charts</h2>
 {''.join(_column_charts_html(c) for c in d["columns"])}
 </body></html>"""
@@ -381,10 +440,10 @@ nulls={t['total_null_values']} types={html.escape(json.dumps(t['type_census']))}
 
 def write_html_report(profile: TableProfile, path: str,
                       verdicts: list | None = None, compress: bool = True,
-                      word_freqs=None) -> str:
+                      word_freqs=None, corr=None) -> str:
     """Write the HTML report, gzip'd like the reference
     (Profiler.py:507-509 writes .html.gz)."""
-    doc = render_html(profile, verdicts, word_freqs=word_freqs)
+    doc = render_html(profile, verdicts, word_freqs=word_freqs, corr=corr)
     if compress:
         if not path.endswith(".gz"):
             path += ".gz"

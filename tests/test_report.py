@@ -113,3 +113,28 @@ def test_render_html_word_cloud_panel(ray_session):
     assert ">alpha<" in doc
     # without freqs the panel is absent (backwards compatible)
     assert "Word cloud" not in render_html(prof, title="t")
+
+
+def test_render_html_corr_heatmap_panel(ray_session):
+    """Round-5 report-parity: passing (labels, matrix) renders an
+    inline-SVG correlation heatmap — the reference's plotly corr figure
+    (Profiler.py:1019-1031) — with one shaded cell per pair, diverging
+    color by sign, and the value printed in-cell."""
+    import numpy as np
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import profile_dataset
+    from advanced_data_profile_ray.report import render_html
+
+    t = pa.table({"a": pa.array([1.0, 2.0, 3.0]),
+                  "b": pa.array([2.0, 4.0, 6.0])})
+    prof = profile_dataset(rd.from_arrow(t))
+    m = np.array([[1.0, -0.5], [-0.5, 1.0]])
+    doc = render_html(prof, title="t", corr=(["a", "b"], m))
+    assert "Correlation" in doc
+    assert "+1.00" in doc and "-0.50" in doc
+    # diverging shades: red family for positive, blue family for negative
+    assert 'fill="rgb(95%,40%,40%)"' in doc      # |v|=1 positive
+    assert 'fill="rgb(67%,67%,95%)"' in doc      # |v|=0.5 negative
+    # without corr the panel is absent (backwards compatible)
+    assert "Correlation" not in render_html(prof, title="t")
