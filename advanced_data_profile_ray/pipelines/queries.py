@@ -715,6 +715,37 @@ def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     return out[["alternating", "n_convs"]]
 
 
+def q_conv_null_tool_runs(sf_dir: str) -> pd.DataFrame:
+    """LONGEST NULL-TOOL STREAK per conversation — a missing-data-island
+    validation stat (how long does a transcript go without tool calls).
+    stages.window.longest_run: the classic distributed max-subsegment
+    combine — one sort, per-block (longest, prefix, suffix, n) in one
+    vectorized pass, O(blocks) boundary merge joining carry suffix with
+    fragment prefix. Runs off the projected events read (tool is NULL ⇔
+    event_type != 'error' in the transcript derivation)."""
+    from ..stages.window import longest_run
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _flag(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.not_equal(t["event_type"], pa.scalar("error")),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "f": f})
+
+    out = longest_run(
+        ds.map_batches(_flag, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", "f").to_pandas()
+    if len(out) and (out["user_id"].min() < 0
+                     or out["user_id"].max() >= 10**8):
+        raise ValueError("conv_null_tool_runs: user_id outside [0, 10^8)")
+    out["conv_id"] = "c" + out["user_id"].astype(str).str.zfill(8)
+    out["longest_run"] = out["longest_run"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out[["conv_id", "longest_run", "n_rows"]]
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def q_time_weighted_value(sf_dir: str) -> pd.DataFrame:
     """TIME-WEIGHTED average value per user (each event's value holds
     until the next event) — the metrics/sensor aggregate plain AVG gets
@@ -4580,6 +4611,72 @@ def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=50)
 
 
+def q_docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """DUPLICATE-RATE ATTRIBUTION: per source, how many of its documents
+    are corpus-wide exact duplicates (text appearing ≥2 times anywhere)
+    — the per-provenance contamination census a corpus-prep pipeline
+    reports before dedup. Distributed shape: (content-hash, source)
+    counts through one grouped exchange; per-hash corpus totals through
+    a second exchange on the hash prefix; a big⨝big sort-merge join
+    carries totals back to the (hash, source) rows; the per-source
+    census folds ≤|sources| partials per block on the driver. The twin
+    groups raw text (equivalent partition; a 64-bit collision would
+    mismatch with probability ~n²/2⁶⁵ — the distinct_counts
+    discipline)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+    from ..state.hll import hash64_arrow
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash64_arrow(col).view(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "source": batch["source"]})
+
+    hi, he = sorted_groupby(
+        ds.map_batches(_hash, batch_format="pyarrow", batch_size=131072),
+        ["h", "source"], [(None, "count_all", "n_hs")])
+    n_hs = hi
+    if he is not None and he.num_rows:
+        n_hs = n_hs.union(rd.from_arrow(he))
+    n_hs = n_hs.materialize()  # consumed twice: totals + join left side
+
+    ti, te = sorted_groupby(n_hs.select_columns(["h", "n_hs"]), ["h"],
+                            [("n_hs", "sum", "n_h")])
+    n_h = ti
+    if te is not None and te.num_rows:
+        n_h = n_h.union(rd.from_arrow(te))
+
+    rows_hint = ds.count() * 2
+    j = sorted_merge_join(n_hs, n_h, "h", "h",
+                          ["source", "n_hs"], ["n_h"], rows_hint=rows_hint)
+
+    def _census(t: pa.Table) -> pa.Table:
+        dup = pc.if_else(pc.greater(t["n_h"], 1), t["n_hs"],
+                         pa.scalar(0, pa.int64()))
+        g = pa.table({"source": t["source"], "n_docs": t["n_hs"],
+                      "n_dup_docs": dup}).group_by(
+            ["source"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_dup_docs", "sum")])
+        return g.rename_columns(
+            [{"n_docs_sum": "n_docs", "n_dup_docs_sum": "n_dup_docs"}.get(c, c)
+             for c in g.column_names])
+
+    parts = j.map_batches(_census, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    out = (parts.groupby("source", as_index=False)[["n_docs", "n_dup_docs"]]
+           .sum().sort_values("source").reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dup_docs"] = out["n_dup_docs"].astype("int64")
+    return out[["source", "n_docs", "n_dup_docs"]]
+
+
 def q_word_zipf_slope(sf_dir: str) -> pd.DataFrame:
     """ZIPF FIT of the corpus word distribution: OLS slope of log2(freq)
     vs log2(rank) over the top-500 words — the rank-frequency diagnostic
@@ -4988,6 +5085,25 @@ ORACLE: dict[str, str] = {
         SELECT (same_pairs = 0) AS alternating,
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
+    """,
+    "conv_null_tool_runs": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        m AS (
+            SELECT conv_id,
+                   CASE WHEN tool IS NULL THEN 1 ELSE 0 END AS f,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx)
+                   - ROW_NUMBER() OVER (PARTITION BY conv_id, (tool IS NULL)
+                                        ORDER BY turn_idx) AS grp
+            FROM t
+        ),
+        r AS (SELECT conv_id, grp, COUNT(*) AS len
+              FROM m WHERE f = 1 GROUP BY conv_id, grp),
+        n AS (SELECT conv_id, COUNT(*) AS n_rows FROM t GROUP BY conv_id)
+        SELECT r.conv_id, CAST(MAX(r.len) AS BIGINT) AS longest_run,
+               CAST(MAX(n.n_rows) AS BIGINT) AS n_rows
+        FROM r JOIN n USING (conv_id)
+        GROUP BY r.conv_id ORDER BY conv_id
     """,
     "user_breadth_hist": """
         SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_users
@@ -6214,6 +6330,16 @@ ORACLE: dict[str, str] = {
               FROM documents)
         GROUP BY w ORDER BY n DESC, w LIMIT 50
     """,
+    "docs_dup_rate_by_source": """
+        WITH d AS (
+            SELECT source, COUNT(*) OVER (PARTITION BY text) AS c
+            FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM d GROUP BY source ORDER BY source
+    """,
     "word_zipf_slope": """
         WITH w AS (
             SELECT w AS word, COUNT(*) AS n
@@ -6401,6 +6527,7 @@ QUERIES = {
     "median_gap_by_user": q_median_gap_by_user,
     "user_breadth_hist": q_user_breadth_hist,
     "hourly_delta": q_hourly_delta,
+    "conv_null_tool_runs": q_conv_null_tool_runs,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
@@ -6522,6 +6649,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "word_freqs": q_word_freqs,
     "word_zipf_slope": q_word_zipf_slope,
+    "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     "docs_quality": q_docs_quality,
     "docs_repetition": q_docs_repetition,
     "lm_surprisal": q_lm_surprisal,

@@ -1732,6 +1732,57 @@ def alternation_stats(ds, part_col: str, ts_col: str, order_col: str,
     return out.select_columns([part_col, "n_turns", "same_pairs"])
 
 
+def longest_run(ds, part_col: str, ts_col: str, order_col: str,
+                flag_col: str):
+    """Per-partition LONGEST CONSECUTIVE RUN of a boolean flag — the
+    streak/missing-data-island aggregate (longest stretch of null-tool
+    turns in a conversation, longest error streak in a log): SQL twin is
+    the two-ROW_NUMBER gaps-and-islands construction. ``flag_col`` must
+    be int64 0/1.
+
+    Distributed shape: the classic max-subsegment combine — each block
+    run reduces to (longest, prefix_len, suffix_len, n_rows) in one
+    vectorized pass; a continuing partition merges as longest =
+    max(c.longest, f.longest, c.suffix + f.prefix) with prefix/suffix
+    extended through all-true fragments (prefix == n ⇔ the whole
+    fragment is true). Partitions with no true row are dropped (the
+    twin's WHERE flag=1 does the same). Returns a Dataset
+    (part_col, longest_run, n_rows)."""
+
+    def _runs(seg, vseg):
+        v = (np.nan_to_num(vseg, nan=0.0) if vseg.dtype.kind == "f"
+             else vseg).astype(bool)
+        n = int(v.size)
+        if not v.any():
+            return (0, 0, 0, n)
+        # boundaries of true-runs via diff over padded int array
+        padded = np.empty(n + 2, dtype=np.int8)
+        padded[0] = padded[-1] = 0
+        padded[1:-1] = v
+        d = np.diff(padded)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        lengths = ends - starts
+        prefix = int(lengths[0]) if starts[0] == 0 else 0
+        suffix = int(lengths[-1]) if ends[-1] == n else 0
+        return (int(lengths.max()), prefix, suffix, n)
+
+    def _merge(c, f, bg):
+        joined = c[2] + f[1]
+        longest = max(c[0], f[0], joined)
+        prefix = c[1] if c[1] < c[3] else c[3] + f[1]
+        suffix = f[2] if f[2] < f[3] else f[3] + c[2]
+        return (longest, prefix, suffix, c[3] + f[3])
+
+    out = _partition_run_reduce(
+        ds, part_col, ts_col, order_col,
+        ["longest_run", "prefix_len", "suffix_len", "n_rows"],
+        run_agg=_runs, merge=_merge,
+        emit=lambda v: v[0] >= 1,
+        val_col=flag_col)
+    return out.select_columns([part_col, "longest_run", "n_rows"])
+
+
 def interval_coverage(ds, part_col: str, ts_col: str, order_col: str,
                       length_us: int):
     """Per-partition INTERVAL UNION of fixed-length event intervals —

@@ -1063,3 +1063,42 @@ def test_adjacent_gap_counts_matches_duckdb(ray_session):
         FROM l WHERE gap IS NOT NULL GROUP BY 1, 2 ORDER BY g, gap_us
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_longest_run_matches_duckdb(ray_session):
+    """Max-subsegment combine vs the two-ROW_NUMBER islands twin: hot
+    partition spanning many blocks (carry suffix + fragment prefix
+    joins), all-true and all-false fragments, no-true partitions
+    dropped."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import longest_run
+
+    rng = np.random.default_rng(73)
+    n = 3000
+    part = np.where(rng.random(n) < 0.4, 2, rng.integers(0, 60, n))
+    flag = (rng.random(n) < 0.7).astype(np.int64)
+    flag[part == 13] = 0  # an all-false partition: dropped
+    flag[part == 17] = 1  # an all-true partition
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(rng.integers(0, 10**6, n),
+                                 pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "f": pa.array(flag, pa.int64())})
+    got = (longest_run(rd.from_arrow(t).repartition(33), "g", "ts", "o", "f")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH m AS (
+            SELECT g, f,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, o)
+                   - ROW_NUMBER() OVER (PARTITION BY g, f ORDER BY ts, o)
+                       AS grp
+            FROM t
+        ),
+        r AS (SELECT g, grp, COUNT(*) AS len
+              FROM m WHERE f = 1 GROUP BY g, grp),
+        c AS (SELECT g, COUNT(*) AS n_rows FROM t GROUP BY g)
+        SELECT r.g, MAX(r.len) AS longest_run, MAX(c.n_rows) AS n_rows
+        FROM r JOIN c USING (g) GROUP BY r.g ORDER BY r.g
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
