@@ -715,6 +715,35 @@ def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     return out[["alternating", "n_convs"]]
 
 
+def q_funnel_subsequence(sf_dir: str) -> pd.DataFrame:
+    """SEQUENTIAL-PATTERN funnel: users whose event stream contains
+    view → click → purchase IN ORDER with arbitrary gaps (the unbounded
+    cousin of funnel_view_purchase's 1-hour pair window). Distributed
+    shape is stages.window.subsequence_match: per-block automaton
+    state-transition maps composed across blocks — the carry is 4 ints
+    per partition regardless of stream length; no self-joins, one
+    sort."""
+    from ..stages.window import subsequence_match
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    steps = pa.array(["view", "click", "purchase"])
+
+    def _codes(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        code = pc.cast(pc.fill_null(pc.index_in(ev, value_set=steps), -1),
+                       pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "code": code})
+
+    out = subsequence_match(
+        ds.map_batches(_codes, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", "code", seq_len=3).to_pandas()
+    out = out[out["matched"] == 1][["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_conv_null_tool_runs(sf_dir: str) -> pd.DataFrame:
     """LONGEST NULL-TOOL STREAK per conversation — a missing-data-island
     validation stat (how long does a transcript go without tool calls).
@@ -5086,6 +5115,21 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
     """,
+    "funnel_subsequence": """
+        WITH e AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS ord
+            FROM events
+        ),
+        a AS (SELECT user_id, MIN(ord) AS i FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        b AS (SELECT e.user_id, MIN(ord) AS j FROM e JOIN a USING (user_id)
+              WHERE event_type = 'click' AND ord > a.i GROUP BY e.user_id),
+        c AS (SELECT e.user_id FROM e JOIN b USING (user_id)
+              WHERE event_type = 'purchase' AND ord > b.j GROUP BY e.user_id)
+        SELECT user_id FROM c ORDER BY user_id
+    """,
     "conv_null_tool_runs": f"""
         WITH t AS ({_TRANSCRIPTS_SQL}),
         m AS (
@@ -6528,6 +6572,7 @@ QUERIES = {
     "user_breadth_hist": q_user_breadth_hist,
     "hourly_delta": q_hourly_delta,
     "conv_null_tool_runs": q_conv_null_tool_runs,
+    "funnel_subsequence": q_funnel_subsequence,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,

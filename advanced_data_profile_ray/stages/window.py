@@ -1732,6 +1732,65 @@ def alternation_stats(ds, part_col: str, ts_col: str, order_col: str,
     return out.select_columns([part_col, "n_turns", "same_pairs"])
 
 
+def subsequence_match(ds, part_col: str, ts_col: str, order_col: str,
+                      code_col: str, seq_len: int):
+    """Per-partition ORDERED-SUBSEQUENCE match: does the partition's
+    event stream contain codes 0,1,…,seq_len−1 in order (arbitrary gaps)
+    — the funnel/sequential-pattern predicate. ``code_col`` is int64
+    with the target steps coded 0..seq_len−1 and everything else
+    negative.
+
+    Distributed shape: subsequence progress is a deterministic automaton
+    (state s advances to s+1 on code s), and automata COMPOSE — each
+    block run reduces to its full state-transition map m[s] = exit state
+    when entering at s (computed by greedy earliest-match searchsorted
+    hops, one sorted index array per code); a continuing partition
+    merges by function composition merged[s] = f.m[c.m[s]]. The carry is
+    seq_len+1 ints regardless of partition size. Returns a Dataset
+    (part_col, matched, n_rows) with matched ∈ {0,1} — SQL twin: the
+    chained greedy MIN-position EXISTS cascade."""
+    if not (1 <= seq_len <= 16):
+        raise ValueError(f"seq_len must be in [1, 16], got {seq_len}")
+
+    def _runs(seg, vseg):
+        v = (np.nan_to_num(vseg, nan=-1.0) if vseg.dtype.kind == "f"
+             else vseg).astype(np.int64)
+        n = int(v.size)
+        pos = [np.nonzero(v == c)[0] for c in range(seq_len)]
+        m = []
+        for s in range(seq_len):
+            cur, p = s, -1
+            while cur < seq_len:
+                nxt = pos[cur]
+                i = np.searchsorted(nxt, p + 1)
+                if i >= nxt.size:
+                    break
+                p = int(nxt[i])
+                cur += 1
+            m.append(cur)
+        # m[seq_len] = seq_len (already matched stays matched)
+        return (*m, seq_len, n)
+
+    def _merge(c, f, bg):
+        return (*(f[c[s]] for s in range(seq_len)), seq_len,
+                c[seq_len + 1] + f[seq_len + 1])
+
+    out = _partition_run_reduce(
+        ds, part_col, ts_col, order_col,
+        [f"m{s}" for s in range(seq_len + 1)] + ["n_rows"],
+        run_agg=_runs, merge=_merge,
+        emit=lambda v: True,
+        val_col=code_col)
+
+    def _final(t: pa.Table) -> pa.Table:
+        matched = pc.cast(pc.equal(t["m0"], seq_len), pa.int64())
+        return pa.table({part_col: t[part_col], "matched": matched,
+                         "n_rows": t["n_rows"]})
+
+    return out.map_batches(_final, batch_format="pyarrow",
+                           batch_size=131072)
+
+
 def longest_run(ds, part_col: str, ts_col: str, order_col: str,
                 flag_col: str):
     """Per-partition LONGEST CONSECUTIVE RUN of a boolean flag — the

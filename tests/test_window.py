@@ -1102,3 +1102,42 @@ def test_longest_run_matches_duckdb(ray_session):
         FROM r JOIN c USING (g) GROUP BY r.g ORDER BY r.g
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_subsequence_match_matches_duckdb(ray_session):
+    """Automaton composition vs the greedy MIN-position cascade: hot
+    partition spanning many blocks (state maps compose), partitions
+    with steps out of order, partial progress, and no steps at all."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import subsequence_match
+
+    rng = np.random.default_rng(79)
+    n = 4000
+    part = np.where(rng.random(n) < 0.35, 4, rng.integers(0, 80, n))
+    # codes: steps 0/1/2 sparse among noise (-1)
+    code = rng.choice([-1, -1, -1, 0, 1, 2], size=n).astype(np.int64)
+    t = pa.table({"g": pa.array(part, pa.int64()),
+                  "ts": pa.array(rng.integers(0, 10**6, n),
+                                 pa.timestamp("us")),
+                  "o": pa.array(rng.permutation(n), pa.int64()),
+                  "c": pa.array(code, pa.int64())})
+    got = (subsequence_match(rd.from_arrow(t).repartition(37),
+                             "g", "ts", "o", "c", seq_len=3)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH e AS (SELECT g, c,
+                          ROW_NUMBER() OVER (PARTITION BY g
+                                             ORDER BY ts, o) AS ord
+                   FROM t),
+        a AS (SELECT g, MIN(ord) AS i FROM e WHERE c = 0 GROUP BY g),
+        b AS (SELECT e.g, MIN(ord) AS j FROM e JOIN a USING (g)
+              WHERE c = 1 AND ord > a.i GROUP BY e.g),
+        f AS (SELECT DISTINCT e.g FROM e JOIN b USING (g)
+              WHERE c = 2 AND ord > b.j)
+        SELECT g FROM f ORDER BY g
+    """).fetch_df()
+    assert got[got["matched"] == 1]["g"].tolist() == want["g"].tolist()
+    # n_rows sanity: every partition appears exactly once with its size
+    sizes = pd.Series(part).value_counts().sort_index()
+    assert got["n_rows"].tolist() == sizes.tolist()
