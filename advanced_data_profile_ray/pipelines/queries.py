@@ -4640,6 +4640,78 @@ def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=50)
 
 
+def q_shingle_novelty_by_source(sf_dir: str) -> pd.DataFrame:
+    """CROSS-SOURCE SHINGLE NOVELTY: per source, its distinct word
+    3-gram count and how many of those shingles appear in NO other
+    source — the provenance-overlap diagnostic of corpus mixing (a
+    source with near-zero unique shingles is redundant; near-total
+    uniqueness means no contamination). Distributed shape: per-block
+    (shingle, source) dedup → one grouped exchange dedups globally →
+    a second exchange on the shingle prefix counts sources per shingle
+    (smuggling the owner through MIN(source) — valid exactly when the
+    count is 1) → two skinny per-source censuses. No joins, no driver
+    shingle sets."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _shingles(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z']+")
+        rows_s, rows_src = [], []
+        for src, t in zip(df["source"].to_numpy(), toks):
+            if len(t) < 3:
+                continue
+            rows_s.extend(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+            rows_src.extend([src] * (len(t) - 2))
+        out = pd.DataFrame({"shingle": rows_s, "source": rows_src})
+        return out.drop_duplicates()
+
+    pairs_in, pairs_edge = sorted_groupby(
+        ds.map_batches(_shingles, batch_format="pandas", batch_size=4096),
+        ["shingle", "source"], [(None, "count_all", "_n")])
+    pairs = pairs_in
+    if pairs_edge is not None and pairs_edge.num_rows:
+        pairs = pairs.union(rd.from_arrow(pairs_edge))
+    pairs = pairs.materialize()  # consumed twice: per-shingle + per-source
+
+    si, se = sorted_groupby(pairs.select_columns(["shingle", "source"]),
+                            ["shingle"],
+                            [(None, "count_all", "ns"),
+                             ("source", "min", "only_source")])
+    per_shingle = si
+    if se is not None and se.num_rows:
+        per_shingle = per_shingle.union(rd.from_arrow(se))
+
+    def _uniq_census(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["ns"], 1))
+        g = pa.table({"source": sub["only_source"]}).group_by(
+            ["source"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n_unique_shingles"}.get(c, c)
+             for c in g.column_names])
+
+    uniq = per_shingle.map_batches(_uniq_census, batch_format="pyarrow",
+                                   batch_size=131072).to_pandas()
+    uniq = uniq.groupby("source", as_index=False)["n_unique_shingles"].sum()
+
+    def _tot_census(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"]}).group_by(
+            ["source"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n_shingles"}.get(c, c) for c in g.column_names])
+
+    tot = pairs.map_batches(_tot_census, batch_format="pyarrow",
+                            batch_size=131072).to_pandas()
+    tot = tot.groupby("source", as_index=False)["n_shingles"].sum()
+    out = tot.merge(uniq, on="source", how="left").fillna(0)
+    out["n_shingles"] = out["n_shingles"].astype("int64")
+    out["n_unique_shingles"] = out["n_unique_shingles"].astype("int64")
+    return (out[["source", "n_shingles", "n_unique_shingles"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def q_docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     """DUPLICATE-RATE ATTRIBUTION: per source, how many of its documents
     are corpus-wide exact duplicates (text appearing ≥2 times anywhere)
@@ -6374,6 +6446,29 @@ ORACLE: dict[str, str] = {
               FROM documents)
         GROUP BY w ORDER BY n DESC, w LIMIT 50
     """,
+    "shingle_novelty_by_source": """
+        WITH w AS (
+            SELECT source, doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w,
+                   generate_subscripts(
+                       regexp_extract_all(lower(text), '[a-z'']+'), 1) AS ord
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT source,
+                   w || ' ' || LEAD(w, 1) OVER d || ' '
+                     || LEAD(w, 2) OVER d AS shingle
+            FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY ord)
+        ),
+        sh AS (SELECT DISTINCT source, shingle FROM sh0
+               WHERE shingle IS NOT NULL),
+        per AS (SELECT shingle, COUNT(*) AS ns FROM sh GROUP BY shingle)
+        SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN p.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique_shingles
+        FROM sh s JOIN per p USING (shingle)
+        GROUP BY s.source ORDER BY s.source
+    """,
     "docs_dup_rate_by_source": """
         WITH d AS (
             SELECT source, COUNT(*) OVER (PARTITION BY text) AS c
@@ -6695,6 +6790,7 @@ QUERIES = {
     "word_freqs": q_word_freqs,
     "word_zipf_slope": q_word_zipf_slope,
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+    "shingle_novelty_by_source": q_shingle_novelty_by_source,
     "docs_quality": q_docs_quality,
     "docs_repetition": q_docs_repetition,
     "lm_surprisal": q_lm_surprisal,
