@@ -1982,6 +1982,82 @@ def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
             [["s_name", "numwait"]].reset_index(drop=True))
 
 
+def q_order_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """CROSS-TABLE RECONCILIATION — the fact-vs-rollup consistency check
+    a validation engine runs between a header table and its lines: per
+    order status, how many orders have NO lineitems, how many disagree
+    with the sum of their lines' extended prices, and the worst absolute
+    discrepancy. One grouped exchange folds lineitem to per-order exact
+    cents; a LEFT sort-merge join carries header totals; the ≤|status|
+    census folds per-block partials. All integers — no float equality
+    anywhere."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    def _li(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"], "c": cents})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice"]).map_batches(
+        _li, batch_format="pyarrow", batch_size=131072)
+    si, se = sorted_groupby(li, ["l_orderkey"], [("c", "sum", "line_cents")])
+    sums = si
+    if se is not None and se.num_rows:
+        sums = sums.union(rd.from_arrow(se))
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderstatus": batch["o_orderstatus"],
+                         "total_cents": cents})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=131072)
+    hint = (_read(sf_dir, "orders", ["o_orderkey"]).count()
+            + _read(sf_dir, "lineitem", ["l_orderkey"]).count())
+    j = sorted_merge_join(orders, sums, "o_orderkey", "l_orderkey",
+                          ["o_orderstatus", "total_cents"], ["line_cents"],
+                          rows_hint=hint, how="left")
+
+    def _census(t: pa.Table) -> pa.Table:
+        has = t["line_cents"].is_valid()
+        diff = pc.abs(pc.subtract(t["total_cents"],
+                                  pc.fill_null(t["line_cents"], 0)))
+        diff = pc.if_else(has, diff, pa.scalar(0, pa.int64()))
+        g = pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "no_lines": pc.cast(pc.invert(has), pa.int64()),
+            "mismatch": pc.cast(pc.and_(has, pc.greater(diff, 0)), pa.int64()),
+            "diff": diff,
+        }).group_by(["o_orderstatus"], use_threads=False).aggregate(
+            [("one", "sum"), ("no_lines", "sum"), ("mismatch", "sum"),
+             ("diff", "max")])
+        return g.rename_columns(
+            [{"one_sum": "n_orders", "no_lines_sum": "n_no_lines",
+              "mismatch_sum": "n_mismatch",
+              "diff_max": "max_abs_diff_cents"}.get(c, c)
+             for c in g.column_names])
+
+    parts = j.map_batches(_census, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    out = parts.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), n_no_lines=("n_no_lines", "sum"),
+        n_mismatch=("n_mismatch", "sum"),
+        max_abs_diff_cents=("max_abs_diff_cents", "max"))
+    for c in ["n_orders", "n_no_lines", "n_mismatch", "max_abs_diff_cents"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q8_market_share(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q8-shaped composite (national market share): NATION_8's
     share of EUROPE-customer revenue on ECONOMY parts per order year,
@@ -5833,6 +5909,28 @@ ORACLE: dict[str, str] = {
               < (SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
+    "order_reconciliation": """
+        WITH s AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS line_cents
+            FROM lineitem GROUP BY 1
+        )
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN s.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_no_lines,
+               CAST(SUM(CASE WHEN s.l_orderkey IS NOT NULL AND
+                        ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                            - s.line_cents) > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_mismatch,
+               CAST(COALESCE(MAX(CASE WHEN s.l_orderkey IS NOT NULL THEN
+                        ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                            - s.line_cents) END), 0)
+                   AS BIGINT) AS max_abs_diff_cents
+        FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
     "q21_sole_late_supplier": """
         WITH j AS (
             SELECT l.l_orderkey, l.l_suppkey,
@@ -6754,6 +6852,7 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    "order_reconciliation": q_order_reconciliation,
     "q22_dormant_customers": q22_dormant_customers,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,
