@@ -715,6 +715,60 @@ def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     return out[["alternating", "n_convs"]]
 
 
+def q_conv_boundary_roles(sf_dir: str) -> pd.DataFrame:
+    """CONVERSATION BOUNDARY census: which role opens and which closes
+    each conversation, counted over (first_role, last_role) — the
+    FIRST_VALUE/LAST_VALUE conformance stat (a transcript corpus where
+    conversations don't open with user turns or close with assistant
+    turns is suspect). One sort through the shared
+    _partition_run_reduce scaffold smuggling first/last role codes
+    through the run fields; the ≤|roles|² census folds per-block
+    partials on the driver."""
+    from ..stages.window import _partition_run_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    roles = ["user", "system", "assistant", "tool"]
+    special = pa.array(["signup", "purchase", "error"])
+
+    def _codes(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        code = pc.add(pc.cast(pc.fill_null(
+            pc.index_in(ev, value_set=special), -1), pa.int64()), 1)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "code": code})
+
+    per_conv = _partition_run_reduce(
+        ds.map_batches(_codes, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", ["n_turns", "first_c", "last_c"],
+        run_agg=lambda seg, vseg: (int(seg.size), int(vseg[0]),
+                                   int(vseg[-1])),
+        merge=lambda c, f, bg: (c[0] + f[0], c[1], f[2]),
+        emit=lambda v: True,
+        val_col="code")
+
+    def _census(t: pa.Table) -> pa.Table:
+        g = t.select(["first_c", "last_c"]).group_by(
+            ["first_c", "last_c"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n_convs"}.get(c, c) for c in g.column_names])
+
+    parts = per_conv.map_batches(_census, batch_format="pyarrow",
+                                 batch_size=131072).to_pandas()
+    census = (parts.groupby(["first_c", "last_c"], as_index=False)
+              ["n_convs"].sum())
+    census["first_role"] = pd.Categorical.from_codes(
+        census["first_c"].to_numpy(), roles).astype(str)
+    census["last_role"] = pd.Categorical.from_codes(
+        census["last_c"].to_numpy(), roles).astype(str)
+    census["n_convs"] = census["n_convs"].astype("int64")
+    return (census[["first_role", "last_role", "n_convs"]]
+            .sort_values(["first_role", "last_role"])
+            .reset_index(drop=True))
+
+
 def q_funnel_subsequence(sf_dir: str) -> pd.DataFrame:
     """SEQUENTIAL-PATTERN funnel: users whose event stream contains
     view → click → purchase IN ORDER with arbitrary gaps (the unbounded
@@ -5263,6 +5317,21 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
     """,
+    "conv_boundary_roles": f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        b AS (
+            SELECT conv_id,
+                   FIRST_VALUE(role) OVER w AS first_role,
+                   LAST_VALUE(role) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS last_role,
+                   ROW_NUMBER() OVER w AS rn
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT first_role, last_role, CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM b WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "funnel_subsequence": """
         WITH e AS (
             SELECT user_id, event_type,
@@ -6766,6 +6835,7 @@ QUERIES = {
     "hourly_delta": q_hourly_delta,
     "conv_null_tool_runs": q_conv_null_tool_runs,
     "funnel_subsequence": q_funnel_subsequence,
+    "conv_boundary_roles": q_conv_boundary_roles,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
