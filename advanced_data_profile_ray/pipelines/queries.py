@@ -4770,6 +4770,42 @@ def q_word_freqs(sf_dir: str) -> pd.DataFrame:
     return word_frequencies(_read(sf_dir, "documents", ["text"]), top_k=50)
 
 
+def q_doc_pct_rank_in_source(sf_dir: str) -> pd.DataFrame:
+    """GROUPED PERCENT_RANK: each document's length percentile within
+    its source — per-partition rank normalization (the per-group cousin
+    of the global order_percent_rank). row_number_within provides the
+    distributed rank under the total order (n_chars, doc_id); per-source
+    sizes broadcast as a sorted array (|sources| is dictionary-sized);
+    the rank→percentile division is exact-int → float, bit-identical to
+    the twin. Single-doc sources emit 0 like SQL PERCENT_RANK."""
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    sizes = (_read(sf_dir, "documents", ["source"]).to_pandas()
+             .groupby("source").size())
+    keys = np.array(sorted(sizes.index))
+    ns = sizes.loc[keys].to_numpy(dtype=np.int64)
+
+    rn = row_number_within(ds, "source", ["n_chars", "doc_id"],
+                           out_col="rn")
+
+    def _pct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "pct_rank": pa.array([], pa.float64())})
+        src = t["source"].to_numpy(zero_copy_only=False)
+        n = ns[np.searchsorted(keys, src)]
+        r = t["rn"].to_numpy(zero_copy_only=False)
+        pr = np.where(n > 1, r / np.maximum(n - 1, 1), 0.0)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "pct_rank": pa.array(np.round(pr, 6))})
+
+    out = rn.map_batches(_pct, batch_format="pyarrow",
+                         batch_size=131072).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_shingle_novelty_by_source(sf_dir: str) -> pd.DataFrame:
     """CROSS-SOURCE SHINGLE NOVELTY: per source, its distinct word
     3-gram count and how many of those shingles appear in NO other
@@ -6613,6 +6649,13 @@ ORACLE: dict[str, str] = {
               FROM documents)
         GROUP BY w ORDER BY n DESC, w LIMIT 50
     """,
+    "doc_pct_rank_in_source": """
+        SELECT doc_id, source,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id), 6)
+                   AS pct_rank
+        FROM documents ORDER BY doc_id
+    """,
     "shingle_novelty_by_source": """
         WITH w AS (
             SELECT source, doc_id,
@@ -6960,6 +7003,7 @@ QUERIES = {
     "word_zipf_slope": q_word_zipf_slope,
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     "shingle_novelty_by_source": q_shingle_novelty_by_source,
+    "doc_pct_rank_in_source": q_doc_pct_rank_in_source,
     "docs_quality": q_docs_quality,
     "docs_repetition": q_docs_repetition,
     "lm_surprisal": q_lm_surprisal,
