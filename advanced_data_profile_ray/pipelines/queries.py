@@ -715,6 +715,42 @@ def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     return out[["alternating", "n_convs"]]
 
 
+def q_conv_size_gini(sf_dir: str) -> pd.DataFrame:
+    """SKEW DIAGNOSTIC: Gini coefficient of conversation sizes — the
+    one-number answer to "how hot are the hot conv_ids" that motivates
+    the salted exchanges (north rule: salted repartition of hot
+    conv_ids). Per-conversation turn counts fold through one grouped
+    exchange; their value-counts histogram (≤ max-size distinct values)
+    folds through a second; the driver applies gini_by_priority's exact
+    tied-block identity (Σ i·x without per-row ranks) over the tiny
+    histogram. Mirrors the twin's float cast placement exactly."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    si, se = sorted_groupby(ds, ["user_id"], [(None, "count_all", "sz")])
+    sizes = si
+    if se is not None and se.num_rows:
+        sizes = sizes.union(rd.from_arrow(se))
+    hi, he = sorted_groupby(sizes.select_columns(["sz"]), ["sz"],
+                            [(None, "count_all", "cnt")])
+    hist = hi.to_pandas()
+    if he is not None and he.num_rows:
+        hist = pd.concat([hist, he.to_pandas()], ignore_index=True)
+    hist = hist.sort_values("sz").reset_index(drop=True)
+    x = hist["sz"].to_numpy(dtype=np.int64)
+    c = hist["cnt"].to_numpy(dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(c)[:-1]])
+    s = int((x * (c * base + c * (c + 1) // 2)).sum())
+    t = int((x * c).sum())
+    n = int(c.sum())
+    gini = round((2.0 * s - (n + 1.0) * t) / (n * 1.0 * t), 6)
+    return pd.DataFrame({"gini": [gini],
+                         "n_convs": pd.Series([n], dtype="int64"),
+                         "total_turns": pd.Series([t], dtype="int64")})
+
+
 def q_conv_boundary_roles(sf_dir: str) -> pd.DataFrame:
     """CONVERSATION BOUNDARY census: which role opens and which closes
     each conversation, counted over (first_role, last_role) — the
@@ -5353,6 +5389,19 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
     """,
+    "conv_size_gini": """
+        WITH sz AS (SELECT user_id, COUNT(*) AS n_turns
+                    FROM events GROUP BY 1),
+        r AS (SELECT n_turns,
+                     ROW_NUMBER() OVER (ORDER BY n_turns) AS i
+              FROM sz)
+        SELECT ROUND((2.0 * SUM(i * n_turns)
+                      - (COUNT(*) + 1.0) * SUM(n_turns))
+                     / (COUNT(*) * 1.0 * SUM(n_turns)), 6) AS gini,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(n_turns) AS BIGINT) AS total_turns
+        FROM r
+    """,
     "conv_boundary_roles": f"""
         WITH t AS ({_TRANSCRIPTS_SQL}),
         b AS (
@@ -6879,6 +6928,7 @@ QUERIES = {
     "conv_null_tool_runs": q_conv_null_tool_runs,
     "funnel_subsequence": q_funnel_subsequence,
     "conv_boundary_roles": q_conv_boundary_roles,
+    "conv_size_gini": q_conv_size_gini,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
