@@ -802,11 +802,13 @@ def adjacent_gap_counts(ds, part_col: str, ts_col: str, order_col: str):
     s = (ds.select_columns([part_col, ts_col, order_col])
          .sort([part_col, ts_col, order_col]).materialize())
     refs = s.to_arrow_refs()
-    part_t = (s.schema().base_schema.field(part_col).type
-              if refs else pa.int64())
+    # None schema with nonempty refs = all-empty blocks (see
+    # _partition_run_reduce) — treat as empty
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
     part_schema = pa.schema([(part_col, part_t), ("gap_us", pa.int64()),
                              ("w", pa.int64())])
-    if not refs:
+    if not refs or sch is None:
         return rd.from_arrow(part_schema.empty_table()), None
 
     @ray.remote(num_returns=2)
@@ -1569,11 +1571,13 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
     s = rightsize_blocks(ds.select_columns(sel), rows=rows).sort(
         [part_col, ts_col, order_col]).materialize()
     refs = s.to_arrow_refs()
-    part_t = (s.schema().base_schema.field(part_col).type
-              if refs else pa.int64())
+    # an all-empty input can surface as nonempty refs of empty blocks
+    # with a None schema — treat it as the empty case
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
     out_schema = pa.schema([(part_col, part_t)]
                            + [(f, pa.int64()) for f in out_fields])
-    if not refs:
+    if not refs or sch is None:
         return rd.from_arrow(out_schema.empty_table())
 
     def _table(rows_):

@@ -1141,3 +1141,48 @@ def test_subsequence_match_matches_duckdb(ray_session):
     # n_rows sanity: every partition appears exactly once with its size
     sizes = pd.Series(part).value_counts().sort_index()
     assert got["n_rows"].tolist() == sizes.tolist()
+
+
+def test_new_primitives_empty_and_singleton(ray_session):
+    """Degenerate inputs for the round-5 primitives: empty datasets
+    return typed empty results; singleton partitions obey each
+    operator's emit rule (alternation drops, coverage emits one island,
+    longest_run drops all-false, subsequence reports no match)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import (
+        alternation_stats,
+        interval_coverage,
+        longest_run,
+        subsequence_match,
+    )
+
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "o": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    e = rd.from_arrow(empty)
+    assert alternation_stats(e, "g", "ts", "o", "v").count() == 0
+    assert interval_coverage(e, "g", "ts", "o", 100).count() == 0
+    assert longest_run(e, "g", "ts", "o", "v").count() == 0
+    assert subsequence_match(e, "g", "ts", "o", "v", 2).count() == 0
+
+    one = pa.table({"g": pa.array([7], pa.int64()),
+                    "ts": pa.array([5], pa.timestamp("us")),
+                    "o": pa.array([0], pa.int64()),
+                    "v": pa.array([0], pa.int64())})
+    s = rd.from_arrow(one)
+    # alternation needs >= 2 turns -> dropped
+    assert alternation_stats(s, "g", "ts", "o", "v").count() == 0
+    cov = interval_coverage(s, "g", "ts", "o", 100).to_pandas()
+    assert cov["n_islands"].tolist() == [1]
+    assert cov["covered_us"].tolist() == [100]
+    # flag 0 -> no true run -> dropped; flag 1 -> run of one
+    assert longest_run(s, "g", "ts", "o", "v").count() == 0
+    m = subsequence_match(s, "g", "ts", "o", "v", 2).to_pandas()
+    assert m["matched"].tolist() == [0]  # code 0 reaches state 1 of 2
+
+    with pytest.raises(ValueError):
+        interval_coverage(s, "g", "ts", "o", 0)
+    with pytest.raises(ValueError):
+        subsequence_match(s, "g", "ts", "o", "v", 0)
