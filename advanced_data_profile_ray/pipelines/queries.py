@@ -913,6 +913,102 @@ def q_user_coverage(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q_tool_set_similarity(sf_dir: str) -> pd.DataFrame:
+    """SET-SIMILARITY BY CENSUS: pairwise Jaccard similarity between
+    users' event-type SETS, computed without any user×user join — users
+    collapse to a ≤2^|types| bitmask census (two skinny exchanges:
+    (user, type) dedup → per-user mask sum), and the all-pairs Jaccard
+    runs over the tiny mask domain weighted by census counts. The
+    pattern that makes set-similarity joins feasible at 10^9 users when
+    the item domain is dictionary-sized. Exact integers; Jaccard
+    divides two popcounts."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    types = ["click", "view", "signup", "purchase", "error"]
+    tarr = pa.array(types)
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _code(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        c = pc.cast(pc.index_in(ev, value_set=tarr), pa.int64())
+        return pa.table({"user_id": t["user_id"], "c": c})
+
+    di, de = sorted_groupby(
+        ds.map_batches(_code, batch_format="pyarrow", batch_size=131072),
+        ["user_id", "c"], [(None, "count_all", "_n")])
+    pairs = di
+    if de is not None and de.num_rows:
+        pairs = pairs.union(rd.from_arrow(de))
+
+    def _pow2(t: pa.Table) -> pa.Table:
+        bit = pc.shift_left(pa.scalar(1, pa.int64()), t["c"])
+        return pa.table({"user_id": t["user_id"], "bit": bit})
+
+    mi, me = sorted_groupby(
+        pairs.map_batches(_pow2, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("bit", "sum", "m")])
+    masks = mi
+    if me is not None and me.num_rows:
+        masks = masks.union(rd.from_arrow(me))
+
+    def _census(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["m"])
+        return pa.table({"m": vc.field("values"),
+                         "n_users": pc.cast(vc.field("counts"), pa.int64())})
+
+    cens = masks.map_batches(_census, batch_format="pyarrow",
+                             batch_size=131072).to_pandas()
+    cens = cens.groupby("m", as_index=False)["n_users"].sum()
+    ms = cens["m"].to_numpy(dtype=np.int64)
+    ns = cens["n_users"].to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(len(ms)):
+        for j in range(len(ms)):
+            if ms[i] < ms[j]:
+                inter = int(ms[i] & ms[j]).bit_count()
+                union = int(ms[i] | ms[j]).bit_count()
+                rows.append({"mask_a": int(ms[i]), "mask_b": int(ms[j]),
+                             "n_pairs": int(ns[i]) * int(ns[j]),
+                             "jaccard": round(inter / union, 6)})
+    out = pd.DataFrame(rows,
+                       columns=["mask_a", "mask_b", "n_pairs", "jaccard"])
+    for c in ["mask_a", "mask_b", "n_pairs"]:
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = out["jaccard"].astype("float64")
+    return out.sort_values(["mask_a", "mask_b"]).reset_index(drop=True)
+
+
+def q_value_hist(sf_dir: str) -> pd.DataFrame:
+    """FIXED-BIN NUMERIC HISTOGRAM of event value (A24's numeric case —
+    the date-part histograms are oracled elsewhere): integer cent
+    buckets of width $5, so bin assignment is exact int arithmetic on
+    both sides (floats never decide bin membership). Per-batch bucket
+    counts fold to ≤\|bins\| partials per block, driver-merged."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(batch["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        c = cents.to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(c, 500)
+        u, n = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby("bucket", as_index=False)["n"].sum()
+           .sort_values("bucket").reset_index(drop=True))
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_user_breadth_hist(sf_dir: str) -> pd.DataFrame:
     """TWO-LEVEL DISTINCT aggregation: histogram of per-user event-type
     breadth (how many users touch exactly k distinct event types) —
@@ -5451,6 +5547,30 @@ ORACLE: dict[str, str] = {
         FROM r JOIN n USING (conv_id)
         GROUP BY r.conv_id ORDER BY conv_id
     """,
+    "tool_set_similarity": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        codes AS (
+            SELECT user_id,
+                   CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                        WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3
+                        WHEN 'error' THEN 4 END AS c
+            FROM d
+        ),
+        mask AS (SELECT user_id, SUM(1 << c) AS m FROM codes GROUP BY 1),
+        census AS (SELECT m, COUNT(*) AS n_users FROM mask GROUP BY 1)
+        SELECT CAST(a.m AS BIGINT) AS mask_a, CAST(b.m AS BIGINT) AS mask_b,
+               CAST(a.n_users * b.n_users AS BIGINT) AS n_pairs,
+               ROUND(CAST(bit_count(a.m & b.m) AS DOUBLE)
+                     / bit_count(a.m | b.m), 6) AS jaccard
+        FROM census a JOIN census b ON a.m < b.m
+        ORDER BY mask_a, mask_b
+    """,
+    "value_hist": """
+        SELECT CAST(FLOOR(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                          / 500.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "user_breadth_hist": """
         SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM (SELECT user_id,
@@ -6924,6 +7044,8 @@ QUERIES = {
     "user_coverage": q_user_coverage,
     "median_gap_by_user": q_median_gap_by_user,
     "user_breadth_hist": q_user_breadth_hist,
+    "tool_set_similarity": q_tool_set_similarity,
+    "value_hist": q_value_hist,
     "hourly_delta": q_hourly_delta,
     "conv_null_tool_runs": q_conv_null_tool_runs,
     "funnel_subsequence": q_funnel_subsequence,
