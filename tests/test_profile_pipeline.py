@@ -116,3 +116,28 @@ def test_events_profile_props_and_nulls(ray_session):
         assert f["null_count"] == int(df[col].isnull().sum()), col
     f = prof.columns["event_type"].finalize()
     assert f["distinct_count"] == df["event_type"].nunique()
+
+
+def test_gram_state_shared_helper(ray_session):
+    """pipelines.profile.gram_state (the shared Gram tree-merge behind
+    the corr queries and the --corr CLI pass): matches numpy corrcoef on
+    a multi-block dataset; returns None on an empty dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.profile import gram_state
+
+    rng = np.random.default_rng(83)
+    a = rng.normal(size=500)
+    b = 0.6 * a + rng.normal(size=500)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    st = gram_state(rd.from_arrow(t).repartition(7), ["a", "b"],
+                    batch_size=64)
+    got = st.corr_matrix()
+    want = np.corrcoef(np.vstack([a, b]))
+    assert abs(got[0, 1] - want[0, 1]) < 1e-9
+
+    empty = pa.table({"a": pa.array([], pa.float64()),
+                      "b": pa.array([], pa.float64())})
+    assert gram_state(rd.from_arrow(empty), ["a", "b"]) is None
