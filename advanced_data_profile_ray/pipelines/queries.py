@@ -4751,6 +4751,33 @@ _SAMPLE_MULT = 2654435761
 _SAMPLE_MOD = 1 << 32
 
 
+def q_docs_ksample_per_source(sf_dir: str) -> pd.DataFrame:
+    """EXACT-K DETERMINISTIC SAMPLE per source (eval-set carving shape:
+    exactly 5 docs per provenance, reproducible forever): the k SMALLEST
+    Knuth-multiplicative sampling keys per group — stratified_sample's
+    per-row hash under grouped_topk's one-sort/edge-stitch machinery
+    (negated key, since the operator heads DESC). Unlike rate-based
+    sampling this guarantees the count; unlike ds.random_sample it is
+    seedless-reproducible and SQL-mirrorable."""
+    from ..stages.fast_ops import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        skey = (did * _SAMPLE_MULT) % _SAMPLE_MOD
+        return pa.table({"source": t["source"], "doc_id": t["doc_id"],
+                         "nkey": pa.array(-skey, pa.int64())})
+
+    t = grouped_topk(
+        ds.map_batches(_key, batch_format="pyarrow", batch_size=131072),
+        ["source"], "nkey", k=5, tie_cols=["doc_id"],
+        rows_hint=_read(sf_dir, "documents", ["doc_id"]).count())
+    out = t.to_pandas()[["source", "doc_id"]]
+    return (out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+            .astype({"doc_id": "int64"}))
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """DETERMINISTIC STRATIFIED SAMPLING (data-mixing shape: per-language
     keep rates): doc kept iff (doc_id · 2654435761) mod 2³² < rate(lang)
@@ -5564,6 +5591,13 @@ ORACLE: dict[str, str] = {
                      / bit_count(a.m | b.m), 6) AS jaccard
         FROM census a JOIN census b ON a.m < b.m
         ORDER BY mask_a, mask_b
+    """,
+    "docs_ksample_per_source": """
+        SELECT source, doc_id FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 5
+        ORDER BY source, doc_id
     """,
     "value_hist": """
         SELECT CAST(FLOOR(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
@@ -7046,6 +7080,7 @@ QUERIES = {
     "user_breadth_hist": q_user_breadth_hist,
     "tool_set_similarity": q_tool_set_similarity,
     "value_hist": q_value_hist,
+    "docs_ksample_per_source": q_docs_ksample_per_source,
     "hourly_delta": q_hourly_delta,
     "conv_null_tool_runs": q_conv_null_tool_runs,
     "funnel_subsequence": q_funnel_subsequence,
