@@ -5037,6 +5037,45 @@ def q_shingle_novelty_by_source(sf_dir: str) -> pd.DataFrame:
             .sort_values("source").reset_index(drop=True))
 
 
+def q_ks_two_sample_sources(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between src0's and
+    src1's document-length distributions — the drift test (A26) with a
+    fully SQL-mirrored exact path (ks_drift tests against a baseline
+    artifact; this twin is self-contained). One grouped exchange builds
+    the per-length (count_a, count_b) histogram; the sup|F₁−F₂| fold
+    runs on the driver over the ≤|distinct lengths| histogram. Every
+    float is an exact-int division; the max over them is
+    order-independent."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+        sub = t.filter(keep)
+        a = pc.cast(pc.equal(sub["source"], pa.scalar("src0")), pa.int64())
+        b = pc.cast(pc.equal(sub["source"], pa.scalar("src1")), pa.int64())
+        return pa.table({"x": sub["n_chars"], "a": a, "b": b})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["x"], [("a", "sum", "ca"), ("b", "sum", "cb")])
+    hist = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        hist = pd.concat([hist, edge.to_pandas()], ignore_index=True)
+    hist = hist.sort_values("x").reset_index(drop=True)
+    na = int(hist["ca"].sum())
+    nb = int(hist["cb"].sum())
+    cuma = hist["ca"].cumsum().to_numpy(dtype=np.int64)
+    cumb = hist["cb"].cumsum().to_numpy(dtype=np.int64)
+    ks = round(float(np.abs(cuma / na - cumb / nb).max()), 6)
+    return pd.DataFrame({"ks": [ks],
+                         "n_a": pd.Series([na], dtype="int64"),
+                         "n_b": pd.Series([nb], dtype="int64")})
+
+
 def q_docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     """DUPLICATE-RATE ATTRIBUTION: per source, how many of its documents
     are corpus-wide exact duplicates (text appearing ≥2 times anywhere)
@@ -6882,6 +6921,26 @@ ORACLE: dict[str, str] = {
         FROM sh s JOIN per p USING (shingle)
         GROUP BY s.source ORDER BY s.source
     """,
+    "ks_two_sample_sources": """
+        WITH v AS (
+            SELECT n_chars AS x,
+                   CAST(source = 'src0' AS INT) AS a,
+                   CAST(source = 'src1' AS INT) AS b
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        c AS (SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM v GROUP BY x),
+        r AS (
+            SELECT SUM(ca) OVER (ORDER BY x) AS cuma,
+                   SUM(cb) OVER (ORDER BY x) AS cumb
+            FROM c
+        ),
+        t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM v)
+        SELECT ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / t.na
+                              - CAST(cumb AS DOUBLE) / t.nb)), 6) AS ks,
+               CAST(MAX(t.na) AS BIGINT) AS n_a,
+               CAST(MAX(t.nb) AS BIGINT) AS n_b
+        FROM r, t
+    """,
     "docs_dup_rate_by_source": """
         WITH d AS (
             SELECT source, COUNT(*) OVER (PARTITION BY text) AS c
@@ -7209,6 +7268,7 @@ QUERIES = {
     "word_freqs": q_word_freqs,
     "word_zipf_slope": q_word_zipf_slope,
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+    "ks_two_sample_sources": q_ks_two_sample_sources,
     "shingle_novelty_by_source": q_shingle_novelty_by_source,
     "doc_pct_rank_in_source": q_doc_pct_rank_in_source,
     "docs_quality": q_docs_quality,
