@@ -5076,6 +5076,47 @@ def q_ks_two_sample_sources(sf_dir: str) -> pd.DataFrame:
                          "n_b": pd.Series([nb], dtype="int64")})
 
 
+def q_mannwhitney_sources(sf_dir: str) -> pd.DataFrame:
+    """MANN–WHITNEY U (midrank form) between src0's and src1's document
+    lengths — the rank-based two-sample test beside the KS sup-statistic,
+    with ZERO floats: doubled midranks make the tied-rank sum exact
+    int64 (a tied block at cumulative base with multiplicity c
+    contributes ca·(2·base + c + 1)), and the reported statistic is
+    2·U_a = R2_a − n_a(n_a+1). Same one-exchange histogram shape as
+    ks_two_sample_sources; the rank fold runs on the tiny distinct-value
+    histogram."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+        sub = t.filter(keep)
+        a = pc.cast(pc.equal(sub["source"], pa.scalar("src0")), pa.int64())
+        b = pc.cast(pc.equal(sub["source"], pa.scalar("src1")), pa.int64())
+        return pa.table({"x": sub["n_chars"], "a": a, "b": b})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["x"], [("a", "sum", "ca"), ("b", "sum", "cb")])
+    hist = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        hist = pd.concat([hist, edge.to_pandas()], ignore_index=True)
+    hist = hist.sort_values("x").reset_index(drop=True)
+    ca = hist["ca"].to_numpy(dtype=np.int64)
+    cb = hist["cb"].to_numpy(dtype=np.int64)
+    c = ca + cb
+    base = np.concatenate([[0], np.cumsum(c)[:-1]])
+    r2a = int((ca * (2 * base + c + 1)).sum())
+    na, nb = int(ca.sum()), int(cb.sum())
+    return pd.DataFrame({"u2_a": pd.Series([r2a - na * (na + 1)],
+                                           dtype="int64"),
+                         "n_a": pd.Series([na], dtype="int64"),
+                         "n_b": pd.Series([nb], dtype="int64")})
+
+
 def q_docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     """DUPLICATE-RATE ATTRIBUTION: per source, how many of its documents
     are corpus-wide exact duplicates (text appearing ≥2 times anywhere)
@@ -6921,6 +6962,24 @@ ORACLE: dict[str, str] = {
         FROM sh s JOIN per p USING (shingle)
         GROUP BY s.source ORDER BY s.source
     """,
+    "mannwhitney_sources": """
+        WITH v AS (
+            SELECT n_chars AS x,
+                   CAST(source = 'src0' AS INT) AS a,
+                   CAST(source = 'src1' AS INT) AS b
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        c AS (SELECT x, SUM(a) AS ca, SUM(b) AS cb, COUNT(*) AS c
+              FROM v GROUP BY x),
+        r AS (SELECT x, ca, c,
+                     SUM(c) OVER (ORDER BY x) - c AS base
+              FROM c),
+        s AS (SELECT SUM(ca * (2 * base + c + 1)) AS r2a FROM r),
+        t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM v)
+        SELECT CAST(s.r2a - t.na * (t.na + 1) AS BIGINT) AS u2_a,
+               CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+        FROM s, t
+    """,
     "ks_two_sample_sources": """
         WITH v AS (
             SELECT n_chars AS x,
@@ -7269,6 +7328,7 @@ QUERIES = {
     "word_zipf_slope": q_word_zipf_slope,
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     "ks_two_sample_sources": q_ks_two_sample_sources,
+    "mannwhitney_sources": q_mannwhitney_sources,
     "shingle_novelty_by_source": q_shingle_novelty_by_source,
     "doc_pct_rank_in_source": q_doc_pct_rank_in_source,
     "docs_quality": q_docs_quality,
