@@ -751,6 +751,38 @@ def q_conv_size_gini(sf_dir: str) -> pd.DataFrame:
                          "total_turns": pd.Series([t], dtype="int64")})
 
 
+def q_third_event_ts_per_user(sf_dir: str) -> pd.DataFrame:
+    """NTH_VALUE window (n=3): each user's THIRD event timestamp — the
+    remaining ordered-position window primitive beside FIRST/LAST/LAG.
+    One sort through _partition_run_reduce smuggling the first three
+    in-run timestamps; a continuing partition concatenate-truncates the
+    carried prefix (the carry is ≤3 ints however long the partition).
+    Users with fewer than 3 events drop, like the twin's WHERE."""
+    from ..stages.window import _partition_run_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _first3(seg):
+        v = [int(x) for x in seg[:3]] + [-1, -1, -1]
+        return (int(seg.size), v[0], v[1], v[2])
+
+    def _merge(c, f, bg):
+        have = [x for x in (c[1], c[2], c[3]) if x >= 0]
+        if len(have) < 3:
+            have += [x for x in (f[1], f[2], f[3]) if x >= 0]
+        have = (have + [-1, -1, -1])[:3]
+        return (c[0] + f[0], have[0], have[1], have[2])
+
+    out = _partition_run_reduce(
+        ds, "user_id", "ts", "event_id", ["n", "t1", "t2", "t3"],
+        run_agg=_first3, merge=_merge,
+        emit=lambda v: v[0] >= 3).to_pandas()
+    out["third_ts"] = pd.to_datetime(out["t3"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return (out[["user_id", "third_ts", "n"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_conv_boundary_roles(sf_dir: str) -> pd.DataFrame:
     """CONVERSATION BOUNDARY census: which role opens and which closes
     each conversation, counted over (first_role, last_role) — the
@@ -5592,6 +5624,17 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM p GROUP BY 1 ORDER BY 1
     """,
+    "third_event_ts_per_user": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        )
+        SELECT user_id, ts AS third_ts, CAST(n AS BIGINT) AS n
+        FROM e WHERE rn = 3 ORDER BY user_id
+    """,
     "conv_size_gini": """
         WITH sz AS (SELECT user_id, COUNT(*) AS n_turns
                     FROM events GROUP BY 1),
@@ -7204,6 +7247,7 @@ QUERIES = {
     "funnel_subsequence": q_funnel_subsequence,
     "conv_boundary_roles": q_conv_boundary_roles,
     "conv_size_gini": q_conv_size_gini,
+    "third_event_ts_per_user": q_third_event_ts_per_user,
     "conv_documents": q_conv_documents,
     "price_deciles_by_flag": q_price_deciles_by_flag,
     "time_weighted_value": q_time_weighted_value,
