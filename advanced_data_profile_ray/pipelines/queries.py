@@ -4586,6 +4586,118 @@ def q_event_type_nearest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_priority_hhi_by_status(sf_dir: str) -> pd.DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration index of the priority mix per
+    order status — entropy's market-concentration sibling with an
+    all-integer numerator (HHI = Σnᵢ²/N²), so the single final division
+    is bit-identical to the twin. Same one-scan ≤|status×priority|
+    partial shape as the grouped entropy."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus", "o_orderpriority"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    hist = (parts.groupby(["o_orderstatus", "o_orderpriority"],
+                          as_index=False)["n"].sum())
+    rows = []
+    for status, grp in hist.groupby("o_orderstatus"):
+        n = grp["n"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        rows.append({"o_orderstatus": status,
+                     "hhi": round(int((n * n).sum()) / (tot * tot), 6),
+                     "n_orders": tot})
+    out = pd.DataFrame(rows).sort_values("o_orderstatus").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_peak_hour_per_type(sf_dir: str) -> pd.DataFrame:
+    """ARGMAX OVER AN AGGREGATE: each event type's busiest hour (ties →
+    earliest hour) — the aggregate-then-argmax composition: one grouped
+    exchange builds the (type, hour) series; grouped_topk (k=1, count
+    DESC, hour ASC) selects without materializing the series on the
+    driver."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import grouped_topk, sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [(None, "count_all", "n")])
+    series = inner
+    if edge is not None and edge.num_rows:
+        series = series.union(rd.from_arrow(edge))
+
+    def _hour_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "hour_us": pc.cast(pc.cast(t["hour"],
+                                                    pa.timestamp("us")),
+                                            pa.int64()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    top = grouped_topk(
+        series.map_batches(_hour_us, batch_format="pyarrow",
+                           batch_size=131072),
+        ["event_type"], "n", k=1, tie_cols=["hour_us"]).to_pandas()
+    top["peak_hour"] = pd.to_datetime(top["hour_us"], unit="us")
+    top["n"] = top["n"].astype("int64")
+    return (top[["event_type", "peak_hour", "n"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_view_purchase_hourly_corr(sf_dir: str) -> pd.DataFrame:
+    """CROSS-SERIES CORRELATION: Pearson corr between the hourly counts
+    of views and purchases — the aggregate-then-correlate diagnostic
+    (do the two activity series move together?). One grouped exchange
+    builds the per-hour (views, purchases) table (absent cells are 0 on
+    both sides via the shared hour spine); the corr folds the tiny
+    series on the driver with the textbook estimator."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        sub = batch.filter(keep)
+        hour = pc.floor_temporal(pc.cast(sub["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        v = pc.cast(pc.equal(sub["event_type"], pa.scalar("view")),
+                    pa.int64())
+        p = pc.cast(pc.equal(sub["event_type"], pa.scalar("purchase")),
+                    pa.int64())
+        return pa.table({"hour": hour, "v": v, "p": p})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["hour"], [("v", "sum", "nv"), ("p", "sum", "np")])
+    series = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        series = pd.concat([series, edge.to_pandas()], ignore_index=True)
+    x = series["nv"].to_numpy(dtype=np.float64)
+    y = series["np"].to_numpy(dtype=np.float64)
+    xc, yc = x - x.mean(), y - y.mean()
+    denom = np.sqrt((xc * xc).sum() * (yc * yc).sum())
+    corr = round(float((xc * yc).sum() / denom), 6) if denom > 0 else None
+    return pd.DataFrame({"corr_vp": [corr],
+                         "n_hours": pd.Series([len(series)],
+                                              dtype="int64")})
+
+
 def q_chi2_type_dow(sf_dir: str) -> pd.DataFrame:
     """CHI-SQUARE independence contingency (event_type × day-of-week):
     observed count, expected count under independence, and the per-cell
@@ -6929,6 +7041,41 @@ ORACLE: dict[str, str] = {
                                    ORDER BY levenshtein(a.v, b.v), b.v) = 1
         ORDER BY event_type
     """,
+    "priority_hhi_by_status": """
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus,
+               ROUND(CAST(SUM(n * n) AS DOUBLE)
+                     / (SUM(n) * SUM(n)), 6) AS hhi,
+               CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "peak_hour_per_type": """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour AS peak_hour, CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, hour) = 1
+        ORDER BY event_type
+    """,
+    "view_purchase_hourly_corr": """
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   SUM(CAST(event_type = 'view' AS INT)) AS nv,
+                   SUM(CAST(event_type = 'purchase' AS INT)) AS np
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        )
+        SELECT ROUND(CORR(nv, np), 6) AS corr_vp,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM c
+    """,
     "chi2_type_dow": """
         WITH c AS (
             SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
@@ -7350,6 +7497,9 @@ QUERIES = {
     "entropy": q_entropy,
     "priority_entropy_by_status": q_priority_entropy_by_status,
     "chi2_type_dow": q_chi2_type_dow,
+    "priority_hhi_by_status": q_priority_hhi_by_status,
+    "peak_hour_per_type": q_peak_hour_per_type,
+    "view_purchase_hourly_corr": q_view_purchase_hourly_corr,
     "event_value_share": q_event_value_share,
     "event_type_nearest": q_event_type_nearest,
     "minmax_ts": q_minmax_ts,
