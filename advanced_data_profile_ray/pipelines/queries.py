@@ -668,6 +668,24 @@ def q_response_latency(sf_dir: str) -> pd.DataFrame:
             .sort_values(["prev_role", "role"]).reset_index(drop=True))
 
 
+_ROLE_SPECIAL = pa.array(["signup", "purchase", "error"])
+_ROLE_NAMES = ["user", "system", "assistant", "tool"]
+
+
+def _role_code_batch(t: pa.Table) -> pa.Table:
+    """(user_id, ts, event_id, code): the _TRANSCRIPTS_SQL role CASE
+    collapsed to fixed int64 codes (click/view/else→0 user, signup→1
+    system, purchase→2 assistant, error→3 tool) — the one dictionary
+    role_alternation and conv_boundary_roles must share with the twin."""
+    ev = t["event_type"]
+    if isinstance(ev, pa.ChunkedArray):
+        ev = ev.combine_chunks()
+    code = pc.add(pc.cast(pc.fill_null(
+        pc.index_in(ev, value_set=_ROLE_SPECIAL), -1), pa.int64()), 1)
+    return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                     "event_id": t["event_id"], "code": code})
+
+
 def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     """ROLE-ALTERNATION conformance census over the derived transcripts
     — a first-class transcript validation check (north rule family): how
@@ -683,23 +701,10 @@ def q_role_alternation(sf_dir: str) -> pd.DataFrame:
     from ..stages.window import alternation_stats
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    # fixed role encoding: the _TRANSCRIPTS_SQL CASE collapsed to codes
-    # (click/view/else→user=0, signup→system=1, purchase→assistant=2,
-    # error→tool=3) — any fixed dictionary works, only equality matters
-    special = pa.array(["signup", "purchase", "error"])
-
-    def _codes(t: pa.Table) -> pa.Table:
-        ev = t["event_type"]
-        if isinstance(ev, pa.ChunkedArray):
-            ev = ev.combine_chunks()
-        idx = pc.index_in(ev, value_set=special)
-        code = pc.add(pc.cast(pc.fill_null(idx, -1), pa.int64()), 1)
-        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
-                         "event_id": t["event_id"], "role_code": code})
-
     per_conv = alternation_stats(
-        ds.map_batches(_codes, batch_format="pyarrow", batch_size=131072),
-        "user_id", "ts", "event_id", "role_code")
+        ds.map_batches(_role_code_batch, batch_format="pyarrow",
+                       batch_size=131072),
+        "user_id", "ts", "event_id", "code")
 
     def _census(t: pa.Table) -> pa.Table:
         alt = pc.equal(t["same_pairs"], 0)
@@ -795,20 +800,11 @@ def q_conv_boundary_roles(sf_dir: str) -> pd.DataFrame:
     from ..stages.window import _partition_run_reduce
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    roles = ["user", "system", "assistant", "tool"]
-    special = pa.array(["signup", "purchase", "error"])
-
-    def _codes(t: pa.Table) -> pa.Table:
-        ev = t["event_type"]
-        if isinstance(ev, pa.ChunkedArray):
-            ev = ev.combine_chunks()
-        code = pc.add(pc.cast(pc.fill_null(
-            pc.index_in(ev, value_set=special), -1), pa.int64()), 1)
-        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
-                         "event_id": t["event_id"], "code": code})
+    roles = _ROLE_NAMES
 
     per_conv = _partition_run_reduce(
-        ds.map_batches(_codes, batch_format="pyarrow", batch_size=131072),
+        ds.map_batches(_role_code_batch, batch_format="pyarrow",
+                       batch_size=131072),
         "user_id", "ts", "event_id", ["n_turns", "first_c", "last_c"],
         run_agg=lambda seg, vseg: (int(seg.size), int(vseg[0]),
                                    int(vseg[-1])),
@@ -879,8 +875,12 @@ def q_conv_null_tool_runs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
 
     def _flag(t: pa.Table) -> pa.Table:
-        f = pc.cast(pc.not_equal(t["event_type"], pa.scalar("error")),
-                    pa.int64())
+        # null event_type derives a NULL tool in _TRANSCRIPTS_SQL's CASE,
+        # so it EXTENDS the null-tool streak — fill_null(True) keeps the
+        # engine on the twin's semantics if nulls ever appear
+        f = pc.cast(pc.fill_null(
+            pc.not_equal(t["event_type"], pa.scalar("error")), True),
+            pa.int64())
         return pa.table({"user_id": t["user_id"], "ts": t["ts"],
                          "event_id": t["event_id"], "f": f})
 
@@ -4493,21 +4493,11 @@ def q_priority_entropy_by_status(sf_dir: str) -> pd.DataFrame:
     """GROUPED Shannon entropy — the per-segment generalization of A16
     (Profiler.py:262-282): how mixed is the order-priority distribution
     within each order status. Distributed shape: per-batch grouped
-    value counts fold to ≤|status×priority| partials per block, the
-    driver merges the tiny histogram and finalizes entropy per group —
-    no wide exchange, one scan."""
-    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["o_orderstatus", "o_orderpriority"],
-                           use_threads=False).aggregate([([], "count_all")])
-        return g.rename_columns(
-            [{"count_all": "n"}.get(c, c) for c in g.column_names])
-
-    parts = ds.map_batches(_partial, batch_format="pyarrow",
-                           batch_size=131072).to_pandas()
-    hist = (parts.groupby(["o_orderstatus", "o_orderpriority"],
-                          as_index=False)["n"].sum())
+    value counts fold to ≤|status×priority| partials per block
+    (_status_priority_hist, shared with the HHI query), the driver
+    merges the tiny histogram and finalizes entropy per group — no
+    wide exchange, one scan."""
+    hist = _status_priority_hist(sf_dir)
     rows = []
     for status, grp in hist.groupby("o_orderstatus"):
         # deterministic fold order (sorted by priority value) — the twin
@@ -4579,6 +4569,10 @@ def q_event_type_nearest(sf_dir: str) -> pd.DataFrame:
 
     vals = sorted(ds.map_batches(_uniq, batch_format="pyarrow",
                                  batch_size=131072).to_pandas()["v"].unique())
+    if len(vals) < 2:  # twin's a.v <> b.v join is empty on one value
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "nearest": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype="int64")})
     nearest, dist = nearest_by_levenshtein(vals, vals)
     out = pd.DataFrame({"event_type": vals, "nearest": nearest,
                         "dist": dist})
@@ -4586,12 +4580,10 @@ def q_event_type_nearest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def q_priority_hhi_by_status(sf_dir: str) -> pd.DataFrame:
-    """HERFINDAHL–HIRSCHMAN concentration index of the priority mix per
-    order status — entropy's market-concentration sibling with an
-    all-integer numerator (HHI = Σnᵢ²/N²), so the single final division
-    is bit-identical to the twin. Same one-scan ≤|status×priority|
-    partial shape as the grouped entropy."""
+def _status_priority_hist(sf_dir: str) -> pd.DataFrame:
+    """Merged (o_orderstatus, o_orderpriority, n) histogram from ONE
+    scan of per-block grouped partials (≤|status×priority| rows per
+    block) — shared by the grouped entropy and HHI queries."""
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -4602,8 +4594,17 @@ def q_priority_hhi_by_status(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(_partial, batch_format="pyarrow",
                            batch_size=131072).to_pandas()
-    hist = (parts.groupby(["o_orderstatus", "o_orderpriority"],
+    return (parts.groupby(["o_orderstatus", "o_orderpriority"],
                           as_index=False)["n"].sum())
+
+
+def q_priority_hhi_by_status(sf_dir: str) -> pd.DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration index of the priority mix per
+    order status — entropy's market-concentration sibling with an
+    all-integer numerator (HHI = Σnᵢ²/N²), so the single final division
+    is bit-identical to the twin. Shares _status_priority_hist's
+    one-scan partial shape with the grouped entropy."""
+    hist = _status_priority_hist(sf_dir)
     rows = []
     for status, grp in hist.groupby("o_orderstatus"):
         n = grp["n"].to_numpy(dtype=np.int64)
@@ -5084,8 +5085,21 @@ def q_doc_pct_rank_in_source(sf_dir: str) -> pd.DataFrame:
     from ..stages.window import row_number_within
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
-    sizes = (_read(sf_dir, "documents", ["source"]).to_pandas()
-             .groupby("source").size())
+
+    # per-source sizes via per-block value-count partials — the driver
+    # folds ≤ blocks×|sources| tiny rows, never the source column
+    def _sizes(t: pa.Table) -> pa.Table:
+        col = t["source"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table({"source": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    sizes = (_read(sf_dir, "documents", ["source"])
+             .map_batches(_sizes, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+             .groupby("source")["n"].sum())
     keys = np.array(sorted(sizes.index))
     ns = sizes.loc[keys].to_numpy(dtype=np.int64)
 
@@ -5181,15 +5195,11 @@ def q_shingle_novelty_by_source(sf_dir: str) -> pd.DataFrame:
             .sort_values("source").reset_index(drop=True))
 
 
-def q_ks_two_sample_sources(sf_dir: str) -> pd.DataFrame:
-    """EXACT two-sample Kolmogorov–Smirnov statistic between src0's and
-    src1's document-length distributions — the drift test (A26) with a
-    fully SQL-mirrored exact path (ks_drift tests against a baseline
-    artifact; this twin is self-contained). One grouped exchange builds
-    the per-length (count_a, count_b) histogram; the sup|F₁−F₂| fold
-    runs on the driver over the ≤|distinct lengths| histogram. Every
-    float is an exact-int division; the max over them is
-    order-independent."""
+def _two_sample_length_hist(sf_dir: str):
+    """Shared input of the two-sample tests (KS, Mann–Whitney): the
+    per-length (count_src0, count_src1) histogram of document lengths
+    through one grouped exchange. Returns (hist sorted by x with int64
+    ca/cb columns, n_a, n_b)."""
     import ray.data as rd
 
     from ..stages.fast_ops import sorted_groupby
@@ -5210,8 +5220,20 @@ def q_ks_two_sample_sources(sf_dir: str) -> pd.DataFrame:
     if edge is not None and edge.num_rows:
         hist = pd.concat([hist, edge.to_pandas()], ignore_index=True)
     hist = hist.sort_values("x").reset_index(drop=True)
-    na = int(hist["ca"].sum())
-    nb = int(hist["cb"].sum())
+    return hist, int(hist["ca"].sum()), int(hist["cb"].sum())
+
+
+def q_ks_two_sample_sources(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between src0's and
+    src1's document-length distributions — the drift test (A26) with a
+    fully SQL-mirrored exact path (ks_drift tests against a baseline
+    artifact; this twin is self-contained). One grouped exchange builds
+    the per-length (count_a, count_b) histogram (shared with the
+    Mann–Whitney twin via _two_sample_length_hist); the sup|F₁−F₂| fold
+    runs on the driver over the ≤|distinct lengths| histogram. Every
+    float is an exact-int division; the max over them is
+    order-independent."""
+    hist, na, nb = _two_sample_length_hist(sf_dir)
     cuma = hist["ca"].cumsum().to_numpy(dtype=np.int64)
     cumb = hist["cb"].cumsum().to_numpy(dtype=np.int64)
     ks = round(float(np.abs(cuma / na - cumb / nb).max()), 6)
@@ -5226,35 +5248,15 @@ def q_mannwhitney_sources(sf_dir: str) -> pd.DataFrame:
     with ZERO floats: doubled midranks make the tied-rank sum exact
     int64 (a tied block at cumulative base with multiplicity c
     contributes ca·(2·base + c + 1)), and the reported statistic is
-    2·U_a = R2_a − n_a(n_a+1). Same one-exchange histogram shape as
-    ks_two_sample_sources; the rank fold runs on the tiny distinct-value
-    histogram."""
-    import ray.data as rd
-
-    from ..stages.fast_ops import sorted_groupby
-
-    ds = _read(sf_dir, "documents", ["source", "n_chars"])
-
-    def _pre(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
-        sub = t.filter(keep)
-        a = pc.cast(pc.equal(sub["source"], pa.scalar("src0")), pa.int64())
-        b = pc.cast(pc.equal(sub["source"], pa.scalar("src1")), pa.int64())
-        return pa.table({"x": sub["n_chars"], "a": a, "b": b})
-
-    inner, edge = sorted_groupby(
-        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
-        ["x"], [("a", "sum", "ca"), ("b", "sum", "cb")])
-    hist = inner.to_pandas()
-    if edge is not None and edge.num_rows:
-        hist = pd.concat([hist, edge.to_pandas()], ignore_index=True)
-    hist = hist.sort_values("x").reset_index(drop=True)
+    2·U_a = R2_a − n_a(n_a+1). Shares the one-exchange histogram with
+    ks_two_sample_sources (_two_sample_length_hist); the rank fold runs
+    on the tiny distinct-value histogram."""
+    hist, na, nb = _two_sample_length_hist(sf_dir)
     ca = hist["ca"].to_numpy(dtype=np.int64)
     cb = hist["cb"].to_numpy(dtype=np.int64)
     c = ca + cb
     base = np.concatenate([[0], np.cumsum(c)[:-1]])
     r2a = int((ca * (2 * base + c + 1)).sum())
-    na, nb = int(ca.sum()), int(cb.sum())
     return pd.DataFrame({"u2_a": pd.Series([r2a - na * (na + 1)],
                                            dtype="int64"),
                          "n_a": pd.Series([na], dtype="int64"),

@@ -307,13 +307,22 @@ def _svg_heatmap(labels: list, matrix, title: str = "correlation",
                      f'{html.escape(str(lab))}</text>')
         for j in range(n):
             v = float(matrix[i][j])
-            v = max(-1.0, min(1.0, v if v == v else 0.0))
+            x = left + j * cell
+            y0 = top + i * cell
+            if v != v:  # NaN (constant column): undefined, not zero
+                parts.append(
+                    f'<rect x="{x}" y="{y0}" width="{cell - 2}" '
+                    f'height="{cell - 2}" fill="rgb(85%,85%,85%)"/>'
+                    f'<text x="{x + cell // 2 - 1}" '
+                    f'y="{y0 + cell // 2 + 3}" text-anchor="middle">'
+                    f'n/a</text>'
+                )
+                continue
+            v = max(-1.0, min(1.0, v))
             # diverging shade: red for +, blue for -, white at 0
             mag = int(95 - 55 * abs(v))
             color = (f"rgb(95%,{mag}%,{mag}%)" if v >= 0
                      else f"rgb({mag}%,{mag}%,95%)")
-            x = left + j * cell
-            y0 = top + i * cell
             parts.append(
                 f'<rect x="{x}" y="{y0}" width="{cell - 2}" '
                 f'height="{cell - 2}" fill="{color}"/>'
