@@ -2200,6 +2200,52 @@ def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
             [["s_name", "numwait"]].reset_index(drop=True))
 
 
+def q_part_affinity_topk(sf_dir: str) -> pd.DataFrame:
+    """MARKET-BASKET co-occurrence: the 10 part pairs most often
+    ordered together — the association-mining support table.
+    Composition: (order, part) dedup through one grouped exchange →
+    stages.window.pair_cooccurrence (one sort, vectorized in-run
+    triu pair emission, O(blocks × basket) fragment cross-pairs on the
+    driver, one skinny pair-count exchange) → global top-10 on the
+    driver over per-block top-k partials."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    pairs = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        pairs = pairs.union(
+            rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    ci, ce = pair_cooccurrence(pairs, "l_orderkey", "l_partkey")
+
+    def _top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("item_a", pa.int64()),
+                              ("item_b", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        idx = pc.select_k_unstable(
+            t, k=min(10, t.num_rows),
+            sort_keys=[("n", "descending"), ("item_a", "ascending"),
+                       ("item_b", "ascending")])
+        return t.take(idx)
+
+    tops = ci.map_batches(_top, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if ce is not None and ce.num_rows:
+        tops = pd.concat([tops, _top(ce).to_pandas()], ignore_index=True)
+    out = (tops.sort_values(["n", "item_a", "item_b"],
+                            ascending=[False, True, True]).head(10)
+           .rename(columns={"item_a": "part_a", "item_b": "part_b",
+                            "n": "n_orders"}))
+    for c in ["part_a", "part_b", "n_orders"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_order_reconciliation(sf_dir: str) -> pd.DataFrame:
     """CROSS-TABLE RECONCILIATION — the fact-vs-rollup consistency check
     a validation engine runs between a header table and its lines: per
@@ -6454,6 +6500,17 @@ ORACLE: dict[str, str] = {
               < (SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
+    "part_affinity_topk": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM p GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 10
+    """,
     "order_reconciliation": """
         WITH s AS (
             SELECT l_orderkey,
@@ -7484,6 +7541,7 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_sole_late_supplier": q21_sole_late_supplier,
     "order_reconciliation": q_order_reconciliation,
+    "part_affinity_topk": q_part_affinity_topk,
     "q22_dormant_customers": q22_dormant_customers,
     "customer_nations": q_customer_nations,
     "ks_drift": q_ks_drift,

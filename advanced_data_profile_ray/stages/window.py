@@ -783,6 +783,99 @@ def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
                                  prev_name, cur_name, ts_col=ts_col)
 
 
+def pair_cooccurrence(ds, key_col: str, item_col: str):
+    """ITEM CO-OCCURRENCE (market-basket): for every key (order,
+    basket, document), emit all unordered pairs of its DISTINCT items
+    and count pair frequency across keys — the support table of
+    association mining. Input must be (key, item) rows, one per
+    distinct pair (dedup upstream, e.g. via sorted_groupby).
+
+    Distributed shape: ONE sort by (key, item); each block emits its
+    in-run pairs fully vectorized (runs bucketed by width, pairs via
+    np.triu_indices — items within a run are strictly increasing, so
+    item_a < item_b by construction); a key straddling B blocks ships
+    only its ≤B fragment item-lists to an O(blocks) driver scan, which
+    cross-pairs consecutive fragments (sorted order across fragments
+    makes prefix×fragment pairs already ordered). The pair counts merge
+    through one skinny sorted_groupby. Returns (inner_ds, edge_table)
+    over (item_a, item_b, n) in sorted_groupby's contract."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = (ds.select_columns([key_col, item_col])
+         .sort([key_col, item_col]).materialize())
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    item_t = sch.base_schema.field(item_col).type if sch else pa.int64()
+    part_schema = pa.schema([("item_a", item_t), ("item_b", item_t),
+                             ("n", pa.int64())])
+    if not refs or sch is None:
+        return rd.from_arrow(part_schema.empty_table()), None
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[key_col].to_numpy(zero_copy_only=False)
+        v = block[item_col].to_numpy(zero_copy_only=False)
+        starts, widths = _run_bounds(k)
+        pas, pbs = [], []
+        for w in np.unique(widths):
+            if w < 2:
+                continue
+            sel = starts[widths == w]
+            m = v[(sel[:, None] + np.arange(w)[None, :])]
+            iu, ju = np.triu_indices(int(w), 1)
+            pas.append(m[:, iu].ravel())
+            pbs.append(m[:, ju].ravel())
+        # boundary info: first/last run's key + item list (≤ run width)
+        first_w = int(widths[0])
+        last_s, last_w = int(starts[-1]), int(widths[-1])
+        info = (k[0], v[:first_w].tolist(),
+                k[-1], v[last_s:last_s + last_w].tolist(),
+                starts.size == 1)
+        if not pas:
+            return part_schema.empty_table(), info
+        t = pa.table({"item_a": pa.array(np.concatenate(pas), item_t),
+                      "item_b": pa.array(np.concatenate(pbs), item_t)})
+        g = t.group_by(["item_a", "item_b"],
+                       use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    # driver scan: cross-pair consecutive fragments of straddling keys
+    pas_e, pbs_e = [], []
+    last_key, prefix = object(), []
+    for info in infos:
+        if info is None:
+            continue
+        fk, fitems, lk, litems, single = info
+        if fk == last_key and prefix:
+            # items are strictly increasing across the whole sorted run,
+            # so every prefix item < every fragment item: pairs ordered
+            for a in prefix:
+                pas_e.extend([a] * len(fitems))
+                pbs_e.extend(fitems)
+        if lk == last_key:  # single-run block continuing the open run
+            prefix = prefix + litems
+        else:  # the open run closed in this block; a new one opens
+            prefix = list(litems)
+        last_key = lk
+    edge_t = pa.table({"item_a": pa.array(pas_e, item_t),
+                       "item_b": pa.array(pbs_e, item_t),
+                       "n": pa.array([1] * len(pas_e), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(edge_t)])
+    return sorted_groupby(partials, ["item_a", "item_b"],
+                          [("n", "sum", "n")])
+
+
 def adjacent_gap_counts(ds, part_col: str, ts_col: str, order_col: str):
     """Per-partition adjacent-gap VALUE COUNTS: the multiset of LAG time
     deltas as (part, gap_us, w) rows — the exact-selection input for

@@ -1186,3 +1186,35 @@ def test_new_primitives_empty_and_singleton(ray_session):
         interval_coverage(s, "g", "ts", "o", 0)
     with pytest.raises(ValueError):
         subsequence_match(s, "g", "ts", "o", "v", 0)
+
+
+def test_pair_cooccurrence_matches_duckdb(ray_session):
+    """Basket pair counts vs the self-join twin: hot baskets spanning
+    many blocks (multi-fragment cross-pairs accumulate through the
+    prefix), singleton baskets, many repartitions."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import pair_cooccurrence
+
+    rng = np.random.default_rng(89)
+    # distinct (key, item) rows, hot key 3 with a huge basket
+    rows = set()
+    for _ in range(2500):
+        k = 3 if rng.random() < 0.3 else int(rng.integers(0, 120))
+        rows.add((k, int(rng.integers(0, 40 if k != 3 else 400))))
+    k = np.array([r[0] for r in rows], np.int64)
+    v = np.array([r[1] for r in rows], np.int64)
+    t = pa.table({"g": pa.array(k), "i": pa.array(v)})
+    inner, edge = pair_cooccurrence(rd.from_arrow(t).repartition(41),
+                                    "g", "i")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = (got.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+           .astype("int64"))
+    want = duckdb.connect().execute("""
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n
+        FROM t a JOIN t b ON a.g = b.g AND a.i < b.i
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetch_df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
