@@ -5693,6 +5693,249 @@ SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
 FROM events
 """
 
+# ---------------------------------------------------------------------------
+# round-5 continuation: digit-distribution / FD-discovery / Q2- and
+# Q11-shaped composites
+
+
+_BENFORD_EXPECTED = {1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+                     5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+                     9: 0.045757}
+
+
+def q_benford_prices(sf_dir: str) -> pd.DataFrame:
+    """BENFORD FIRST-DIGIT CENSUS over l_extendedprice — the classic
+    digit-distribution data-quality / fraud screen (extends the
+    profiler's histogram family A24, Profiler.py:744-760). Distributed
+    shape: each block folds its prices to exact integer cents
+    (half-away, the suite-wide convention) and bincounts the first
+    significant digit — a 9-cell partial — so the exchange is ≤9 rows
+    per block folded on the driver; the input is never shuffled.
+    Shares and per-digit chi-square terms divide exact integers by the
+    6dp Benford constants, so the floats are bit-identical to the SQL
+    twin's."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        x = cents.to_numpy(zero_copy_only=False)
+        x = x[x > 0].copy()
+        while x.size and np.any(x >= 10):
+            big = x >= 10
+            x[big] //= 10
+        counts = np.bincount(x, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    g = parts.groupby("digit", as_index=False)["n"].sum()
+    g = g[g["n"] > 0].copy()
+    total = int(g["n"].sum())
+    g["n"] = g["n"].astype("int64")
+    g["share"] = (g["n"] / total).round(6)
+    g["expected"] = g["digit"].map(_BENFORD_EXPECTED)
+    raw = g["n"] / total
+    g["chi2_term"] = (((raw - g["expected"]) * (raw - g["expected"]))
+                      / g["expected"]).round(6)
+    return (g[["digit", "n", "share", "expected", "chi2_term"]]
+            .sort_values("digit").reset_index(drop=True))
+
+
+def q_fd_census(sf_dir: str) -> pd.DataFrame:
+    """FUNCTIONAL-DEPENDENCY DISCOVERY CENSUS — for each candidate FD
+    A→B, does A determine B? Holds iff distinct(A) == distinct(A,B)
+    (the classic TANE-style check; extends the profiler's
+    distinct/uniqueness family A6, Profiler.py:633-634). Distributed
+    shape: ONE scan per table emits per-block-unique 64-bit value
+    hashes of A and of the (A,B) pair as skinny (fd, kind, h) rows;
+    the four tables' streams union into a SINGLE sorted_groupby
+    exchange, and each distinct count is a group count, counted inside
+    blocks. Same documented hash-collision caveat as distinct_counts
+    (~n²/2^65 expected undercount pairs); the candidate columns are
+    null-free key/dimension columns, so SQL COUNT(DISTINCT ...) null
+    semantics never diverge."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..state.hll import hash64_arrow
+    from .dedup import _splitmix64
+
+    fds = [
+        ("customer", "c_custkey", "c_nationkey"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("orders", "o_orderkey", "o_custkey"),
+    ]
+
+    def _h64(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return hash64_arrow(col)
+        return pd.util.hash_array(col.to_numpy(zero_copy_only=False),
+                                  categorize=False)
+
+    def _make_pre(i: int, a: str, b: str):
+        def _pre(batch: pa.Table) -> pa.Table:
+            ha = _h64(batch[a]).astype(np.uint64, copy=False)
+            hb = _h64(batch[b]).astype(np.uint64, copy=False)
+            hp = _splitmix64(ha + _splitmix64(hb))
+            ul = np.unique(ha)
+            up = np.unique(hp)
+            return pa.table({
+                "fd": pa.array(np.full(ul.size + up.size, i, np.int8)),
+                "kind": pa.array(np.concatenate(
+                    [np.zeros(ul.size, np.int8), np.ones(up.size, np.int8)])),
+                "h": pa.array(np.concatenate([ul, up]).view(np.int64)),
+            })
+        return _pre
+
+    pres = []
+    for i, (tbl, a, b) in enumerate(fds):
+        pres.append(_read(sf_dir, tbl, [a, b]).map_batches(
+            _make_pre(i, a, b), batch_format="pyarrow", batch_size=131072))
+    pre = pres[0].union(*pres[1:])
+    inner, edge = sorted_groupby(pre, ["fd", "kind", "h"],
+                                 [(None, "count_all", "n")])
+
+    def _group_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["fd", "kind"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    counts = inner.map_batches(
+        _group_counts, batch_format="pyarrow", batch_size=None
+    ).to_pandas().groupby(["fd", "kind"])["n"].sum()
+    if edge is not None and edge.num_rows:
+        for key, n in edge.to_pandas().groupby(["fd", "kind"]).size().items():
+            counts[key] = counts.get(key, 0) + n
+    rows = []
+    for i, (tbl, a, b) in enumerate(fds):
+        n_lhs = int(counts.get((i, 0), 0))
+        n_pair = int(counts.get((i, 1), 0))
+        rows.append({"fd": f"{a}->{b}", "n_lhs": n_lhs, "n_pair": n_pair,
+                     "holds": n_lhs == n_pair})
+    return (pd.DataFrame(rows).sort_values("fd").reset_index(drop=True))
+
+
+def q_cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q2-shaped correlated-min join-back (the testdata has no
+    partsupp table, so lineitem is the part↔supplier price relation):
+    every (part, supplier) pair that achieved the part's MINIMUM line
+    price — ALL ties, not a tie-broken top-1 (vs peak_hour_per_type's
+    argmax-k=1). Three skinny exchanges: a grouped-min per part, a
+    big⨝big sort-merge join of the cents rows against the per-part
+    mins with an equality filter, then a (part, supplier) distinct
+    exchange. Prices compare as exact integer cents end-to-end."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "l_suppkey": batch["l_suppkey"], "cents": cents})
+
+    pre = li.map_batches(_cents, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["l_partkey"],
+                                 [("cents", "min", "min_cents")])
+    mins = inner
+    if edge is not None and edge.num_rows:
+        mins = mins.union(rd.from_arrow(edge))
+
+    n_li = _read(sf_dir, "lineitem", ["l_partkey"]).count()
+    j = sorted_merge_join(pre, mins, "l_partkey", "l_partkey",
+                          ["l_suppkey", "cents"], ["l_partkey", "min_cents"],
+                          rows_hint=2 * n_li)
+
+    def _at_min(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["cents"], t["min_cents"])
+        return t.filter(keep).select(["l_partkey", "l_suppkey", "min_cents"])
+
+    hits = j.map_batches(_at_min, batch_format="pyarrow", batch_size=None)
+    d_inner, d_edge = sorted_groupby(hits, ["l_partkey", "l_suppkey"],
+                                     [("min_cents", "min", "min_cents")])
+    out = d_inner.to_pandas()
+    if d_edge is not None and d_edge.num_rows:
+        out = pd.concat([out, d_edge.to_pandas()], ignore_index=True)
+    out["min_price"] = out["min_cents"].astype("int64") / 100.0
+    return (out[["l_partkey", "l_suppkey", "min_price"]]
+            .sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True))
+
+
+def q_part_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q11-shaped global-fraction HAVING: parts whose discounted
+    revenue exceeds 1.2× the AVERAGE part's — the `HAVING SUM(x) >
+    frac * (SELECT SUM(x) ...)` scalar-subquery shape, with a
+    scale-invariant fraction (Q11's own 0.0001/SF trick). Distributed
+    shape: one grouped-sum exchange per part (exact integer 10^-4
+    units), materialized once (one row per part — dimension-bounded);
+    the global total AND the part count fold over the SAME grouped
+    result (never a second input scan), and the fraction filter
+    compares exact integers (10·rev4·n_parts > 12·total) broadcast as
+    scalars — int64 here; the int128 the SQL twin gets for free from
+    HUGEINT sums bounds this at ~10^5 parts × 10^13 rev4 units, ample
+    for the test scales and documented for the 100-TB case (divide
+    total once, driver-side, before broadcasting). Only qualifying
+    rows reach the driver."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    pre = li.map_batches(_rev, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["l_partkey"], [("rev4", "sum", "rev4")])
+    grouped = inner.materialize()
+    total = int(grouped.sum("rev4") or 0)
+    n_parts = grouped.count()
+    if edge is not None and edge.num_rows:
+        total += int(pc.sum(edge["rev4"]).as_py() or 0)
+        n_parts += edge.num_rows
+
+    def _qualify(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["rev4"], pa.scalar(10 * n_parts, pa.int64()))
+        return t.filter(pc.greater(lhs, pa.scalar(12 * total, pa.int64())))
+
+    out = grouped.map_batches(_qualify, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        eq = _qualify(edge)
+        if eq.num_rows:
+            out = pd.concat([out, eq.to_pandas()], ignore_index=True)
+    if out.empty:
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64"),
+                             "share": pd.Series([], dtype="float64")})
+    out["rev4"] = out["rev4"].astype("int64")
+    out["revenue"] = ((out["rev4"] + 50) // 100) / 100.0
+    out["share"] = (out["rev4"] / total).round(6)
+    return (out[["l_partkey", "revenue", "share"]]
+            .sort_values(["share", "l_partkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -7426,6 +7669,83 @@ ORACLE["docs_above_p90"] = """
     GROUP BY source ORDER BY source
 """
 
+ORACLE["benford_prices"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    d AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM c WHERE cents > 0),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    e(digit, expected) AS (VALUES
+        (1, CAST(0.301030 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+        (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.096910 AS DOUBLE)),
+        (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+        (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+        (9, CAST(0.045757 AS DOUBLE))),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.digit, g.n, ROUND(g.n * 1.0 / t.total, 6) AS share, e.expected,
+           ROUND((g.n * 1.0 / t.total - e.expected)
+                 * (g.n * 1.0 / t.total - e.expected) / e.expected, 6)
+               AS chi2_term
+    FROM g JOIN e USING (digit) CROSS JOIN t ORDER BY g.digit
+"""
+
+ORACLE["fd_census"] = """
+    SELECT 'c_custkey->c_nationkey' AS fd,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT (c_custkey, c_nationkey)) AS BIGINT) AS n_pair,
+           COUNT(DISTINCT c_custkey)
+               = COUNT(DISTINCT (c_custkey, c_nationkey)) AS holds
+    FROM customer
+    UNION ALL
+    SELECT 'l_partkey->l_suppkey',
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
+           COUNT(DISTINCT l_partkey)
+               = COUNT(DISTINCT (l_partkey, l_suppkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT),
+           COUNT(DISTINCT o_custkey)
+               = COUNT(DISTINCT (o_custkey, o_orderstatus))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey->o_custkey',
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT),
+           COUNT(DISTINCT o_orderkey)
+               = COUNT(DISTINCT (o_orderkey, o_custkey))
+    FROM orders
+    ORDER BY fd
+"""
+
+ORACLE["cheapest_supplier_per_part"] = """
+    WITH c AS (SELECT l_partkey, l_suppkey,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    m AS (SELECT l_partkey, MIN(cents) AS min_cents FROM c GROUP BY 1)
+    SELECT DISTINCT c.l_partkey, c.l_suppkey,
+           m.min_cents / 100.0 AS min_price
+    FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cents = m.min_cents
+    ORDER BY c.l_partkey, c.l_suppkey
+"""
+
+ORACLE["part_revenue_concentration"] = """
+    WITH c AS (SELECT l_partkey,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS rev4
+               FROM lineitem),
+    g AS (SELECT l_partkey, SUM(rev4) AS rev4 FROM c GROUP BY 1),
+    t AS (SELECT SUM(rev4) AS total, COUNT(*) AS np FROM g)
+    SELECT g.l_partkey,
+           ((g.rev4 + 50) // 100) / 100.0 AS revenue,
+           ROUND(g.rev4 * 1.0 / t.total, 6) AS share
+    FROM g CROSS JOIN t
+    WHERE g.rev4 * t.np * 10 > t.total * 12
+    ORDER BY share DESC, g.l_partkey
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -7595,4 +7915,8 @@ QUERIES = {
     "lang_histogram": q_lang_histogram,
     "doc_fingerprints": q_doc_fingerprints,
     "readability": q_readability,
+    "benford_prices": q_benford_prices,
+    "fd_census": q_fd_census,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "part_revenue_concentration": q_part_revenue_concentration,
 }
