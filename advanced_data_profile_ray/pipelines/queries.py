@@ -5936,6 +5936,127 @@ def q_part_revenue_concentration(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_ind_census(sf_dir: str) -> pd.DataFrame:
+    """INCLUSION-DEPENDENCY DISCOVERY CENSUS — for each candidate IND
+    A ⊆ B (values of column A contained in column B, across tables),
+    report the distinct-LHS count and how many distinct LHS values are
+    missing from the RHS. The cross-table sibling of fd_census (both
+    are the profiler's dependency-discovery layer over A6/ST4; the
+    referential checks count VIOLATING ROWS, this counts DISTINCT
+    values — the discovery grain). Distributed shape: per-block-unique
+    raw int64 values (no hashing — these are integer key columns, so
+    the census is EXACT with no collision caveat) tagged with side
+    flags, all eight column streams union into ONE sorted_groupby
+    exchange on (ind, v) max-merging the flags; per-IND missing counts
+    fold inside the post-exchange blocks."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    inds = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+
+    def _make_pre(i: int, col: str, is_lhs: bool):
+        def _pre(batch: pa.Table) -> pa.Table:
+            v = np.unique(pc.cast(batch[col], pa.int64())
+                          .to_numpy(zero_copy_only=False))
+            flag = np.ones(v.size, np.int8) if is_lhs else np.zeros(v.size, np.int8)
+            other = np.zeros(v.size, np.int8) if is_lhs else np.ones(v.size, np.int8)
+            return pa.table({"ind": pa.array(np.full(v.size, i, np.int8)),
+                             "v": pa.array(v),
+                             "l": pa.array(flag), "r": pa.array(other)})
+        return _pre
+
+    pres = []
+    for i, (lt, lc, rt, rc) in enumerate(inds):
+        pres.append(_read(sf_dir, lt, [lc]).map_batches(
+            _make_pre(i, lc, True), batch_format="pyarrow",
+            batch_size=131072))
+        pres.append(_read(sf_dir, rt, [rc]).map_batches(
+            _make_pre(i, rc, False), batch_format="pyarrow",
+            batch_size=131072))
+    pre = pres[0].union(*pres[1:])
+    inner, edge = sorted_groupby(pre, ["ind", "v"],
+                                 [("l", "max", "has_l"),
+                                  ("r", "max", "has_r")])
+
+    def _fold(t: pa.Table) -> pa.Table:
+        has_l = t["has_l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_r = t["has_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ind = t["ind"].to_numpy(zero_copy_only=False)
+        miss = has_l * (1 - has_r)
+        out = (pd.DataFrame({"ind": ind, "n_lhs": has_l, "n_missing": miss})
+               .groupby("ind", as_index=False).sum())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = inner.map_batches(_fold, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        parts = pd.concat([parts, _fold(edge).to_pandas()],
+                          ignore_index=True)
+    agg = parts.groupby("ind", as_index=False)[["n_lhs", "n_missing"]].sum()
+    lut = {i: f"{lc}<={rc}" for i, (lt, lc, rt, rc) in enumerate(inds)}
+    rows = []
+    for i, (lt, lc, rt, rc) in enumerate(inds):
+        row = agg[agg["ind"] == i]
+        n_lhs = int(row["n_lhs"].iloc[0]) if len(row) else 0
+        n_missing = int(row["n_missing"].iloc[0]) if len(row) else 0
+        rows.append({"ind": lut[i], "n_lhs": n_lhs, "n_missing": n_missing,
+                     "contained": n_missing == 0})
+    return pd.DataFrame(rows).sort_values("ind").reset_index(drop=True)
+
+
+def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
+    """SEASONALITY DETECTION — autocorrelation of the hourly event-count
+    series at lag 1 (momentum) and lag 24 (daily cycle). Distributed
+    shape: ONE grouped exchange folds events to exact-int hourly counts
+    (the aggregate grain — bounded by the time span, like
+    events_hourly); the lag alignment and textbook Pearson fold run on
+    the driver over that tiny series. Sparse-hour semantics: a lag pair
+    exists iff BOTH hours have events (the SQL twin's self-join)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"hour": hour,
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["hour"], [("one", "sum", "n")])
+    series = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        series = pd.concat([series, edge.to_pandas()], ignore_index=True)
+    series["n"] = series["n"].astype("int64")
+    series = series.sort_values("hour").reset_index(drop=True)
+
+    rows = []
+    for lag in (1, 24):
+        shifted = series.copy()
+        shifted["hour"] = shifted["hour"] - pd.Timedelta(hours=lag)
+        m = series.merge(shifted, on="hour", suffixes=("_a", "_b"))
+        x = m["n_a"].to_numpy(dtype=np.float64)
+        y = m["n_b"].to_numpy(dtype=np.float64)
+        if x.size >= 2:
+            xc, yc = x - x.mean(), y - y.mean()
+            denom = np.sqrt((xc * xc).sum() * (yc * yc).sum())
+            acf = round(float((xc * yc).sum() / denom), 6) if denom > 0 else None
+        else:
+            acf = None
+        rows.append({"lag_hours": lag, "acf": acf, "n_pairs": x.size})
+    out = pd.DataFrame(rows)
+    out["lag_hours"] = out["lag_hours"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -7746,6 +7867,60 @@ ORACLE["part_revenue_concentration"] = """
     ORDER BY share DESC, g.l_partkey
 """
 
+ORACLE["ind_census"] = """
+    SELECT 'l_orderkey<=o_orderkey' AS ind,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT CASE WHEN l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders) THEN l_orderkey END)
+                AS BIGINT) AS n_missing,
+           COUNT(DISTINCT CASE WHEN l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders) THEN l_orderkey END) = 0
+               AS contained
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey<=s_suppkey',
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier) THEN l_suppkey END)
+                AS BIGINT),
+           COUNT(DISTINCT CASE WHEN l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier) THEN l_suppkey END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_custkey<=c_custkey',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey NOT IN
+                (SELECT c_custkey FROM customer) THEN o_custkey END)
+                AS BIGINT),
+           COUNT(DISTINCT CASE WHEN o_custkey NOT IN
+                (SELECT c_custkey FROM customer) THEN o_custkey END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'user_id<=c_custkey',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN user_id NOT IN
+                (SELECT c_custkey FROM customer) THEN user_id END)
+                AS BIGINT),
+           COUNT(DISTINCT CASE WHEN user_id NOT IN
+                (SELECT c_custkey FROM customer) THEN user_id END) = 0
+    FROM events
+    ORDER BY ind
+"""
+
+ORACLE["hourly_autocorr"] = """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS lag_hours, ROUND(CORR(a.n, b.n), 6) AS acf,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM h a JOIN h b ON b.hour = a.hour + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT CAST(24 AS BIGINT), ROUND(CORR(a.n, b.n), 6),
+           CAST(COUNT(*) AS BIGINT)
+    FROM h a JOIN h b ON b.hour = a.hour + INTERVAL 24 HOUR
+    ORDER BY lag_hours
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -7919,4 +8094,6 @@ QUERIES = {
     "fd_census": q_fd_census,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "part_revenue_concentration": q_part_revenue_concentration,
+    "ind_census": q_ind_census,
+    "hourly_autocorr": q_hourly_autocorr,
 }
