@@ -6174,6 +6174,144 @@ def q_part_graph_triangles(sf_dir: str) -> pd.DataFrame:
                                                  dtype="float64")})
 
 
+def q_value_pattern_census(sf_dir: str) -> pd.DataFrame:
+    """VALUE-PATTERN (FORMAT) CENSUS — the classic profiler
+    format-discovery pass: mask every string (uppercase→A, lowercase→a,
+    digit→9, punctuation kept) and count the top 3 masks per column —
+    how a profiler spots phone/date/id formats and format VIOLATIONS
+    without enumerating values (extends the type-census M1 and
+    max-string-length A12 family). Distributed shape: per-block masked
+    group-counts fold to ≤|patterns| partials (format domains are tiny
+    by nature), one skinny exchange, top-3 per column on the driver
+    over the pattern domain. The mask runs as three vectorized Arrow
+    regex replaces — no Python row loop."""
+    from ..stages.fast_ops import sorted_groupby
+
+    targets = [("customer", "c_name"), ("events", "props"),
+               ("orders", "o_orderpriority")]
+
+    def _mask(col, name: str):
+        def _pre(batch: pa.Table) -> pa.Table:
+            s = batch[col]
+            m = pc.replace_substring_regex(s, pattern="[A-Z]",
+                                           replacement="A")
+            m = pc.replace_substring_regex(m, pattern="[a-z]",
+                                           replacement="a")
+            m = pc.replace_substring_regex(m, pattern="[0-9]",
+                                           replacement="9")
+            t = pa.table({"pattern": m})
+            g = t.group_by(["pattern"], use_threads=False).aggregate(
+                [([], "count_all")])
+            g = g.rename_columns(
+                [{"count_all": "n"}.get(c, c) for c in g.column_names])
+            return pa.table({"column": pa.array([name] * g.num_rows),
+                             "pattern": g["pattern"],
+                             "n": pc.cast(g["n"], pa.int64())})
+        return _pre
+
+    pres = []
+    for tbl, col in targets:
+        pres.append(_read(sf_dir, tbl, [col]).map_batches(
+            _mask(col, col), batch_format="pyarrow", batch_size=131072))
+    pre = pres[0].union(*pres[1:])
+    inner, edge = sorted_groupby(pre, ["column", "pattern"],
+                                 [("n", "sum", "n")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = (out.sort_values(["column", "n", "pattern"],
+                           ascending=[True, False, True])
+           .groupby("column", as_index=False).head(3))
+    return out[["column", "pattern", "n"]].reset_index(drop=True)
+
+
+def q_part_rules_topk(sf_dir: str) -> pd.DataFrame:
+    """ASSOCIATION RULES (confidence + lift) — the step past
+    part_affinity_topk's raw support: for every support-≥2 part pair,
+    both directed rules a⇒b with confidence nab/na and lift
+    nab·N/(na·nb); top 10 by lift. Distributed shape: distinct
+    (order, part) exchange feeds pair_cooccurrence (support counts) and
+    a skinny per-part order-count exchange; only the parts that appear
+    in a support-filtered pair have their counts collected (broadcast
+    is_in filter — the rule set is the SMALL mined output, never the
+    item domain). Confidence/lift are single exact-int divisions,
+    bit-identical to the twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    op = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        op = op.union(rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    op = op.materialize()
+
+    # total baskets N = number of distinct orders
+    oi, oe = sorted_groupby(op, ["l_orderkey"], [(None, "count_all", "_c")])
+    n_total = oi.count() + (oe.num_rows if oe is not None else 0)
+
+    # per-part basket counts (kept as a Dataset; filtered below)
+    ii, ie = sorted_groupby(op, ["l_partkey"], [(None, "count_all", "np")])
+
+    ci, ce = pair_cooccurrence(op, "l_orderkey", "l_partkey")
+
+    def _support(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], pa.scalar(2, pa.int64())))
+
+    pairs = ci.map_batches(_support, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if ce is not None and ce.num_rows:
+        sup_ce = _support(ce)
+        if sup_ce.num_rows:
+            pairs = pd.concat([pairs, sup_ce.to_pandas()],
+                              ignore_index=True)
+    if pairs.empty:
+        return pd.DataFrame({
+            "antecedent": pd.Series([], dtype="int64"),
+            "consequent": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "confidence": pd.Series([], dtype="float64"),
+            "lift": pd.Series([], dtype="float64")})
+
+    needed = pa.array(np.unique(np.concatenate(
+        [pairs["item_a"].to_numpy(np.int64),
+         pairs["item_b"].to_numpy(np.int64)])))
+
+    def _filter_counts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["l_partkey"], value_set=needed))
+
+    ic = ii.map_batches(_filter_counts, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if ie is not None and ie.num_rows:
+        ic = pd.concat([ic, _filter_counts(ie).to_pandas()],
+                       ignore_index=True)
+    np_by_part = dict(zip(ic["l_partkey"].astype("int64"),
+                          ic["np"].astype("int64")))
+
+    rows = []
+    for a, b, nab in zip(pairs["item_a"].astype("int64"),
+                         pairs["item_b"].astype("int64"),
+                         pairs["n"].astype("int64")):
+        na, nb = np_by_part[a], np_by_part[b]
+        lift = round(int(nab) * n_total / (na * nb), 6)
+        rows.append({"antecedent": int(a), "consequent": int(b),
+                     "n_orders": int(nab),
+                     "confidence": round(int(nab) / na, 6), "lift": lift})
+        rows.append({"antecedent": int(b), "consequent": int(a),
+                     "n_orders": int(nab),
+                     "confidence": round(int(nab) / nb, 6), "lift": lift})
+    out = (pd.DataFrame(rows)
+           .sort_values(["lift", "antecedent", "consequent"],
+                        ascending=[False, True, True]).head(10))
+    for c in ("antecedent", "consequent", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8058,6 +8196,60 @@ ORACLE["part_graph_triangles"] = """
     FROM ne, w, t
 """
 
+ORACLE["value_pattern_census"] = """
+    WITH m AS (
+        SELECT 'c_name' AS "column",
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                   '[0-9]', '9', 'g') AS pattern
+        FROM customer
+        UNION ALL
+        SELECT 'props',
+               regexp_replace(regexp_replace(regexp_replace(
+                   props, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                   '[0-9]', '9', 'g')
+        FROM events
+        UNION ALL
+        SELECT 'o_orderpriority',
+               regexp_replace(regexp_replace(regexp_replace(
+                   o_orderpriority, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                   '[0-9]', '9', 'g')
+        FROM orders
+    ),
+    g AS (SELECT "column", pattern, CAST(COUNT(*) AS BIGINT) AS n
+          FROM m GROUP BY 1, 2)
+    SELECT "column", pattern, n FROM g
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY "column"
+                               ORDER BY n DESC, pattern ASC) <= 3
+    ORDER BY "column", n DESC, pattern
+"""
+
+ORACLE["part_rules_topk"] = """
+    WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    nt AS (SELECT COUNT(DISTINCT o) AS total FROM bp),
+    ic AS (SELECT p, COUNT(*) AS np FROM bp GROUP BY p),
+    pe AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS nab
+           FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+    s AS (SELECT u, v, nab FROM pe WHERE nab >= 2),
+    r AS (
+        SELECT s.u AS antecedent, s.v AS consequent,
+               CAST(s.nab AS BIGINT) AS n_orders,
+               ROUND(s.nab * 1.0 / ia.np, 6) AS confidence,
+               ROUND(s.nab * nt.total * 1.0 / (ia.np * ib.np), 6) AS lift
+        FROM s JOIN ic ia ON ia.p = s.u JOIN ic ib ON ib.p = s.v
+        CROSS JOIN nt
+        UNION ALL
+        SELECT s.v, s.u, CAST(s.nab AS BIGINT),
+               ROUND(s.nab * 1.0 / ib.np, 6),
+               ROUND(s.nab * nt.total * 1.0 / (ia.np * ib.np), 6)
+        FROM s JOIN ic ia ON ia.p = s.u JOIN ic ib ON ib.p = s.v
+        CROSS JOIN nt
+    )
+    SELECT antecedent, consequent, n_orders, confidence, lift
+    FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 10
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -8234,4 +8426,6 @@ QUERIES = {
     "ind_census": q_ind_census,
     "hourly_autocorr": q_hourly_autocorr,
     "part_graph_triangles": q_part_graph_triangles,
+    "value_pattern_census": q_value_pattern_census,
+    "part_rules_topk": q_part_rules_topk,
 }
