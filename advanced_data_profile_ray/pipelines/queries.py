@@ -6312,6 +6312,72 @@ def q_part_rules_topk(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_part_skyline(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE (Pareto-dominance filter) — parts not dominated in
+    (cheaper p_retailprice, larger p_size): the multi-criteria
+    shortlist operator (BNL/sort-first-skyline, Börzsönyi et al.
+    ICDE'01). Distributed shape: the classic two-phase skyline — each
+    block computes its LOCAL skyline with a vectorized sort-scan
+    (dominated-in-block ⇒ dominated-globally, so the union of local
+    skylines is a small superset), and the exact global dominance pass
+    runs on the driver over that candidate set (bounded by the Pareto
+    front size × blocks, not the input). Prices compare as exact
+    integer cents."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def _local(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["p_retailprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        size = pc.cast(batch["p_size"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        # sort by (price asc, size desc): earlier rows have price <= cur;
+        # keep cur unless some earlier row has strictly larger size (that
+        # row dominates: price <=, size >) — ties in both dims survive to
+        # the exact driver pass
+        order = np.lexsort((-size, cents))
+        c, s, k = cents[order], size[order], key[order]
+        run_max = np.maximum.accumulate(
+            np.concatenate([[np.iinfo(np.int64).min], s[:-1]]))
+        keep = s >= run_max
+        return pa.table({"p_partkey": pa.array(k[keep]),
+                         "cents": pa.array(c[keep]),
+                         "p_size": pa.array(s[keep])})
+
+    cand = ds.map_batches(_local, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "p_retailprice": pd.Series([], dtype="float64"),
+                             "p_size": pd.Series([], dtype="int64")})
+    c = cand["cents"].to_numpy(np.int64)
+    s = cand["p_size"].to_numpy(np.int64)
+    k = cand["p_partkey"].to_numpy(np.int64)
+    order = np.lexsort((-s, c))
+    c, s, k = c[order], s[order], k[order]
+    # exact dominance over the candidate set: a row is dominated iff an
+    # earlier row (price <=, after tie-sort size >=) is strictly better
+    # in at least one dim — track (max size at strictly smaller price)
+    # and (max size at equal price) separately
+    keep = np.ones(c.size, bool)
+    best_smaller = np.iinfo(np.int64).min  # max size over price < cur
+    best_eq = np.iinfo(np.int64).min       # max size over price == cur
+    prev_price = None
+    for i in range(c.size):
+        if prev_price is not None and c[i] != prev_price:
+            best_smaller = max(best_smaller, best_eq)
+            best_eq = np.iinfo(np.int64).min
+        if best_smaller >= s[i] or best_eq > s[i]:
+            keep[i] = False
+        best_eq = max(best_eq, s[i])
+        prev_price = c[i]
+    out = pd.DataFrame({"p_partkey": k[keep], "p_size": s[keep],
+                        "p_retailprice": c[keep] / 100.0})
+    return (out[["p_partkey", "p_retailprice", "p_size"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8250,6 +8316,18 @@ ORACLE["part_rules_topk"] = """
     FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 10
 """
 
+ORACLE["part_skyline"] = """
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size))
+    ORDER BY p_partkey
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -8428,4 +8506,5 @@ QUERIES = {
     "part_graph_triangles": q_part_graph_triangles,
     "value_pattern_census": q_value_pattern_census,
     "part_rules_topk": q_part_rules_topk,
+    "part_skyline": q_part_skyline,
 }
