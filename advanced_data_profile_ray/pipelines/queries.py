@@ -6378,6 +6378,86 @@ def q_part_skyline(sf_dir: str) -> pd.DataFrame:
             .sort_values("p_partkey").reset_index(drop=True))
 
 
+def q_fd_strength(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE-FD STRENGTH — TANE's g3 error for candidate FDs
+    A→B: the minimum fraction of rows to delete for the dependency to
+    hold exactly (g3 = 1 − Σ_a max_b n(a,b) / N). The quantitative
+    complement to fd_census's boolean verdict: 'o_custkey determines
+    o_orderstatus for 1−g3 of rows'. Distributed shape: both FDs'
+    streams union through TWO skinny exchanges — (fd, a, b)-counts,
+    then per-(fd, a) [max, sum] — so Σ max (kept rows) and Σ sum
+    (total rows) fold from the same second exchange; per-block partials
+    only reach the driver. B-values hash to int64 (same documented
+    collision caveat as distinct_counts; a collision can only merge two
+    b-groups and nudge g3 down by ~n²/2^65)."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..state.hll import hash64_arrow
+
+    fds = [
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("orders", "o_custkey", "o_orderstatus"),
+    ]
+
+    def _h64(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return hash64_arrow(col).view(np.int64)
+        return pd.util.hash_array(
+            col.to_numpy(zero_copy_only=False), categorize=False
+        ).view(np.int64)
+
+    def _make_pre(i: int, a: str, b: str):
+        def _pre(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "fd": pa.array(np.full(batch.num_rows, i, np.int8)),
+                "a": pc.cast(batch[a], pa.int64()),
+                "bh": pa.array(_h64(batch[b])),
+            })
+        return _pre
+
+    pres = []
+    for i, (tbl, a, b) in enumerate(fds):
+        pres.append(_read(sf_dir, tbl, [a, b]).map_batches(
+            _make_pre(i, a, b), batch_format="pyarrow", batch_size=131072))
+    pre = pres[0].union(*pres[1:])
+    c_inner, c_edge = sorted_groupby(pre, ["fd", "a", "bh"],
+                                     [(None, "count_all", "n")])
+    import ray.data as rd
+
+    counts = c_inner
+    if c_edge is not None and c_edge.num_rows:
+        counts = counts.union(rd.from_arrow(c_edge))
+    m_inner, m_edge = sorted_groupby(counts, ["fd", "a"],
+                                     [("n", "max", "mx"),
+                                      ("n", "sum", "ns")])
+
+    def _fold(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"fd": t["fd"].to_numpy(zero_copy_only=False),
+                           "mx": t["mx"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64),
+                           "ns": t["ns"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)})
+        g = df.groupby("fd", as_index=False)[["mx", "ns"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = m_inner.map_batches(_fold, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if m_edge is not None and m_edge.num_rows:
+        parts = pd.concat([parts, _fold(m_edge).to_pandas()],
+                          ignore_index=True)
+    agg = parts.groupby("fd", as_index=False)[["mx", "ns"]].sum()
+    rows = []
+    for i, (tbl, a, b) in enumerate(fds):
+        r = agg[agg["fd"] == i]
+        kept = int(r["mx"].iloc[0]) if len(r) else 0
+        n_rows = int(r["ns"].iloc[0]) if len(r) else 0
+        g3 = round(1.0 - kept / n_rows, 6) if n_rows else None
+        rows.append({"fd": f"{a}->{b}", "n_rows": n_rows, "kept": kept,
+                     "g3": g3})
+    return pd.DataFrame(rows).sort_values("fd").reset_index(drop=True)
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8328,6 +8408,25 @@ ORACLE["part_skyline"] = """
     ORDER BY p_partkey
 """
 
+ORACLE["fd_strength"] = """
+    WITH c1 AS (SELECT l_partkey AS a, l_suppkey AS b, COUNT(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+    m1 AS (SELECT a, MAX(n) AS mx, SUM(n) AS ns FROM c1 GROUP BY a),
+    t1 AS (SELECT CAST(SUM(mx) AS BIGINT) AS kept,
+                  CAST(SUM(ns) AS BIGINT) AS n_rows FROM m1),
+    c2 AS (SELECT o_custkey AS a, o_orderstatus AS b, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2),
+    m2 AS (SELECT a, MAX(n) AS mx, SUM(n) AS ns FROM c2 GROUP BY a),
+    t2 AS (SELECT CAST(SUM(mx) AS BIGINT) AS kept,
+                  CAST(SUM(ns) AS BIGINT) AS n_rows FROM m2)
+    SELECT 'l_partkey->l_suppkey' AS fd, n_rows, kept,
+           ROUND(1 - kept * 1.0 / n_rows, 6) AS g3 FROM t1
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus', n_rows, kept,
+           ROUND(1 - kept * 1.0 / n_rows, 6) FROM t2
+    ORDER BY fd
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -8507,4 +8606,5 @@ QUERIES = {
     "value_pattern_census": q_value_pattern_census,
     "part_rules_topk": q_part_rules_topk,
     "part_skyline": q_part_skyline,
+    "fd_strength": q_fd_strength,
 }
