@@ -6458,6 +6458,42 @@ def q_fd_strength(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("fd").reset_index(drop=True)
 
 
+def q_docs_upsert(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE (upsert) — the lakehouse MERGE INTO: every doc_id
+    divisible by 13 gets its n_chars bumped by 1000 (matched → update)
+    and five brand-new doc_ids arrive (unmatched → insert). Runs
+    through the resumable sink's upsert (delete-matched via broadcast
+    sorted keys + atomic delta shard append,
+    sources/sink.py upsert_keys_into_shards) and reads the merged
+    store back for the oracle check."""
+    import os
+    import tempfile
+
+    from ..sources.sink import upsert_keys_into_shards
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    ids = base["doc_id"].to_numpy(zero_copy_only=False)
+    nch = base["n_chars"].to_numpy(zero_copy_only=False)
+    upd = ids % 13 == 0
+    new_ids = ids.max() + np.arange(1, 6, dtype=np.int64)
+    delta = pa.table({
+        "doc_id": pa.array(np.concatenate([ids[upd], new_ids]), pa.int64()),
+        "n_chars": pa.array(np.concatenate(
+            [nch[upd] + 1000, np.full(5, 42, np.int64)]), pa.int64()),
+    })
+    with tempfile.TemporaryDirectory(prefix="adp_upsert_") as out:
+        upsert_keys_into_shards([f"{sf_dir}/documents.parquet"], "doc_id",
+                                delta, out, columns=["doc_id", "n_chars"])
+        files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+                 if f.endswith(".parquet")]
+        merged = pa.concat_tables([pq.read_table(f) for f in files])
+    out_df = merged.to_pandas()
+    out_df["doc_id"] = out_df["doc_id"].astype("int64")
+    out_df["n_chars"] = out_df["n_chars"].astype("int64")
+    return out_df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8427,6 +8463,21 @@ ORACLE["fd_strength"] = """
     ORDER BY fd
 """
 
+ORACLE["docs_upsert"] = """
+    WITH delta AS (
+        SELECT doc_id, n_chars + 1000 AS n_chars
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT (SELECT MAX(doc_id) FROM documents) + i,
+               CAST(42 AS BIGINT)
+        FROM range(1, 6) t(i)
+    )
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL SELECT doc_id, n_chars FROM delta
+    ) ORDER BY doc_id
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -8607,4 +8658,5 @@ QUERIES = {
     "part_rules_topk": q_part_rules_topk,
     "part_skyline": q_part_skyline,
     "fd_strength": q_fd_strength,
+    "docs_upsert": q_docs_upsert,
 }

@@ -133,3 +133,37 @@ def delete_keys_from_shards(paths: list, key_col: str, keys,
 
     return write_partitioned_parquet(paths, out_dir, batch_fn=_fn,
                                      columns=columns, overwrite=overwrite)
+
+
+def upsert_keys_into_shards(paths: list, key_col: str, delta,
+                            out_dir: str, columns: list | None = None,
+                            overwrite: bool = False) -> dict:
+    """CDC MERGE (upsert): matched base rows are replaced by the delta's,
+    unmatched delta rows are inserted — the lakehouse MERGE INTO shape
+    over an unclustered shard layout, where an upsert is exactly
+    delete-matched + append-delta: each base shard rewrites WITHOUT the
+    delta's keys (sorted-key broadcast, same machinery as
+    delete_keys_from_shards), and the delta lands as its own atomic
+    shard. Resumable like every sink op: a re-invoked run skips finished
+    base shards AND a finished delta shard. ``delta`` is an in-memory
+    pyarrow.Table (the delta is the SMALL side of a CDC merge by
+    definition; a shard-sized delta would be pre-partitioned upstream
+    and merged per partition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = delta[key_col].drop_null().to_numpy(zero_copy_only=False)
+    res = delete_keys_from_shards(paths, key_col, keys, out_dir,
+                                  columns=columns, overwrite=overwrite)
+    if columns is not None:
+        delta = delta.select(columns)
+    dst = os.path.join(out_dir, "_delta_upsert.parquet")
+    if overwrite or not os.path.exists(dst):
+        tmp = dst + ".tmp"
+        pq.write_table(delta, tmp)
+        os.replace(tmp, dst)
+        res["written"].append(dst)
+        res["rows_written"] = int(res["rows_written"]) + delta.num_rows
+    else:
+        res["skipped"].append(dst)
+    return res

@@ -136,3 +136,29 @@ def test_delete_keys_string_keys_with_nulls(ray_session, tmp_path):
     delete_keys_from_shards([p], "k", ["b", "d", "zz"], out)
     kept = pq.read_table(os.path.join(out, "s.parquet"))
     assert kept["v"].to_pylist() == [1, 3, 4]
+
+
+def test_upsert_merge_and_resume(ray_session, tmp_path):
+    from advanced_data_profile_ray.sources.sink import upsert_keys_into_shards
+
+    paths = _make_shards(tmp_path, n=3, rows=50)  # x in 0..149
+    out_dir = str(tmp_path / "merged")
+    # update x=10,120 (flag them by adding 1000), insert x=500,501
+    delta = pa.table({"x": pa.array([10, 120, 500, 501], pa.int64())})
+
+    r1 = upsert_keys_into_shards(paths, "x", delta, out_dir)
+    # 3 rewritten base shards + 1 delta shard
+    assert len(r1["written"]) == 4 and not r1["skipped"]
+
+    files = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                   if f.endswith(".parquet"))
+    merged = pa.concat_tables([pq.read_table(f) for f in files])
+    xs = sorted(merged["x"].to_pylist())
+    # matched keys appear exactly once (replaced), inserts present
+    assert xs == sorted(set(range(150)) | {500, 501})
+    assert xs.count(10) == 1 and xs.count(120) == 1
+
+    # resume: everything (incl. the delta shard) skips
+    r2 = upsert_keys_into_shards(paths, "x", delta, out_dir)
+    assert not r2["written"] and len(r2["skipped"]) == 4
+    assert r2["rows_written"] == 0
