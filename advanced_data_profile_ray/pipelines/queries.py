@@ -6494,6 +6494,55 @@ def q_docs_upsert(sf_dir: str) -> pd.DataFrame:
     return out_df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_hopping_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """WINDOWED DISTINCT COUNT — distinct users per 2-hour hopping
+    window (1-hour hop): the missing composite between events_hopping
+    (plain windowed counts) and events_distinct_users (global grouped
+    distinct). Map-side window fan-out (each event scatters to its two
+    covering windows) + per-block (window, user) dedup, then ONE
+    exchange co-locates the pairs and the distinct count per window is
+    the group count, counted inside blocks — exact, never shipping user
+    ids to the driver."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    hour_us = 3_600_000_000
+
+    def _scatter(batch: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(pc.cast(batch["ts"],
+                                              pa.timestamp("us")),
+                                      unit="hour"), pa.int64())
+        prev = pc.subtract(h, pa.scalar(hour_us, pa.int64()))
+        u = batch["user_id"]
+        t = pa.concat_tables([
+            pa.table({"win_start": h, "user_id": u}),
+            pa.table({"win_start": prev, "user_id": u})])
+        return t.group_by(["win_start", "user_id"],
+                          use_threads=False).aggregate([])
+
+    pre = ds.map_batches(_scatter, batch_format="pyarrow",
+                         batch_size=65536)
+    inner, edge = sorted_groupby(pre, ["win_start", "user_id"],
+                                 [(None, "count_all", "_n")])
+
+    def _group_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["win_start"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    counts = inner.map_batches(
+        _group_counts, batch_format="pyarrow", batch_size=None
+    ).to_pandas().groupby("win_start")["n"].sum()
+    if edge is not None and edge.num_rows:
+        for w, n in edge.to_pandas().groupby("win_start").size().items():
+            counts[w] = counts.get(w, 0) + n
+    out = counts.reset_index().rename(columns={"n": "distinct_users"})
+    out["win_start"] = pd.to_datetime(out["win_start"], unit="us")
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    return out.sort_values("win_start").reset_index(drop=True)
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8478,6 +8527,18 @@ ORACLE["docs_upsert"] = """
     ) ORDER BY doc_id
 """
 
+ORACLE["hopping_distinct_users"] = """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS win_start, user_id FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id
+        FROM events
+    )
+    SELECT win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -8659,4 +8720,5 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "fd_strength": q_fd_strength,
     "docs_upsert": q_docs_upsert,
+    "hopping_distinct_users": q_hopping_distinct_users,
 }
