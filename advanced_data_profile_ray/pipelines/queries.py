@@ -6543,6 +6543,219 @@ def q_hopping_distinct_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("win_start").reset_index(drop=True)
 
 
+
+def q9_profit_by_nation_year(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q9-shaped profit composite (no partsupp in the testdata, so
+    p_retailprice is the unit-cost proxy): profit per (supplier nation,
+    order year) = Σ rev4 − cost4 in exact 10^-4 units. One big⨝big
+    sort-merge join (lineitem⨝orders for the year) + TWO broadcast
+    dimension lookups (part→retail cents, supplier→nation) + a
+    25×7-grain partial aggregation folded on the driver. Profit stays a
+    BIGINT (negative-safe: DuckDB's // truncates toward zero while
+    Python floors, so no integer re-rounding crosses the twin); the
+    dollar view is one exact division."""
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.referential import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        qty = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_partkey": batch["l_partkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev4": pc.multiply(cents, disc), "qty2": qty})
+
+    pre = li.map_batches(_pre, batch_format="pyarrow", batch_size=131072)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    rc = pc.cast(pc.round(pc.multiply(part["p_retailprice"], 100.0),
+                          round_mode="half_towards_infinity"), pa.int64())
+    part = pa.table({"p_partkey": part["p_partkey"], "retail2": rc})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(pre, "l_partkey", part, "p_partkey",
+                              ["retail2"])
+    j = broadcast_lookup_join(j, "l_suppkey", supp, "s_suppkey",
+                              ["s_nationkey"])
+
+    def _profit(batch: pa.Table) -> pa.Table:
+        cost4 = pc.multiply(batch["retail2"], batch["qty2"])
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "s_nationkey": batch["s_nationkey"],
+                         "profit4": pc.subtract(batch["rev4"], cost4)})
+
+    j = j.map_batches(_profit, batch_format="pyarrow", batch_size=131072)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _year(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(pc.cast(batch["o_orderdate"],
+                                    pa.timestamp("us"))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"], "o_year": y})
+
+    orders = orders.map_batches(_year, batch_format="pyarrow",
+                                batch_size=131072)
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    jo = sorted_merge_join(j, orders, "l_orderkey", "o_orderkey",
+                           ["s_nationkey", "profit4"], ["o_year"],
+                           rows_hint=hint)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["s_nationkey", "o_year"],
+                           use_threads=False).aggregate([("profit4", "sum")])
+        return g.rename_columns(
+            ["profit4" if c == "profit4_sum" else c for c in g.column_names])
+
+    parts = jo.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    agg = parts.groupby(["s_nationkey", "o_year"],
+                        as_index=False)["profit4"].sum()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out["profit4"] = out["profit4"].astype("int64")
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit"] = out["profit4"] / 10000.0
+    return (out[["n_name", "o_year", "profit4", "profit"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
+def q16_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q16-shaped supplier-relationship census (lineitem stands in
+    for partsupp): distinct suppliers per (brand, type, size), skipping
+    PROMO-type parts and negative-balance ("complaint") suppliers.
+    Distributed shape: part attributes broadcast into lineitem
+    (dimension lookup), the exclusion supplier set broadcast as a
+    filter, per-block (attrs, suppkey) dedup, ONE exchange, per-attrs
+    distinct counted inside blocks."""
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.referential import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = pc.cast(supp.filter(pc.less(supp["s_acctbal"],
+                                      pa.scalar(0.0)))["s_suppkey"],
+                  pa.int64()).combine_chunks()
+
+    j = broadcast_lookup_join(li, "l_partkey", part, "p_partkey",
+                              ["p_brand", "p_type", "p_size"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.not_equal(batch["p_type"],
+                                      pa.scalar("PROMO")), False),
+            pc.invert(pc.is_in(batch["l_suppkey"], value_set=bad)))
+        sub = batch.filter(keep)
+        g = sub.group_by(["p_brand", "p_type", "p_size", "l_suppkey"],
+                         use_threads=False).aggregate([])
+        return g
+
+    pre = j.map_batches(_pre, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(
+        pre, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [(None, "count_all", "_n")])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type", "p_size"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("supplier_cnt" if c == "count_all" else c)
+             for c in g.column_names])
+
+    out = inner.map_batches(_counts, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        eg = (edge.to_pandas()
+              .groupby(["p_brand", "p_type", "p_size"]).size()
+              .reset_index(name="supplier_cnt"))
+        out = pd.concat([out, eg], ignore_index=True)
+    out = out.groupby(["p_brand", "p_type", "p_size"],
+                      as_index=False)["supplier_cnt"].sum()
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def q20_volume_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q20-shaped volume-supplier semi-join chain: suppliers whose
+    1996 shipped quantity of ECONOMY-type parts is above the average
+    qualifying supplier's (a scale-invariant stand-in for Q20's
+    half-of-availqty threshold). Distributed shape: ECONOMY part keys
+    broadcast as an is_in filter with the shipdate predicate map-side,
+    one grouped-sum exchange per supplier (exact qty in 10^-2 units),
+    the total and supplier count fold over the SAME grouped result, and
+    the survivors broadcast-join the supplier names."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    econ = pc.cast(part.filter(pc.equal(part["p_type"],
+                                        pa.scalar("ECONOMY")))["p_partkey"],
+                   pa.int64()).combine_chunks()
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                                    "l_shipdate"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)),
+                       pc.is_in(batch["l_partkey"], value_set=econ))
+        sub = batch.filter(keep)
+        qc = pc.cast(pc.round(pc.multiply(sub["l_quantity"], 100.0),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        return pa.table({"l_suppkey": sub["l_suppkey"], "qc": qc})
+
+    pre = li.map_batches(_pre, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["l_suppkey"], [("qc", "sum", "qc")])
+    grouped = inner.materialize()
+    total = int(grouped.sum("qc") or 0)
+    ns = grouped.count()
+    if edge is not None and edge.num_rows:
+        total += int(pc.sum(edge["qc"]).as_py() or 0)
+        ns += edge.num_rows
+
+    def _qualify(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["qc"], pa.scalar(ns, pa.int64()))
+        return t.filter(pc.greater(lhs, pa.scalar(total, pa.int64())))
+
+    out = grouped.map_batches(_qualify, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        eq = _qualify(edge)
+        if eq.num_rows:
+            out = pd.concat([out, eq.to_pandas()], ignore_index=True)
+    if out.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object)})
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    return (out[["s_name"]].sort_values("s_name").reset_index(drop=True))
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8538,6 +8751,52 @@ ORACLE["hopping_distinct_users"] = """
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
     FROM w GROUP BY 1 ORDER BY 1
 """
+ORACLE["q9_profit_by_nation_year"] = """
+    SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS profit4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                AS BIGINT) / 10000.0 AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE["q16_supplier_part_counts"] = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLE["q20_volume_suppliers"] = """
+    WITH q AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qc
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'ECONOMY'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1),
+    t AS (SELECT SUM(qc) AS total, COUNT(*) AS ns FROM q)
+    SELECT s_name
+    FROM supplier JOIN q ON s_suppkey = l_suppkey CROSS JOIN t
+    WHERE q.qc * t.ns > t.total ORDER BY s_name
+"""
+
 
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
@@ -8721,4 +8980,7 @@ QUERIES = {
     "fd_strength": q_fd_strength,
     "docs_upsert": q_docs_upsert,
     "hopping_distinct_users": q_hopping_distinct_users,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_volume_suppliers": q20_volume_suppliers,
 }
