@@ -5760,7 +5760,6 @@ def q_fd_census(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     from ..stages.fast_ops import sorted_groupby
-    from ..state.hll import hash64_arrow
     from .dedup import _splitmix64
 
     fds = [
@@ -5770,18 +5769,10 @@ def q_fd_census(sf_dir: str) -> pd.DataFrame:
         ("orders", "o_orderkey", "o_custkey"),
     ]
 
-    def _h64(col) -> np.ndarray:
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return hash64_arrow(col)
-        return pd.util.hash_array(col.to_numpy(zero_copy_only=False),
-                                  categorize=False)
-
     def _make_pre(i: int, a: str, b: str):
         def _pre(batch: pa.Table) -> pa.Table:
-            ha = _h64(batch[a]).astype(np.uint64, copy=False)
-            hb = _h64(batch[b]).astype(np.uint64, copy=False)
+            ha = _hash64_col(batch[a]).astype(np.uint64, copy=False)
+            hb = _hash64_col(batch[b]).astype(np.uint64, copy=False)
             hp = _splitmix64(ha + _splitmix64(hb))
             ul = np.unique(ha)
             up = np.unique(hp)
@@ -5846,7 +5837,10 @@ def q_cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
         return pa.table({"l_partkey": batch["l_partkey"],
                          "l_suppkey": batch["l_suppkey"], "cents": cents})
 
-    pre = li.map_batches(_cents, batch_format="pyarrow", batch_size=131072)
+    # pre feeds both the grouped-min AND the join's left side — pin it
+    # once so the lineitem scan + cents map never re-execute
+    pre = li.map_batches(_cents, batch_format="pyarrow",
+                         batch_size=131072).materialize()
     inner, edge = sorted_groupby(pre, ["l_partkey"],
                                  [("cents", "min", "min_cents")])
     mins = inner
@@ -6057,6 +6051,57 @@ def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _hash64_col(col) -> np.ndarray:
+    """uint64 value hashes of an Arrow (chunked) column — strings via
+    polars over the Arrow buffers, numerics via the pandas vectorized
+    hash. Shared by the dependency-discovery family (fd_census,
+    fd_strength); callers .view(np.int64) when an Arrow int64 column is
+    needed."""
+    from ..state.hll import hash64_arrow
+
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return hash64_arrow(col)
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False),
+                              categorize=False)
+
+
+def _part_basket_pairs(sf_dir: str, min_support: int = 2):
+    """Shared mining prelude of the market-basket family
+    (part_graph_triangles, part_rules_topk): the distinct (order, part)
+    relation — one grouped exchange, materialized because every caller
+    consumes it at least twice — and its co-occurrence pair counts
+    filtered to ``n >= min_support``. Returns
+    (op_ds, support_pairs_inner_ds, support_pairs_edge_table_or_None);
+    the support pairs keep their ``n`` column."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    op = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        op = op.union(rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    op = op.materialize()
+    ci, ce = pair_cooccurrence(op, "l_orderkey", "l_partkey")
+
+    def _support(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"],
+                                         pa.scalar(min_support, pa.int64())))
+
+    si = ci.map_batches(_support, batch_format="pyarrow", batch_size=None)
+    se = None
+    if ce is not None and ce.num_rows:
+        se = _support(ce)
+        if not se.num_rows:
+            se = None
+    return op, si, se
+
+
 def q_part_graph_triangles(sf_dir: str) -> pd.DataFrame:
     """GRAPH MOTIF COUNTING — triangles and the global clustering
     coefficient of the MIN-SUPPORT-2 part co-purchase graph (parts are
@@ -6083,23 +6128,15 @@ def q_part_graph_triangles(sf_dir: str) -> pd.DataFrame:
     from ..stages.fast_ops import sorted_groupby
     from ..stages.window import pair_cooccurrence
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
-                            [(None, "count_all", "_n")])
-    op = di.select_columns(["l_orderkey", "l_partkey"])
-    if de is not None and de.num_rows:
-        op = op.union(rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    _op, si, se = _part_basket_pairs(sf_dir)
 
-    ei, ee = pair_cooccurrence(op, "l_orderkey", "l_partkey")
+    def _drop_n(t: pa.Table) -> pa.Table:
+        return t.select(["item_a", "item_b"])
 
-    def _support(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["n"], pa.scalar(2, pa.int64()))
-        return t.filter(keep).select(["item_a", "item_b"])
-
-    edges = ei.map_batches(_support, batch_format="pyarrow",
+    edges = si.map_batches(_drop_n, batch_format="pyarrow",
                            batch_size=131072)
-    if ee is not None and ee.num_rows:
-        edges = edges.union(rd.from_arrow(_support(ee)))
+    if se is not None:
+        edges = edges.union(rd.from_arrow(_drop_n(se)))
     edges = edges.materialize()
     n_edges = edges.count()
 
@@ -6107,22 +6144,19 @@ def q_part_graph_triangles(sf_dir: str) -> pd.DataFrame:
     # the items (they are distinct by the edge set's construction)
     wi, we = pair_cooccurrence(edges, "item_a", "item_b")
 
-    _SHIFT = np.int64(1) << np.int64(32)
-
+    # closure keys are the raw (v, w) pair — a multi-key exchange, NOT a
+    # packed v*2^32+w int64 (packing is non-injective once item keys span
+    # ≥2^32 and would silently merge distinct pairs)
     def _wedge_rows(t: pa.Table) -> pa.Table:
-        a = t["item_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["item_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         nw = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"k": pa.array(a * _SHIFT + b),
+        return pa.table({"v": t["item_a"], "w": t["item_b"],
                          "nw": pa.array(nw),
-                         "flag": pa.array(np.zeros(a.size, np.int8))})
+                         "flag": pa.array(np.zeros(t.num_rows, np.int8))})
 
     def _edge_rows(t: pa.Table) -> pa.Table:
-        a = t["item_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["item_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"k": pa.array(a * _SHIFT + b),
-                         "nw": pa.array(np.zeros(a.size, np.int64)),
-                         "flag": pa.array(np.ones(a.size, np.int8))})
+        return pa.table({"v": t["item_a"], "w": t["item_b"],
+                         "nw": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "flag": pa.array(np.ones(t.num_rows, np.int8))})
 
     closure_in = wi.map_batches(_wedge_rows, batch_format="pyarrow",
                                 batch_size=131072)
@@ -6131,7 +6165,7 @@ def q_part_graph_triangles(sf_dir: str) -> pd.DataFrame:
     closure_in = closure_in.union(
         edges.map_batches(_edge_rows, batch_format="pyarrow",
                           batch_size=131072))
-    ci, ce = sorted_groupby(closure_in, ["k"],
+    ci, ce = sorted_groupby(closure_in, ["v", "w"],
                             [("nw", "sum", "nw"), ("flag", "max", "has_e")])
 
     def _tri_partial(t: pa.Table) -> pa.Table:
@@ -6240,15 +6274,8 @@ def q_part_rules_topk(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
     from ..stages.fast_ops import sorted_groupby
-    from ..stages.window import pair_cooccurrence
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
-                            [(None, "count_all", "_n")])
-    op = di.select_columns(["l_orderkey", "l_partkey"])
-    if de is not None and de.num_rows:
-        op = op.union(rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
-    op = op.materialize()
+    op, si, se = _part_basket_pairs(sf_dir)
 
     # total baskets N = number of distinct orders
     oi, oe = sorted_groupby(op, ["l_orderkey"], [(None, "count_all", "_c")])
@@ -6257,18 +6284,9 @@ def q_part_rules_topk(sf_dir: str) -> pd.DataFrame:
     # per-part basket counts (kept as a Dataset; filtered below)
     ii, ie = sorted_groupby(op, ["l_partkey"], [(None, "count_all", "np")])
 
-    ci, ce = pair_cooccurrence(op, "l_orderkey", "l_partkey")
-
-    def _support(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n"], pa.scalar(2, pa.int64())))
-
-    pairs = ci.map_batches(_support, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    if ce is not None and ce.num_rows:
-        sup_ce = _support(ce)
-        if sup_ce.num_rows:
-            pairs = pd.concat([pairs, sup_ce.to_pandas()],
-                              ignore_index=True)
+    pairs = si.to_pandas()
+    if se is not None:
+        pairs = pd.concat([pairs, se.to_pandas()], ignore_index=True)
     if pairs.empty:
         return pd.DataFrame({
             "antecedent": pd.Series([], dtype="int64"),
@@ -6391,28 +6409,18 @@ def q_fd_strength(sf_dir: str) -> pd.DataFrame:
     collision caveat as distinct_counts; a collision can only merge two
     b-groups and nudge g3 down by ~n²/2^65)."""
     from ..stages.fast_ops import sorted_groupby
-    from ..state.hll import hash64_arrow
 
     fds = [
         ("lineitem", "l_partkey", "l_suppkey"),
         ("orders", "o_custkey", "o_orderstatus"),
     ]
 
-    def _h64(col) -> np.ndarray:
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return hash64_arrow(col).view(np.int64)
-        return pd.util.hash_array(
-            col.to_numpy(zero_copy_only=False), categorize=False
-        ).view(np.int64)
-
     def _make_pre(i: int, a: str, b: str):
         def _pre(batch: pa.Table) -> pa.Table:
             return pa.table({
                 "fd": pa.array(np.full(batch.num_rows, i, np.int8)),
                 "a": pc.cast(batch[a], pa.int64()),
-                "bh": pa.array(_h64(batch[b])),
+                "bh": pa.array(_hash64_col(batch[b]).view(np.int64)),
             })
         return _pre
 
@@ -8630,13 +8638,16 @@ ORACLE["part_graph_triangles"] = """
     d AS (SELECT x, COUNT(*) AS deg
           FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
           GROUP BY x),
-    w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+    w AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+              AS n_wedges
           FROM d),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
           FROM e e1 JOIN e e2 ON e2.u = e1.v
                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
     SELECT ne.n_edges, w.n_wedges, t.n_triangles,
-           ROUND(t.n_triangles * 3.0 / w.n_wedges, 6) AS clustering
+           CASE WHEN w.n_wedges = 0 THEN NULL
+                ELSE ROUND(t.n_triangles * 3.0 / w.n_wedges, 6)
+           END AS clustering
     FROM ne, w, t
 """
 

@@ -152,12 +152,21 @@ def upsert_keys_into_shards(paths: list, key_col: str, delta,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    dst = os.path.join(out_dir, "_delta_upsert.parquet")
+    # the reserved delta name must never collide with a rewritten base
+    # shard: a silent collision either drops every delta row (the append
+    # sees the base output and "resumes" past it) or clobbers the base
+    # shard under overwrite — the exact permanent-loss class _out_paths
+    # guards against for base stems
+    if dst in _out_paths(out_dir, sorted(paths)).values():
+        raise ValueError(
+            "a base shard maps to the reserved delta output name "
+            f"{dst!r}; rename the input shard")
     keys = delta[key_col].drop_null().to_numpy(zero_copy_only=False)
     res = delete_keys_from_shards(paths, key_col, keys, out_dir,
                                   columns=columns, overwrite=overwrite)
     if columns is not None:
         delta = delta.select(columns)
-    dst = os.path.join(out_dir, "_delta_upsert.parquet")
     if overwrite or not os.path.exists(dst):
         tmp = dst + ".tmp"
         pq.write_table(delta, tmp)

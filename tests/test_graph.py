@@ -65,3 +65,23 @@ def test_triangle_counted_once_per_smallest_vertex(ray_session, tmp_path):
     assert out.iloc[0]["n_wedges"] == 12
     assert out.iloc[0]["n_triangles"] == 4
     assert out.iloc[0]["clustering"] == pytest.approx(1.0)
+
+
+def test_wide_key_space_no_phantom_triangle(ray_session, tmp_path):
+    # regression: a packed v*2^32+w closure key would alias wedge (11,20)
+    # with edge (10, 2^32+20) and inflate the count with a phantom
+    # triangle; the multi-key (v, w) exchange must count exactly the
+    # three real ones
+    big = (1 << 32) + 20
+    orders = {}
+    oid = 1
+    for u, v in [(1, 10), (1, 11), (10, 11), (10, 20), (11, 20),
+                 (10, big), (1, big)]:
+        for _ in range(2):
+            orders[oid] = [u, v]
+            oid += 1
+    out = q_part_graph_triangles(_write_lineitem(tmp_path, orders))
+    # triangles here: (1,10,11), (10,11,20), (1,10,big) — all real;
+    # crucially NOT (10,11,big)-style phantoms from key aliasing
+    assert out.iloc[0]["n_edges"] == 7
+    assert out.iloc[0]["n_triangles"] == 3

@@ -162,3 +162,16 @@ def test_upsert_merge_and_resume(ray_session, tmp_path):
     r2 = upsert_keys_into_shards(paths, "x", delta, out_dir)
     assert not r2["written"] and len(r2["skipped"]) == 4
     assert r2["rows_written"] == 0
+
+
+def test_upsert_rejects_reserved_shard_name(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from advanced_data_profile_ray.sources.sink import upsert_keys_into_shards
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "_delta_upsert.parquet")
+    pq.write_table(t, p)
+    delta = pa.table({"x": pa.array([2], pa.int64())})
+    with _pytest.raises(ValueError, match="reserved delta output name"):
+        upsert_keys_into_shards([p], "x", delta, str(tmp_path / "out"))
