@@ -6764,6 +6764,49 @@ def q20_volume_suppliers(sf_dir: str) -> pd.DataFrame:
     return (out[["s_name"]].sort_values("s_name").reset_index(drop=True))
 
 
+def q_embedding_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """PER-CLASS EMBEDDING CENTROIDS — the class-prototype table of
+    embedding analytics (nearest-centroid classification, drift-by-class
+    monitoring): mean vector per label. Distributed shape: each block
+    gathers its vectors through the zero-copy flat-buffer matrix
+    (dedup._batch_vec_matrix, no row explosion), label-partitioned sums
+    collapse to ≤|labels|×dims partial rows per block, and the driver
+    folds blocks × labels × dims — one scan, no exchange (the label
+    domain is the class catalog, bounded by construction)."""
+    from .dedup import _batch_vec_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_vec_matrix(t, "vec_id", "embedding")
+        if ids is None:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(labels)
+        dims = mat.shape[1]
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lb in uniq:
+            rows = mat[labels == lb]
+            out_l.append(np.full(dims, lb, np.int64))
+            out_d.append(np.arange(1, dims + 1, dtype=np.int64))
+            out_s.append(rows.sum(axis=0, dtype=np.float64))
+            out_n.append(np.full(dims, rows.shape[0], np.int64))
+        return pa.table({"label": pa.array(np.concatenate(out_l)),
+                         "dim": pa.array(np.concatenate(out_d)),
+                         "s": pa.array(np.concatenate(out_s)),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
+    out = pd.DataFrame({"label": agg["label"].astype("int64"),
+                        "dim": agg["dim"].astype("int64"),
+                        "mean_val": (agg["s"] / agg["n"]).round(6)})
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8793,6 +8836,15 @@ ORACLE["q16_supplier_part_counts"] = """
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+ORACLE["embedding_label_centroids"] = """
+    WITH dims AS (SELECT UNNEST(range(1,
+        (SELECT MAX(len(embedding)) + 1 FROM embeddings))) AS i)
+    SELECT CAST(label AS BIGINT) AS label, i AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings, dims WHERE i <= len(embedding)
+    GROUP BY 1, 2 ORDER BY label, dim
+"""
+
 ORACLE["q20_volume_suppliers"] = """
     WITH q AS (
         SELECT l_suppkey,
@@ -8994,4 +9046,5 @@ QUERIES = {
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_volume_suppliers": q20_volume_suppliers,
+    "embedding_label_centroids": q_embedding_label_centroids,
 }
