@@ -6807,6 +6807,55 @@ def q_embedding_label_centroids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
 
 
+def q_winsorized_price_mean(sf_dir: str) -> pd.DataFrame:
+    """WINSORIZED MEAN (robust statistics, next to MAD/IQR): the mean of
+    l_extendedprice with the tails clipped to the exact [p05, p95]
+    PERCENTILE_DISC thresholds — the outlier-robust location estimate a
+    profiler reports alongside the raw mean. Distributed shape: exact
+    integer-cent thresholds from ONE value-counts exchange
+    (grouped_quantiles over a constant group), broadcast into a
+    map-side clip whose per-block (sum, n) partials fold on the driver;
+    the cents dataset is materialized once and feeds both passes. The
+    final mean is one int-sum division (sum < 2^53 at test scales;
+    beyond that the partials carry exact int64 and only the display
+    division would need splitting)."""
+    from ..stages.fast_ops import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"__g": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "cents": c})
+
+    cents = li.map_batches(_cents, batch_format="pyarrow",
+                           batch_size=131072).materialize()
+    qt = grouped_quantiles(cents, "__g", "cents", [0.05, 0.95],
+                           names=["p05", "p95"], disc=True)
+    p05 = int(qt["p05"][0].as_py())
+    p95 = int(qt["p95"][0].as_py())
+
+    def _clip_sum(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        cl = np.clip(c, p05, p95)
+        return pa.table({"s": pa.array([int(cl.sum())], pa.int64()),
+                         "n": pa.array([c.size], pa.int64())})
+
+    parts = cents.map_batches(_clip_sum, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    total, n = int(parts["s"].sum()), int(parts["n"].sum())
+    # 6dp rounding in EXACT integer arithmetic (half-up on the 10^-6-$
+    # numerator): a float ROUND here sits on a tie boundary for real
+    # sums and Python's correct-decimal rounding disagrees with the
+    # twin's ROUND at the last digit (observed at sf0.01)
+    mean6 = (total * 10000 + n // 2) // n
+    return pd.DataFrame({
+        "p05": [p05 / 100.0], "p95": [p95 / 100.0],
+        "winsorized_mean": [mean6 / 1000000.0],
+        "n_rows": pd.Series([n], dtype="int64")})
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8836,6 +8885,25 @@ ORACLE["q16_supplier_part_counts"] = """
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+ORACLE["winsorized_price_mean"] = """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS cents FROM lineitem),
+    t AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY cents)
+                     AS p05,
+                 PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY cents)
+                     AS p95
+          FROM c),
+    w AS (SELECT CASE WHEN cents < t.p05 THEN t.p05
+                      WHEN cents > t.p95 THEN t.p95
+                      ELSE cents END AS cl
+          FROM c, t)
+    SELECT t.p05 / 100.0 AS p05, t.p95 / 100.0 AS p95,
+           CAST((SUM(w.cl) * 10000 + COUNT(*) // 2) // COUNT(*)
+                AS BIGINT) / 1000000.0 AS winsorized_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM w, t GROUP BY t.p05, t.p95
+"""
+
 ORACLE["embedding_label_centroids"] = """
     WITH dims AS (SELECT UNNEST(range(1,
         (SELECT MAX(len(embedding)) + 1 FROM embeddings))) AS i)
@@ -9047,4 +9115,5 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_volume_suppliers": q20_volume_suppliers,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "winsorized_price_mean": q_winsorized_price_mean,
 }
