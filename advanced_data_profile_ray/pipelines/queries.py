@@ -6856,6 +6856,59 @@ def q_winsorized_price_mean(sf_dir: str) -> pd.DataFrame:
         "n_rows": pd.Series([n], dtype="int64")})
 
 
+def q_nation_region_share(sf_dir: str) -> pd.DataFrame:
+    """HIERARCHICAL RATIO-TO-PARENT — each supplier nation's revenue as
+    a share of its REGION and of the TOTAL (the two-level rollup
+    percent-of-parent every BI layer needs; extends event_value_share's
+    single-level ratio-to-report). Distributed shape: supplier→nation
+    broadcast into lineitem, 25-group exact-int partial sums fold on
+    the driver, and the nation→region hierarchy (a 5×25 dimension
+    snowflake) joins there; every share divides two exact integers."""
+    from ..stages.referential import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_suppkey": batch["l_suppkey"],
+                         "rev4": pc.multiply(cents, disc)})
+
+    pre = li.map_batches(_rev, batch_format="pyarrow", batch_size=131072)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(pre, "l_suppkey", supp, "s_suppkey",
+                              ["s_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["s_nationkey"], use_threads=False).aggregate(
+            [("rev4", "sum")])
+        return g.rename_columns(
+            ["rev4" if c == "rev4_sum" else c for c in g.column_names])
+
+    parts = j.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    agg = parts.groupby("s_nationkey", as_index=False)["rev4"].sum()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    out = (agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    out["rev4"] = out["rev4"].astype("int64")
+    reg_tot = out.groupby("r_name")["rev4"].transform("sum")
+    total = int(out["rev4"].sum())
+    out["revenue"] = ((out["rev4"] + 50) // 100) / 100.0
+    out["share_of_region"] = (out["rev4"] / reg_tot).round(6)
+    out["share_of_total"] = (out["rev4"] / total).round(6)
+    return (out[["r_name", "n_name", "revenue", "share_of_region",
+                 "share_of_total"]]
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8885,6 +8938,24 @@ ORACLE["q16_supplier_part_counts"] = """
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+ORACLE["nation_region_share"] = """
+    WITH r AS (
+        SELECT s_nationkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS rev4
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1),
+    j AS (SELECT r_name, n_name, rev4
+          FROM r JOIN nation ON n_nationkey = s_nationkey
+                 JOIN region ON r_regionkey = n_regionkey)
+    SELECT r_name, n_name,
+           ((rev4 + 50) // 100) / 100.0 AS revenue,
+           ROUND(rev4 * 1.0 / SUM(rev4) OVER (PARTITION BY r_name), 6)
+               AS share_of_region,
+           ROUND(rev4 * 1.0 / SUM(rev4) OVER (), 6) AS share_of_total
+    FROM j ORDER BY r_name, n_name
+"""
+
 ORACLE["winsorized_price_mean"] = """
     WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                    AS cents FROM lineitem),
@@ -9116,4 +9187,5 @@ QUERIES = {
     "q20_volume_suppliers": q20_volume_suppliers,
     "embedding_label_centroids": q_embedding_label_centroids,
     "winsorized_price_mean": q_winsorized_price_mean,
+    "nation_region_share": q_nation_region_share,
 }
