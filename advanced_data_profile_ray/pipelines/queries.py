@@ -6909,6 +6909,137 @@ def q_nation_region_share(sf_dir: str) -> pd.DataFrame:
             .sort_values(["r_name", "n_name"]).reset_index(drop=True))
 
 
+def q_ship_latency_quantiles(sf_dir: str) -> pd.DataFrame:
+    """JOIN-THEN-QUANTILE composite — median and p95 order→ship latency
+    (days) per order priority: the SLA percentile table, and the only
+    quantile that needs a BIG⨝BIG join first. One sort-merge join
+    (lineitem⨝orders on orderkey) projecting just (priority,
+    day-diff int), then grouped_quantiles' exact value-counts exchange
+    (latency days are a small integer domain, the exact path's sweet
+    spot)."""
+    from ..stages.fast_ops import grouped_quantiles
+    from ..stages.merge_join import sorted_merge_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def _li(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "ship": pc.cast(batch["l_shipdate"],
+                                         pa.timestamp("us"))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "odate": pc.cast(batch["o_orderdate"],
+                                          pa.timestamp("us")),
+                         "o_orderpriority": batch["o_orderpriority"]})
+
+    hint = (_read(sf_dir, "lineitem", ["l_orderkey"]).count()
+            + _read(sf_dir, "orders", ["o_orderkey"]).count())
+    j = sorted_merge_join(
+        li.map_batches(_li, batch_format="pyarrow", batch_size=131072),
+        orders.map_batches(_ord, batch_format="pyarrow", batch_size=131072),
+        "l_orderkey", "o_orderkey", ["ship"],
+        ["odate", "o_orderpriority"], rows_hint=hint)
+
+    def _lat(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.days_between(batch["odate"], batch["ship"]),
+                    pa.int64())
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "lat": d})
+
+    qt = grouped_quantiles(
+        j.map_batches(_lat, batch_format="pyarrow", batch_size=131072),
+        "o_orderpriority", "lat", [0.5, 0.95], names=["p50", "p95"],
+        disc=True)
+    out = qt.to_pandas()
+    out["p50"] = out["p50"].astype("int64")
+    out["p95"] = out["p95"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_dau_wau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU STICKINESS — the product-analytics engagement ratio:
+    per active day, distinct daily users over distinct users of the
+    trailing 7-day window ending that day. Distributed shape: ONE
+    global (day, user) distinct exchange (per-block dedup first), the
+    deduped activity table materialized once; DAU counts fold per day
+    inside blocks; the ×7 window scatter runs over the DEDUPED rows
+    (≤ days×users, not events) into a second (window_end, user)
+    distinct exchange for WAU. The ratio divides two exact integers."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(pc.cast(batch["ts"],
+                                              pa.timestamp("us")),
+                                      unit="day"), pa.int64())
+        t = pa.table({"day": d, "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"],
+                          use_threads=False).aggregate([])
+
+    pre = ds.map_batches(_days, batch_format="pyarrow", batch_size=131072)
+    inner, edge = sorted_groupby(pre, ["day", "user_id"],
+                                 [(None, "count_all", "_n")])
+    act = inner.select_columns(["day", "user_id"])
+    if edge is not None and edge.num_rows:
+        act = act.union(rd.from_arrow(edge.select(["day", "user_id"])))
+    act = act.materialize()
+
+    def _day_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    dau = (act.map_batches(_day_counts, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+           .groupby("day")["n"].sum())
+
+    day_us = 86_400_000_000
+
+    def _scatter(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        outs_e = [d + np.int64(i * day_us) for i in range(7)]
+        return pa.table({"e": pa.array(np.concatenate(outs_e)),
+                         "user_id": pa.array(np.tile(u, 7))})
+
+    w_inner, w_edge = sorted_groupby(
+        act.map_batches(_scatter, batch_format="pyarrow",
+                        batch_size=131072),
+        ["e", "user_id"], [(None, "count_all", "_n")])
+
+    def _e_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["e"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    wau = (w_inner.map_batches(_e_counts, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+           .groupby("e")["n"].sum())
+    if w_edge is not None and w_edge.num_rows:
+        for e, n in w_edge.to_pandas().groupby("e").size().items():
+            wau[e] = wau.get(e, 0) + n
+
+    rows = []
+    for day in sorted(dau.index):
+        d_n, w_n = int(dau[day]), int(wau[day])
+        rows.append({"day": pd.Timestamp(day, unit="us"),
+                     "dau": d_n, "wau": w_n,
+                     "stickiness": round(d_n / w_n, 6)})
+    out = pd.DataFrame(rows)
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    return out
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -8938,6 +9069,32 @@ ORACLE["q16_supplier_part_counts"] = """
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+ORACLE["dau_wau_stickiness"] = """
+    WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+               FROM events),
+    dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM d GROUP BY 1),
+    w AS (SELECT day + i * INTERVAL 1 DAY AS e, user_id
+          FROM d, range(0, 7) t(i)),
+    wau AS (SELECT e, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM w GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.e = dau.day ORDER BY dau.day
+"""
+
+ORACLE["ship_latency_quantiles"] = """
+    SELECT o_orderpriority,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY
+                date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS p50,
+           CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY
+                date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS p95
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE["nation_region_share"] = """
     WITH r AS (
         SELECT s_nationkey,
@@ -9188,4 +9345,6 @@ QUERIES = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "winsorized_price_mean": q_winsorized_price_mean,
     "nation_region_share": q_nation_region_share,
+    "ship_latency_quantiles": q_ship_latency_quantiles,
+    "dau_wau_stickiness": q_dau_wau_stickiness,
 }
