@@ -1,0 +1,122 @@
+"""Property tests for the continuation-session operators: the
+distributed composition must equal a brute-force single-process oracle
+on arbitrary small inputs (extends §2.10's merge-invariant strategy to
+the skyline / triangle / winsorized primitives)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from advanced_data_profile_ray.pipelines.queries import (
+    q_part_graph_triangles,
+    q_part_skyline,
+    q_winsorized_price_mean,
+)
+
+
+def _brute_skyline(pts):
+    """All points not dominated by any other (cheaper price, larger
+    size, strict in at least one)."""
+    keep = []
+    for i, (k, p, s) in enumerate(pts):
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for j, (_, p2, s2) in enumerate(pts) if j != i)
+        if not dominated:
+            keep.append((k, p, s))
+    return sorted(keep)
+
+
+@given(st.lists(st.tuples(st.integers(0, 20),       # price cents (tiny domain → ties)
+                          st.integers(0, 5)),       # size
+                min_size=1, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_skyline_matches_bruteforce(ray_session, tmp_path_factory, data):
+    tmp = tmp_path_factory.mktemp("sky")
+    pts = [(i, p, s) for i, (p, s) in enumerate(data)]
+    t = pa.table({
+        "p_partkey": pa.array([k for k, _, _ in pts], pa.int64()),
+        "p_retailprice": pa.array([p / 100.0 for _, p, _ in pts],
+                                  pa.float64()),
+        "p_size": pa.array([s for _, _, s in pts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp / "part.parquet"))
+    out = q_part_skyline(str(tmp))
+    got = sorted(zip(out["p_partkey"].astype(int),
+                     (out["p_retailprice"] * 100).round().astype(int),
+                     out["p_size"].astype(int)))
+    assert got == _brute_skyline(pts)
+
+
+def _brute_triangles(edges):
+    es = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    tri = 0
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) not in es:
+                continue
+            for w in nodes[nodes.index(v) + 1:]:
+                if (v, w) in es and (u, w) in es:
+                    tri += 1
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(edges), wedges, tri
+
+
+@given(st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+               min_size=0, max_size=20))
+@settings(max_examples=25, deadline=None)
+def test_triangles_match_bruteforce(ray_session, tmp_path_factory, raw):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    tmp = tmp_path_factory.mktemp("tri")
+    rows_o, rows_p = [], []
+    oid = 1
+    for u, v in edges:  # two orders per edge -> survives support-2
+        for _ in range(2):
+            rows_o.extend([oid, oid])
+            rows_p.extend([u, v])
+            oid += 1
+    if not rows_o:  # empty graph still needs a readable parquet file
+        rows_o, rows_p = [1], [0]
+        edges = []
+    t = pa.table({"l_orderkey": pa.array(rows_o, pa.int64()),
+                  "l_partkey": pa.array(rows_p, pa.int64())})
+    pq.write_table(t, str(tmp / "lineitem.parquet"))
+    out = q_part_graph_triangles(str(tmp))
+    n_edges, wedges, tri = _brute_triangles(edges)
+    assert out.iloc[0]["n_edges"] == n_edges
+    assert out.iloc[0]["n_wedges"] == wedges
+    assert out.iloc[0]["n_triangles"] == tri
+
+
+@given(st.lists(st.integers(1, 10_000), min_size=3, max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_winsorized_mean_matches_numpy(ray_session, tmp_path_factory,
+                                       cents):
+    tmp = tmp_path_factory.mktemp("win")
+    t = pa.table({"l_extendedprice": pa.array(
+        [c / 100.0 for c in cents], pa.float64())})
+    pq.write_table(t, str(tmp / "lineitem.parquet"))
+    out = q_winsorized_price_mean(str(tmp))
+    arr = np.sort(np.array(cents, dtype=np.int64))
+    n = arr.size
+    # PERCENTILE_DISC(q): smallest value with cumulative share >= q
+    p05 = arr[int(np.ceil(0.05 * n)) - 1 if 0.05 * n == int(0.05 * n)
+              else int(np.floor(0.05 * n))]
+    p95 = arr[int(np.ceil(0.95 * n)) - 1 if 0.95 * n == int(0.95 * n)
+              else int(np.floor(0.95 * n))]
+    clipped = np.clip(arr, p05, p95)
+    total = int(clipped.sum())
+    mean6 = (total * 10000 + n // 2) // n
+    assert out.iloc[0]["p05"] == pytest.approx(p05 / 100.0)
+    assert out.iloc[0]["p95"] == pytest.approx(p95 / 100.0)
+    assert out.iloc[0]["winsorized_mean"] == pytest.approx(mean6 / 1e6)
+    assert out.iloc[0]["n_rows"] == n
