@@ -121,6 +121,49 @@ def cmd_validate(args) -> int:
     return 0 if report.passed else 1
 
 
+def cmd_query(args) -> int:
+    """Run any registered query pipeline by name over a testdata-shaped
+    directory — the whole §2 registry as a user-facing tool. ``--list``
+    prints names (with ✓ for oracle-twinned entries)."""
+    from .pipelines.queries import ORACLE, QUERIES
+
+    if args.list or not args.name:
+        for name in sorted(QUERIES):
+            mark = "✓" if name in ORACLE else " "
+            print(f"{mark} {name}")
+        return 0
+    if args.name not in QUERIES:
+        import difflib
+
+        close = difflib.get_close_matches(args.name, QUERIES, n=3)
+        print(f"unknown query {args.name!r}"
+              + (f"; did you mean: {', '.join(close)}" if close else ""),
+              file=sys.stderr)
+        return 2
+    _init_ray()
+    t0 = time.time()
+    res = QUERIES[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    wall = time.time() - t0
+    if args.output:
+        res.to_parquet(args.output, index=False)
+        print(f"{args.name}: {len(res)} rows in {wall:.2f}s -> {args.output}")
+    else:
+        with pd.option_context("display.max_rows", args.max_rows,
+                               "display.width", 200):
+            print(res)
+        print(f"# {args.name}: {len(res)} rows in {wall:.2f}s")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="advanced_data_profile_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,6 +183,16 @@ def main(argv=None) -> int:
     pv.add_argument("--roster", help="dim_conv parquet for referential check")
     pv.add_argument("--check-tools", action="store_true")
     pv.set_defaults(fn=cmd_validate)
+
+    pq_ = sub.add_parser("query", help="run a registered query pipeline "
+                                       "by name (see --list)")
+    pq_.add_argument("name", nargs="?", default=None)
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq_.add_argument("-o", "--output", help="write result parquet here "
+                                            "instead of printing")
+    pq_.add_argument("--max-rows", type=int, default=50)
+    pq_.add_argument("--list", action="store_true")
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     try:

@@ -134,3 +134,26 @@ def test_derive_table_name():
 
     assert derive_table_name("/x/input_sales_orders.csv") == ("sales", "orders")
     assert derive_table_name("plain.parquet") == ("default", "plain")
+
+
+def test_cli_query_subcommand(ray_session, tmp_path, capsys):
+    from advanced_data_profile_ray.cli import main
+
+    # --list prints the registry with oracle markers
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "benford_prices" in out and out.count("\n") > 150
+
+    # run a query to parquet
+    dst = str(tmp_path / "res.parquet")
+    rc = main(["query", "benford_prices",
+               "--sf-dir", "/root/testdata/sf0.001", "-o", dst])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dst)
+    assert t.num_rows == 9 and "chi2_term" in t.column_names
+
+    # unknown name -> suggestion + exit 2
+    assert main(["query", "bennford"]) == 2
+    assert "did you mean" in capsys.readouterr().err
