@@ -7040,6 +7040,43 @@ def q_dau_wau_stickiness(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """FIRST-TOUCH REVENUE ATTRIBUTION — every purchase's value credited
+    to the channel (event_type) of its user's FIRST event: the marketing
+    attribution composite. ONE exchange: first_value_within co-locates
+    each user's stream and stamps the first event_type onto every row,
+    so the purchase filter + exact-cent sums per first-touch channel
+    fold map-side with no separate join."""
+    from ..stages.window import first_value_within
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    stamped = first_value_within(ds, "user_id", ["ts", "event_id"],
+                                 "event_type", out_col="first_type")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"],
+                                    pa.scalar("purchase")))
+        vc = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(sub["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"first_type": sub["first_type"], "vc": vc})
+        g = t.group_by(["first_type"], use_threads=False).aggregate(
+            [("vc", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"vc_sum": "vc", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = stamped.map_batches(_partial, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    agg = parts.groupby("first_type", as_index=False)[["vc", "n"]].sum()
+    agg["attributed_revenue"] = ((agg["vc"].astype("int64") + 50)
+                                 // 100) / 100.0
+    agg["n_purchases"] = agg["n"].astype("int64")
+    return (agg[["first_type", "attributed_revenue", "n_purchases"]]
+            .sort_values("first_type").reset_index(drop=True))
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -9069,6 +9106,20 @@ ORACLE["q16_supplier_part_counts"] = """
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
+ORACLE["first_touch_attribution"] = """
+    WITH f AS (
+        SELECT user_id, event_type, value,
+               FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+        FROM events)
+    SELECT first_type,
+           ((SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) + 50)
+            // 100) / 100.0 AS attributed_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM f WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE["dau_wau_stickiness"] = """
     WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
                FROM events),
@@ -9347,4 +9398,5 @@ QUERIES = {
     "nation_region_share": q_nation_region_share,
     "ship_latency_quantiles": q_ship_latency_quantiles,
     "dau_wau_stickiness": q_dau_wau_stickiness,
+    "first_touch_attribution": q_first_touch_attribution,
 }
