@@ -7077,6 +7077,244 @@ def q_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
             .sort_values("first_type").reset_index(drop=True))
 
 
+_RULES = [
+    # (rule name, target column, violation kernel over the coded batch)
+    # thresholds are business expectations, not physical bounds — some
+    # intentionally FIRE on valid TPC-H-shaped data (an expectation
+    # census with only vacuous rules verifies nothing)
+    ("qty_ge_1", "l_quantity"),
+    ("qty_le_45", "l_quantity"),
+    ("discount_le_6pct", "l_discount"),
+    ("tax_le_4pct", "l_tax"),
+    ("price_positive", "l_extendedprice"),
+    ("returnflag_domain", "l_returnflag"),
+    ("linestatus_domain", "l_linestatus"),
+    ("shipdate_in_range", "l_shipdate"),
+]
+
+
+def q_rule_census(sf_dir: str) -> pd.DataFrame:
+    """EXPECTATION-SUITE CENSUS (Great-Expectations-style rule pack over
+    lineitem): eight declarative checks — range, domain, positivity,
+    date-window — evaluated in ONE fused zero-exchange pass; each block
+    folds all eight to an 8-row (rule, checked, violations) partial, so
+    the driver merge is rules×blocks tiny and the fact table is read
+    once with only the five touched columns. The reference profiler
+    evaluates its checks one full-table pandas pass per rule
+    (Profiler.py's per-column loops); here the rule pack shares a single
+    scan. Numeric thresholds compare EXACT integer cents/units (the
+    suite-wide half-away convention) so the census is bit-identical to
+    the SQL twin. violation_share divides two exact int64s, rounded
+    6dp."""
+    cols = sorted({c for _, c in _RULES})
+    ds = _read(sf_dir, "lineitem", cols)
+    flag_dom = pa.array(["A", "N", "R"])
+    status_dom = pa.array(["O", "F"])
+    hi_ship = pa.scalar(np.datetime64("1998-09-01T00:00:00", "us"),
+                        pa.timestamp("us"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(batch["l_tax"], 100.0),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        price = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                             100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        ship = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        bad = {
+            "qty_ge_1": pc.less(qty, 1),
+            "qty_le_45": pc.greater(qty, 45),
+            "discount_le_6pct": pc.greater(disc, 6),
+            "tax_le_4pct": pc.greater(tax, 4),
+            "price_positive": pc.less_equal(price, 0),
+            "returnflag_domain": pc.invert(pc.is_in(
+                batch["l_returnflag"], value_set=flag_dom)),
+            "linestatus_domain": pc.invert(pc.is_in(
+                batch["l_linestatus"], value_set=status_dom)),
+            "shipdate_in_range": pc.greater_equal(ship, hi_ship),
+        }
+        names, checked, viols = [], [], []
+        for rule, col in _RULES:
+            names.append(rule)
+            valid = pc.is_valid(batch[col])
+            checked.append(pc.count(batch[col], mode="only_valid").as_py())
+            v = pc.fill_null(pc.and_kleene(valid, bad[rule]), False)
+            viols.append(pc.sum(pc.cast(v, pa.int64())).as_py() or 0)
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "checked": pa.array(checked, pa.int64()),
+                         "violations": pa.array(viols, pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby("rule", as_index=False)[["checked", "violations"]]
+           .sum().sort_values("rule").reset_index(drop=True))
+    out["checked"] = out["checked"].astype("int64")
+    out["violations"] = out["violations"].astype("int64")
+    out["violation_share"] = (out["violations"] / out["checked"]).round(6)
+    return out[["rule", "checked", "violations", "violation_share"]]
+
+
+def q_events_freshness(sf_dir: str) -> pd.DataFrame:
+    """PER-SOURCE FRESHNESS / STALENESS check: each event type's latest
+    timestamp and its lag behind the globally freshest event — the
+    standard "is any upstream feed stale?" monitor over a partitioned
+    ingest. One grouped max exchange over the dictionary-sized type
+    domain; the global high-water mark folds from that tiny aggregate on
+    the driver (never a second scan), so staleness is an exact int64 µs
+    difference of already-reduced values."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    inner, edge = sorted_groupby(ds, ["event_type"],
+                                 [("ts", "max", "latest_ts")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out["latest_ts"] = out["latest_ts"].astype("datetime64[us]")
+    hwm = out["latest_ts"].max()
+    out["staleness_us"] = ((hwm - out["latest_ts"])
+                           // pd.Timedelta(microseconds=1)).astype("int64")
+    return (out[["event_type", "latest_ts", "staleness_us"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_hourly_volume_anomalies(sf_dir: str) -> pd.DataFrame:
+    """VOLUME-ANOMALY flags: hours whose event count sits more than 3
+    population-σ from that type's hourly mean — the drift/outage monitor
+    over the aggregated series. One grouped exchange builds the
+    (type, hour) counts (bounded by time span × type domain, never the
+    fact table — the events_hourly_dense bound); the 3σ gate runs as the
+    EXACT integer inequality (n·H − S)² > 9·(H·SS − S²) over per-type
+    int64 sums, so flagging is bit-identical to the SQL twin with no
+    float threshold ambiguity (int64-safe while n·H < 3·10⁹ — beyond
+    that the gate graduates to the same identity in int128/HUGEINT,
+    which DuckDB's SUM already uses). z is reported 6dp for humans; the
+    gate never reads it."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [(None, "count_all", "n")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    g = out.groupby("event_type")["n"].agg(
+        nh="count", sn="sum", ssn=lambda s: int((s.astype(object) ** 2).sum()))
+    g = g.reset_index()
+    m = out.merge(g, on="event_type")
+    lhs = (m["n"].astype(object) * m["nh"].astype(object)
+           - m["sn"].astype(object)) ** 2
+    rhs = 9 * (m["nh"].astype(object) * m["ssn"].astype(object)
+               - m["sn"].astype(object) ** 2)
+    m = m[lhs > rhs].copy()
+    mean = m["sn"] / m["nh"]
+    var = m["ssn"] / m["nh"] - (m["sn"] / m["nh"]) ** 2
+    m["z"] = ((m["n"] - mean) / np.sqrt(var)).astype("float64").round(6)
+    m["hour"] = m["hour"].astype("datetime64[us]")
+    return (m[["event_type", "hour", "n", "z"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+def q_welch_t_sources(sf_dir: str) -> pd.DataFrame:
+    """PAIRWISE WELCH t-TEST on document length across sources — the
+    unequal-variance two-sample location test (extends the suite's
+    two-sample family: exact KS, Mann-Whitney U). Zero-exchange
+    distributed shape: each block folds (source, n, Σlen, Σlen²) exact
+    int64 moment partials via an in-block Arrow groupby; the driver
+    merges |sources| rows and forms all source pairs from the reduced
+    table (pairs of AGGREGATES — never a row-level self-join). t and the
+    Welch–Satterthwaite df derive from exact integer sums through the
+    same expression tree as the SQL twin, rounded 6dp. int64-exact while
+    Σlen² < 2⁶³ (~10¹² docs at 2k chars); past that the partial
+    graduates to float128/HUGEINT like the twin's SUM."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sq = pc.multiply(batch["n_chars"], batch["n_chars"])
+        t = pa.table({"source": batch["source"], "x": batch["n_chars"],
+                      "sq": sq})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [("x", "count"), ("x", "sum"), ("sq", "sum")])
+        return g.rename_columns(
+            [{"x_count": "n", "x_sum": "s1", "sq_sum": "s2"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    agg = (parts.groupby("source", as_index=False)[["n", "s1", "s2"]]
+           .sum().sort_values("source").reset_index(drop=True))
+    rows = []
+    recs = list(agg.itertuples(index=False))
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            na, nb = int(a.n), int(b.n)
+            if na < 2 or nb < 2:
+                continue
+            ma, mb = a.s1 / na, b.s1 / nb
+            va = (a.s2 - a.s1 * a.s1 / na) / (na - 1)
+            vb = (b.s2 - b.s1 * b.s1 / nb) / (nb - 1)
+            se2 = va / na + vb / nb
+            t_stat = (ma - mb) / np.sqrt(se2)
+            df = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                             + (vb / nb) ** 2 / (nb - 1))
+            rows.append((a.source, b.source, na, nb,
+                         round(t_stat, 6), round(df, 6)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                       "n_b", "t_stat", "df"]).astype(
+        {"n_a": "int64", "n_b": "int64"})
+
+
+def q_event_order_conformance(sf_dir: str) -> pd.DataFrame:
+    """ORDER-CONFORMANCE census: replaying each user's stream in
+    event_id (stored surrogate) order, does the wall-clock timestamp
+    ever step BACKWARD? The north-rule "stable (conv_id, turn_idx)
+    ordering" validator — on conforming ingest the violation count is
+    zero and the census PROVES it over every adjacent pair.
+    stages.window.order_conformance_census: one sort, per-block
+    vectorized inversion scan, O(blocks) boundary stitch; only violating
+    partitions ride the merge exchange, so the conforming case moves ~0
+    rows after the sort."""
+    from ..stages.window import order_conformance_census
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    pairs, inner, edge = order_conformance_census(
+        ds, "user_id", "event_id", "ts")
+    v = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        v = pd.concat([v, edge.to_pandas()], ignore_index=True)
+    if v.empty or "user_id" not in v.columns:
+        # a conforming corpus moves ZERO violator rows — an all-empty
+        # merge can drop the key column entirely (empty-block class)
+        viol_total, users = 0, 0
+    else:
+        v = v.groupby("user_id", as_index=False)["viol"].sum()
+        viol_total = int(v["viol"].sum())
+        users = int((v["viol"] > 0).sum())
+    return pd.DataFrame({
+        "pairs_checked": pd.Series([pairs], dtype="int64"),
+        "violations": pd.Series([viol_total], dtype="int64"),
+        "users_affected": pd.Series([users], dtype="int64"),
+    })
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -9208,6 +9446,128 @@ ORACLE["q20_volume_suppliers"] = """
 """
 
 
+ORACLE["rule_census"] = """
+    WITH coded AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS tax,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+               l_returnflag AS rf, l_linestatus AS ls,
+               l_shipdate AS sd,
+               l_quantity AS c_qty, l_discount AS c_disc, l_tax AS c_tax,
+               l_extendedprice AS c_price
+        FROM lineitem
+    ),
+    r AS (
+        SELECT 'qty_ge_1' AS rule, COUNT(c_qty)::BIGINT AS checked,
+               COALESCE(SUM(CASE WHEN qty < 1 THEN 1 END), 0)::BIGINT
+                   AS violations FROM coded
+        UNION ALL
+        SELECT 'qty_le_45', COUNT(c_qty)::BIGINT,
+               COALESCE(SUM(CASE WHEN qty > 45 THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'discount_le_6pct', COUNT(c_disc)::BIGINT,
+               COALESCE(SUM(CASE WHEN disc > 6 THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'tax_le_4pct', COUNT(c_tax)::BIGINT,
+               COALESCE(SUM(CASE WHEN tax > 4 THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'price_positive', COUNT(c_price)::BIGINT,
+               COALESCE(SUM(CASE WHEN price <= 0 THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'returnflag_domain', COUNT(rf)::BIGINT,
+               COALESCE(SUM(CASE WHEN rf IS NOT NULL
+                        AND rf NOT IN ('A','N','R') THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'linestatus_domain', COUNT(ls)::BIGINT,
+               COALESCE(SUM(CASE WHEN ls IS NOT NULL
+                        AND ls NOT IN ('O','F') THEN 1 END), 0)::BIGINT
+        FROM coded
+        UNION ALL
+        SELECT 'shipdate_in_range', COUNT(sd)::BIGINT,
+               COALESCE(SUM(CASE WHEN sd >= TIMESTAMP '1998-09-01'
+                        THEN 1 END), 0)::BIGINT
+        FROM coded
+    )
+    SELECT rule, checked, violations,
+           ROUND(CAST(violations AS DOUBLE) / checked, 6)
+               AS violation_share
+    FROM r ORDER BY rule
+"""
+
+ORACLE["events_freshness"] = """
+    SELECT event_type, max(ts) AS latest_ts,
+           CAST(epoch_us((SELECT max(ts) FROM events)) - epoch_us(max(ts))
+                AS BIGINT) AS staleness_us
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["hourly_volume_anomalies"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, COUNT(*)::BIGINT AS nh, SUM(n) AS sn,
+               SUM(n * n) AS ssn
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type, hour, n,
+           ROUND((n - CAST(sn AS DOUBLE) / nh)
+                 / SQRT(CAST(ssn AS DOUBLE) / nh
+                        - (CAST(sn AS DOUBLE) / nh)
+                          * (CAST(sn AS DOUBLE) / nh)), 6) AS z
+    FROM c JOIN s USING (event_type)
+    WHERE (n * nh - sn) * (n * nh - sn) > 9 * (nh * ssn - sn * sn)
+    ORDER BY event_type, hour
+"""
+
+ORACLE["welch_t_sources"] = """
+    WITH s AS (
+        SELECT source, COUNT(n_chars)::BIGINT AS n,
+               SUM(n_chars)::BIGINT AS s1,
+               SUM(n_chars * n_chars)::BIGINT AS s2
+        FROM documents GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND((CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n)
+                 / SQRT(((a.s2 - CAST(a.s1 * a.s1 AS DOUBLE) / a.n)
+                         / (a.n - 1)) / a.n
+                        + ((b.s2 - CAST(b.s1 * b.s1 AS DOUBLE) / b.n)
+                           / (b.n - 1)) / b.n), 6) AS t_stat,
+           ROUND(POW(((a.s2 - CAST(a.s1 * a.s1 AS DOUBLE) / a.n)
+                      / (a.n - 1)) / a.n
+                     + ((b.s2 - CAST(b.s1 * b.s1 AS DOUBLE) / b.n)
+                        / (b.n - 1)) / b.n, 2)
+                 / (POW(((a.s2 - CAST(a.s1 * a.s1 AS DOUBLE) / a.n)
+                         / (a.n - 1)) / a.n, 2) / (a.n - 1)
+                    + POW(((b.s2 - CAST(b.s1 * b.s1 AS DOUBLE) / b.n)
+                           / (b.n - 1)) / b.n, 2) / (b.n - 1)), 6) AS df
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE a.n >= 2 AND b.n >= 2
+    ORDER BY source_a, source_b
+"""
+
+ORACLE["event_order_conformance"] = """
+    WITH l AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+        FROM events
+    )
+    SELECT COUNT(*) FILTER (p IS NOT NULL)::BIGINT AS pairs_checked,
+           COUNT(*) FILTER (ts < p)::BIGINT AS violations,
+           COUNT(DISTINCT user_id) FILTER (ts < p)::BIGINT
+               AS users_affected
+    FROM l
+"""
+
 QUERIES = {
     "profile_null_counts": q_profile_null_counts,
     "numeric_stats": q_numeric_stats,
@@ -9399,4 +9759,9 @@ QUERIES = {
     "ship_latency_quantiles": q_ship_latency_quantiles,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "first_touch_attribution": q_first_touch_attribution,
+    "rule_census": q_rule_census,
+    "events_freshness": q_events_freshness,
+    "hourly_volume_anomalies": q_hourly_volume_anomalies,
+    "welch_t_sources": q_welch_t_sources,
+    "event_order_conformance": q_event_order_conformance,
 }

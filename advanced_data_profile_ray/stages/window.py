@@ -951,6 +951,84 @@ def adjacent_gap_counts(ds, part_col: str, ts_col: str, order_col: str):
     return inner.union(rd.from_arrow(part_schema.empty_table())), edge
 
 
+def order_conformance_census(ds, part_col: str, order_col: str,
+                             ts_col: str):
+    """ORDER-CONFORMANCE census: when each partition is replayed in
+    ``order_col`` order (the stored ordering — event_id, turn_idx), does
+    ``ts_col`` move monotonically non-decreasing? The north-rule "stable
+    (conv_id, turn_idx) ordering" validator: an inversion means the
+    surrogate order disagrees with wall-clock time. Distributed shape:
+    ONE sort by (part, order); each block folds its in-run adjacent
+    pairs to TWO tiny partials — a pairs-checked scalar and a
+    (part, viol) table holding ONLY violating partitions (empty on
+    conforming data, bounded by the violation count otherwise); the B
+    cross-block pairs resolve via the usual O(blocks) driver boundary
+    scan; violator partials merge through one skinny ``sorted_groupby``
+    exchange that never carries conforming rows. Returns
+    ``(pairs_checked:int, inner_ds, edge_table)`` where inner/edge hold
+    (part_col, viol:int64) per violating partition."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = (ds.select_columns([part_col, order_col, ts_col])
+         .sort([part_col, order_col]).materialize())
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
+    part_schema = pa.schema([(part_col, part_t), ("viol", pa.int64())])
+    if not refs or sch is None:
+        return 0, rd.from_arrow(part_schema.empty_table()), None
+
+    @ray.remote(num_returns=3)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None, 0
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        n = block.num_rows
+        starts, _ = _run_bounds(k)
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        if starts.size > 1:
+            keep[starts[1:] - 1] = False
+        info = (k[0], int(ts[0]), k[-1], int(ts[-1]))
+        pairs = int(keep.sum())
+        bad = (ts[1:] < ts[:-1]) & keep
+        if not bad.any():
+            return part_schema.empty_table(), info, pairs
+        t = pa.table({part_col: pa.array(k[1:][bad], part_t)})
+        g = t.group_by([part_col],
+                       use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [{"count_all": "viol"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
+        return g.cast(part_schema), info, pairs
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    pairs_total = sum(ray.get([r[2] for r in results]))
+    parts_e, last_key, last_ts = [], object(), 0
+    for info in infos:
+        if info is None:
+            continue
+        fk, fts, lk, lts = info
+        if fk == last_key:
+            pairs_total += 1
+            if fts < last_ts:
+                parts_e.append(fk)
+        last_key, last_ts = lk, lts
+    edge_t = pa.table({part_col: pa.array(parts_e, part_t),
+                       "viol": pa.array([1] * len(parts_e), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(edge_t)])
+    inner, edge = sorted_groupby(partials, [part_col],
+                                 [("viol", "sum", "viol")])
+    return (pairs_total,
+            inner.union(rd.from_arrow(part_schema.empty_table())), edge)
+
+
 def rolling_agg_rows(ds, part_col: str, order_keys: list, val_col: str,
                      id_col: str, k: int, agg: str = "sum"):
     """ROWS-framed rolling aggregate: per row, the ``agg`` (sum, min,

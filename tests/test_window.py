@@ -1218,3 +1218,73 @@ def test_pair_cooccurrence_matches_duckdb(ray_session):
         GROUP BY 1, 2 ORDER BY 1, 2
     """).fetch_df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_order_conformance_census_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import (
+        order_conformance_census)
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    users = np.sort(rng.integers(0, 60, n))
+    order = np.arange(n, dtype=np.int64)
+    # mostly-monotone timestamps per user, with planted backward steps
+    base = np.cumsum(rng.integers(1, 50, n))
+    flip = rng.random(n) < 0.08
+    ts_s = base - flip * rng.integers(100, 10_000, n)
+    t = pa.table({
+        "u": pa.array(users, pa.int64()),
+        "oid": pa.array(order, pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts_s, unit="s"), pa.timestamp("us")),
+    })
+    # 30 blocks of 200 rows: partitions straddle boundaries, so both the
+    # in-block scan and the driver boundary stitch carry violations
+    pairs, inner, edge = order_conformance_census(
+        rd.from_arrow(t).repartition(30), "u", "oid", "ts")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = (got.groupby("u", as_index=False)["viol"].sum()
+           .sort_values("u").reset_index(drop=True))
+
+    want = duckdb.sql("""
+        WITH l AS (SELECT u, ts,
+                          LAG(ts) OVER (PARTITION BY u ORDER BY oid) p
+                   FROM t)
+        SELECT u, COUNT(*) FILTER (ts < p)::BIGINT AS viol
+        FROM l GROUP BY u HAVING COUNT(*) FILTER (ts < p) > 0
+        ORDER BY u
+    """).df()
+    want_pairs = duckdb.sql(
+        "SELECT COUNT(*)::BIGINT FROM (SELECT u, LAG(ts) OVER "
+        "(PARTITION BY u ORDER BY oid) p FROM t) WHERE p IS NOT NULL"
+    ).fetchone()[0]
+    assert pairs == want_pairs
+    got = got[got["viol"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"u": "int64", "viol": "int64"}),
+        want.astype({"u": "int64", "viol": "int64"}))
+
+
+def test_order_conformance_census_conforming_input(ray_session):
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import (
+        order_conformance_census)
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "oid": pa.array([0, 1, 2, 0, 1], pa.int64()),
+        "ts": pa.array(pd.to_datetime([10, 20, 30, 5, 6], unit="s"),
+                       pa.timestamp("us")),
+    })
+    pairs, inner, edge = order_conformance_census(
+        rd.from_arrow(t).repartition(3), "u", "oid", "ts")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    assert pairs == 3
+    viol = int(got["viol"].sum()) if "viol" in got.columns and len(got) else 0
+    assert viol == 0
