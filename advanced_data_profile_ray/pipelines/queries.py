@@ -7315,6 +7315,194 @@ def q_event_order_conformance(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_js_drift_roles(sf_dir: str) -> pd.DataFrame:
+    """JENSEN–SHANNON divergence between the role-frequency (event-type)
+    distributions of the corpus' earlier and later halves — the third
+    member of the drift family (KS `ks_drift`, PSI `psi_drift`; north
+    star names "distribution-drift checks … on role-frequency
+    histograms"). Two zero-exchange scans: pass 1 folds per-block
+    (min, max) ts partials to the exact int64 µs midpoint; pass 2 folds
+    per-block (half, type) count partials (≤ 2×|types| rows each). JSD
+    derives from exact integer counts; log terms ride the 6dp rounding
+    margin like the entropy family."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    mm = ds.map_batches(_minmax, batch_format="pyarrow",
+                        batch_size=131072).to_pandas()
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        half = pc.if_else(pc.less_equal(us, pa.scalar(mid, pa.int64())),
+                          pa.scalar("a"), pa.scalar("b"))
+        t = pa.table({"half": half, "event_type": batch["event_type"]})
+        g = t.group_by(["half", "event_type"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_counts, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    agg = (parts.groupby(["half", "event_type"], as_index=False)["n"].sum()
+           .pivot(index="event_type", columns="half", values="n")
+           .reindex(columns=["a", "b"]).fillna(0).astype("int64")
+           .sort_index())
+    na_tot, nb_tot = int(agg["a"].sum()), int(agg["b"].sum())
+    p = agg["a"].to_numpy() / na_tot
+    q = agg["b"].to_numpy() / nb_tot
+    m = (p + q) / 2
+    ta = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / m), 0.0)
+    tb = np.where(q > 0, q * np.log(np.where(q > 0, q, 1.0) / m), 0.0)
+    jsd = round(0.5 * ta.sum() + 0.5 * tb.sum(), 6)
+    return pd.DataFrame({
+        "n_baseline": pd.Series([na_tot], dtype="int64"),
+        "n_current": pd.Series([nb_tot], dtype="int64"),
+        "js_divergence": pd.Series([jsd], dtype="float64"),
+    })
+
+
+def q_monthly_revenue_mom(sf_dir: str) -> pd.DataFrame:
+    """AGGREGATE-THEN-WINDOW with a RATIO: monthly discounted revenue
+    and its month-over-month percent change. One grouped exchange to the
+    month grain with the suite's exact cent² revenue convention; the MoM
+    ratio divides the exact pre-scaling integers (never the rounded
+    display values), so the 6dp percentage is bit-identical to the twin.
+    First month drops on both sides (no LAG)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            pc.cast(batch["l_shipdate"], pa.timestamp("us")), unit="month")
+        pcents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                              100.0),
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())
+        dcents = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"month": month,
+                         "rc": pc.multiply(pcents, dcents)})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["month"], [("rc", "sum", "rc")])
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out = (out.groupby("month", as_index=False)["rc"].sum()
+           .sort_values("month").reset_index(drop=True))
+    out["month"] = out["month"].astype("datetime64[us]")
+    rc = out["rc"].astype("int64")
+    out["revenue"] = ((rc + 50) // 100) / 100.0
+    prev = rc.shift(1)
+    out["mom_pct"] = (100.0 * (rc - prev) / prev).round(6)
+    out = out.dropna(subset=["mom_pct"]).reset_index(drop=True)
+    return out[["month", "revenue", "mom_pct"]]
+
+
+def q_robust_outliers_by_flag(sf_dir: str) -> pd.DataFrame:
+    """ROBUST (median/MAD) outlier gate per group — the
+    non-parametric twin of the z-score screen (A11): rows where
+    |x − median_g| > 3·MAD_g, counted per l_returnflag. Three passes:
+    two grouped-median exchanges (the mad_by_flag machinery) and one
+    zero-exchange counting scan with the tiny (flag → median, MAD) map
+    broadcast into every block. Quantities are dyadic rationals
+    (integers; medians at worst .5), so the float gate is EXACT on both
+    engines — no threshold ambiguity."""
+    from ..stages.fast_ops import grouped_median
+
+    g, v = "l_returnflag", "l_quantity"
+    li = _read(sf_dir, "lineitem", [g, v])
+    med = grouped_median(li, g, v)
+    m_of = dict(zip(med[g].to_pylist(), med["median"].to_pylist()))
+
+    def _absdev(batch: pa.Table) -> pa.Table:
+        ga = batch[g].to_numpy(zero_copy_only=False)
+        va = batch[v].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(ga, return_inverse=True)
+        ma = np.array([m_of.get(k, np.nan) for k in uniq])[inv]
+        dev = np.abs(va - ma)
+        keep = ~np.isnan(dev)
+        return pa.table({g: batch[g].filter(pa.array(keep)),
+                         "absdev": pa.array(dev[keep], pa.float64())})
+
+    mad = grouped_median(
+        li.map_batches(_absdev, batch_format="pyarrow", batch_size=131072),
+        g, "absdev")
+    mad_of = dict(zip(mad[g].to_pylist(), mad["median"].to_pylist()))
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        ga = batch[g].to_numpy(zero_copy_only=False)
+        va = batch[v].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(ga, return_inverse=True)
+        ma = np.array([m_of.get(k, np.nan) for k in uniq])[inv]
+        da = np.array([mad_of.get(k, np.nan) for k in uniq])[inv]
+        out_mask = np.abs(va - ma) > 3.0 * da
+        t = pa.table({g: batch[g],
+                      "o": pa.array(out_mask.astype(np.int64))})
+        gg = t.group_by([g], use_threads=False).aggregate(
+            [("o", "sum"), ([], "count_all")])
+        return gg.rename_columns(
+            [{"o_sum": "n_outliers", "count_all": "n"}.get(c, c)
+             for c in gg.column_names])
+
+    parts = li.map_batches(_gate, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby(g, as_index=False)[["n_outliers", "n"]].sum()
+           .sort_values(g).reset_index(drop=True))
+    out["median"] = out[g].map(m_of).round(6)
+    out["mad"] = out[g].map(mad_of).round(6)
+    out["n"] = out["n"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["outlier_share"] = (out["n_outliers"] / out["n"]).round(6)
+    return out[[g, "median", "mad", "n", "n_outliers", "outlier_share"]]
+
+
+def q_price_gmean_by_flag(sf_dir: str) -> pd.DataFrame:
+    """GEOMETRIC and HARMONIC means of l_extendedprice per returnflag —
+    the multiplicative/rate-correct location estimates (complete the
+    suite's location family: mean, median, winsorized, trimmed-robust).
+    Zero-exchange: each block folds (flag, n, Σln x, Σ1/x) partials via
+    an in-block Arrow groupby; the driver merges |flags| rows and
+    finalizes exp(Σln/n) and n/Σ(1/x). Positive-only domain guard
+    mirrors the twin's WHERE x > 0. Log/reciprocal sums ride the 6dp
+    rounding margin (entropy-family precedent; per-element libm
+    differences are ~1 ulp)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["l_extendedprice"], 0.0)
+        x = batch["l_extendedprice"].filter(keep)
+        f = batch["l_returnflag"].filter(keep)
+        t = pa.table({"f": f, "ln": pc.ln(x),
+                      "inv": pc.divide(pa.scalar(1.0), x)})
+        g = t.group_by(["f"], use_threads=False).aggregate(
+            [("ln", "sum"), ("inv", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"ln_sum": "sln", "inv_sum": "sinv", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby("f", as_index=False)[["sln", "sinv", "n"]].sum()
+           .sort_values("f").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    out["gmean"] = np.exp(out["sln"] / out["n"]).round(6)
+    out["hmean"] = (out["n"] / out["sinv"]).round(6)
+    out = out.rename(columns={"f": "l_returnflag"})
+    return out[["l_returnflag", "n", "gmean", "hmean"]]
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -9446,6 +9634,92 @@ ORACLE["q20_volume_suppliers"] = """
 """
 
 
+ORACLE["js_drift_roles"] = """
+    WITH b AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    c AS (
+        SELECT CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
+                    THEN 'a' ELSE 'b' END AS half,
+               event_type, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type,
+               COALESCE(SUM(n) FILTER (half = 'a'), 0)::BIGINT AS na,
+               COALESCE(SUM(n) FILTER (half = 'b'), 0)::BIGINT AS nb
+        FROM c GROUP BY event_type
+    ),
+    t AS (
+        SELECT (SELECT SUM(na) FROM p)::BIGINT AS ta,
+               (SELECT SUM(nb) FROM p)::BIGINT AS tb
+    )
+    SELECT t.ta AS n_baseline, t.tb AS n_current,
+           ROUND(0.5 * SUM(CASE WHEN p.na > 0 THEN
+                     (CAST(p.na AS DOUBLE) / t.ta)
+                     * LN((CAST(p.na AS DOUBLE) / t.ta)
+                          / ((CAST(p.na AS DOUBLE) / t.ta
+                              + CAST(p.nb AS DOUBLE) / t.tb) / 2))
+                     ELSE 0 END)
+                 + 0.5 * SUM(CASE WHEN p.nb > 0 THEN
+                     (CAST(p.nb AS DOUBLE) / t.tb)
+                     * LN((CAST(p.nb AS DOUBLE) / t.tb)
+                          / ((CAST(p.na AS DOUBLE) / t.ta
+                              + CAST(p.nb AS DOUBLE) / t.tb) / 2))
+                     ELSE 0 END), 6) AS js_divergence
+    FROM p, t GROUP BY t.ta, t.tb
+"""
+
+ORACLE["monthly_revenue_mom"] = """
+    WITH m AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS rc
+        FROM lineitem GROUP BY 1
+    ),
+    l AS (
+        SELECT month, rc, LAG(rc) OVER (ORDER BY month) AS prev
+        FROM m
+    )
+    SELECT month, ((rc + 50) // 100) / 100.0 AS revenue,
+           ROUND(100.0 * (rc - prev) / prev, 6) AS mom_pct
+    FROM l WHERE prev IS NOT NULL
+    ORDER BY month
+"""
+
+ORACLE["robust_outliers_by_flag"] = """
+    WITH m AS (
+        SELECT l_returnflag, MEDIAN(l_quantity) AS md
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l.l_returnflag, MEDIAN(ABS(l.l_quantity - m.md)) AS mad
+        FROM lineitem l JOIN m USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(ANY_VALUE(m.md), 6) AS median,
+           ROUND(ANY_VALUE(d.mad), 6) AS mad,
+           COUNT(*)::BIGINT AS n,
+           COALESCE(SUM(CASE WHEN ABS(l.l_quantity - m.md) > 3 * d.mad
+                        THEN 1 END), 0)::BIGINT AS n_outliers,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN ABS(l.l_quantity - m.md)
+                                    > 3 * d.mad THEN 1 END), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS outlier_share
+    FROM lineitem l JOIN m USING (l_returnflag) JOIN d USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+
+ORACLE["price_gmean_by_flag"] = """
+    SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+           ROUND(EXP(SUM(LN(l_extendedprice)) / COUNT(*)), 6) AS gmean,
+           ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 6) AS hmean
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 ORACLE["rule_census"] = """
     WITH coded AS (
         SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
@@ -9764,4 +10038,8 @@ QUERIES = {
     "hourly_volume_anomalies": q_hourly_volume_anomalies,
     "welch_t_sources": q_welch_t_sources,
     "event_order_conformance": q_event_order_conformance,
+    "js_drift_roles": q_js_drift_roles,
+    "monthly_revenue_mom": q_monthly_revenue_mom,
+    "robust_outliers_by_flag": q_robust_outliers_by_flag,
+    "price_gmean_by_flag": q_price_gmean_by_flag,
 }
