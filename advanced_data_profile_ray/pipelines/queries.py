@@ -7503,6 +7503,142 @@ def q_price_gmean_by_flag(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "n", "gmean", "hmean"]]
 
 
+def q_assoc_type_dow(sf_dir: str) -> pd.DataFrame:
+    """CATEGORICAL ASSOCIATION strength (event_type × day-of-week):
+    mutual information (nats) and Cramér's V — the effect-size
+    companions to the suite's χ² independence test (`chi2_type_dow`).
+    Same distributed shape: one zero-exchange scan folding ≤|types×7|
+    contingency partials per block; margins and both statistics
+    finalize on the driver. Every term is a single float expression
+    over exact integer counts/margins (n·N / (r·c) ratios of exact
+    int64 products), so the 6dp results match the SQL twin."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(pc.cast(batch["ts"], pa.timestamp("us")),
+                                     week_start=7), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "dow": dow})
+        g = t.group_by(["event_type", "dow"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    cells = parts.groupby(["event_type", "dow"], as_index=False)["n"].sum()
+    row_m = cells.groupby("event_type")["n"].sum().to_dict()
+    col_m = cells.groupby("dow")["n"].sum().to_dict()
+    tot = int(cells["n"].sum())
+    mi = chi2 = 0.0
+    for _, r in cells.iterrows():
+        n = int(r["n"])
+        rm, cm = int(row_m[r["event_type"]]), int(col_m[r["dow"]])
+        mi += (n / tot) * np.log((n * tot) / (rm * cm))
+        e = (rm * cm) / tot
+        chi2 += (n - e) * (n - e) / e
+    k = min(len(row_m) - 1, len(col_m) - 1)
+    v = float(np.sqrt(chi2 / (tot * k))) if k > 0 else 0.0
+    return pd.DataFrame({
+        "n": pd.Series([tot], dtype="int64"),
+        "mi_nats": pd.Series([round(mi, 6)], dtype="float64"),
+        "cramers_v": pd.Series([round(v, 6)], dtype="float64"),
+    })
+
+
+def q_top_parts_per_flag_ties(sf_dir: str) -> pd.DataFrame:
+    """GROUPED TOP-K WITH TIES — SQL RANK() (not ROW_NUMBER) ≤ 3 per
+    group, so revenue ties all surface: the tie-correct variant of
+    `top_orders_per_customer`. Two exchanges: (flag, part) exact-cent²
+    revenue sums, then stages.window.rank_within (descending,
+    tie-aware cross-block carry) over the aggregate keyed by a packed
+    flag·2⁴⁰+part int64 id (documented bound: partkey < 2⁴⁰ — beyond
+    that the id becomes a two-column key through the same carry).
+    Ranking compares EXACT integers, so tie groups are bit-identical to
+    the twin's."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import rank_within
+
+    flags = ["A", "N", "R"]
+    farr = pa.array(flags)
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_partkey", "l_extendedprice",
+                "l_discount"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        pcents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                              100.0),
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())
+        dcents = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_partkey": batch["l_partkey"],
+                         "rc": pc.multiply(pcents, dcents)})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["l_returnflag", "l_partkey"], [("rc", "sum", "rc")])
+    agg = inner
+    if edge is not None and edge.num_rows:
+        agg = agg.union(rd.from_arrow(edge))
+
+    def _pack(t: pa.Table) -> pa.Table:
+        fcode = pc.cast(pc.index_in(t["l_returnflag"], value_set=farr),
+                        pa.int64())
+        pid = pc.add(pc.shift_left(fcode, 40), t["l_partkey"])
+        return pa.table({"fcode": fcode, "pid": pid, "rc": t["rc"]})
+
+    packed = agg.map_batches(_pack, batch_format="pyarrow",
+                             batch_size=131072).materialize()
+    ranks = rank_within(packed, "fcode", "rc", "pid",
+                        descending=True).to_pandas()
+    top = ranks[ranks["rank"] <= 3].copy()
+    top["l_returnflag"] = top["id"].to_numpy() >> 40
+    top["l_returnflag"] = top["l_returnflag"].map(dict(enumerate(flags)))
+    top["l_partkey"] = (top["id"] & ((1 << 40) - 1)).astype("int64")
+    # recover the 9-ish winning revenues via a broadcast id filter —
+    # never the whole aggregate table on the driver
+    want = pa.array(top["id"].to_numpy(), pa.int64())
+    hits = packed.map_batches(
+        lambda t: t.filter(pc.is_in(t["pid"], value_set=want)),
+        batch_format="pyarrow", batch_size=131072).to_pandas()
+    top["rc"] = top["id"].map(hits.set_index("pid")["rc"]).astype("int64")
+    top["revenue"] = ((top["rc"] + 50) // 100) / 100.0
+    top["rnk"] = top["rank"].astype("int64")
+    return (top[["l_returnflag", "l_partkey", "revenue", "rnk"]]
+            .sort_values(["l_returnflag", "rnk", "l_partkey"])
+            .reset_index(drop=True))
+
+
+def q_dow_hour_heatmap(sf_dir: str) -> pd.DataFrame:
+    """DAY-OF-WEEK × HOUR activity heatmap — the classic 7×24 seasonal
+    usage grid (histogram family A24, rendered by the report layer).
+    One zero-exchange scan: per-block ≤168-cell contingency partials,
+    driver fold. Exact integer counts only."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.timestamp("us"))
+        dow = pc.cast(pc.day_of_week(ts, week_start=7), pa.int64())
+        hr = pc.cast(pc.hour(ts), pa.int64())
+        t = pa.table({"dow": dow, "hr": hr})
+        g = t.group_by(["dow", "hr"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby(["dow", "hr"], as_index=False)["n"].sum()
+           .sort_values(["dow", "hr"]).reset_index(drop=True))
+    for c in ["dow", "hr", "n"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -9634,6 +9770,54 @@ ORACLE["q20_volume_suppliers"] = """
 """
 
 
+ORACLE["assoc_type_dow"] = """
+    WITH c AS (
+        SELECT event_type, dayofweek(ts) AS dow, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, SUM(n)::BIGINT AS rn FROM c GROUP BY 1),
+    k AS (SELECT dow, SUM(n)::BIGINT AS cn FROM c GROUP BY 1),
+    t AS (SELECT SUM(n)::BIGINT AS tot,
+                 (SELECT COUNT(*) FROM r)::BIGINT AS nr,
+                 (SELECT COUNT(*) FROM k)::BIGINT AS nc
+          FROM c)
+    SELECT t.tot AS n,
+           ROUND(SUM((CAST(c.n AS DOUBLE) / t.tot)
+                     * LN(CAST(c.n * t.tot AS DOUBLE)
+                          / (r.rn * k.cn))), 6) AS mi_nats,
+           ROUND(SQRT(SUM(POW(c.n - CAST(r.rn * k.cn AS DOUBLE) / t.tot, 2)
+                          / (CAST(r.rn * k.cn AS DOUBLE) / t.tot))
+                      / (t.tot * LEAST(t.nr - 1, t.nc - 1))), 6)
+               AS cramers_v
+    FROM c JOIN r USING (event_type) JOIN k USING (dow), t
+    GROUP BY t.tot, t.nr, t.nc
+"""
+
+ORACLE["top_parts_per_flag_ties"] = """
+    WITH a AS (
+        SELECT l_returnflag, l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS rc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT l_returnflag, l_partkey, rc,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY rc DESC) AS rnk
+        FROM a
+    )
+    SELECT l_returnflag, l_partkey, ((rc + 50) // 100) / 100.0 AS revenue,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 3
+    ORDER BY l_returnflag, rnk, l_partkey
+"""
+
+ORACLE["dow_hour_heatmap"] = """
+    SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE["js_drift_roles"] = """
     WITH b AS (
         SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
@@ -10042,4 +10226,7 @@ QUERIES = {
     "monthly_revenue_mom": q_monthly_revenue_mom,
     "robust_outliers_by_flag": q_robust_outliers_by_flag,
     "price_gmean_by_flag": q_price_gmean_by_flag,
+    "assoc_type_dow": q_assoc_type_dow,
+    "top_parts_per_flag_ties": q_top_parts_per_flag_ties,
+    "dow_hour_heatmap": q_dow_hour_heatmap,
 }
