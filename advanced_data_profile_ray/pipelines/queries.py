@@ -7639,6 +7639,71 @@ def q_dow_hour_heatmap(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_customer_ltv_deciles(sf_dir: str) -> pd.DataFrame:
+    """CUSTOMER LIFETIME-VALUE DECILES — the aggregate-then-globally-
+    rank composite (per-customer spend → deterministic global ordering
+    → equal-width decile census): who holds the revenue. Two exchanges:
+    (custkey) exact-cent spend sums, then ONE global sort via
+    row_number_within on a constant partition key (the hot single
+    partition is exactly the cross-block carry chain's design case —
+    range partitioning spreads it; no driver materialization of the
+    customer table). The decile label is the EXACT integer formula
+    ((rn−1)·10)//n over a (spend, custkey)-deterministic row number, so
+    tie placement is bit-identical to the twin (NTILE's ceil/floor split
+    is deliberately avoided — its bucket-size convention differs from
+    the fixed-width formula both engines share here)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"o_custkey": batch["o_custkey"], "sc": cents})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["o_custkey"], [("sc", "sum", "sc")])
+    spend = inner
+    if edge is not None and edge.num_rows:
+        spend = spend.union(rd.from_arrow(edge))
+
+    def _const(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows,
+                                                      np.int64)))
+
+    numbered = row_number_within(
+        spend.map_batches(_const, batch_format="pyarrow",
+                          batch_size=131072),
+        "g", ["sc", "o_custkey"], out_col="rn", start=1)
+    n_total = numbered.count()
+
+    def _census(t: pa.Table) -> pa.Table:
+        dec = pc.divide(pc.multiply(pc.subtract(t["rn"], 1), 10),
+                        pa.scalar(n_total, pa.int64()))
+        tt = pa.table({"decile": dec, "sc": t["sc"]})
+        g = tt.group_by(["decile"], use_threads=False).aggregate(
+            [("sc", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"sc_sum": "sc", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = numbered.map_batches(_census, batch_format="pyarrow",
+                                 batch_size=131072).to_pandas()
+    out = (parts.groupby("decile", as_index=False)[["sc", "n"]].sum()
+           .sort_values("decile").reset_index(drop=True))
+    out["decile"] = out["decile"].astype("int64")
+    out["n_customers"] = out["n"].astype("int64")
+    sc = out["sc"].astype("int64")
+    out["total_spend"] = ((sc + 50) // 100) / 100.0
+    out["avg_spend"] = (sc / 100.0 / out["n_customers"]).round(6)
+    return out[["decile", "n_customers", "total_spend", "avg_spend"]]
+
+
 ORACLE: dict[str, str] = {
     "profile_null_counts": _NULLCOUNT_UNION,
     "numeric_stats": _NUMSTATS_UNION,
@@ -9770,6 +9835,24 @@ ORACLE["q20_volume_suppliers"] = """
 """
 
 
+ORACLE["customer_ltv_deciles"] = """
+    WITH s AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sc
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT sc, ROW_NUMBER() OVER (ORDER BY sc, o_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM s
+    )
+    SELECT ((rn - 1) * 10) // n AS decile,
+           COUNT(*)::BIGINT AS n_customers,
+           ((SUM(sc) + 50) // 100) / 100.0 AS total_spend,
+           ROUND(SUM(sc) / 100.0 / COUNT(*), 6) AS avg_spend
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE["assoc_type_dow"] = """
     WITH c AS (
         SELECT event_type, dayofweek(ts) AS dow, COUNT(*)::BIGINT AS n
@@ -10229,4 +10312,5 @@ QUERIES = {
     "assoc_type_dow": q_assoc_type_dow,
     "top_parts_per_flag_ties": q_top_parts_per_flag_ties,
     "dow_hour_heatmap": q_dow_hour_heatmap,
+    "customer_ltv_deciles": q_customer_ltv_deciles,
 }
