@@ -10314,3 +10314,326 @@ QUERIES = {
     "dow_hour_heatmap": q_dow_hour_heatmap,
     "customer_ltv_deciles": q_customer_ltv_deciles,
 }
+
+
+# ---------------------------------------------------------------------------
+# batch 7: rank/robust statistics + sequential validation monitors
+
+
+def q_spearman_qty_disc_by_flag(sf_dir: str) -> pd.DataFrame:
+    """SPEARMAN RANK CORRELATION (average-rank ties) of quantity vs
+    discount per returnflag — the rank-based sibling of the Pearson
+    family (corr_lineitem A17), robust to monotone transforms and the
+    natural drift check for ordinal associations. Both variables live on
+    tiny discrete domains (50 quantities x 11 discount cents), so the
+    distributed shape is ONE zero-exchange contingency scan: each block
+    folds a (flag, qty, disc_cents) count census (<= 1650 rows) via an
+    in-block Arrow groupby; the driver merges censuses and derives
+    DOUBLED average ranks (2*rank is always integral, even for tied
+    averages) from the census margins. All six Pearson moments over the
+    doubled ranks are exact Python big-ints — one float division at the
+    end, identical expression tree to the SQL twin, rounded 6dp. Scale:
+    the exchange payload is bounded by the value domains, never by rows;
+    big-int moments never overflow."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def _census(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                         pa.scalar(100.0))), pa.int64())
+        t = pa.table({"f": batch["l_returnflag"], "q": q, "d": d})
+        g = t.group_by(["f", "q", "d"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    census = (parts.groupby(["f", "q", "d"], as_index=False)["cnt"].sum())
+    rows = []
+    for f, sub in census.groupby("f", sort=True):
+        # doubled average ranks from prefix counts over each margin:
+        # R2(v) = 2*cnt_lt(v) + cnt_eq(v) + 1  (exact int)
+        r2 = {}
+        for col in ("q", "d"):
+            marg = sub.groupby(col)["cnt"].sum().sort_index()
+            acc, m = 0, {}
+            for v, c in marg.items():
+                m[v] = 2 * acc + int(c) + 1
+                acc += int(c)
+            r2[col] = m
+        n = sa = sb = saa = sbb = sab = 0
+        for qv, dv, c in sub[["q", "d", "cnt"]].itertuples(index=False):
+            a, b, c = r2["q"][qv], r2["d"][dv], int(c)
+            n += c
+            sa += c * a
+            sb += c * b
+            saa += c * a * a
+            sbb += c * b * b
+            sab += c * a * b
+        num = n * sab - sa * sb
+        da, db = n * saa - sa * sa, n * sbb - sb * sb
+        sp = (round(float(num) / np.sqrt(float(da) * float(db)), 6)
+              if da > 0 and db > 0 else None)
+        rows.append({"l_returnflag": f, "n": n, "spearman": sp})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+ORACLE["spearman_qty_disc_by_flag"] = """
+    WITH c AS (
+        SELECT l_returnflag AS f, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+               COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    qr AS (
+        SELECT f, q, 2 * SUM(c2) OVER (PARTITION BY f ORDER BY q)
+                     - c2 + 1 AS a
+        FROM (SELECT f, q, SUM(cnt)::BIGINT AS c2 FROM c GROUP BY 1, 2)
+    ),
+    dr AS (
+        SELECT f, d, 2 * SUM(c2) OVER (PARTITION BY f ORDER BY d)
+                     - c2 + 1 AS b
+        FROM (SELECT f, d, SUM(cnt)::BIGINT AS c2 FROM c GROUP BY 1, 2)
+    ),
+    mm AS (
+        SELECT c.f, c.cnt, qr.a, dr.b
+        FROM c JOIN qr ON c.f = qr.f AND c.q = qr.q
+               JOIN dr ON c.f = dr.f AND c.d = dr.d
+    ),
+    ag AS (
+        SELECT f, SUM(cnt)::BIGINT AS n, SUM(cnt * a) AS sa,
+               SUM(cnt * b) AS sb, SUM(cnt * a * a) AS saa,
+               SUM(cnt * b * b) AS sbb, SUM(cnt * a * b) AS sab
+        FROM mm GROUP BY 1
+    )
+    SELECT f AS l_returnflag, n,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS spearman
+    FROM ag ORDER BY 1
+"""
+QUERIES["spearman_qty_disc_by_flag"] = q_spearman_qty_disc_by_flag
+
+
+def q_cusum_peak_by_type(sf_dir: str) -> pd.DataFrame:
+    """CUSUM CHANGE-POINT detector over each event type's hourly volume
+    series — where does the cumulative count deviate furthest from a
+    uniform-rate null? (the classic level-shift localizer that
+    complements hourly_volume_anomalies' pointwise 3-sigma gate). The
+    statistic D_k = n_hours*prefix_k - k*total is EXACT int64 (zero at
+    both ends, extremal at the change point); peak = max |D_k| with the
+    earliest hour breaking ties. Distributed shape: ONE (type, hour)
+    count exchange folds the stream to the aggregate grain — bounded by
+    the time span times |types|, like events_hourly — and the
+    driver-side scan runs on that reduced census (hourly_autocorr
+    precedent). int64-exact while n_hours*total < 2^63 (~10^13 events
+    per type over a decade of hours)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour,
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [("one", "sum", "n")])
+    series = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        series = pd.concat([series, edge.to_pandas()], ignore_index=True)
+    series["n"] = series["n"].astype("int64")
+
+    rows = []
+    for etype, sub in series.groupby("event_type", sort=True):
+        sub = sub.sort_values("hour").reset_index(drop=True)
+        cn = sub["n"].to_numpy(np.int64)
+        m = int(cn.size)
+        tot = int(cn.sum())
+        p = np.cumsum(cn)
+        k = np.arange(1, m + 1, dtype=np.int64)
+        dabs = np.abs(m * p - k * tot)
+        i = int(np.argmax(dabs))  # first max == earliest hour (sorted)
+        rows.append({"event_type": etype, "n_hours": m, "total": tot,
+                     "peak_hour": sub["hour"].iloc[i],
+                     "d_max": int(dabs[i])})
+    out = pd.DataFrame(rows)
+    for c in ("n_hours", "total", "d_max"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["cusum_peak_by_type"] = """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hour,
+               COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS nh,
+               SUM(n) OVER (PARTITION BY event_type)::BIGINT AS tot,
+               SUM(n) OVER (PARTITION BY event_type
+                            ORDER BY hour)::BIGINT AS p,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY hour)::BIGINT AS k
+        FROM h
+    ),
+    d AS (
+        SELECT event_type, hour, nh, tot,
+               ABS(nh * p - k * tot)::BIGINT AS dabs,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(nh * p - k * tot) DESC,
+                                           hour) AS rn
+        FROM w
+    )
+    SELECT event_type, nh AS n_hours, tot AS total, hour AS peak_hour,
+           dabs AS d_max
+    FROM d WHERE rn = 1 ORDER BY event_type
+"""
+QUERIES["cusum_peak_by_type"] = q_cusum_peak_by_type
+
+
+def q_source_wilson_short_docs(sf_dir: str) -> pd.DataFrame:
+    """WILSON LOWER BOUND of each source's short-document rate
+    (n_chars < 100) — the small-sample-corrected quality ranking: a
+    source with 2/10 short docs must NOT outrank one with 30/1000, which
+    a raw proportion gets wrong. Zero-exchange distributed shape
+    (welch_t_sources family): each block folds (source, n, n_short)
+    exact int64 partials via an in-block Arrow groupby; the driver
+    merges |sources| rows and evaluates the Wilson interval (z = 1.96)
+    through the identical expression tree as the SQL twin, rounded
+    6dp."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        short = pc.cast(pc.less(batch["n_chars"],
+                                pa.scalar(100, pa.int64())), pa.int64())
+        t = pa.table({"source": batch["source"], "short": short})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [([], "count_all"), ("short", "sum")])
+        return g.rename_columns(
+            [{"count_all": "n", "short_sum": "k"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    agg = (parts.groupby("source", as_index=False)[["n", "k"]].sum()
+           .sort_values("source").reset_index(drop=True))
+    z = 1.96
+    rows = []
+    for source, n, k in agg.itertuples(index=False):
+        n, k = int(n), int(k)
+        p = k / n
+        lb = ((p + z * z / (2 * n)
+               - z * np.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
+              / (1 + z * z / n))
+        rows.append({"source": source, "n_docs": n, "n_short": k,
+                     "wilson_lb": round(float(lb), 6)})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_short"] = out["n_short"].astype("int64")
+    return out
+
+
+ORACLE["source_wilson_short_docs"] = """
+    WITH s AS (
+        SELECT source, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM documents GROUP BY 1
+    )
+    SELECT source, n AS n_docs, k AS n_short,
+           ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lb
+    FROM s ORDER BY source
+"""
+QUERIES["source_wilson_short_docs"] = q_source_wilson_short_docs
+
+
+def q_trend_mk_daily(sf_dir: str) -> pd.DataFrame:
+    """MANN-KENDALL MONOTONIC-TREND test per event type over its daily
+    volume series: S = sum of sign(c_j - c_i) over ordered day pairs
+    (exact integer), plus the ties-adjusted Kendall tau-b (days are
+    distinct so only value ties enter the correction). The
+    non-parametric drift monitor for "is volume drifting up/down" that
+    needs no distributional assumption — complements CUSUM (level
+    shift) and the 3-sigma gate (pointwise). Distributed shape: ONE
+    (type, day) count exchange to the bounded aggregate grain; the
+    O(days^2) pair scan runs on the reduced census (hundreds of rows per
+    type regardless of event count — hourly_autocorr precedent)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"event_type": batch["event_type"], "day": day,
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "day"], [("one", "sum", "n")])
+    series = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        series = pd.concat([series, edge.to_pandas()], ignore_index=True)
+    series["n"] = series["n"].astype("int64")
+
+    rows = []
+    for etype, sub in series.groupby("event_type", sort=True):
+        cn = (sub.sort_values("day")["n"].to_numpy(np.int64))
+        m = int(cn.size)
+        iu = np.triu_indices(m, 1)
+        s = int(np.sign(cn[None, :] - cn[:, None])[iu].sum())
+        n0 = m * (m - 1) // 2
+        _, vc = np.unique(cn, return_counts=True)
+        n2 = int((vc * (vc - 1) // 2).sum())
+        tau = (round(float(s) / np.sqrt(float(n0) * float(n0 - n2)), 6)
+               if n0 > 0 and n0 > n2 else None)
+        rows.append({"event_type": etype, "n_days": m, "s_stat": s,
+                     "tau_b": tau})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["s_stat"] = out["s_stat"].astype("int64")
+    return out
+
+
+ORACLE["trend_mk_daily"] = """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               SUM(CASE WHEN b.n > a.n THEN 1
+                        WHEN b.n < a.n THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1
+    ),
+    m AS (SELECT event_type, COUNT(*)::BIGINT AS m FROM d GROUP BY 1),
+    t AS (
+        SELECT event_type, SUM(c * (c - 1) // 2)::BIGINT AS n2
+        FROM (SELECT event_type, n, COUNT(*)::BIGINT AS c
+              FROM d GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT m.event_type, m.m AS n_days, s.s_stat,
+           ROUND(CAST(s.s_stat AS DOUBLE)
+                 / SQRT(CAST(m.m * (m.m - 1) // 2 AS DOUBLE)
+                        * CAST(m.m * (m.m - 1) // 2 - t.n2 AS DOUBLE)), 6)
+               AS tau_b
+    FROM m JOIN s USING (event_type) JOIN t USING (event_type)
+    ORDER BY 1
+"""
+QUERIES["trend_mk_daily"] = q_trend_mk_daily
