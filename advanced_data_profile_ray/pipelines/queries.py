@@ -10637,3 +10637,238 @@ ORACLE["trend_mk_daily"] = """
     ORDER BY 1
 """
 QUERIES["trend_mk_daily"] = q_trend_mk_daily
+
+
+# ---------------------------------------------------------------------------
+# batch 8: sequence mining + privacy validation census
+
+
+def q_event_trigrams(sf_dir: str) -> pd.DataFrame:
+    """ORDER-3 SEQUENCE CENSUS over each user's event stream: counts of
+    every consecutive event-type triple — the sequence-mining step up
+    from role_transitions' Markov pairs (detects looping patterns a
+    bigram census cannot, e.g. view→view→view hammering vs browsing).
+    stages.window.trigram_counts: ONE sort exchange, per-block triple
+    reduction to a ≤|types|³ partial, depth-2 rolling-tail boundary
+    stitch (a triple straddling THREE blocks is handled); the LAG
+    columns never materialize."""
+    from ..stages.window import trigram_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "v": t["event_type"]})
+
+    inner, edge = trigram_counts(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "user_id", ["ts_us", "event_id"], "v")
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    if out.empty or "v1" not in out.columns:
+        # an all-short-runs corpus has zero triples; Ray's to_pandas
+        # drops columns on an all-empty dataset (empty-block class)
+        return pd.DataFrame({"v1": pd.Series([], dtype=object),
+                             "v2": pd.Series([], dtype=object),
+                             "v3": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["v1", "v2", "v3"]).reset_index(drop=True)
+
+
+ORACLE["event_trigrams"] = """
+    WITH l AS (
+        SELECT user_id, event_type AS v3,
+               LAG(event_type, 1) OVER w AS v2,
+               LAG(event_type, 2) OVER w AS v1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT v1, v2, v3, COUNT(*)::BIGINT AS n
+    FROM l WHERE v1 IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+QUERIES["event_trigrams"] = q_event_trigrams
+
+
+def q_role_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """CONDITIONAL ENTROPY of the role-transition matrix: per previous
+    role, H(next | prev) in bits — the one-number "how degenerate is the
+    dialogue flow" monitor (0 bits = deterministic next role, log2|roles|
+    = uniform). Reuses role_transitions' distributed shape
+    (stages.window.transition_counts, ONE sort exchange, ≤|roles|²
+    partials); the driver folds entropy from EXACT integer counts via
+    H = log2(N) − Σ n·log2(n)/N — the numerically stable form shared
+    with the SQL twin (entropy family precedent, A16)."""
+    from ..stages.window import event_roles, transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _roles(t: pa.Table) -> pa.Table:
+        ev = t["event_type"]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        role = event_roles(ev.to_numpy(zero_copy_only=False))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "role": pa.array(role, pa.string())})
+
+    inner, edge = transition_counts(
+        ds.map_batches(_roles, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "role",
+        prev_name="prev_role", cur_name="role")
+    counts = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        counts = pd.concat([counts, edge.to_pandas()], ignore_index=True)
+    counts["n"] = counts["n"].astype("int64")
+    rows = []
+    for prev, sub in counts.groupby("prev_role", sort=True):
+        cn = sub.groupby("role")["n"].sum().to_numpy(np.int64)
+        total = int(cn.sum())
+        h = float(np.log2(float(total))
+                  - (cn.astype(np.float64) * np.log2(cn.astype(np.float64))
+                     ).sum() / total)
+        rows.append({"prev_role": prev, "n": total,
+                     "h_bits": round(h, 6)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+ORACLE["role_transition_entropy"] = (
+    f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    l AS (
+        SELECT role,
+               LAG(role) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev_role
+        FROM t
+    ),
+    c AS (
+        SELECT prev_role, role, COUNT(*)::BIGINT AS n
+        FROM l WHERE prev_role IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_role, SUM(n)::BIGINT AS total FROM c GROUP BY 1)
+    SELECT c.prev_role, tot.total AS n,
+           ROUND(LOG2(CAST(tot.total AS DOUBLE))
+                 - SUM(CAST(c.n AS DOUBLE) * LOG2(CAST(c.n AS DOUBLE)))
+                   / tot.total, 6) AS h_bits
+    FROM c JOIN tot USING (prev_role)
+    GROUP BY c.prev_role, tot.total ORDER BY c.prev_role
+"""
+)
+QUERIES["role_transition_entropy"] = q_role_transition_entropy
+
+
+def q_k_anonymity_census(sf_dir: str) -> pd.DataFrame:
+    """K-ANONYMITY CENSUS over the (nation, market segment)
+    quasi-identifier on customers — the privacy-validation gate a
+    training-data release pipeline runs before shipping: how many QI
+    equivalence classes exist, how small is the smallest, and how many
+    rows sit in classes below k=5 (re-identifiable under linkage).
+    Distributed shape: ONE skinny (nationkey, mktsegment) count exchange
+    to the QI-class grain (bounded by the QI domain, never by rows); the
+    four-number census folds from that reduced table."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["c_nationkey", "c_mktsegment"], [("one", "sum", "sz")])
+    g = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        g = pd.concat([g, edge.to_pandas()], ignore_index=True)
+    sz = g["sz"].astype("int64")
+    k = 5
+    return pd.DataFrame({
+        "n_groups": pd.Series([len(sz)], dtype="int64"),
+        "min_group_size": pd.Series([int(sz.min())], dtype="int64"),
+        "groups_below_k": pd.Series([int((sz < k).sum())], dtype="int64"),
+        "rows_at_risk": pd.Series([int(sz[sz < k].sum())], dtype="int64"),
+    })
+
+
+ORACLE["k_anonymity_census"] = """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS sz
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           MIN(sz) AS min_group_size,
+           SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS groups_below_k,
+           COALESCE(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0)::BIGINT
+               AS rows_at_risk
+    FROM g
+"""
+QUERIES["k_anonymity_census"] = q_k_anonymity_census
+
+
+def q_l_diversity_census(sf_dir: str) -> pd.DataFrame:
+    """L-DIVERSITY CENSUS — k-anonymity's sibling: within each
+    (orderstatus, order year) quasi-identifier class, how many DISTINCT
+    sensitive values (order priority) appear? A class can be large yet
+    reveal its sensitive attribute if every member shares one value.
+    Distributed shape: ONE (status, year, priority) count exchange to
+    the joint grain (bounded by the attribute domains); the per-class
+    distinct census and the four-number summary fold from that reduced
+    table."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_orderpriority"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))),
+                     pa.int64())
+        return pa.table({"st": t["o_orderstatus"], "yr": yr,
+                         "sv": t["o_orderpriority"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["st", "yr", "sv"], [("one", "sum", "cnt")])
+    d = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        d = pd.concat([d, edge.to_pandas()], ignore_index=True)
+    d["cnt"] = d["cnt"].astype("int64")
+    g = (d.groupby(["st", "yr"]).agg(l=("sv", "size"), sz=("cnt", "sum"))
+         .reset_index())
+    lmin = 3
+    return pd.DataFrame({
+        "n_groups": pd.Series([len(g)], dtype="int64"),
+        "min_l": pd.Series([int(g["l"].min())], dtype="int64"),
+        "groups_below_l": pd.Series([int((g["l"] < lmin).sum())],
+                                    dtype="int64"),
+        "rows_at_risk": pd.Series([int(g.loc[g["l"] < lmin, "sz"].sum())],
+                                  dtype="int64"),
+    })
+
+
+ORACLE["l_diversity_census"] = """
+    WITH d AS (
+        SELECT o_orderstatus AS st, year(o_orderdate) AS yr,
+               o_orderpriority AS sv, COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT st, yr, COUNT(*)::BIGINT AS l, SUM(cnt)::BIGINT AS sz
+        FROM d GROUP BY 1, 2
+    )
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           MIN(l) AS min_l,
+           SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS groups_below_l,
+           COALESCE(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END), 0)::BIGINT
+               AS rows_at_risk
+    FROM g
+"""
+QUERIES["l_diversity_census"] = q_l_diversity_census

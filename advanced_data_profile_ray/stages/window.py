@@ -783,6 +783,112 @@ def pair_gap_stats(ds, part_col: str, order_keys: list, val_col: str,
                                  prev_name, cur_name, ts_col=ts_col)
 
 
+def trigram_counts(ds, part_col: str, order_keys: list, val_col: str,
+                   names: tuple = ("v1", "v2", "v3")):
+    """ORDER-3 SEQUENCE CENSUS: count every CONSECUTIVE value triple
+    within a partition under ``order_keys`` — SQL ``LAG(val, 2)`` +
+    ``LAG(val, 1)`` + ``GROUP BY (v1, v2, v3)``, the sequence-mining
+    extension of transition_counts. Distributed shape: ONE sort by
+    (part, *order_keys); each block reduces its fully-in-block triples
+    to a ≤|domain|³ partial; the boundary stitch generalizes the
+    adjacent-pair scan to depth 2 — each block ships only its first two
+    and last two (key, value) rows, and the driver walks blocks once
+    keeping a 2-row rolling tail, emitting exactly the triples whose
+    3-row span crosses a block boundary (a triple can straddle THREE
+    blocks when a 1-row block sits between two others; the rolling tail
+    handles that case by construction). Partials merge through one
+    skinny sorted_groupby. Returns (inner_ds, edge_table) in
+    sorted_groupby's contract over (*names, n)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    n1, n2, n3 = names
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    base = (s.schema() or ds.schema()).base_schema
+    val_t = base.field(val_col).type
+    part_schema = pa.schema([pa.field(n1, val_t), pa.field(n2, val_t),
+                             pa.field(n3, val_t),
+                             pa.field("n", pa.int64())])
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        vals = block[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        n = block.num_rows
+        head = [(k[i], vals[i].as_py()) for i in range(min(2, n))]
+        tail = [(k[i], vals[i].as_py()) for i in range(max(0, n - 2), n)]
+        info = (head, tail)
+        if n < 3:
+            return part_schema.empty_table(), info
+        same = k[1:] == k[:-1]
+        keep = same[1:] & same[:-1]  # k[i-2]==k[i-1]==k[i] for row i
+        idx = np.nonzero(keep)[0]
+        if idx.size == 0:
+            return part_schema.empty_table(), info
+        g = pa.table({
+            n1: vals.take(pa.array(idx, pa.int64())),
+            n2: vals.take(pa.array(idx + 1, pa.int64())),
+            n3: vals.take(pa.array(idx + 2, pa.int64())),
+        }).group_by([n1, n2, n3], use_threads=False).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    # driver boundary scan: rolling 2-row tail of the concatenated
+    # prefix; a window (tail + head) holds every candidate triple whose
+    # span includes the boundary between prefix and the current block
+    rows1, rows2, rows3 = [], [], []
+    tail: list = []
+    for info in infos:
+        if info is None:
+            continue
+        head, btail = info
+        win = tail + head
+        for j in range(len(win) - 2):
+            # cross-boundary triples only: at least one row from the
+            # tail and one from the head (fully-in-block triples were
+            # counted inside the block)
+            if j < len(tail) and j + 2 >= len(tail):
+                (ka, va), (kb, vb), (kc, vc) = win[j], win[j + 1], win[j + 2]
+                if ka == kb and kb == kc:
+                    rows1.append(va)
+                    rows2.append(vb)
+                    rows3.append(vc)
+        tail = (tail + btail)[-2:] if len(btail) < 2 else btail
+    edge_t = pa.table({n1: pa.array(rows1, val_t),
+                       n2: pa.array(rows2, val_t),
+                       n3: pa.array(rows3, val_t),
+                       "n": pa.array([1] * len(rows1), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(edge_t)])
+    inner, edge_groups = sorted_groupby(partials, [n1, n2, n3],
+                                        [("n", "sum", "n")])
+
+    # zero-triple inputs reduce to COLUMN-LESS empty blocks (empty Arrow
+    # group_by drops key columns), which poison downstream concatenation
+    # — re-pin every block to the typed schema
+    def _pin(tb: pa.Table) -> pa.Table:
+        if tb.num_columns == 0:
+            return part_schema.empty_table()
+        return tb.select(part_schema.names).cast(part_schema)
+
+    # an all-short-runs input also sorts to ZERO blocks (no schema at
+    # all) — the trailing typed-empty union covers that case too
+    return (inner.map_batches(_pin, batch_format="pyarrow")
+            .union(rd.from_arrow(part_schema.empty_table())), edge_groups)
+
+
 def pair_cooccurrence(ds, key_col: str, item_col: str):
     """ITEM CO-OCCURRENCE (market-basket): for every key (order,
     basket, document), emit all unordered pairs of its DISTINCT items

@@ -1288,3 +1288,66 @@ def test_order_conformance_census_conforming_input(ray_session):
     assert pairs == 3
     viol = int(got["viol"].sum()) if "viol" in got.columns and len(got) else 0
     assert viol == 0
+
+
+def test_trigram_counts_cross_block_matches_duckdb(ray_session):
+    """trigram_counts vs the LAG(·,1)/LAG(·,2) twin on a many-tiny-block
+    layout: repartition(40) over 200 rows forces runs to straddle
+    blocks constantly, including 1-row middle blocks (a triple spanning
+    THREE blocks), exercising the depth-2 rolling-tail stitch."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import trigram_counts
+
+    rng = np.random.default_rng(7)
+    n = 200
+    users = np.sort(rng.integers(0, 12, n))  # short and long runs mixed
+    t = pa.table({
+        "u": pa.array(users, pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.choice(["a", "b", "c"], n), pa.string()),
+    })
+    inner, edge = trigram_counts(rd.from_arrow(t).repartition(40),
+                                 "u", ["o"], "v")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = (got.groupby(["v1", "v2", "v3"], as_index=False)["n"].sum()
+           .sort_values(["v1", "v2", "v3"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH l AS (
+            SELECT v AS v3, LAG(v, 1) OVER w AS v2, LAG(v, 2) OVER w AS v1
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY o)
+        )
+        SELECT v1, v2, v3, COUNT(*)::BIGINT AS n
+        FROM l WHERE v1 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df()
+    got["n"] = got["n"].astype("int64")
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_trigram_counts_all_short_runs(ray_session):
+    """Every partition has < 3 rows: zero triples, typed empty result
+    (the zero-triple schema-pinning path)."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import trigram_counts
+
+    t = pa.table({
+        "u": pa.array([0, 0, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array(np.arange(6), pa.int64()),
+        "v": pa.array(list("abcdef"), pa.string()),
+    })
+    inner, edge = trigram_counts(rd.from_arrow(t).repartition(4),
+                                 "u", ["o"], "v")
+    # Ray's to_pandas drops columns on an all-empty dataset; the typed
+    # contract lives in the Dataset schema (callers guard the frame)
+    assert set(inner.schema().names) == {"v1", "v2", "v3", "n"}
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    assert len(got) == 0
