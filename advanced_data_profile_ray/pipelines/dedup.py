@@ -2187,3 +2187,140 @@ def label_propagation_ds(pairs_ds, max_iters: int = 64):
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["id"], "cluster_id": t["label"]}),
         batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 similarity self-join (entity-resolution blocking)
+
+
+def _lev_le1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized ``levenshtein(a, b) <= 1`` over two object string
+    arrays (the verify step of ``edit_distance_pairs_ds``). Equal
+    lengths -> at most one substitution (padded char-matrix mismatch
+    count); lengths differing by one -> the longer string with its
+    first-mismatch position deleted must equal the shorter; any larger
+    length gap -> False. No per-pair Python: both sides become one
+    fixed-width uint32 codepoint matrix and every check is a broadcast
+    compare. Strings must not contain NUL (the pad sentinel)."""
+    n = len(a)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    allv = np.array(list(a) + list(b), dtype="U")
+    w = allv.dtype.itemsize // 4
+    if w == 0:  # every string empty -> all pairs are equal -> lev 0
+        return np.ones(n, dtype=bool)
+    m = allv.view(np.uint32).reshape(2 * n, w)
+    ma, mb = m[:n], m[n:]
+    la = (ma != 0).sum(axis=1)
+    lb = (mb != 0).sum(axis=1)
+
+    eq = la == lb
+    if eq.any():
+        out[eq] = (ma[eq] != mb[eq]).sum(axis=1) <= 1
+
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        xa, xb = ma[d1], mb[d1]
+        swap = (lb[d1] > la[d1])[:, None]
+        mu = np.where(swap, xb, xa)  # the longer of each pair
+        mv = np.where(swap, xa, xb)
+        p = (mu != mv).argmax(axis=1)  # first mismatch (always exists)
+        if w == 1:
+            ok = np.ones(mu.shape[0], dtype=bool)
+        else:
+            cols = np.arange(w - 1)
+            cand = np.where(cols[None, :] < p[:, None], mu[:, :w - 1],
+                            mu[:, 1:])
+            ok = (cand == mv[:, :w - 1]).all(axis=1)
+        out[d1] = ok
+    return out
+
+
+def edit_distance_pairs_ds(ds, id_col: str, text_col: str,
+                           max_bucket: int = 4096,
+                           rows_hint: int | None = None):
+    """EDIT-DISTANCE-1 SIMILARITY SELF-JOIN, exact — the
+    entity-resolution blocking join (fuzzy key matching the reference's
+    profiler cannot express; nearest analog is its domain listing,
+    Profiler.py:634). ``lev(u, v) <= 1`` iff u and v share a key in
+    ``{u} ∪ del1(u)`` (the deletion neighborhood: a substitution at i
+    gives ``del_i(u) == del_i(v)``; an insert/delete makes one string a
+    member of the other's del1 set, matched through the identity key).
+
+    Distributed shape: one explode pass emits O(len) hashed int64 keys
+    per row (hash collisions only ADD candidates — the exact verify
+    removes them, so the result is exact); ``lsh_bucket_pairs_ds``
+    provides the single bucket sort exchange + pair-dedup exchange with
+    candidate pairs never touching the driver; two sorted-merge joins
+    attach the strings; the ``lev<=1`` verify is a vectorized
+    char-matrix compare inside map tasks. No broadcast name map.
+
+    Contract: rows whose string is NULL or shorter than 2 chars are
+    excluded (their del1 neighborhoods degenerate into one giant
+    bucket); buckets larger than ``max_bucket`` are skipped (logged by
+    the pair stage) — size it above the largest real key-collision
+    group when exactness matters.
+
+    Returns a Dataset of (id_a, id_b, name_a, name_b) with
+    ``id_a < id_b``, one row per id pair with ``lev <= 1`` (equal
+    strings under distinct ids count: lev 0 <= 1).
+    """
+    from ..stages.merge_join import sorted_merge_join
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype("string").dropna().astype(str)
+        # map_batches pandas blocks carry a default RangeIndex, so the
+        # surviving labels are positions into the original block
+        ids = df[id_col].to_numpy()[s.index.to_numpy()]
+        keep = (s.str.len() >= 2).to_numpy()
+        s = s[keep].reset_index(drop=True)
+        ids = ids[keep]
+        if not len(s):
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64")})
+        key_parts = [pd.util.hash_pandas_object(s, index=False)
+                     .to_numpy().view(np.int64)]
+        id_parts = [ids]
+        max_len = int(s.str.len().max())
+        for i in range(max_len):
+            m = (s.str.len() > i).to_numpy()
+            if not m.any():
+                break
+            d = s[m].str.slice(0, i) + s[m].str.slice(i + 1)
+            key_parts.append(pd.util.hash_pandas_object(d, index=False)
+                             .to_numpy().view(np.int64))
+            id_parts.append(ids[m])
+        out = pd.DataFrame({"key": np.concatenate(key_parts),
+                            "id": np.concatenate(id_parts).astype(np.int64)})
+        # equal-char runs repeat a deletion key — dedupe (id, key) so
+        # buckets stay tight (self-pairs are dropped downstream anyway)
+        return out.drop_duplicates(ignore_index=True)
+
+    exploded = ds.map_batches(_explode, batch_format="pandas",
+                              batch_size=65536)
+    pairs = lsh_bucket_pairs_ds(exploded, max_bucket=max_bucket)
+
+    def _side(key_name: str, out_name: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            return pa.table({key_name: pc.cast(t[id_col], pa.int64()),
+                             out_name: t[text_col]})
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              batch_size=65536)
+
+    j1 = sorted_merge_join(pairs, _side("__ka", "name_a"), "id_a", "__ka",
+                           ["id_a", "id_b"], ["name_a"],
+                           rows_hint=rows_hint)
+    j2 = sorted_merge_join(j1, _side("__kb", "name_b"), "id_b", "__kb",
+                           ["id_a", "id_b", "name_a"], ["name_b"],
+                           rows_hint=rows_hint)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = np.asarray(t["name_a"].to_pylist(), dtype=object)
+        b = np.asarray(t["name_b"].to_pylist(), dtype=object)
+        return t.filter(pa.array(_lev_le1_mask(a, b)))
+
+    return j2.map_batches(_verify, batch_format="pyarrow",
+                          batch_size=65536)

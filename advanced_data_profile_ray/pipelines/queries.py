@@ -10872,3 +10872,201 @@ ORACLE["l_diversity_census"] = """
     FROM g
 """
 QUERIES["l_diversity_census"] = q_l_diversity_census
+
+
+# ---------------------------------------------------------------------------
+# batch 9: entity resolution + robust trend + corpus keyness
+
+
+def q_customer_name_matches(sf_dir: str) -> pd.DataFrame:
+    """EDIT-DISTANCE-1 SIMILARITY SELF-JOIN on customer names — the
+    entity-resolution fuzzy-match operator (dirty-key detection the
+    reference's exact duplicate flag, Profiler.py:541, cannot see).
+    Exact: deletion-neighborhood blocking (a pair at lev<=1 always
+    shares a hashed deletion key) -> single bucket sort exchange ->
+    pair-dedup exchange -> two sorted-merge joins attach names ->
+    vectorized char-matrix lev<=1 verify in map tasks. Candidate pairs
+    never land on the driver; the oracle twin is the quadratic
+    cross-join DuckDB can afford only at test scale."""
+    from .dedup import edit_distance_pairs_ds
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = edit_distance_pairs_ds(ds, "c_custkey", "c_name",
+                                 rows_hint=int(ds.count())).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a_name": pd.Series([], dtype=object),
+                             "b_name": pd.Series([], dtype=object)})
+    a = out["name_a"].to_numpy(object)
+    b = out["name_b"].to_numpy(object)
+    df = pd.DataFrame({"a_name": np.minimum(a, b),
+                       "b_name": np.maximum(a, b)})
+    # names are unique per customer, so id pairs <-> name pairs are 1:1;
+    # the strict a_name < b_name mirrors the oracle's anti-reflexive join
+    df = df[df["a_name"] != df["b_name"]]
+    return df.sort_values(["a_name", "b_name"]).reset_index(drop=True)
+
+
+ORACLE["customer_name_matches"] = """
+    SELECT a.c_name AS a_name, b.c_name AS b_name
+    FROM customer a, customer b
+    WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY 1, 2
+"""
+QUERIES["customer_name_matches"] = q_customer_name_matches
+
+
+def q_theil_sen_daily(sf_dir: str) -> pd.DataFrame:
+    """THEIL-SEN ROBUST TREND SLOPE per event type over its daily
+    volume series: the median of all pairwise slopes
+    (n_j - n_i) / (day_j - day_i) — the robust (29%-breakdown)
+    complement to Mann-Kendall's direction test (trend_mk_daily):
+    MK says WHETHER volume drifts, Theil-Sen says HOW FAST, immune to
+    outlier days a least-squares fit would chase. Distributed shape:
+    ONE (type, day) count exchange to the bounded census; the O(days^2)
+    slope scan runs on the reduced table. The median interpolation is
+    written as lo + (hi - lo) * 0.5 — DuckDB's quantile_cont expression
+    — so the 6dp-rounded value matches the oracle bit-for-bit."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"event_type": batch["event_type"], "day": day,
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "day"], [("one", "sum", "n")])
+    series = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        series = pd.concat([series, edge.to_pandas()], ignore_index=True)
+    series["n"] = series["n"].astype("int64")
+
+    rows = []
+    for etype, sub in series.groupby("event_type", sort=True):
+        sub = sub.sort_values("day")
+        cn = sub["n"].to_numpy(np.int64)
+        dd = (sub["day"].to_numpy("datetime64[us]").astype("int64")
+              // 86_400_000_000)
+        m = int(cn.size)
+        if m < 2:
+            rows.append({"event_type": etype, "n_days": m, "slope": None})
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        sl = np.sort((cn[ju] - cn[iu]).astype(np.float64)
+                     / (dd[ju] - dd[iu]).astype(np.float64))
+        k = sl.size
+        lo, hi = sl[(k - 1) // 2], sl[k // 2]
+        rows.append({"event_type": etype, "n_days": m,
+                     "slope": round(float(lo + (hi - lo) * 0.5), 6)})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["slope"] = out["slope"].astype("float64")
+    return out
+
+
+ORACLE["theil_sen_daily"] = """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.event_type,
+               CAST(b.n - a.n AS DOUBLE)
+                   / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS sl
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    m AS (SELECT event_type, COUNT(*)::BIGINT AS n_days FROM d GROUP BY 1)
+    SELECT m.event_type, m.n_days,
+           ROUND(q.med, 6) AS slope
+    FROM m LEFT JOIN (SELECT event_type, quantile_cont(sl, 0.5) AS med
+                      FROM p GROUP BY 1) q USING (event_type)
+    ORDER BY 1
+"""
+QUERIES["theil_sen_daily"] = q_theil_sen_daily
+
+
+def q_keyness_by_source(sf_dir: str) -> pd.DataFrame:
+    """DUNNING G² KEYNESS CENSUS: for every (source, token) with a
+    global token count >= 20, the log-likelihood-ratio keyness of that
+    token in the source vs the rest of the corpus — the standard
+    "distinctive vocabulary" statistic of corpus linguistics (what makes
+    source X read differently), sharper than TF-IDF for common words.
+    Distributed shape: per-block (source, token) count partials (same
+    tokenizer as word_freqs: [a-z']+ on lowercased text) -> ONE grouped
+    exchange to the vocab x sources grain; margins, totals and the G²
+    terms finalize from exact integer counts on the reduced census with
+    a single-expression float tree mirrored in the oracle."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z']+")
+        ex = pd.DataFrame({"source": df["source"].to_numpy().repeat(
+            toks.str.len().to_numpy()),
+            "token": np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks]) if len(toks) else
+            np.array([], dtype=object)})
+        g = ex.groupby(["source", "token"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_counts, batch_format="pandas", batch_size=65536),
+        ["source", "token"], [("n", "sum", "n")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    c["n"] = c["n"].astype("int64")
+
+    src_tot = c.groupby("source")["n"].sum()
+    tok_tot = c.groupby("token")["n"].sum()
+    n_tot = int(c["n"].sum())
+    c = c[c["token"].map(tok_tot).ge(20)].copy()
+    a = c["n"].to_numpy(np.float64)
+    ct = c["source"].map(src_tot).to_numpy(np.float64)
+    tt = c["token"].map(tok_tot).to_numpy(np.float64)
+    b = tt - a
+    d = float(n_tot) - ct
+    term1 = a * np.log(a / (ct * tt / float(n_tot)))
+    term2 = np.where(b > 0, b * np.log(
+        np.where(b > 0, b, 1.0) / (d * tt / float(n_tot))), 0.0)
+    c["g2"] = np.round(2.0 * (term1 + term2), 6)
+    c["n"] = c["n"].astype("int64")
+    return (c[["source", "token", "n", "g2"]]
+            .sort_values(["source", "token"]).reset_index(drop=True))
+
+
+ORACLE["keyness_by_source"] = """
+    WITH w AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+        FROM documents
+    ),
+    c AS (SELECT source, token, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+    s AS (SELECT source, SUM(n)::BIGINT AS c_tot FROM c GROUP BY 1),
+    t AS (SELECT token, SUM(n)::BIGINT AS t_tot FROM c GROUP BY 1),
+    g AS (SELECT SUM(n)::BIGINT AS n_tot FROM c)
+    SELECT c.source, c.token, c.n,
+           ROUND(2.0 * (
+               CAST(c.n AS DOUBLE) * ln(CAST(c.n AS DOUBLE)
+                   / (CAST(s.c_tot AS DOUBLE) * CAST(t.t_tot AS DOUBLE)
+                      / CAST(g.n_tot AS DOUBLE)))
+             + CASE WHEN t.t_tot - c.n > 0 THEN
+                   CAST(t.t_tot - c.n AS DOUBLE)
+                   * ln(CAST(t.t_tot - c.n AS DOUBLE)
+                        / ((CAST(g.n_tot AS DOUBLE) - CAST(s.c_tot AS DOUBLE))
+                           * CAST(t.t_tot AS DOUBLE)
+                           / CAST(g.n_tot AS DOUBLE)))
+               ELSE 0.0 END), 6) AS g2
+    FROM c JOIN s USING (source) JOIN t USING (token) CROSS JOIN g
+    WHERE t.t_tot >= 20
+    ORDER BY 1, 2
+"""
+QUERIES["keyness_by_source"] = q_keyness_by_source

@@ -744,3 +744,73 @@ def test_label_propagation_hub_star_graph(ray_session):
         lp.astype("int64"),
         uf.astype("int64").sort_values("doc_id").reset_index(drop=True))
     assert (lp["cluster_id"] == 0).all()
+
+
+def test_lev_le1_mask_fuzz():
+    """Vectorized lev<=1 verify vs a brute-force DP over random short
+    strings (covers substitution, insert/delete, equal, gap>=2, empty)."""
+    import random
+
+    from advanced_data_profile_ray.pipelines.dedup import _lev_le1_mask
+
+    def lev(u, v):
+        d = list(range(len(v) + 1))
+        for i in range(1, len(u) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(v) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (u[i - 1] != v[j - 1]))
+                prev = cur
+        return d[len(v)]
+
+    rng = random.Random(7)
+    a = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+         for _ in range(3000)]
+    b = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+         for _ in range(3000)]
+    got = _lev_le1_mask(np.array(a, dtype=object), np.array(b, dtype=object))
+    exp = np.array([lev(u, v) <= 1 for u, v in zip(a, b)])
+    assert (got == exp).all()
+
+
+def test_edit_distance_pairs_exact(ray_session):
+    """edit_distance_pairs_ds vs the quadratic brute force on a corpus
+    with planted substitution / insertion / deletion neighbors spread
+    over several blocks (cross-block buckets exercised)."""
+    import itertools
+
+    import ray.data as rd
+
+    from advanced_data_profile_ray.pipelines.dedup import (
+        _lev_le1_mask, edit_distance_pairs_ds)
+
+    names = (["node-%03d" % i for i in range(40)]
+             + ["node-0%02d" % i for i in range(10)]     # deletion pairs
+             + ["mode-%03d" % i for i in range(10)]      # substitution
+             + ["node-%03dx" % i for i in range(10)]     # insertion
+             + ["zz", "zzz", "zzzz", "a" * 30])
+    ids = list(range(len(names)))
+    ds = rd.from_pandas(pd.DataFrame({"id": ids, "name": names})).repartition(6)
+    out = edit_distance_pairs_ds(ds, "id", "name").to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+
+    def lev(u, v):
+        d = list(range(len(v) + 1))
+        for i in range(1, len(u) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(v) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (u[i - 1] != v[j - 1]))
+                prev = cur
+        return d[len(v)]
+
+    exp = {(i, j) for i, j in itertools.combinations(ids, 2)
+           if lev(names[i], names[j]) <= 1}
+    assert got == exp and len(exp) > 50
+    # verified payload carries the right strings
+    by_pair = {(r.id_a, r.id_b): (r.name_a, r.name_b)
+               for r in out.itertuples()}
+    for (i, j), (na, nb) in by_pair.items():
+        assert (na, nb) == (names[i], names[j])
