@@ -11070,3 +11070,186 @@ ORACLE["keyness_by_source"] = """
     ORDER BY 1, 2
 """
 QUERIES["keyness_by_source"] = q_keyness_by_source
+
+
+# ---------------------------------------------------------------------------
+# batch 10: SCD2 islands + corpus overlap + cluster-size census
+
+
+def q_user_type_intervals(sf_dir: str) -> pd.DataFrame:
+    """SCD2 / GAPS-AND-ISLANDS interval build: each user's event stream
+    collapsed into maximal runs of consecutive equal event_type, one row
+    per island with its validity interval — the slowly-changing-dimension
+    reconstruction every warehouse pipeline needs (and the LAG
+    change-flag + windowed SUM + GROUP BY twin in SQL).
+    stages.window.value_islands: ONE sort exchange, interior islands
+    finalize in block tasks, O(blocks) boundary fragments carry-merged on
+    the driver — island and partition sizes never bound driver memory."""
+    from ..stages.window import value_islands
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    out = value_islands(ds, "user_id", "ts", "event_id",
+                        "event_type").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "start_ts": pd.Series([], dtype="datetime64[us]"),
+            "end_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64")})
+    out["start_ts"] = out.pop("start_us").astype("datetime64[us]")
+    out["end_ts"] = out.pop("end_us").astype("datetime64[us]")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["user_id", "event_type", "start_ts", "end_ts", "n_events"]]
+            .sort_values(["user_id", "start_ts"]).reset_index(drop=True))
+
+
+ORACLE["user_type_intervals"] = """
+    WITH t AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = LAG(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    i AS (
+        SELECT user_id, ts, event_type,
+               SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS isl
+        FROM t
+    )
+    SELECT user_id, MIN(event_type) AS event_type,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           COUNT(*)::BIGINT AS n_events
+    FROM i GROUP BY user_id, isl
+    ORDER BY user_id, start_ts
+"""
+QUERIES["user_type_intervals"] = q_user_type_intervals
+
+
+def q_source_token_overlap(sf_dir: str) -> pd.DataFrame:
+    """PAIRWISE CORPUS OVERLAP MATRIX: exact Jaccard similarity between
+    every two sources' distinct token vocabularies — the
+    provenance-redundancy diagnostic before mixing corpora (two sources
+    with jaccard ~1 contribute one voice twice). Distributed shape:
+    per-block (source, token) distinct partials -> ONE grouped exchange
+    to the bounded vocab x sources census; the |sources|² pair scan runs
+    on the reduced table (set algebra over dictionary-sized domains,
+    never the text)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z']+")
+        ex = pd.DataFrame({
+            "source": df["source"].to_numpy().repeat(
+                toks.str.len().to_numpy()),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            if len(toks) else np.array([], dtype=object)})
+        out = ex.drop_duplicates(ignore_index=True)
+        out["one"] = np.ones(len(out), dtype=np.int64)
+        return out
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_distinct, batch_format="pandas", batch_size=65536),
+        ["source", "token"], [("one", "sum", "n")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+
+    sets = {s: set(g["token"]) for s, g in c.groupby("source")}
+    rows = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            union = len(sets[a]) + len(sets[b]) - inter
+            rows.append({"a_source": a, "b_source": b,
+                         "n_inter": inter, "n_union": union,
+                         "jaccard": round(float(inter) / float(union), 6)})
+    out = pd.DataFrame(rows)
+    out["n_inter"] = out["n_inter"].astype("int64")
+    out["n_union"] = out["n_union"].astype("int64")
+    return out
+
+
+ORACLE["source_token_overlap"] = """
+    WITH w AS (
+        SELECT DISTINCT source,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+        FROM documents
+    ),
+    s AS (SELECT source, COUNT(*)::BIGINT AS n FROM w GROUP BY 1),
+    i AS (
+        SELECT a.source AS sa, b.source AS sb, COUNT(*)::BIGINT AS inter
+        FROM w a JOIN w b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa AS a_source, sb AS b_source, i.inter AS n_inter,
+           (x.n + y.n - i.inter) AS n_union,
+           ROUND(CAST(i.inter AS DOUBLE)
+                 / CAST(x.n + y.n - i.inter AS DOUBLE), 6) AS jaccard
+    FROM i JOIN s x ON x.source = i.sa JOIN s y ON y.source = i.sb
+    ORDER BY 1, 2
+"""
+QUERIES["source_token_overlap"] = q_source_token_overlap
+
+
+def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """NEAR-DUP CLUSTER-SIZE CENSUS: the distribution of duplicate-
+    cluster sizes from the verified rare-word-Jaccard clustering — the
+    one-glance dedup health metric (a few huge clusters = template spam;
+    many pairs = crawl echo). Reuses the q_dedup_clusters composition;
+    the census folds from the (doc, cluster) labeling, bounded by
+    cluster count."""
+    cl = q_dedup_clusters(sf_dir)
+    if cl.empty:
+        return pd.DataFrame({"cluster_size": pd.Series([], dtype="int64"),
+                             "n_clusters": pd.Series([], dtype="int64")})
+    sizes = cl.groupby("cluster_id").size()
+    census = sizes.value_counts().sort_index()
+    return pd.DataFrame({"cluster_size": census.index.astype("int64"),
+                         "n_clusters": census.to_numpy(np.int64)})
+
+
+ORACLE["dedup_cluster_sizes"] = """
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 64),
+    rw AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rw GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM rw a JOIN rw b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    cs AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+           FROM lab GROUP BY 1)
+    SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+    FROM cs GROUP BY 1 ORDER BY 1
+"""
+QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes

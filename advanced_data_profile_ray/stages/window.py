@@ -2407,3 +2407,123 @@ def sessionize_events(ds):
     offsets = _carry_offsets(infos)
     out_refs = [_number_and_shape.remote(r, off) for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def value_islands(ds, part_col: str, ts_col: str, order_col: str,
+                  val_col: str):
+    """GAPS-AND-ISLANDS / SCD2 interval build: collapse each partition's
+    ordered event stream into maximal runs of consecutive equal
+    ``val_col`` (islands), one output row per island —
+    (part, val, start_us, end_us, n_events) with the timestamps as
+    int64 epoch-µs. The SQL twin is the classic LAG change-flag +
+    windowed SUM island id + GROUP BY.
+
+    Distributed shape: ONE sort by (part, ts, order); every island
+    interior to a sorted block finalizes inside the block task; each
+    block ships at most TWO tiny boundary fragments and the driver
+    carry-merges them in block order — O(blocks) driver traffic,
+    independent of partition or island sizes (same discipline as
+    ``_partition_run_reduce``, but runs break on part OR value change
+    and the island's value rides the fragment).
+
+    ``val_col`` must be non-null: SQL's ``val = LAG(val)`` treats NULL
+    as never-equal, so map nulls to a sentinel upstream to keep the twin
+    exact."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = ds.count()  # metadata-only on a raw read
+    except Exception:
+        rows = None
+    sel = [part_col, ts_col, order_col, val_col]
+    # projection via a pyarrow map (zero-copy) rather than select_columns:
+    # pandas-block inputs (rd.from_pandas) would otherwise surface a
+    # PandasBlockSchema with no Arrow field types below
+    proj = ds.map_batches(lambda t: t.select(sel), batch_format="pyarrow",
+                          batch_size=None)
+    s = rightsize_blocks(proj, rows=rows).sort(
+        [part_col, ts_col, order_col]).materialize()
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
+    val_t = sch.base_schema.field(val_col).type if sch else pa.string()
+    out_schema = pa.schema([(part_col, part_t), (val_col, val_t),
+                            ("start_us", pa.int64()), ("end_us", pa.int64()),
+                            ("n_events", pa.int64())])
+    if not refs or sch is None:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _table(rows_):
+        return pa.table({
+            part_col: pa.array([r[0] for r in rows_], part_t),
+            val_col: pa.array([r[1] for r in rows_], val_t),
+            "start_us": pa.array([r[2] for r in rows_], pa.int64()),
+            "end_us": pa.array([r[3] for r in rows_], pa.int64()),
+            "n_events": pa.array([r[4] for r in rows_], pa.int64()),
+        })
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), []
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        n = k.size
+        # island boundaries: part OR value changes along the sorted order
+        chg = np.flatnonzero((k[1:] != k[:-1]) | (v[1:] != v[:-1])) + 1
+        starts = np.concatenate(([0], chg, [n]))
+        n_runs = starts.size - 1
+        # interior islands (never touch a block edge) finalize here —
+        # build the columns vectorized, not via per-run Python rows
+        if n_runs > 2:
+            a = starts[1:-2]
+            b = starts[2:-1]
+            inner = pa.table({
+                part_col: pa.array(k[a], part_t),
+                val_col: pa.array(v[a], val_t),
+                "start_us": pa.array(ts[a], pa.int64()),
+                "end_us": pa.array(ts[b - 1], pa.int64()),
+                "n_events": pa.array((b - a).astype(np.int64), pa.int64()),
+            })
+        else:
+            inner = out_schema.empty_table()
+        frags = []
+        edge_runs = [(0, 2)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
+        for r, pos in edge_runs:
+            a, b = int(starts[r]), int(starts[r + 1])
+            frags.append((pos,
+                          k[a].item() if hasattr(k[a], "item") else k[a],
+                          v[a].item() if hasattr(v[a], "item") else v[a],
+                          int(ts[a]), int(ts[b - 1]), b - a))
+        return inner, frags
+
+    results = [_block.remote(r) for r in refs]
+    frag_lists = ray.get([r[1] for r in results])
+
+    finals = []
+    carry = None  # (part, val, start_us, end_us, n)
+
+    def _close(c):
+        if c is not None:
+            finals.append(c)
+
+    for frags in frag_lists:
+        for pos, part, val, fts, lts, cnt in frags:
+            if carry is not None and carry[0] == part and carry[1] == val:
+                merged = (part, val, carry[2], lts, carry[4] + cnt)
+            else:
+                _close(carry)
+                merged = (part, val, fts, lts, cnt)
+            if pos == 0:  # completes inside this block
+                _close(merged)
+                carry = None
+            else:  # pos 1 or 2: may continue into the next block
+                carry = merged
+    _close(carry)
+    return rd.from_arrow_refs([r[0] for r in results]
+                              + [ray.put(_table(finals))])

@@ -1351,3 +1351,45 @@ def test_trigram_counts_all_short_runs(ray_session):
     if edge is not None and edge.num_rows:
         got = pd.concat([got, edge.to_pandas()], ignore_index=True)
     assert len(got) == 0
+
+
+def test_value_islands_cross_block_stitch(ray_session):
+    """An island spanning THREE sorted blocks (middle block is a single
+    run) must stitch into one interval; interiors, block-edge merges and
+    the no-merge value change are all checked against a pandas oracle."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import value_islands
+
+    # user 1: A A A | A A | A B B  -> island A x5? no: 3+2+1=6 A then 2 B
+    # user 2 starts mid-block to exercise the part-change close
+    rows = []
+    seq = ([(1, "A")] * 6 + [(1, "B")] * 2 + [(2, "B")] * 3
+           + [(2, "A")] * 1 + [(2, "A")] * 2)
+    for i, (u, v) in enumerate(seq):
+        rows.append({"user_id": u, "ts": np.datetime64(1_000_000 * i, "us"),
+                     "event_id": i, "event_type": v})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(5)
+    got = (value_islands(ds, "user_id", "ts", "event_id", "event_type")
+           .to_pandas().sort_values(["user_id", "start_us"])
+           .reset_index(drop=True))
+
+    # pandas oracle: LAG change flag + cumsum island id
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    brk = ((df["user_id"] != df["user_id"].shift())
+           | (df["event_type"] != df["event_type"].shift())).cumsum()
+    exp = (df.assign(isl=brk,
+                     us=df["ts"].astype("datetime64[us]").astype("int64"))
+           .groupby(["user_id", "isl"])
+           .agg(event_type=("event_type", "first"), start_us=("us", "min"),
+                end_us=("us", "max"), n_events=("us", "size"))
+           .reset_index().drop(columns="isl")
+           .sort_values(["user_id", "start_us"]).reset_index(drop=True))
+    exp["n_events"] = exp["n_events"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_type", "start_us", "end_us", "n_events"]],
+        exp[["user_id", "event_type", "start_us", "end_us", "n_events"]])
+    # the 6-row A island must be ONE stitched row
+    assert ((got["user_id"] == 1) & (got["event_type"] == "A")
+            & (got["n_events"] == 6)).sum() == 1
