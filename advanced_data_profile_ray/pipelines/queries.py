@@ -11253,3 +11253,174 @@ ORACLE["dedup_cluster_sizes"] = """
     FROM cs GROUP BY 1 ORDER BY 1
 """
 QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+
+
+# ---------------------------------------------------------------------------
+# batch 11: session-level analytics + RFM segmentation
+
+
+def q_session_landing(sf_dir: str) -> pd.DataFrame:
+    """SESSION LANDING / BOUNCE CENSUS: per landing event type (the
+    first event of each 30-minute-gap session), how many sessions start
+    there and what fraction end immediately (n_events == 1) — the
+    product-analytics staple bounce rate, here as a validation signal
+    (a spiking bounce rate on one entry point flags broken data or a
+    broken flow). stages.window.session_intervals: ONE sort exchange,
+    per-session rows finalize in block tasks with the landing value
+    carried through O(blocks) boundary fragments; the census folds from
+    per-block partials over the bounded landing-type domain."""
+    from ..stages.window import session_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    sess = session_intervals(ds, "user_id", "ts", "event_id",
+                             "event_type", gap_us=1_800_000_000)
+
+    def _census(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.equal(t["n_events"], 1), pa.int64())
+        tt = pa.table({"landing": t["landing"], "b": b})
+        g = tt.group_by(["landing"], use_threads=False).aggregate(
+            [("b", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"b_sum": "nb", "count_all": "ns"}.get(c, c)
+             for c in g.column_names])
+
+    parts = sess.map_batches(_census, batch_format="pyarrow",
+                             batch_size=131072).to_pandas()
+    out = (parts.groupby("landing", as_index=False)[["ns", "nb"]].sum()
+           .sort_values("landing").reset_index(drop=True))
+    out["n_sessions"] = out["ns"].astype("int64")
+    out["n_bounces"] = out["nb"].astype("int64")
+    out["bounce_rate"] = np.round(
+        out["n_bounces"].to_numpy(np.float64)
+        / out["n_sessions"].to_numpy(np.float64), 6)
+    return (out.rename(columns={"landing": "landing_type"})
+            [["landing_type", "n_sessions", "n_bounces", "bounce_rate"]])
+
+
+ORACLE["session_landing"] = """
+    WITH t AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        <= 1800000000
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sid
+        FROM t
+    ),
+    f AS (
+        SELECT user_id, sid, event_type,
+               FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id)
+                   AS landing
+        FROM s
+    ),
+    g AS (SELECT user_id, sid, MIN(landing) AS landing,
+                 COUNT(*)::BIGINT AS n
+          FROM f GROUP BY 1, 2)
+    SELECT landing AS landing_type, COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM g GROUP BY 1 ORDER BY 1
+"""
+QUERIES["session_landing"] = q_session_landing
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM SEGMENTATION CENSUS (recency / frequency / monetary): each
+    user's last-activity timestamp, event count and exact-cent spend are
+    quintile-ranked globally and the 5×5×5 segment census reported —
+    the classic CRM cohort cut. Distributed shape: ONE user-grain
+    exchange reduces the stream to per-user aggregates; THREE global
+    sorts via row_number_within's constant-partition carry chain rank
+    the reduced table (never the driver — the ltv_deciles precedent);
+    quintile labels are the EXACT integer formula ((rn−1)·5)//n under
+    deterministic (metric, user_id) tie order, so placement is
+    bit-identical to the ROW_NUMBER twin (NTILE deliberately avoided)."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(t["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "last_us": us, "one": pa.array(
+                             np.ones(t.num_rows, np.int64)),
+                         "cents": cents})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id"],
+        [("last_us", "max", "last_us"), ("one", "sum", "n"),
+         ("cents", "sum", "cents")])
+    users = inner
+    if edge is not None and edge.num_rows:
+        users = users.union(rd.from_arrow(edge))
+
+    def _const(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows,
+                                                      np.int64)))
+
+    ranked = users.map_batches(_const, batch_format="pyarrow",
+                               batch_size=131072)
+    ranked = row_number_within(ranked, "g", ["last_us", "user_id"],
+                               out_col="r_rn", start=1)
+    ranked = row_number_within(ranked, "g", ["n", "user_id"],
+                               out_col="f_rn", start=1)
+    ranked = row_number_within(ranked, "g", ["cents", "user_id"],
+                               out_col="m_rn", start=1)
+    nu = ranked.count()
+
+    def _census(t: pa.Table) -> pa.Table:
+        cols = {}
+        for q, rn in (("r_q", "r_rn"), ("f_q", "f_rn"), ("m_q", "m_rn")):
+            cols[q] = pc.divide(pc.multiply(pc.subtract(t[rn], 1), 5),
+                                pa.scalar(nu, pa.int64()))
+        g = pa.table(cols).group_by(["r_q", "f_q", "m_q"],
+                                    use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ranked.map_batches(_census, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+    out = (parts.groupby(["r_q", "f_q", "m_q"], as_index=False)["n"].sum()
+           .sort_values(["r_q", "f_q", "m_q"]).reset_index(drop=True))
+    out = out.rename(columns={"n": "n_users"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["rfm_segments"] = """
+    WITH u AS (
+        SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY last_us, user_id) AS r_rn,
+               ROW_NUMBER() OVER (ORDER BY n, user_id) AS f_rn,
+               ROW_NUMBER() OVER (ORDER BY cents, user_id) AS m_rn,
+               COUNT(*) OVER () AS nu
+        FROM u
+    )
+    SELECT CAST(((r_rn - 1) * 5) // nu AS BIGINT) AS r_q,
+           CAST(((f_rn - 1) * 5) // nu AS BIGINT) AS f_q,
+           CAST(((m_rn - 1) * 5) // nu AS BIGINT) AS m_q,
+           COUNT(*)::BIGINT AS n_users
+    FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+QUERIES["rfm_segments"] = q_rfm_segments

@@ -2527,3 +2527,113 @@ def value_islands(ds, part_col: str, ts_col: str, order_col: str,
     _close(carry)
     return rd.from_arrow_refs([r[0] for r in results]
                               + [ray.put(_table(finals))])
+
+
+def session_intervals(ds, part_col: str, ts_col: str, order_col: str,
+                      val_col: str, gap_us: int):
+    """PER-SESSION INTERVAL ROWS with the session's first (landing)
+    value: sessions break on partition change OR an inter-event gap
+    greater than ``gap_us`` under (ts, order) ordering. One output row
+    per session — (part, landing, start_us, end_us, n_events) — the
+    row-level companion to ``sessionize`` (which only returns per-part
+    counts) and the substrate for bounce/landing analytics.
+
+    Same distributed shape as ``value_islands``: ONE sort, interior
+    sessions finalize in block tasks, ≤2 boundary fragments per block
+    carry-merged on the driver in block order; the cross-block merge
+    re-applies the gap rule to the boundary timestamps, so a session
+    spanning any number of blocks stitches exactly."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import rightsize_blocks
+
+    try:
+        rows = ds.count()
+    except Exception:
+        rows = None
+    sel = [part_col, ts_col, order_col, val_col]
+    proj = ds.map_batches(lambda t: t.select(sel), batch_format="pyarrow",
+                          batch_size=None)
+    s = rightsize_blocks(proj, rows=rows).sort(
+        [part_col, ts_col, order_col]).materialize()
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
+    val_t = sch.base_schema.field(val_col).type if sch else pa.string()
+    out_schema = pa.schema([(part_col, part_t), ("landing", val_t),
+                            ("start_us", pa.int64()), ("end_us", pa.int64()),
+                            ("n_events", pa.int64())])
+    if not refs or sch is None:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _table(rows_):
+        return pa.table({
+            part_col: pa.array([r[0] for r in rows_], part_t),
+            "landing": pa.array([r[1] for r in rows_], val_t),
+            "start_us": pa.array([r[2] for r in rows_], pa.int64()),
+            "end_us": pa.array([r[3] for r in rows_], pa.int64()),
+            "n_events": pa.array([r[4] for r in rows_], pa.int64()),
+        })
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return out_schema.empty_table(), []
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col].to_numpy(zero_copy_only=False)
+        ts = block[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        n = k.size
+        chg = np.flatnonzero((k[1:] != k[:-1])
+                             | ((ts[1:] - ts[:-1]) > gap_us)) + 1
+        starts = np.concatenate(([0], chg, [n]))
+        n_runs = starts.size - 1
+        if n_runs > 2:
+            a = starts[1:-2]
+            b = starts[2:-1]
+            inner = pa.table({
+                part_col: pa.array(k[a], part_t),
+                "landing": pa.array(v[a], val_t),
+                "start_us": pa.array(ts[a], pa.int64()),
+                "end_us": pa.array(ts[b - 1], pa.int64()),
+                "n_events": pa.array((b - a).astype(np.int64), pa.int64()),
+            })
+        else:
+            inner = out_schema.empty_table()
+        frags = []
+        edge_runs = [(0, 2)] if n_runs == 1 else [(0, 0), (n_runs - 1, 1)]
+        for r, pos in edge_runs:
+            a, b = int(starts[r]), int(starts[r + 1])
+            frags.append((pos,
+                          k[a].item() if hasattr(k[a], "item") else k[a],
+                          v[a].item() if hasattr(v[a], "item") else v[a],
+                          int(ts[a]), int(ts[b - 1]), b - a))
+        return inner, frags
+
+    results = [_block.remote(r) for r in refs]
+    frag_lists = ray.get([r[1] for r in results])
+
+    finals = []
+    carry = None  # (part, landing, start_us, end_us, n)
+
+    def _close(c):
+        if c is not None:
+            finals.append(c)
+
+    for frags in frag_lists:
+        for pos, part, val, fts, lts, cnt in frags:
+            if (carry is not None and carry[0] == part
+                    and fts - carry[3] <= gap_us):
+                merged = (part, carry[1], carry[2], lts, carry[4] + cnt)
+            else:
+                _close(carry)
+                merged = (part, val, fts, lts, cnt)
+            if pos == 0:
+                _close(merged)
+                carry = None
+            else:
+                carry = merged
+    _close(carry)
+    return rd.from_arrow_refs([r[0] for r in results]
+                              + [ray.put(_table(finals))])

@@ -1393,3 +1393,51 @@ def test_value_islands_cross_block_stitch(ray_session):
     # the 6-row A island must be ONE stitched row
     assert ((got["user_id"] == 1) & (got["event_type"] == "A")
             & (got["n_events"] == 6)).sum() == 1
+
+
+def test_session_intervals_cross_block_landing_carry(ray_session):
+    """A session spanning several sorted blocks must stitch into one row
+    that keeps the FIRST block's landing value; a boundary gap larger
+    than gap_us must NOT merge. Pandas LAG-flag oracle."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import session_intervals
+
+    gap = 1_000_000  # 1s
+    rows = []
+    t = 0
+    # user 1: 7 events 0.5s apart (one session, landing "A"), then a 5s
+    # gap, then 2 events (second session, landing "C")
+    seq = [("A", 0), ("B", 500_000), ("B", 500_000), ("B", 500_000),
+           ("B", 500_000), ("B", 500_000), ("B", 500_000),
+           ("C", 5_000_000), ("A", 500_000)]
+    for i, (v, dt) in enumerate(seq):
+        t += dt
+        rows.append({"user_id": 1, "ts": np.datetime64(t, "us"),
+                     "event_id": i, "event_type": v})
+    # user 2: single event right at the end
+    rows.append({"user_id": 2, "ts": np.datetime64(0, "us"),
+                 "event_id": 99, "event_type": "Z"})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(6)
+    got = (session_intervals(ds, "user_id", "ts", "event_id",
+                             "event_type", gap_us=gap)
+           .to_pandas().sort_values(["user_id", "start_us"])
+           .reset_index(drop=True))
+
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    brk = ((df["user_id"] != df["user_id"].shift())
+           | ((us - us.shift()) > gap)).cumsum()
+    exp = (df.assign(sid=brk, us=us)
+           .groupby(["user_id", "sid"])
+           .agg(landing=("event_type", "first"), start_us=("us", "min"),
+                end_us=("us", "max"), n_events=("us", "size"))
+           .reset_index().drop(columns="sid")
+           .sort_values(["user_id", "start_us"]).reset_index(drop=True))
+    exp["n_events"] = exp["n_events"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["user_id", "landing", "start_us", "end_us", "n_events"]],
+        exp[["user_id", "landing", "start_us", "end_us", "n_events"]])
+    assert ((got["user_id"] == 1) & (got["landing"] == "A")
+            & (got["n_events"] == 7)).sum() == 1
