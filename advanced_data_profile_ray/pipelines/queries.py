@@ -11424,3 +11424,85 @@ ORACLE["rfm_segments"] = """
     FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 QUERIES["rfm_segments"] = q_rfm_segments
+
+
+def q_type_cosine_similarity(sf_dir: str) -> pd.DataFrame:
+    """ITEM-ITEM COLLABORATIVE-FILTERING SIMILARITY: cosine between
+    event types over their user-count vectors ("users who do A also do
+    B") — the classic recommender similarity, computed EXACTLY: integer
+    dot products and sums of squares, one float division at the end.
+    Distributed shape: one (user, type) count exchange reduces the
+    stream; stages.window.weighted_pair_dot expands per-user pair
+    products in block tasks (ONE more sort exchange, O(blocks) fragment
+    stitch) and merges partial dots; per-type Σn² folds from per-block
+    partials over the bounded type domain."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import weighted_pair_dot
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id", "event_type"], [("one", "sum", "n")])
+    census = inner
+    if edge is not None and edge.num_rows:
+        census = census.union(rd.from_arrow(edge))
+    census = census.materialize()
+
+    # per-type sum of squared user-counts (bounded |types| partials)
+    def _ss(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        tt = pa.table({"event_type": t["event_type"],
+                       "sq": pc.multiply(n, n)})
+        g = tt.group_by(["event_type"], use_threads=False).aggregate(
+            [("sq", "sum")])
+        return g.rename_columns(
+            [{"sq_sum": "ss"}.get(c, c) for c in g.column_names])
+
+    ss = (census.map_batches(_ss, batch_format="pyarrow",
+                             batch_size=131072).to_pandas()
+          .groupby("event_type")["ss"].sum())
+
+    d_inner, d_edge = weighted_pair_dot(census, "user_id", "event_type",
+                                        "n")
+    dots = d_inner.to_pandas()
+    if d_edge is not None and d_edge.num_rows:
+        dots = pd.concat([dots, d_edge.to_pandas()], ignore_index=True)
+    dots["dot"] = dots["dot"].astype("int64")
+    ssa = dots["item_a"].map(ss).to_numpy(np.float64)
+    ssb = dots["item_b"].map(ss).to_numpy(np.float64)
+    dots["cosine"] = np.round(
+        dots["dot"].to_numpy(np.float64) / np.sqrt(ssa * ssb), 6)
+    out = dots.rename(columns={"item_a": "a_type", "item_b": "b_type"})
+    return (out[["a_type", "b_type", "dot", "cosine"]]
+            .sort_values(["a_type", "b_type"]).reset_index(drop=True))
+
+
+ORACLE["type_cosine_similarity"] = """
+    WITH m AS (
+        SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               SUM(a.n * b.n)::BIGINT AS dot
+        FROM m a JOIN m b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    s AS (SELECT event_type, SUM(n * n)::BIGINT AS ss FROM m GROUP BY 1)
+    SELECT ta AS a_type, tb AS b_type, p.dot,
+           ROUND(CAST(p.dot AS DOUBLE)
+                 / sqrt(CAST(x.ss AS DOUBLE) * CAST(y.ss AS DOUBLE)), 6)
+               AS cosine
+    FROM p JOIN s x ON x.event_type = ta JOIN s y ON y.event_type = tb
+    ORDER BY 1, 2
+"""
+QUERIES["type_cosine_similarity"] = q_type_cosine_similarity

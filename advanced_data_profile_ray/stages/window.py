@@ -2637,3 +2637,100 @@ def session_intervals(ds, part_col: str, ts_col: str, order_col: str,
     _close(carry)
     return rd.from_arrow_refs([r[0] for r in results]
                               + [ray.put(_table(finals))])
+
+
+def weighted_pair_dot(ds, key_col: str, item_col: str, w_col: str):
+    """WEIGHTED ITEM-PAIR DOT PRODUCTS (item-item collaborative
+    filtering): input rows (key, item, w) with one row per (key, item);
+    for every unordered item pair, Σ over keys of w_a · w_b — the exact
+    integer dot product between the items' key-indexed count vectors
+    (cosine/Jaccard numerators). ``pair_cooccurrence`` is the unweighted
+    special case; same distributed shape: ONE sort by (key, item),
+    in-run pairs expand vectorized per block (item_a < item_b free from
+    the sort), straddling keys ship ≤B tiny (items, weights) fragments
+    to an O(blocks) driver cross-pair scan, one skinny sorted_groupby
+    merges the partial dots. Returns (inner_ds, edge_table) over
+    (item_a, item_b, dot) in sorted_groupby's contract. Weights must be
+    int64 (exactness contract)."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = (ds.map_batches(
+        lambda t: t.select([key_col, item_col, w_col]),
+        batch_format="pyarrow", batch_size=None)
+        .sort([key_col, item_col]).materialize())
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    item_t = sch.base_schema.field(item_col).type if sch else pa.int64()
+    part_schema = pa.schema([("item_a", item_t), ("item_b", item_t),
+                             ("dot", pa.int64())])
+    if not refs or sch is None:
+        return rd.from_arrow(part_schema.empty_table()), None
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[key_col].to_numpy(zero_copy_only=False)
+        v = block[item_col].to_numpy(zero_copy_only=False)
+        w = block[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, widths = _run_bounds(k)
+        pas, pbs, pds = [], [], []
+        for width in np.unique(widths):
+            if width < 2:
+                continue
+            sel = starts[widths == width]
+            idx = sel[:, None] + np.arange(width)[None, :]
+            mi = v[idx]
+            mw = w[idx]
+            iu, ju = np.triu_indices(int(width), 1)
+            pas.append(mi[:, iu].ravel())
+            pbs.append(mi[:, ju].ravel())
+            pds.append((mw[:, iu] * mw[:, ju]).ravel())
+        first_w = int(widths[0])
+        last_s, last_w = int(starts[-1]), int(widths[-1])
+        info = (k[0], v[:first_w].tolist(), w[:first_w].tolist(),
+                k[-1], v[last_s:last_s + last_w].tolist(),
+                w[last_s:last_s + last_w].tolist())
+        if not pas:
+            return part_schema.empty_table(), info
+        t = pa.table({"item_a": pa.array(np.concatenate(pas), item_t),
+                      "item_b": pa.array(np.concatenate(pbs), item_t),
+                      "dot": pa.array(np.concatenate(pds), pa.int64())})
+        g = t.group_by(["item_a", "item_b"],
+                       use_threads=False).aggregate([("dot", "sum")])
+        g = g.rename_columns(
+            [{"dot_sum": "dot"}.get(c, c) for c in g.column_names]
+        ).select(part_schema.names)
+        return g.cast(part_schema), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    pas_e, pbs_e, pds_e = [], [], []
+    last_key, p_items, p_ws = object(), [], []
+    for info in infos:
+        if info is None:
+            continue
+        fk, fi, fw, lk, li, lw = info
+        if fk == last_key and p_items:
+            # sorted order across fragments: prefix items < fragment items
+            for a, wa in zip(p_items, p_ws):
+                pas_e.extend([a] * len(fi))
+                pbs_e.extend(fi)
+                pds_e.extend(wa * x for x in fw)
+        if lk == last_key:
+            p_items = p_items + li
+            p_ws = p_ws + lw
+        else:
+            p_items = list(li)
+            p_ws = list(lw)
+        last_key = lk
+    edge_t = pa.table({"item_a": pa.array(pas_e, item_t),
+                       "item_b": pa.array(pbs_e, item_t),
+                       "dot": pa.array(pds_e, pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results]
+                                  + [ray.put(edge_t)])
+    return sorted_groupby(partials, ["item_a", "item_b"],
+                          [("dot", "sum", "dot")])

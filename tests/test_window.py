@@ -1441,3 +1441,41 @@ def test_session_intervals_cross_block_landing_carry(ray_session):
         exp[["user_id", "landing", "start_us", "end_us", "n_events"]])
     assert ((got["user_id"] == 1) & (got["landing"] == "A")
             & (got["n_events"] == 7)).sum() == 1
+
+
+def test_weighted_pair_dot_cross_block(ray_session):
+    """weighted_pair_dot vs a brute-force pandas dot on a layout where
+    one key's item list straddles three blocks (prefix x fragment driver
+    cross-pairs) and weights exceed 1."""
+    import itertools
+
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import weighted_pair_dot
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for key in range(30):
+        items = rng.choice(20, size=rng.integers(1, 9), replace=False)
+        for it in items:
+            rows.append({"k": key, "item": int(it),
+                         "w": int(rng.integers(1, 6))})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(7)
+    inner, edge = weighted_pair_dot(ds, "k", "item", "w")
+    got = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        got = pd.concat([got, edge.to_pandas()], ignore_index=True)
+    got = (got.groupby(["item_a", "item_b"], as_index=False)["dot"].sum()
+           .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+
+    acc = {}
+    for _, g in df.groupby("k"):
+        g = g.sort_values("item")
+        for (ia, wa), (ib, wb) in itertools.combinations(
+                zip(g["item"], g["w"]), 2):
+            acc[(ia, ib)] = acc.get((ia, ib), 0) + wa * wb
+    exp = (pd.DataFrame([(a, b, d) for (a, b), d in acc.items()],
+                        columns=["item_a", "item_b", "dot"])
+           .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
