@@ -11506,3 +11506,146 @@ ORACLE["type_cosine_similarity"] = """
     ORDER BY 1, 2
 """
 QUERIES["type_cosine_similarity"] = q_type_cosine_similarity
+
+
+def q_psi_weekly_types(sf_dir: str) -> pd.DataFrame:
+    """PSI DRIFT TIME SERIES: Population Stability Index of the
+    event-type mix for EVERY week against the first week — the
+    production drift monitor as a trend, not a single gate (the
+    north-star names PSI on categorical histograms; psi_drift is its
+    two-period gate, this is the per-period series that shows WHEN the
+    mix moved). One zero-exchange scan of per-block (week, type) count
+    partials; the weeks × types census folds on the driver (bounded by
+    the calendar, not the row count) and each week's PSI uses the same
+    1e-4-floored share formula as the twin."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                               unit="week")
+        t = pa.table({"week": wk, "event_type": batch["event_type"]})
+        g = t.group_by(["week", "event_type"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [("n" if c == "count_all" else c) for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    census = (parts.groupby(["week", "event_type"], as_index=False)["n"]
+              .sum())
+    weeks = sorted(census["week"].unique())
+    base = census[census["week"] == weeks[0]].set_index("event_type")["n"]
+    nb = float(base.sum())
+    types = sorted(census["event_type"].unique())
+    rows = []
+    for wk in weeks[1:]:
+        cur = census[census["week"] == wk].set_index("event_type")["n"]
+        nc = float(cur.sum())
+        p = np.maximum(np.array([cur.get(t, 0) for t in types],
+                                dtype=np.float64) / nc, 1e-4)
+        q = np.maximum(np.array([base.get(t, 0) for t in types],
+                                dtype=np.float64) / nb, 1e-4)
+        rows.append({"week": wk,
+                     "psi": round(float(((p - q) * np.log(p / q)).sum()),
+                                  6)})
+    out = pd.DataFrame(rows)
+    out["week"] = out["week"].astype("datetime64[us]")
+    return out
+
+
+ORACLE["psi_weekly_types"] = """
+    WITH c AS (
+        SELECT date_trunc('week', ts) AS week, event_type,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b0 AS (SELECT MIN(week) AS w0 FROM c),
+    base AS (SELECT event_type, n FROM c, b0 WHERE week = w0),
+    nb AS (SELECT SUM(n) AS s FROM base),
+    grid AS (
+        SELECT w.week, t.event_type
+        FROM (SELECT DISTINCT week FROM c, b0 WHERE week <> w0) w
+        CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+    ),
+    cur AS (
+        SELECT g.week, g.event_type, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN c ON c.week = g.week
+                              AND c.event_type = g.event_type
+    ),
+    nc AS (SELECT week, SUM(n) AS s FROM cur GROUP BY 1)
+    SELECT cur.week,
+           ROUND(SUM((GREATEST(CAST(cur.n AS DOUBLE) / nc.s, 1e-4)
+                      - GREATEST(CAST(COALESCE(base.n, 0) AS DOUBLE)
+                                 / (SELECT s FROM nb), 1e-4))
+                     * LN(GREATEST(CAST(cur.n AS DOUBLE) / nc.s, 1e-4)
+                          / GREATEST(CAST(COALESCE(base.n, 0) AS DOUBLE)
+                                     / (SELECT s FROM nb), 1e-4))), 6)
+               AS psi
+    FROM cur
+    JOIN nc USING (week)
+    LEFT JOIN base ON base.event_type = cur.event_type
+    GROUP BY cur.week
+    ORDER BY cur.week
+"""
+QUERIES["psi_weekly_types"] = q_psi_weekly_types
+
+
+def q_wow_aligned_delta(sf_dir: str) -> pd.DataFrame:
+    """WEEK-OVER-WEEK ALIGNED DELTA: each (type, day) daily volume vs
+    the SAME WEEKDAY one week earlier — the seasonality-aware volume
+    check (a Monday compared to last Monday, not to Sunday; naive
+    day-over-day deltas alarm every weekend). One (type, day) count
+    exchange to the bounded census; the 7-day self-alignment runs on
+    the reduced table. pct_change is NULL when no prior-week row
+    exists, mirroring the LEFT JOIN twin."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"event_type": batch["event_type"], "day": day,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "day"], [("one", "sum", "n")])
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+    census["n"] = census["n"].astype("int64")
+    census["day"] = census["day"].astype("datetime64[us]")
+
+    prev = census.copy()
+    prev["day"] = prev["day"] + pd.Timedelta(days=7)
+    out = census.merge(prev, on=["event_type", "day"], how="left",
+                       suffixes=("", "_prev"))
+    out = out.rename(columns={"n_prev": "n_prev_week"})
+    np_ = out["n_prev_week"].to_numpy(np.float64)
+    n_ = out["n"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = np.round((n_ - np_) / np_, 6)
+    out["pct_change"] = pct
+    out["n_prev_week"] = out["n_prev_week"].astype("Int64").astype("float64")
+    return (out[["event_type", "day", "n", "n_prev_week", "pct_change"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+ORACLE["wow_aligned_delta"] = """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day, a.n,
+           CAST(b.n AS DOUBLE) AS n_prev_week,
+           ROUND((CAST(a.n AS DOUBLE) - CAST(b.n AS DOUBLE))
+                 / CAST(b.n AS DOUBLE), 6) AS pct_change
+    FROM d a LEFT JOIN d b
+      ON a.event_type = b.event_type
+     AND b.day = a.day - INTERVAL 7 DAY
+    ORDER BY 1, 2
+"""
+QUERIES["wow_aligned_delta"] = q_wow_aligned_delta
