@@ -11649,3 +11649,132 @@ ORACLE["wow_aligned_delta"] = """
     ORDER BY 1, 2
 """
 QUERIES["wow_aligned_delta"] = q_wow_aligned_delta
+
+
+def q_key_candidate_census(sf_dir: str) -> pd.DataFrame:
+    """CANDIDATE-KEY DISCOVERY CENSUS: for a lattice of column sets over
+    lineitem, the exact distinct count vs row count and the is-key
+    verdict — the uniqueness-profiling step up from single-column A6
+    (the reference profiles per-column uniqueness only,
+    Profiler.py:633,643-644; composite keys need the pair lattice).
+    Distributed shape: per combo, one skinny exchange over per-block
+    DEDUPED key partials (composites pack injectively into int64 from
+    their bounded domains — multipliers documented per combo); the
+    census is |combos| small exchanges, never a row-level shuffle."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    n_rows = int(ds.count())
+
+    # packers: injective over TPC-H domains (linenumber ∈ [1,7] < 16;
+    # suppkey < partkey cardinality bound — 2^20 headroom at sf100)
+    combos = {
+        "l_orderkey": lambda t: pc.cast(t["l_orderkey"], pa.int64()),
+        "l_partkey": lambda t: pc.cast(t["l_partkey"], pa.int64()),
+        "l_orderkey,l_linenumber": lambda t: pc.add(
+            pc.multiply(pc.cast(t["l_orderkey"], pa.int64()),
+                        pa.scalar(16, pa.int64())),
+            pc.cast(t["l_linenumber"], pa.int64())),
+        "l_partkey,l_suppkey": lambda t: pc.add(
+            pc.multiply(pc.cast(t["l_partkey"], pa.int64()),
+                        pa.scalar(1 << 20, pa.int64())),
+            pc.cast(t["l_suppkey"], pa.int64())),
+    }
+
+    rows = []
+    for name, packer in combos.items():
+        def _dedup(t: pa.Table, packer=packer) -> pa.Table:
+            k = packer(t)
+            return pa.table({"k": pc.unique(k),
+                             }).append_column(
+                "one", pa.array(np.ones(len(pc.unique(k)), np.int64)))
+
+        inner, edge = sorted_groupby(
+            ds.map_batches(_dedup, batch_format="pyarrow",
+                           batch_size=131072),
+            ["k"], [("one", "sum", "m")])
+        n_distinct = int(inner.count()) + (int(edge.num_rows)
+                                           if edge is not None else 0)
+        rows.append({"key_cols": name, "n_rows": n_rows,
+                     "n_distinct": n_distinct,
+                     "is_key": n_distinct == n_rows})
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("key_cols").reset_index(drop=True)
+
+
+ORACLE["key_candidate_census"] = """
+    WITH n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM lineitem)
+    SELECT * FROM (
+        SELECT 'l_orderkey' AS key_cols, n.n_rows,
+               COUNT(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+               COUNT(DISTINCT l_orderkey) = n.n_rows AS is_key
+        FROM lineitem, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'l_partkey', n.n_rows,
+               COUNT(DISTINCT l_partkey)::BIGINT,
+               COUNT(DISTINCT l_partkey) = n.n_rows
+        FROM lineitem, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'l_orderkey,l_linenumber', n.n_rows,
+               COUNT(DISTINCT (l_orderkey, l_linenumber))::BIGINT,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) = n.n_rows
+        FROM lineitem, n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'l_partkey,l_suppkey', n.n_rows,
+               COUNT(DISTINCT (l_partkey, l_suppkey))::BIGINT,
+               COUNT(DISTINCT (l_partkey, l_suppkey)) = n.n_rows
+        FROM lineitem, n GROUP BY n.n_rows
+    ) ORDER BY key_cols
+"""
+QUERIES["key_candidate_census"] = q_key_candidate_census
+
+
+def q_partition_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """PARTITION RECONCILIATION FINGERPRINTS: per hash bucket of
+    user_id, the row count and an order-independent modular checksum of
+    event ids — the cheap cross-copy reconciliation primitive (two
+    copies of a partition agree iff (n_rows, fingerprint) agree; the
+    north-star's per-partition lineage+metrics made comparable). One
+    zero-exchange scan of per-block (bucket, n, Σ) int64 partials; the
+    ≤16-row census folds on the driver. The checksum is exact integer
+    arithmetic — SUM((id·2654435761) mod 1e9+7) mod 1e9+7 — identical
+    on both engines (terms < 1e9, partial sums < 2^63)."""
+    P = 1_000_000_007
+    M = 2_654_435_761
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # user_id % 16 (ids are non-negative); terms < P so block sums
+        # of 131072 terms stay far under 2^63
+        tt = pa.table({"bucket": pa.array(uid % 16, pa.int64()),
+                       "term": pa.array((eid * M) % P, pa.int64())})
+        g = tt.group_by(["bucket"], use_threads=False).aggregate(
+            [("term", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"term_sum": "s", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby("bucket", as_index=False)[["s", "n"]].sum()
+           .sort_values("bucket").reset_index(drop=True))
+    out["n_rows"] = out["n"].astype("int64")
+    out["fingerprint"] = (out["s"].astype("int64") % P).astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    return out[["bucket", "n_rows", "fingerprint"]]
+
+
+ORACLE["partition_fingerprints"] = """
+    SELECT (user_id % 16)::BIGINT AS bucket, COUNT(*)::BIGINT AS n_rows,
+           (SUM((event_id * 2654435761) % 1000000007)
+            % 1000000007)::BIGINT AS fingerprint
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+QUERIES["partition_fingerprints"] = q_partition_fingerprints
