@@ -11778,3 +11778,96 @@ ORACLE["partition_fingerprints"] = """
     FROM events GROUP BY 1 ORDER BY 1
 """
 QUERIES["partition_fingerprints"] = q_partition_fingerprints
+
+
+def q_events_ohlc_daily(sf_dir: str) -> pd.DataFrame:
+    """DAILY OHLC BARS per event type: open (value of the first event
+    by (ts, event_id)), high, low, close (last event's value) and count
+    — the time-series bar primitive (monitoring dashboards, financial
+    rollups), with DETERMINISTIC tie handling: open/close resolve
+    equal-timestamp ties by event_id on both engines, and all four
+    prices ride exact integer cents until the final display division.
+    Distributed shape: grouped_topk at k=1 twice (ascending leg rides
+    negated order keys through the same DESC machinery) + one grouped
+    min/max/count exchange, all on the (type, day) grain."""
+    from ..stages.fast_ops import grouped_topk, sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        tsus = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(t["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.table({"event_type": t["event_type"], "day": day,
+                         "ts_us": tsus,
+                         "neg_us": pc.multiply(tsus, pa.scalar(-1, pa.int64())),
+                         "event_id": eid,
+                         "neg_id": pc.multiply(eid, pa.scalar(-1, pa.int64())),
+                         "cents": cents})
+
+    prep = ds.map_batches(_pre, batch_format="pyarrow",
+                          batch_size=131072).materialize()
+
+    opens = grouped_topk(prep, ["event_type", "day"], "neg_us", 1,
+                         payload_cols=["cents"], tie_cols=["event_id"]
+                         ).to_pandas()[["event_type", "day", "cents"]]
+    closes = grouped_topk(prep, ["event_type", "day"], "ts_us", 1,
+                          payload_cols=["cents"], tie_cols=["neg_id"]
+                          ).to_pandas()[["event_type", "day", "cents"]]
+    import ray.data as rd
+    inner, edge = sorted_groupby(
+        prep, ["event_type", "day"],
+        [("cents", "max", "hi"), ("cents", "min", "lo"),
+         (None, "count_all", "n")])
+    agg = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        agg = pd.concat([agg, edge.to_pandas()], ignore_index=True)
+
+    out = (agg.merge(opens.rename(columns={"cents": "o_c"}),
+                     on=["event_type", "day"])
+           .merge(closes.rename(columns={"cents": "c_c"}),
+                  on=["event_type", "day"]))
+    out["day"] = out["day"].astype("datetime64[us]")
+    for src, dst in (("o_c", "open"), ("hi", "high"), ("lo", "low"),
+                     ("c_c", "close")):
+        out[dst] = (out[src].astype("int64") / 100.0).round(2)
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "day", "open", "high", "low", "close", "n"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+ORACLE["events_ohlc_daily"] = """
+    WITH e AS (
+        SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    ),
+    agg AS (SELECT event_type, day, MAX(cents) AS hi, MIN(cents) AS lo,
+                   COUNT(*)::BIGINT AS n
+            FROM e GROUP BY 1, 2)
+    SELECT a.event_type, a.day,
+           ROUND(o.cents / 100.0, 2) AS open,
+           ROUND(a.hi / 100.0, 2) AS high,
+           ROUND(a.lo / 100.0, 2) AS low,
+           ROUND(c.cents / 100.0, 2) AS close,
+           a.n
+    FROM agg a
+    JOIN (SELECT event_type, day, cents FROM r WHERE rn_a = 1) o
+      USING (event_type, day)
+    JOIN (SELECT event_type, day, cents FROM r WHERE rn_d = 1) c
+      USING (event_type, day)
+    ORDER BY 1, 2
+"""
+QUERIES["events_ohlc_daily"] = q_events_ohlc_daily
