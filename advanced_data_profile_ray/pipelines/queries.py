@@ -11871,3 +11871,88 @@ ORACLE["events_ohlc_daily"] = """
     ORDER BY 1, 2
 """
 QUERIES["events_ohlc_daily"] = q_events_ohlc_daily
+
+
+def q_out_of_order_census(sf_dir: str) -> pd.DataFrame:
+    """OUT-OF-ORDER ARRIVAL CENSUS (watermark diagnostics): treating
+    event_id as ingestion order, an event is LATE when its timestamp
+    precedes the running maximum of everything ingested before it; the
+    census reports the late count, the worst and total lateness in
+    exact integer µs — what sizes a streaming watermark. Distributed
+    shape: ONE sort by event_id, then a two-phase prefix-max: block
+    tasks report (first, max) ts, the driver folds the O(blocks) carry
+    chain of preceding-block maxima, and a second wave of block tasks
+    counts lateness against (in-block prefix max ∨ carried max) — no
+    per-row data ever reaches the driver."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    s = ds.sort("event_id").materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return pd.DataFrame([{"n_events": 0, "n_late": 0,
+                              "max_lateness_us": 0,
+                              "total_lateness_us": 0}]).astype("int64")
+
+    @ray.remote
+    def _maxes(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        ts = block["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        return int(ts.max())
+
+    block_max = ray.get([_maxes.remote(r) for r in refs])
+    carries = []
+    cur = None
+    for m in block_max:
+        carries.append(cur)
+        if m is not None:
+            cur = m if cur is None else max(cur, m)
+
+    @ray.remote
+    def _census(block: pa.Table, carry):
+        if block.num_rows == 0:
+            return (0, 0, 0, 0)
+        ts = block["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        # running max of STRICTLY PRECEDING rows: shift the prefix max
+        prefix = np.maximum.accumulate(ts)
+        prev = np.empty_like(prefix)
+        prev[0] = carry if carry is not None else np.iinfo(np.int64).min
+        prev[1:] = prefix[:-1]
+        if carry is not None:
+            prev = np.maximum(prev, carry)
+        late = ts < prev
+        lateness = np.where(late, prev - ts, 0)
+        return (int(ts.size), int(late.sum()),
+                int(lateness.max()) if ts.size else 0,
+                int(lateness.sum()))
+
+    parts = ray.get([_census.remote(r, c) for r, c in zip(refs, carries)])
+    n = sum(p[0] for p in parts)
+    nl = sum(p[1] for p in parts)
+    mx = max((p[2] for p in parts), default=0)
+    tot = sum(p[3] for p in parts)
+    return pd.DataFrame([{"n_events": n, "n_late": nl,
+                          "max_lateness_us": mx,
+                          "total_lateness_us": tot}]).astype("int64")
+
+
+ORACLE["out_of_order_census"] = """
+    WITH r AS (
+        SELECT epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS mx
+        FROM events
+    )
+    SELECT COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN us < mx THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           COALESCE(MAX(CASE WHEN us < mx THEN mx - us END), 0)::BIGINT
+               AS max_lateness_us,
+           COALESCE(SUM(CASE WHEN us < mx THEN mx - us ELSE 0 END),
+                    0)::BIGINT AS total_lateness_us
+    FROM r
+"""
+QUERIES["out_of_order_census"] = q_out_of_order_census

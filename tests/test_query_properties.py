@@ -120,3 +120,34 @@ def test_winsorized_mean_matches_numpy(ray_session, tmp_path_factory,
     assert out.iloc[0]["p95"] == pytest.approx(p95 / 100.0)
     assert out.iloc[0]["winsorized_mean"] == pytest.approx(mean6 / 1e6)
     assert out.iloc[0]["n_rows"] == n
+
+
+def test_out_of_order_census_planted(ray_session, tmp_path):
+    """Planted out-of-order arrivals whose running max crosses block
+    boundaries — verified against the exact quadratic definition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    # mostly increasing ts with 10% shuffled backwards by up to 1000s
+    base = np.cumsum(rng.integers(0, 3_000_000, n))
+    late = rng.random(n) < 0.1
+    ts = base - np.where(late, rng.integers(1, 1_000_000_000, n), 0)
+    t = pa.table({"event_id": pa.array(np.arange(n), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = QUERIES["out_of_order_census"](str(tmp_path))
+
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(ts.astype(np.int64)[:-1], out=prev[1:])
+    is_late = ts < prev
+    lateness = np.where(is_late, prev - ts, 0)
+    assert out["n_events"].iat[0] == n
+    assert out["n_late"].iat[0] == int(is_late.sum()) > 0
+    assert out["max_lateness_us"].iat[0] == int(lateness.max())
+    assert out["total_lateness_us"].iat[0] == int(lateness.sum())
