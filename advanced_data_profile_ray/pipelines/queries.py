@@ -11956,3 +11956,63 @@ ORACLE["out_of_order_census"] = """
     FROM r
 """
 QUERIES["out_of_order_census"] = q_out_of_order_census
+
+
+def q_conv_template_census(sf_dir: str) -> pd.DataFrame:
+    """CONVERSATION TEMPLATE CENSUS: the 10 most repeated event-type
+    SEQUENCES across conversations — template/spam detection for agent
+    transcripts (identically-shaped conversations are the first dedup
+    signal before any text hashing; the sequence string is the
+    conversation's shape fingerprint). Distributed shape: ONE sort
+    feeds stages.window.concat_group_strings (per-conv sequence
+    assembly in block tasks, O(blocks) edge stitch), ONE grouped
+    exchange counts sequence multiplicity, top-10 with deterministic
+    (n DESC, sequence ASC) tiebreak folds from the reduced census."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import concat_group_strings
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    seqs = concat_group_strings(ds, "user_id", ["ts", "event_id"],
+                                "event_type", sep=",")
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({"sequence": t["event_type"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        seqs.map_batches(_pre, batch_format="pyarrow", batch_size=65536),
+        ["sequence"], [("one", "sum", "n_convs")])
+    # top-10 fold: per-block local top-10 partials, then the driver
+    # resolves the global head — never the full census on one node
+    def _local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_convs", "descending"),
+                          ("sequence", "ascending")])[:10]
+        return t.take(idx)
+
+    parts = inner.map_batches(_local_top, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if edge is not None and edge.num_rows:
+        parts = pd.concat([parts, edge.to_pandas()], ignore_index=True)
+    parts["n_convs"] = parts["n_convs"].astype("int64")
+    out = (parts.sort_values(["n_convs", "sequence"],
+                             ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    return out[["sequence", "n_convs"]]
+
+
+ORACLE["conv_template_census"] = """
+    WITH s AS (
+        SELECT user_id,
+               STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT seq AS sequence, COUNT(*)::BIGINT AS n_convs
+    FROM s GROUP BY 1 ORDER BY n_convs DESC, sequence LIMIT 10
+"""
+QUERIES["conv_template_census"] = q_conv_template_census
