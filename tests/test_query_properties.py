@@ -151,3 +151,51 @@ def test_out_of_order_census_planted(ray_session, tmp_path):
     assert out["n_late"].iat[0] == int(is_late.sum()) > 0
     assert out["max_lateness_us"].iat[0] == int(lateness.max())
     assert out["total_lateness_us"].iat[0] == int(lateness.sum())
+
+
+def test_conv_template_census_planted(ray_session, tmp_path):
+    """Planted repeated event-type sequences: 40 convs share template A,
+    25 share template B, the rest are unique — the census must count
+    and rank them exactly (DuckDB STRING_AGG twin in-test)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+
+    def add_conv(uid, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": np.datetime64(uid * 10_000_000 + i * 1000,
+                                             "us"),
+                         "event_type": et})
+            eid += 1
+
+    uid = 0
+    for _ in range(40):
+        add_conv(uid, ["view", "click", "purchase"]); uid += 1
+    for _ in range(25):
+        add_conv(uid, ["view", "view"]); uid += 1
+    for _ in range(30):
+        n = int(rng.integers(4, 9))
+        add_conv(uid, list(rng.choice(
+            ["view", "click", "purchase", "refund", "login"], n))); uid += 1
+    t = pa.table(pd.DataFrame(rows))
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = QUERIES["conv_template_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["conv_template_census"]).fetchdf()
+    con.close()
+    assert got["sequence"].tolist() == exp["seq" if "seq" in exp else
+                                           "sequence"].tolist()
+    assert got["n_convs"].tolist() == exp["n_convs"].tolist()
+    assert got["n_convs"].iat[0] == 40 and got["n_convs"].iat[1] == 25
