@@ -10887,7 +10887,10 @@ def q_customer_name_matches(sf_dir: str) -> pd.DataFrame:
     pair-dedup exchange -> two sorted-merge joins attach names ->
     vectorized char-matrix lev<=1 verify in map tasks. Candidate pairs
     never land on the driver; the oracle twin is the quadratic
-    cross-join DuckDB can afford only at test scale."""
+    cross-join DuckDB can afford only at test scale. The stage's
+    documented min-length-2 contract (sub-2-char strings degenerate
+    into one giant deletion bucket) is mirrored by the twin's length
+    filter — a no-op on customer names, which are fixed-width."""
     from .dedup import edit_distance_pairs_ds
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -10910,6 +10913,7 @@ ORACLE["customer_name_matches"] = """
     SELECT a.c_name AS a_name, b.c_name AS b_name
     FROM customer a, customer b
     WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      AND length(a.c_name) >= 2 AND length(b.c_name) >= 2
     ORDER BY 1, 2
 """
 QUERIES["customer_name_matches"] = q_customer_name_matches
@@ -11174,6 +11178,12 @@ def q_source_token_overlap(sf_dir: str) -> pd.DataFrame:
             rows.append({"a_source": a, "b_source": b,
                          "n_inter": inter, "n_union": union,
                          "jaccard": round(float(inter) / float(union), 6)})
+    if not rows:  # disjoint vocabularies: the inner-join twin is empty
+        return pd.DataFrame({"a_source": pd.Series([], dtype=object),
+                             "b_source": pd.Series([], dtype=object),
+                             "n_inter": pd.Series([], dtype="int64"),
+                             "n_union": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     out = pd.DataFrame(rows)
     out["n_inter"] = out["n_inter"].astype("int64")
     out["n_union"] = out["n_union"].astype("int64")
@@ -11534,6 +11544,11 @@ def q_psi_weekly_types(sf_dir: str) -> pd.DataFrame:
     census = (parts.groupby(["week", "event_type"], as_index=False)["n"]
               .sum())
     weeks = sorted(census["week"].unique())
+    # single-week (or empty) input: the oracle's grid excludes the
+    # baseline week, so the result set is empty — return it typed
+    if len(weeks) < 2:
+        return pd.DataFrame({"week": pd.Series([], dtype="datetime64[us]"),
+                             "psi": pd.Series([], dtype="float64")})
     base = census[census["week"] == weeks[0]].set_index("event_type")["n"]
     nb = float(base.sum())
     types = sorted(census["event_type"].unique())
@@ -11687,10 +11702,9 @@ def q_key_candidate_census(sf_dir: str) -> pd.DataFrame:
     rows = []
     for name, packer in combos.items():
         def _dedup(t: pa.Table, packer=packer) -> pa.Table:
-            k = packer(t)
-            return pa.table({"k": pc.unique(k),
-                             }).append_column(
-                "one", pa.array(np.ones(len(pc.unique(k)), np.int64)))
+            u = pc.unique(packer(t))
+            return pa.table({"k": u,
+                             "one": pa.array(np.ones(len(u), np.int64))})
 
         inner, edge = sorted_groupby(
             ds.map_batches(_dedup, batch_format="pyarrow",
@@ -11742,8 +11756,9 @@ def q_partition_fingerprints(sf_dir: str) -> pd.DataFrame:
     north-star's per-partition lineage+metrics made comparable). One
     zero-exchange scan of per-block (bucket, n, Σ) int64 partials; the
     ≤16-row census folds on the driver. The checksum is exact integer
-    arithmetic — SUM((id·2654435761) mod 1e9+7) mod 1e9+7 — identical
-    on both engines (terms < 1e9, partial sums < 2^63)."""
+    arithmetic — SUM(((id mod p)·2654435761) mod p) mod p, p = 1e9+7 —
+    identical on both engines for ANY int64 id (the pre-multiply mod
+    keeps every product < 2^63; terms < p, partial sums < 2^63)."""
     P = 1_000_000_007
     M = 2_654_435_761
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
@@ -11751,10 +11766,11 @@ def q_partition_fingerprints(sf_dir: str) -> pd.DataFrame:
     def _partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # user_id % 16 (ids are non-negative); terms < P so block sums
-        # of 131072 terms stay far under 2^63
+        # user_id % 16 (ids are non-negative); reduce the id mod P
+        # BEFORE the multiply so (id%P)·M < 2^63 for ANY int64 id —
+        # terms < P, so block sums of 131072 terms stay far under 2^63
         tt = pa.table({"bucket": pa.array(uid % 16, pa.int64()),
-                       "term": pa.array((eid * M) % P, pa.int64())})
+                       "term": pa.array(((eid % P) * M) % P, pa.int64())})
         g = tt.group_by(["bucket"], use_threads=False).aggregate(
             [("term", "sum"), ([], "count_all")])
         return g.rename_columns(
@@ -11773,7 +11789,7 @@ def q_partition_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 ORACLE["partition_fingerprints"] = """
     SELECT (user_id % 16)::BIGINT AS bucket, COUNT(*)::BIGINT AS n_rows,
-           (SUM((event_id * 2654435761) % 1000000007)
+           (SUM(((event_id % 1000000007) * 2654435761) % 1000000007)
             % 1000000007)::BIGINT AS fingerprint
     FROM events GROUP BY 1 ORDER BY 1
 """
@@ -11818,9 +11834,13 @@ def q_events_ohlc_daily(sf_dir: str) -> pd.DataFrame:
     closes = grouped_topk(prep, ["event_type", "day"], "ts_us", 1,
                           payload_cols=["cents"], tie_cols=["neg_id"]
                           ).to_pandas()[["event_type", "day", "cents"]]
-    import ray.data as rd
+    # only (keys + cents) ride the min/max/count exchange — the rank
+    # helper columns would otherwise shuffle ~32 dead bytes per row
     inner, edge = sorted_groupby(
-        prep, ["event_type", "day"],
+        prep.map_batches(
+            lambda t: t.select(["event_type", "day", "cents"]),
+            batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"],
         [("cents", "max", "hi"), ("cents", "min", "lo"),
          (None, "count_all", "n")])
     agg = inner.to_pandas()

@@ -199,3 +199,32 @@ def test_conv_template_census_planted(ray_session, tmp_path):
                                            "sequence"].tolist()
     assert got["n_convs"].tolist() == exp["n_convs"].tolist()
     assert got["n_convs"].iat[0] == 40 and got["n_convs"].iat[1] == 25
+
+
+def test_degenerate_inputs_return_typed_empty(ray_session, tmp_path):
+    """Review regressions: single-week events (psi_weekly_types) and
+    disjoint source vocabularies (source_token_overlap) must return
+    typed EMPTY frames like their inner-join/grid oracles, not crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
+
+    t = pa.table({"event_id": pa.array(range(10), pa.int64()),
+                  "user_id": pa.array([1] * 10, pa.int64()),
+                  "ts": pa.array([np.datetime64("2024-01-01T00:00:00",
+                                                "us")] * 10),
+                  "event_type": pa.array(["view"] * 10),
+                  "value": pa.array([1.0] * 10)})
+    pq.write_table(t, tmp_path / "events.parquet")
+    psi = QUERIES["psi_weekly_types"](str(tmp_path))
+    assert psi.shape == (0, 2) and list(psi.columns) == ["week", "psi"]
+
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["alpha beta", "gamma delta"]),
+                   "source": pa.array(["s1", "s2"]),
+                   "lang": pa.array(["en", "en"]),
+                   "n_chars": pa.array([10, 11], pa.int64())})
+    pq.write_table(t2, tmp_path / "documents.parquet")
+    ov = QUERIES["source_token_overlap"](str(tmp_path))
+    assert ov.shape == (0, 5)
