@@ -12036,3 +12036,72 @@ ORACLE["conv_template_census"] = """
     FROM s GROUP BY 1 ORDER BY n_convs DESC, sequence LIMIT 10
 """
 QUERIES["conv_template_census"] = q_conv_template_census
+
+
+def q_user_streaks(sf_dir: str) -> pd.DataFrame:
+    """LONGEST ACTIVE-DAY STREAK CENSUS: per user, the longest run of
+    CONSECUTIVE calendar days with at least one event, reported as a
+    (streak_len, n_users) census — the engagement/retention staple
+    (and the SQL gaps-and-islands classic: day minus ROW_NUMBER()
+    constant-group trick in the twin). Pure composition, zero new
+    operator code: one (user, day) distinct exchange reduces the
+    stream; stages.window.session_intervals with gap_us = 1 day turns
+    consecutive-day runs into islands (a 2-day hole breaks, 1-day step
+    continues); one grouped max and a bounded census fold finish."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import session_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": day,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id", "day"], [("one", "sum", "m")])
+    days = inner
+    if edge is not None and edge.num_rows:
+        days = days.union(rd.from_arrow(edge))
+
+    streaks = session_intervals(days, "user_id", "day", "day", "day",
+                                gap_us=86_400_000_000)
+    s_inner, s_edge = sorted_groupby(
+        streaks.map_batches(
+            lambda t: t.select(["user_id", "n_events"]),
+            batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("n_events", "max", "max_streak")])
+    per_user = s_inner.to_pandas()
+    if s_edge is not None and s_edge.num_rows:
+        per_user = pd.concat([per_user, s_edge.to_pandas()],
+                             ignore_index=True)
+    per_user = (per_user.groupby("user_id")["max_streak"].max()
+                .astype("int64"))
+    census = per_user.value_counts().sort_index()
+    return pd.DataFrame({"streak_len": census.index.astype("int64"),
+                         "n_users": census.to_numpy(np.int64)})
+
+
+ORACLE["user_streaks"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    i AS (
+        SELECT user_id, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    g AS (
+        SELECT user_id, COUNT(*)::BIGINT AS len
+        FROM i GROUP BY user_id, day - rn * INTERVAL 1 DAY
+    ),
+    m AS (SELECT user_id, MAX(len) AS max_streak FROM g GROUP BY 1)
+    SELECT max_streak AS streak_len, COUNT(*)::BIGINT AS n_users
+    FROM m GROUP BY 1 ORDER BY 1
+"""
+QUERIES["user_streaks"] = q_user_streaks

@@ -2552,11 +2552,13 @@ def session_intervals(ds, part_col: str, ts_col: str, order_col: str,
         rows = ds.count()
     except Exception:
         rows = None
-    sel = [part_col, ts_col, order_col, val_col]
+    # dedupe the projection: callers may reuse one column as ts, order
+    # and/or value (e.g. day-streak composition)
+    sel = list(dict.fromkeys([part_col, ts_col, order_col, val_col]))
     proj = ds.map_batches(lambda t: t.select(sel), batch_format="pyarrow",
                           batch_size=None)
-    s = rightsize_blocks(proj, rows=rows).sort(
-        [part_col, ts_col, order_col]).materialize()
+    sort_keys = list(dict.fromkeys([part_col, ts_col, order_col]))
+    s = rightsize_blocks(proj, rows=rows).sort(sort_keys).materialize()
     refs = s.to_arrow_refs()
     sch = s.schema() if refs else None
     part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
