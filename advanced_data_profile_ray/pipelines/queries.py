@@ -12105,3 +12105,56 @@ ORACLE["user_streaks"] = """
     FROM m GROUP BY 1 ORDER BY 1
 """
 QUERIES["user_streaks"] = q_user_streaks
+
+
+def q_events_missing_days(sf_dir: str) -> pd.DataFrame:
+    """CALENDAR COMPLETENESS CENSUS: per event type, the span of days
+    between its first and last activity, how many days actually have
+    events, and how many are MISSING — the feed-gap detector (a type
+    that skips days signals an upstream outage the volume anomaly gate
+    can miss when surrounding days are normal). One (type, day) count
+    exchange to the bounded census; span arithmetic is exact integer
+    day counts on the reduced table."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "day"], [("one", "sum", "n")])
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+
+    rows = []
+    for etype, sub in census.groupby("event_type", sort=True):
+        days = sub["day"].astype("datetime64[us]").astype("int64").to_numpy()
+        span = int((days.max() - days.min()) // 86_400_000_000) + 1
+        obs = int(sub["day"].nunique())
+        rows.append({"event_type": etype, "span_days": span,
+                     "observed_days": obs, "missing_days": span - obs})
+    out = pd.DataFrame(rows)
+    for c in ("span_days", "observed_days", "missing_days"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["events_missing_days"] = """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           (datediff('day', MIN(day), MAX(day)) + 1)::BIGINT AS span_days,
+           COUNT(*)::BIGINT AS observed_days,
+           (datediff('day', MIN(day), MAX(day)) + 1
+            - COUNT(*))::BIGINT AS missing_days
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_missing_days"] = q_events_missing_days
