@@ -129,3 +129,36 @@ def ivf_topk(ds, id_col: str, vec_col: str, queries: np.ndarray, k: int = 10,
     out["qid"] = out["qid"].astype("int64")
     out["id"] = out["id"].astype("int64")
     return out
+
+
+def cosine_range_search(ds, id_col: str, vec_col: str,
+                        queries: np.ndarray, query_ids: np.ndarray,
+                        threshold: float,
+                        batch_size: int = 8192):
+    """EXACT COSINE RANGE SEARCH: all (query, vector) pairs with
+    cosine >= threshold — the radius-query sibling of ``brute_topk``
+    (dedup gates, "everything this similar" retrieval). Broadcast query
+    matrix via ``ray.put`` (read once per task, never re-shipped per
+    batch); per-batch float64 matmul + threshold filter in map tasks;
+    only matching pairs leave the batch, so the result is
+    output-bounded, not corpus-bounded. Self-pairs (id == query id)
+    are excluded. Returns a Dataset of (qid, vec_id)."""
+    import pyarrow as pa_
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sims = mat @ qm.T  # (n, Q)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        ri, qi = np.nonzero(sims >= threshold)
+        keep = ids[ri] != qid_arr[qi]
+        return pd.DataFrame({"qid": qid_arr[qi[keep]],
+                             "vec_id": ids[ri[keep]]})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _scan, batch_format="pandas", batch_size=batch_size)

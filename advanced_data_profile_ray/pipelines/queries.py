@@ -12158,3 +12158,41 @@ ORACLE["events_missing_days"] = """
     FROM d GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_missing_days"] = q_events_missing_days
+
+
+def q_cosine_range_search(sf_dir: str) -> pd.DataFrame:
+    """EXACT COSINE RANGE (radius) SEARCH: every embedding within
+    cosine >= 0.25 of the first three vectors — the threshold sibling
+    of ann_topk and the exactly-oracled member of the vector family
+    (list_cosine_similarity twin; pairs-only output, the ann_topk
+    precedent, because raw cosines are not bit-identical across
+    engines — the data's nearest cosine sits >= 1.7e-4 from the
+    threshold at every test SF, orders of magnitude beyond cross-engine
+    accumulation noise, so MEMBERSHIP is stable). Broadcast query
+    matrix, per-batch float64 matmul, output-bounded emission."""
+    from .ann import cosine_range_search
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = q.sort_by("vec_id")
+    qm = np.stack([np.asarray(v) for v in q["embedding"].to_pylist()[:3]])
+    qids = np.asarray(q["vec_id"].to_pylist()[:3], dtype=np.int64)
+    out = cosine_range_search(_read(sf_dir, "embeddings"), "vec_id",
+                              "embedding", qm, qids, 0.25).to_pandas()
+    out["qid"] = out["qid"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
+ORACLE["cosine_range_search"] = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 3
+    )
+    SELECT q.qid, e.vec_id
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+      AND list_cosine_similarity(e.embedding, q.qe) >= 0.25
+    ORDER BY 1, 2
+"""
+QUERIES["cosine_range_search"] = q_cosine_range_search
