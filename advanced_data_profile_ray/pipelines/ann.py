@@ -162,3 +162,52 @@ def cosine_range_search(ds, id_col: str, vec_col: str,
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         _scan, batch_format="pandas", batch_size=batch_size)
+
+
+def quantized_topk(ds, id_col: str, vec_col: str, queries: np.ndarray,
+                   k: int = 10, batch_size: int = 8192) -> pd.DataFrame:
+    """INT8-QUANTIZED cosine top-k — the memory-bound scale path of the
+    vector family: vectors L2-normalize then quantize to symmetric int8
+    (scale 127), cutting the resident footprint 4× vs float32 (at 10¹²
+    rows the embedding column IS the working set); scores are exact
+    int32 dot products of the quantized vectors, a monotone ~1/127²
+    approximation of cosine. Same shuffle-free shape as ``brute_topk``:
+    broadcast quantized query matrix, per-batch integer matmul, partial
+    top-k per batch, driver merge of n_batches × Q × k stubs. Returns
+    (qid, id, score) sorted by (qid, -score, id); recall vs the exact
+    path is pinned by pytest, not an oracle (quantization is a model
+    choice, not SQL)."""
+    import ray
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        return np.clip(np.rint(_normalize(m) * 127.0), -127, 127).astype(
+            np.int8)
+
+    qq = _quant(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qq.astype(np.int32))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)  # (Q, d) int32
+        mat = _quant(np.stack(df[vec_col].to_numpy()).astype(
+            np.float64)).astype(np.int32)
+        sims = mat @ qm.T  # exact int32 dots
+        ids = df[id_col].to_numpy()
+        kk = min(k, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(ids[part].tolist())
+            out_s.extend(sims[part, qi].tolist())
+        return pd.DataFrame({"qid": out_q, "id": out_i, "score": out_s})
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        _partial, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    out = (parts.sort_values(["qid", "score", "id"],
+                             ascending=[True, False, True])
+           .groupby("qid", as_index=False).head(k).reset_index(drop=True))
+    out["qid"] = out["qid"].astype("int64")
+    out["id"] = out["id"].astype("int64")
+    out["score"] = out["score"].astype("int64")
+    return out

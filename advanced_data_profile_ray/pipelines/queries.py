@@ -12196,3 +12196,23 @@ ORACLE["cosine_range_search"] = """
     ORDER BY 1, 2
 """
 QUERIES["cosine_range_search"] = q_cosine_range_search
+
+
+def q_quantized_topk(sf_dir: str) -> pd.DataFrame:
+    """INT8-quantized cosine top-10 for the first 3 query embeddings —
+    rows-only check (quantization is a model choice; recall >= 0.9 vs
+    the exact brute force is pinned by pytest). 4x memory cut is the
+    scale path when the embedding column is the working set."""
+    from .ann import quantized_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(v)
+                   for v in q.sort_by("vec_id")["embedding"]
+                   .to_pylist()[:3]])
+    out = quantized_topk(_read(sf_dir, "embeddings"), "vec_id",
+                         "embedding", qm, k=10)
+    return out[["qid", "id"]]
+
+
+QUERIES["quantized_topk"] = q_quantized_topk

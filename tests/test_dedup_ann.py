@@ -814,3 +814,30 @@ def test_edit_distance_pairs_exact(ray_session):
                for r in out.itertuples()}
     for (i, j), (na, nb) in by_pair.items():
         assert (na, nb) == (names[i], names[j])
+
+
+def test_quantized_topk_recall(ray_session):
+    """int8-quantized top-10 must keep recall >= 0.9 vs the exact
+    float64 brute force on real testdata embeddings."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.ann import (brute_topk,
+                                                         quantized_topk)
+
+    sf = "/root/testdata/sf0.01"
+    q = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(v)
+                   for v in q.sort_by("vec_id")["embedding"]
+                   .to_pylist()[:5]])
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    exact = brute_topk(ds, "vec_id", "embedding", qm, k=10)
+    quant = quantized_topk(ds, "vec_id", "embedding", qm, k=10)
+    rec = []
+    for qi in range(5):
+        e = set(exact.loc[exact["qid"] == qi, "id"])
+        g = set(quant.loc[quant["qid"] == qi, "id"])
+        rec.append(len(e & g) / len(e))
+    assert np.mean(rec) >= 0.9, rec
