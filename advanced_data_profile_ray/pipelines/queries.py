@@ -12216,3 +12216,63 @@ def q_quantized_topk(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["quantized_topk"] = q_quantized_topk
+
+
+def q_hourly_bursts(sf_dir: str) -> pd.DataFrame:
+    """BURST DETECTION: hours whose event volume exceeds 3× the median
+    of the trailing 24 OBSERVED hours (same type, current hour
+    excluded) — the rate-spike monitor robust to the level shifts that
+    break the 3σ gate (median, not mean, absorbs prior bursts).
+    Distributed shape: ONE (type, hour) count exchange to the bounded
+    census; the trailing-median scan runs per type on the reduced
+    table. The median of trailing int counts is dyadic-rational (avg of
+    two middles), so the engine/oracle values are exactly equal; the
+    window is ROWS over observed hours, identical on both sides."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [("one", "sum", "n")])
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+    census["n"] = census["n"].astype("int64")
+    census["hour"] = census["hour"].astype("datetime64[us]")
+    census = census.sort_values(["event_type", "hour"]).reset_index(
+        drop=True)
+
+    med = (census.groupby("event_type")["n"]
+           .apply(lambda s: s.shift(1).rolling(24, min_periods=1).median())
+           .reset_index(level=0, drop=True))
+    census["med"] = np.round(med.to_numpy(np.float64), 6)
+    out = census[census["n"] > 3.0 * census["med"]].copy()
+    return (out[["event_type", "hour", "n", "med"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+ORACLE["hourly_bursts"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, hour, n,
+               ROUND(median(n) OVER (PARTITION BY event_type ORDER BY hour
+                                     ROWS BETWEEN 24 PRECEDING
+                                     AND 1 PRECEDING), 6) AS med
+        FROM c
+    )
+    SELECT event_type, hour, n, med
+    FROM m WHERE n > 3.0 * med
+    ORDER BY 1, 2
+"""
+QUERIES["hourly_bursts"] = q_hourly_bursts
