@@ -12276,3 +12276,100 @@ ORACLE["hourly_bursts"] = """
     ORDER BY 1, 2
 """
 QUERIES["hourly_bursts"] = q_hourly_bursts
+
+
+def q_events_hourly_interp(sf_dir: str) -> pd.DataFrame:
+    """GAP-FILLED HOURLY SERIES: each type's hourly volume on the DENSE
+    hour grid between its first and last activity, missing hours
+    linearly interpolated between the nearest observed neighbors — the
+    series-repair step before any FFT/autocorr/forecast consumer that
+    assumes a regular grid. One (type, hour) count exchange; the dense
+    grid is bounded by calendar × types (events_hourly_dense precedent)
+    and fills on the driver with the exact interpolation expression the
+    twin uses: prev + (next − prev) · k/m, rounded at 6dp."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["event_type", "hour"], [("one", "sum", "n")])
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+    census["n"] = census["n"].astype("int64")
+    census["hour"] = census["hour"].astype("datetime64[us]")
+
+    rows = []
+    for etype, sub in census.groupby("event_type", sort=True):
+        sub = sub.sort_values("hour")
+        hrs = (sub["hour"].astype("int64").to_numpy()
+               // 3_600_000_000)
+        ns = sub["n"].to_numpy(np.float64)
+        full = np.arange(hrs[0], hrs[-1] + 1)
+        obs_idx = np.searchsorted(hrs, full)  # right neighbor index
+        observed = np.isin(full, hrs)
+        # prev/next observed neighbors for each grid hour
+        nxt = obs_idx
+        prv = np.where(observed, obs_idx, obs_idx - 1)
+        filled = np.where(
+            observed, ns[nxt],
+            np.round(ns[prv] + (ns[nxt] - ns[prv])
+                     * (full - hrs[prv]) / (hrs[nxt] - hrs[prv]), 6))
+        rows.append(pd.DataFrame({
+            "event_type": etype,
+            "hour": (full * 3_600_000_000).astype("datetime64[us]"),
+            "filled": filled,
+            "interpolated": ~observed}))
+    out = pd.concat(rows, ignore_index=True)
+    return (out.sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+
+
+ORACLE["events_hourly_interp"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+             FROM c GROUP BY 1),
+    grid AS (
+        SELECT s.event_type,
+               unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+        FROM span s
+    ),
+    g AS (
+        SELECT grid.event_type, grid.hour, c.n
+        FROM grid LEFT JOIN c USING (event_type, hour)
+    ),
+    f AS (
+        SELECT event_type, hour, n,
+               last_value(n IGNORE NULLS) OVER w AS prev_n,
+               last_value(CASE WHEN n IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER w AS prev_h,
+               first_value(n IGNORE NULLS) OVER w2 AS next_n,
+               first_value(CASE WHEN n IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER w2 AS next_h
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                ELSE ROUND(CAST(prev_n AS DOUBLE)
+                     + (CAST(next_n AS DOUBLE) - CAST(prev_n AS DOUBLE))
+                       * datediff('hour', prev_h, hour)
+                       / datediff('hour', prev_h, next_h), 6) END AS filled,
+           (n IS NULL) AS interpolated
+    FROM f ORDER BY 1, 2
+"""
+QUERIES["events_hourly_interp"] = q_events_hourly_interp
