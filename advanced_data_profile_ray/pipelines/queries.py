@@ -12373,3 +12373,103 @@ ORACLE["events_hourly_interp"] = """
     FROM f ORDER BY 1, 2
 """
 QUERIES["events_hourly_interp"] = q_events_hourly_interp
+
+
+def q_km_lifetimes(sf_dir: str) -> pd.DataFrame:
+    """KAPLAN–MEIER TIME-TO-CONVERSION TABLE: survival time = days from
+    a user's first event to their first PURCHASE; users who never
+    purchase are right-CENSORED at their last observed day. For every
+    time with at least one conversion: the at-risk count (users with
+    T >= t), conversions, censored exits, and the KM step factor
+    1 − d/n — the survival-analysis primitive (honest conversion
+    curves; naive "avg days to purchase" ignores the users still
+    running). Distributed shape: ONE user-grain exchange reduces the
+    stream to (first day, last day, first purchase day) triples inside
+    sorted_groupby partials; the (T, censored) census is bounded by the
+    calendar and the risk-set suffix sums fold on the driver. All
+    counts exact int64; the step factor is a single division."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    BIG = np.iinfo(np.int64).max
+
+    def _pre(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["ts"], pa.timestamp("us")), unit="day"), pa.int64())
+        is_p = pc.equal(t["event_type"], "purchase")
+        pday = pc.if_else(is_p, day, pa.scalar(BIG, pa.int64()))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "d0": day, "d1": day, "p": pday})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("d0", "min", "d0"), ("d1", "max", "d1"),
+                      ("p", "min", "p")])
+    u = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        u = pd.concat([u, edge.to_pandas()], ignore_index=True)
+    day_us = 86_400_000_000
+    censored = u["p"].astype("int64") == BIG
+    end = np.where(censored, u["d1"].astype("int64"),
+                   u["p"].astype("int64"))
+    t_days = pd.Series((end - u["d0"].astype("int64")) // day_us,
+                       dtype="int64")
+
+    census = (pd.DataFrame({"t": t_days, "c": censored})
+              .groupby(["t", "c"]).size().reset_index(name="n"))
+    d = census.pivot_table(index="t", columns="c", values="n",
+                           aggfunc="sum", fill_value=0)
+    d_t = d[False] if False in d.columns else pd.Series(0, index=d.index)
+    c_t = d[True] if True in d.columns else pd.Series(0, index=d.index)
+    tab = pd.DataFrame({"t": d.index.astype("int64"),
+                        "d_t": d_t.to_numpy(np.int64),
+                        "c_t": c_t.to_numpy(np.int64)}).sort_values(
+        "t", ascending=False)
+    tab["n_risk"] = (tab["d_t"] + tab["c_t"]).cumsum()
+    tab = tab.sort_values("t")
+    out = tab[tab["d_t"] > 0].copy()
+    out["step_factor"] = np.round(
+        1.0 - out["d_t"].to_numpy(np.float64)
+        / out["n_risk"].to_numpy(np.float64), 6)
+    out = out.rename(columns={"t": "lifetime_days", "d_t": "n_events",
+                              "c_t": "n_censored"})
+    for c in ("lifetime_days", "n_risk", "n_events", "n_censored"):
+        out[c] = out[c].astype("int64")
+    return (out[["lifetime_days", "n_risk", "n_events", "n_censored",
+                 "step_factor"]].reset_index(drop=True))
+
+
+ORACLE["km_lifetimes"] = """
+    WITH u AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0,
+               MAX(date_trunc('day', ts)) AS d1,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('day', ts) END) AS p
+        FROM events GROUP BY 1
+    ),
+    l AS (
+        SELECT datediff('day', d0,
+                        CASE WHEN p IS NULL THEN d1 ELSE p END)::BIGINT AS t,
+               (p IS NULL) AS censored
+        FROM u
+    ),
+    d AS (
+        SELECT t,
+               SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d_t,
+               SUM(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS c_t
+        FROM l GROUP BY 1
+    ),
+    r AS (
+        SELECT t, d_t, c_t,
+               SUM(d_t + c_t) OVER (ORDER BY t DESC)::BIGINT AS n_risk
+        FROM d
+    )
+    SELECT t AS lifetime_days, n_risk, d_t AS n_events, c_t AS n_censored,
+           ROUND(1.0 - CAST(d_t AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+               AS step_factor
+    FROM r WHERE d_t > 0 ORDER BY 1
+"""
+QUERIES["km_lifetimes"] = q_km_lifetimes

@@ -228,3 +228,52 @@ def test_degenerate_inputs_return_typed_empty(ray_session, tmp_path):
     pq.write_table(t2, tmp_path / "documents.parquet")
     ov = QUERIES["source_token_overlap"](str(tmp_path))
     assert ov.shape == (0, 5)
+
+
+def test_km_lifetimes_censoring_planted(ray_session, tmp_path):
+    """Planted non-purchasers must enter the risk set and exit as
+    censored at their last observed day — DuckDB twin in-test (the
+    driver testdata has zero censored users, so this path is pinned
+    here)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+
+    def add(uid, day, et):
+        nonlocal eid
+        rows.append({"event_id": eid, "user_id": uid,
+                     "ts": np.datetime64("2024-01-01", "us")
+                     + np.timedelta64(day, "D").astype("timedelta64[us]"),
+                     "event_type": et, "value": 1.0})
+        eid += 1
+
+    # 10 converters at t=2, 5 at t=5, 8 censored at t=3, 4 censored t=7
+    uid = 0
+    for _ in range(10):
+        add(uid, 0, "view"); add(uid, 2, "purchase"); uid += 1
+    for _ in range(5):
+        add(uid, 0, "view"); add(uid, 5, "purchase"); uid += 1
+    for _ in range(8):
+        add(uid, 0, "view"); add(uid, 3, "click"); uid += 1
+    for _ in range(4):
+        add(uid, 0, "view"); add(uid, 7, "click"); uid += 1
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["km_lifetimes"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["km_lifetimes"]).fetchdf()
+    con.close()
+    assert got.shape == exp.shape == (2, 5)
+    assert (got.values == exp[got.columns].values).all()
+    # t=2: all 27 at risk, 10 deaths; t=5: risk = 27-10-8 = 9, 5 deaths
+    assert got.loc[0].tolist()[:4] == [2, 27, 10, 0]
+    assert got.loc[1].tolist()[:4] == [5, 9, 5, 0]
