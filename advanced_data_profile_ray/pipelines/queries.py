@@ -12473,3 +12473,143 @@ ORACLE["km_lifetimes"] = """
     FROM r WHERE d_t > 0 ORDER BY 1
 """
 QUERIES["km_lifetimes"] = q_km_lifetimes
+
+
+def q_cumulative_unique_users(sf_dir: str) -> pd.DataFrame:
+    """CUMULATIVE-UNIQUE-USERS GROWTH CURVE: per day, how many users
+    appeared for the FIRST time and the running total of distinct users
+    ever seen — the acquisition curve (running COUNT(DISTINCT) is the
+    textbook expensive window; first-seen reduction makes it one cheap
+    exchange). Distributed shape: ONE user-grain exchange reduces the
+    stream to first-seen days; the day census and its prefix sum fold
+    on the driver (bounded by the calendar)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["ts"], pa.timestamp("us")), unit="day"), pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "d0": day})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("d0", "min", "d0")])
+    u = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        u = pd.concat([u, edge.to_pandas()], ignore_index=True)
+    census = (u.groupby("d0").size().sort_index())
+    out = pd.DataFrame({
+        "day": census.index.to_numpy("int64").astype("datetime64[us]"),
+        "new_users": census.to_numpy(np.int64),
+        "total_users": census.cumsum().to_numpy(np.int64)})
+    return out
+
+
+ORACLE["cumulative_unique_users"] = """
+    WITH f AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+        FROM events GROUP BY 1
+    ),
+    c AS (SELECT d0 AS day, COUNT(*)::BIGINT AS new_users
+          FROM f GROUP BY 1)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day)::BIGINT AS total_users
+    FROM c ORDER BY day
+"""
+QUERIES["cumulative_unique_users"] = q_cumulative_unique_users
+
+
+def q_did_value_by_cohort(sf_dir: str) -> pd.DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: mean event value (exact cents) for
+    treatment (odd user_id) vs control (even) cohorts, before vs after
+    the window midpoint — the quasi-experimental effect estimate
+    DiD = (T_post − T_pre) − (C_post − C_pre), immune to cohort level
+    differences and common time trends. One zero-exchange scan of
+    (cohort, period, n, Σcents) int64 partials; the four means and the
+    estimate are single-expression float divisions of exact sums."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.coalesce(t["value"], pa.scalar(0.0)), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        tt = pa.table({"treat": pa.array((uid % 2).astype(np.int64)),
+                       "us": us, "cents": cents})
+        return tt
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072)
+
+    # window midpoint from exact integer min/max fold (one pass over
+    # the tiny per-block extrema)
+    def _extrema(t: pa.Table) -> pa.Table:
+        return pa.table({"lo": pa.array([pc.min(t["us"]).as_py()],
+                                        pa.int64()),
+                         "hi": pa.array([pc.max(t["us"]).as_py()],
+                                        pa.int64())})
+
+    parts = parts.materialize()
+    ex = parts.map_batches(_extrema, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    mid = (int(ex["lo"].min()) + int(ex["hi"].max())) // 2
+
+    def _census(t: pa.Table) -> pa.Table:
+        post = pc.cast(pc.greater_equal(t["us"], pa.scalar(mid, pa.int64())),
+                       pa.int64())
+        tt = pa.table({"treat": t["treat"], "post": post,
+                       "cents": t["cents"]})
+        g = tt.group_by(["treat", "post"], use_threads=False).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"cents_sum": "s", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    cen = (parts.map_batches(_census, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+           .groupby(["treat", "post"], as_index=False)[["s", "n"]].sum())
+    m = {(int(r.treat), int(r.post)):
+         float(r.s) / 100.0 / float(r.n) for r in cen.itertuples()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    out = cen.copy()
+    out["mean_value"] = np.round(
+        out["s"].astype("float64") / 100.0 / out["n"].astype("float64"), 6)
+    out["did_estimate"] = round(did, 6)
+    out["treat"] = out["treat"].astype("int64")
+    out["post"] = out["post"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["treat", "post", "n", "mean_value", "did_estimate"]]
+            .sort_values(["treat", "post"]).reset_index(drop=True))
+
+
+ORACLE["did_value_by_cohort"] = """
+    WITH b AS (
+        SELECT (user_id % 2)::BIGINT AS treat,
+               CASE WHEN epoch_us(ts) >=
+                    ((SELECT MIN(epoch_us(ts)) FROM events)
+                     + (SELECT MAX(epoch_us(ts)) FROM events)) // 2
+                    THEN 1 ELSE 0 END::BIGINT AS post,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    c AS (
+        SELECT treat, post, SUM(cents)::BIGINT AS s, COUNT(*)::BIGINT AS n
+        FROM b GROUP BY 1, 2
+    ),
+    m AS (SELECT treat, post,
+                 CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mv
+          FROM c)
+    SELECT c.treat, c.post, c.n,
+           ROUND(CAST(c.s AS DOUBLE) / 100.0 / CAST(c.n AS DOUBLE), 6)
+               AS mean_value,
+           ROUND(((SELECT mv FROM m WHERE treat = 1 AND post = 1)
+                  - (SELECT mv FROM m WHERE treat = 1 AND post = 0))
+                 - ((SELECT mv FROM m WHERE treat = 0 AND post = 1)
+                    - (SELECT mv FROM m WHERE treat = 0 AND post = 0)), 6)
+               AS did_estimate
+    FROM c ORDER BY 1, 2
+"""
+QUERIES["did_value_by_cohort"] = q_did_value_by_cohort
