@@ -12613,3 +12613,83 @@ ORACLE["did_value_by_cohort"] = """
     FROM c ORDER BY 1, 2
 """
 QUERIES["did_value_by_cohort"] = q_did_value_by_cohort
+
+
+def q_dow_profile_outliers(sf_dir: str) -> pd.DataFrame:
+    """WEEKDAY-PROFILE DAY OUTLIERS: each day's event-type mix tested
+    (chi²) against its own WEEKDAY's aggregate profile — the "this
+    Tuesday doesn't look like Tuesdays" detector that volume gates miss
+    when totals are normal but composition shifted. One (day, type)
+    count exchange to the bounded census; the weekday profiles and the
+    per-day chi² (Σ (obs − n·p)²/(n·p), exact integer inputs, single
+    float expression mirrored in the twin) fold on the reduced table;
+    flagged days have chi² > 15 (df≈4, p≈0.005)."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(t["ts"], pa.timestamp("us")), unit="day"), pa.int64())
+        return pa.table({"day": day, "event_type": t["event_type"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["day", "event_type"], [("one", "sum", "n")])
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+    census["n"] = census["n"].astype("int64")
+    epoch_day = census["day"].astype("int64") // 86_400_000_000
+    census["dow"] = ((epoch_day + 3) % 7 + 1).astype("int64")  # ISO dow
+
+    prof = (census.groupby(["dow", "event_type"])["n"].sum()
+            .rename("tp").reset_index())
+    dtot = prof.groupby("dow")["tp"].sum().rename("dt").reset_index()
+    m = census.merge(prof, on=["dow", "event_type"]).merge(dtot, on="dow")
+    day_n = census.groupby("day")["n"].sum().rename("dn").reset_index()
+    m = m.merge(day_n, on="day")
+    exp = (m["dn"].astype("float64") * m["tp"].astype("float64")
+           / m["dt"].astype("float64"))
+    m["term"] = (m["n"].astype("float64") - exp) ** 2 / exp
+    chi = (m.groupby(["day", "dow", "dn"])["term"].sum()
+           .rename("chi2").reset_index())
+    chi["chi2"] = np.round(chi["chi2"].to_numpy(np.float64), 6)
+    out = chi[chi["chi2"] > 15.0].copy()
+    out["day"] = (out["day"].astype("int64")).astype("datetime64[us]")
+    out = out.rename(columns={"dn": "n"})
+    out["n"] = out["n"].astype("int64")
+    return (out[["day", "dow", "n", "chi2"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+ORACLE["dow_profile_outliers"] = """
+    WITH c AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cd AS (SELECT *, isodow(day)::BIGINT AS dow FROM c),
+    prof AS (SELECT dow, event_type, SUM(n)::BIGINT AS tp
+             FROM cd GROUP BY 1, 2),
+    dtot AS (SELECT dow, SUM(tp)::BIGINT AS dt FROM prof GROUP BY 1),
+    dayn AS (SELECT day, SUM(n)::BIGINT AS dn FROM c GROUP BY 1),
+    t AS (
+        SELECT cd.day, cd.dow, dayn.dn,
+               POWER(CAST(cd.n AS DOUBLE)
+                     - CAST(dayn.dn AS DOUBLE) * CAST(prof.tp AS DOUBLE)
+                       / CAST(dtot.dt AS DOUBLE), 2)
+               / (CAST(dayn.dn AS DOUBLE) * CAST(prof.tp AS DOUBLE)
+                  / CAST(dtot.dt AS DOUBLE)) AS term
+        FROM cd
+        JOIN prof USING (dow, event_type)
+        JOIN dtot USING (dow)
+        JOIN dayn USING (day)
+    )
+    SELECT day, dow, dn AS n, ROUND(SUM(term), 6) AS chi2
+    FROM t GROUP BY 1, 2, 3
+    HAVING ROUND(SUM(term), 6) > 15.0
+    ORDER BY 1
+"""
+QUERIES["dow_profile_outliers"] = q_dow_profile_outliers

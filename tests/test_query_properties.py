@@ -277,3 +277,48 @@ def test_km_lifetimes_censoring_planted(ray_session, tmp_path):
     # t=2: all 27 at risk, 10 deaths; t=5: risk = 27-10-8 = 9, 5 deaths
     assert got.loc[0].tolist()[:4] == [2, 27, 10, 0]
     assert got.loc[1].tolist()[:4] == [5, 9, 5, 0]
+
+
+def test_dow_profile_outliers_planted(ray_session, tmp_path):
+    """A planted composition-shifted day (same volume, skewed type mix)
+    must be flagged while normal days are not — DuckDB twin in-test
+    (driver testdata flags no days, so the >15 path is pinned here)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+    base = np.datetime64("2024-01-01", "us")
+    for day in range(21):
+        # normal mix: 40 view / 40 click / 20 purchase
+        mix = [("view", 40), ("click", 40), ("purchase", 20)]
+        if day == 9:  # planted: all purchase, same total volume
+            mix = [("view", 0), ("click", 0), ("purchase", 100)]
+        for et, cnt in mix:
+            for i in range(cnt):
+                rows.append({"event_id": eid, "user_id": eid % 7,
+                             "ts": base + np.timedelta64(day, "D")
+                             .astype("timedelta64[us]")
+                             + np.timedelta64(i, "s")
+                             .astype("timedelta64[us]"),
+                             "event_type": et, "value": 1.0})
+                eid += 1
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["dow_profile_outliers"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["dow_profile_outliers"]).fetchdf()
+    con.close()
+    assert len(got) >= 1
+    flagged = got["day"].astype("datetime64[us]").tolist()
+    assert (base + np.timedelta64(9, "D").astype("timedelta64[us]")
+            in flagged)
+    assert got.shape == exp.shape
+    assert (got["chi2"].to_numpy() == exp["chi2"].to_numpy()).all()
