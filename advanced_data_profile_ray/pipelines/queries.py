@@ -12693,3 +12693,310 @@ ORACLE["dow_profile_outliers"] = """
     ORDER BY 1
 """
 QUERIES["dow_profile_outliers"] = q_dow_profile_outliers
+
+
+def q_auc_value_purchase(sf_dir: str) -> pd.DataFrame:
+    """ROC-AUC of `value` as a ranking score for purchase-vs-view —
+    the model-evaluation statistic in its exact rank-sum form
+    (AUC = U⁺/(n⁺·n⁻), the Mann–Whitney identity), not a sampled or
+    binned estimate. Distributed shape: ONE grouped exchange collapses
+    the stream to the per-distinct-value (n_pos, n_neg) histogram —
+    the same reduced-census discipline as mannwhitney_sources — and
+    the doubled-midrank fold (a tied block at cumulative base b with
+    multiplicity c has doubled midrank 2b + c + 1, exact int64) runs
+    on the driver over the bounded histogram. A single float division
+    at the end, mirrored operation-for-operation by the twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "view"])),
+            pc.is_valid(t["value"]))
+        sub = t.filter(keep)
+        p = pc.cast(pc.equal(sub["event_type"], pa.scalar("purchase")),
+                    pa.int64())
+        return pa.table({"v": sub["value"], "p": p,
+                         "one": pa.array(np.ones(sub.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["v"], [("p", "sum", "np"), ("one", "sum", "n")])
+    hist = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        hist = pd.concat([hist, edge.to_pandas()], ignore_index=True)
+    hist = hist.sort_values("v").reset_index(drop=True)
+    cp = hist["np"].to_numpy(np.int64)
+    c = hist["n"].to_numpy(np.int64)
+    base = np.concatenate([[0], np.cumsum(c)[:-1]])
+    r2p = int((cp * (2 * base + c + 1)).sum())
+    n_pos = int(cp.sum())
+    n_neg = int(c.sum()) - n_pos
+    auc = round((r2p - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6)
+    return pd.DataFrame({"auc": [auc],
+                         "n_pos": pd.Series([n_pos], dtype="int64"),
+                         "n_neg": pd.Series([n_neg], dtype="int64")})
+
+
+ORACLE["auc_value_purchase"] = """
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    rk AS (
+        SELECT pos,
+               2 * RANK() OVER (ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+        FROM s
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS r2p,
+               SUM(pos) AS np, SUM(1 - pos) AS nn
+        FROM rk
+    )
+    SELECT ROUND((r2p - np * (np + 1)) / (2.0 * np * nn), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+    FROM agg
+"""
+QUERIES["auc_value_purchase"] = q_auc_value_purchase
+
+
+def q_value_decile_lift(sf_dir: str) -> pd.DataFrame:
+    """DECILE LIFT CHART of `value` against purchase conversion — the
+    campaign-targeting companion to the AUC: rank all view/purchase
+    events by value, cut into ten equal-width global deciles, report
+    each decile's conversion rate and its lift over the base rate.
+    Distributed shape: ONE global sort exchange via row_number_within
+    on a constant partition key with the deterministic (value,
+    event_id) order — the customer_ltv_deciles composition — then a
+    per-block decile census folded on the driver. The decile label is
+    the exact integer formula ((rn−1)·10)//n shared with the twin
+    (NTILE's ceil/floor convention deliberately avoided)."""
+    import ray.data as rd
+
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "event_id"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "view"])),
+            pc.is_valid(t["value"]))
+        sub = t.filter(keep)
+        p = pc.cast(pc.equal(sub["event_type"], pa.scalar("purchase")),
+                    pa.int64())
+        return pa.table({"v": sub["value"], "event_id": sub["event_id"],
+                         "p": p,
+                         "g": pa.array(np.zeros(sub.num_rows, np.int64))})
+
+    numbered = row_number_within(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "g", ["v", "event_id"], out_col="rn", start=1)
+    n_total = numbered.count()
+
+    def _census(t: pa.Table) -> pa.Table:
+        dec = pc.divide(pc.multiply(pc.subtract(t["rn"], 1), 10),
+                        pa.scalar(n_total, pa.int64()))
+        tt = pa.table({"decile": dec, "p": t["p"]})
+        g = tt.group_by(["decile"], use_threads=False).aggregate(
+            [("p", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"p_sum": "np", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = numbered.map_batches(_census, batch_format="pyarrow",
+                                 batch_size=131072).to_pandas()
+    out = (parts.groupby("decile", as_index=False)[["np", "n"]].sum()
+           .sort_values("decile").reset_index(drop=True))
+    out["decile"] = out["decile"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["n_purchase"] = out["np"].astype("int64")
+    np_tot = int(out["n_purchase"].sum())
+    base = np_tot / n_total
+    rate = (out["n_purchase"].to_numpy(np.float64)
+            / out["n"].to_numpy(np.float64))
+    out["rate"] = np.round(rate, 6)
+    out["lift"] = np.round(rate / base, 6)
+    return out[["decile", "n", "n_purchase", "rate", "lift"]]
+
+
+ORACLE["value_decile_lift"] = """
+    WITH s AS (
+        SELECT value AS v, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    rn AS (
+        SELECT pos, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER () AS nt, SUM(pos) OVER () AS npt
+        FROM s
+    ),
+    d AS (
+        SELECT ((rn - 1) * 10) // nt AS decile,
+               COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS n_purchase,
+               MAX(nt) AS nt, MAX(npt) AS npt
+        FROM rn GROUP BY 1
+    )
+    SELECT decile, n, n_purchase,
+           ROUND(CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS rate,
+           ROUND((CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+               AS lift
+    FROM d ORDER BY decile
+"""
+QUERIES["value_decile_lift"] = q_value_decile_lift
+
+
+def q_customer_name_jw(sf_dir: str) -> pd.DataFrame:
+    """JARO-WINKLER-SCORED FUZZY MATCH on customer names: the
+    edit-distance-1 entity-resolution join (customer_name_matches)
+    upgraded from a boolean verdict to a graded similarity score —
+    the form a merge-review queue actually consumes. Distributed
+    shape: identical exact deletion-neighborhood blocking + bucket /
+    pair-dedup exchanges (edit_distance_pairs_ds); the Jaro-Winkler
+    kernel (functions/jaro.py, vectorized ACROSS pairs — the position
+    loop is the short axis) runs inside map tasks over the verified
+    pair blocks. Scores are pinned to DuckDB's
+    jaro_winkler_similarity semantics (boost >0.7, p=0.1, ℓ≤4),
+    fuzz-verified in tests/test_similarity.py."""
+    from ..functions.jaro import jaro_winkler_pairs
+    from .dedup import edit_distance_pairs_ds
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = edit_distance_pairs_ds(ds, "c_custkey", "c_name",
+                                   rows_hint=int(ds.count()))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["name_a"].to_numpy(object)
+        b = df["name_b"].to_numpy(object)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        jw = np.round(jaro_winkler_pairs(lo, hi), 6)
+        return pd.DataFrame({"a_name": lo, "b_name": hi, "jw": jw})
+
+    out = pairs.map_batches(_score, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a_name": pd.Series([], dtype=object),
+                             "b_name": pd.Series([], dtype=object),
+                             "jw": pd.Series([], dtype="float64")})
+    out = out[out["a_name"] != out["b_name"]]
+    return out.sort_values(["a_name", "b_name"]).reset_index(drop=True)
+
+
+ORACLE["customer_name_jw"] = """
+    SELECT a.c_name AS a_name, b.c_name AS b_name,
+           ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+    FROM customer a, customer b
+    WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      AND length(a.c_name) >= 2 AND length(b.c_name) >= 2
+    ORDER BY 1, 2
+"""
+QUERIES["customer_name_jw"] = q_customer_name_jw
+
+
+def q_logit_purchase_value(sf_dir: str) -> pd.DataFrame:
+    """LOGISTIC REGRESSION (purchase ~ standardized value) fit by
+    distributed IRLS/Newton — the iterative-algorithm shape (fixed
+    pass count, per-pass gradient/Hessian partials, driver-side 2×2
+    solve) that SQL cannot express; registered rows-only with a
+    numpy-parity pytest as the correctness witness
+    (tests/test_similarity.py). Distributed shape: one moments pass
+    (n, Σx, Σx²) then EIGHT map_batches passes each emitting a
+    5-component partial [Σg₀, Σg₁, ΣH₀₀, ΣH₀₁, ΣH₁₁] per block —
+    ZERO exchanges; the driver folds partials with math.fsum
+    (correctly-rounded, order-independent, so the fit is stable
+    under any block schedule) and solves the 2×2 closed form. The
+    bounded (x, y) feature table is materialized once so the eight
+    Newton passes don't re-scan parquet — at 10¹²-turn scale this is
+    the checkpoint-the-features pattern (sources/sink.py), not a
+    driver collect."""
+    import math
+
+    from ray.data import Dataset  # noqa: F401 (doc anchor)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "view"])),
+            pc.is_valid(t["value"]))
+        sub = t.filter(keep)
+        y = pc.cast(pc.equal(sub["event_type"], pa.scalar("purchase")),
+                    pa.float64())
+        return pa.table({"x": pc.cast(sub["value"], pa.float64()),
+                         "y": y})
+
+    feat = ds.map_batches(_pre, batch_format="pyarrow",
+                          batch_size=131072).materialize()
+
+    def _mom(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([float(len(x))]),
+                         "s": pa.array([float(x.sum())]),
+                         "ss": pa.array([float((x * x).sum())])})
+
+    mp = feat.map_batches(_mom, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    n = math.fsum(mp["n"])
+    mu = math.fsum(mp["s"]) / n
+    var = math.fsum(mp["ss"]) / n - mu * mu
+    sd = math.sqrt(var) if var > 0 else 1.0
+
+    beta = np.zeros(2, np.float64)
+    for _ in range(8):
+        b0, b1 = float(beta[0]), float(beta[1])
+
+        def _partial(t: pa.Table, b0=b0, b1=b1) -> pa.Table:
+            x = (t["x"].to_numpy(zero_copy_only=False) - mu) / sd
+            y = t["y"].to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+            r = y - p
+            w = p * (1.0 - p)
+            return pa.table({"g0": pa.array([float(r.sum())]),
+                             "g1": pa.array([float((r * x).sum())]),
+                             "h00": pa.array([float(w.sum())]),
+                             "h01": pa.array([float((w * x).sum())]),
+                             "h11": pa.array([float((w * x * x).sum())])})
+
+        pp = feat.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=131072).to_pandas()
+        g0 = math.fsum(pp["g0"])
+        g1 = math.fsum(pp["g1"])
+        h00 = math.fsum(pp["h00"])
+        h01 = math.fsum(pp["h01"])
+        h11 = math.fsum(pp["h11"])
+        det = h00 * h11 - h01 * h01
+        beta[0] += (h11 * g0 - h01 * g1) / det
+        beta[1] += (h00 * g1 - h01 * g0) / det
+
+    b0, b1 = float(beta[0]), float(beta[1])
+
+    def _loss(t: pa.Table) -> pa.Table:
+        x = (t["x"].to_numpy(zero_copy_only=False) - mu) / sd
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = b0 + b1 * x
+        # log(1+e^z) - y*z, computed stably
+        ll = np.logaddexp(0.0, z) - y * z
+        return pa.table({"l": pa.array([float(ll.sum())])})
+
+    lp = feat.map_batches(_loss, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    logloss = math.fsum(lp["l"]) / n
+    return pd.DataFrame({"n": pd.Series([int(n)], dtype="int64"),
+                         "intercept": [round(b0, 6)],
+                         "coef": [round(b1, 6)],
+                         "logloss": [round(logloss, 6)]})
+
+
+QUERIES["logit_purchase_value"] = q_logit_purchase_value
