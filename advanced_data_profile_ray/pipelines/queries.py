@@ -13000,3 +13000,239 @@ def q_logit_purchase_value(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["logit_purchase_value"] = q_logit_purchase_value
+
+
+def q_source_ttr(sf_dir: str) -> pd.DataFrame:
+    """VOCABULARY RICHNESS per source: type-token ratio and Herdan's C
+    (ln V / ln N) — the lexical-diversity census that separates a
+    boilerplate-heavy source from genuinely varied text (TTR shrinks
+    with corpus size; Herdan's C is the size-robust companion).
+    Distributed shape: per-block (source, token) COUNT partials with
+    the suite's shared tokenizer (lower + [a-z']+, the word_freqs /
+    source_token_overlap convention) -> ONE grouped exchange to the
+    bounded vocab x source census; totals and distinct counts fold on
+    the reduced table. Single-float expressions mirrored by the twin."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z']+")
+        ex = pd.DataFrame({
+            "source": df["source"].to_numpy().repeat(
+                toks.str.len().to_numpy()),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            if len(toks) else np.array([], dtype=object)})
+        g = ex.groupby(["source", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_tok, batch_format="pandas", batch_size=65536),
+        ["source", "token"], [("n", "sum", "n")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    if c.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "n_vocab": pd.Series([], dtype="int64"),
+                             "ttr": pd.Series([], dtype="float64"),
+                             "herdan_c": pd.Series([], dtype="float64")})
+    g = (c.groupby("source")
+         .agg(n_tokens=("n", "sum"), n_vocab=("n", "size"))
+         .reset_index().sort_values("source").reset_index(drop=True))
+    g["n_tokens"] = g["n_tokens"].astype("int64")
+    g["n_vocab"] = g["n_vocab"].astype("int64")
+    nt = g["n_tokens"].to_numpy(np.float64)
+    nv = g["n_vocab"].to_numpy(np.float64)
+    g["ttr"] = np.round(nv / nt, 6)
+    g["herdan_c"] = np.round(np.log(nv) / np.log(nt), 6)
+    return g[["source", "n_tokens", "n_vocab", "ttr", "herdan_c"]]
+
+
+ORACLE["source_ttr"] = """
+    WITH w AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, COUNT(*)::BIGINT AS n_tokens,
+               COUNT(DISTINCT tok)::BIGINT AS n_vocab
+        FROM w GROUP BY 1
+    )
+    SELECT source, n_tokens, n_vocab,
+           ROUND(CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ttr,
+           ROUND(LN(CAST(n_vocab AS DOUBLE))
+                 / LN(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c
+    FROM c ORDER BY source
+"""
+QUERIES["source_ttr"] = q_source_ttr
+
+
+def q_gap_expfit_ks(sf_dir: str) -> pd.DataFrame:
+    """EXPONENTIAL-FIT GOODNESS OF FIT on pooled inter-event gaps: fit
+    Exp(1/mean) to the second-granularity gap distribution by moment
+    matching and report the one-sample KS distance — the
+    arrival-process validation check (a Poisson stream fits; bursty or
+    bot traffic shows a large D). Distributed shape: the gap multiset
+    extracts through adjacent_gap_counts (one sort exchange, in-block
+    LAG-delta counts, O(blocks) boundary carry), a second skinny
+    exchange collapses to the bounded per-second census, and the KS
+    fold (step CDF vs 1 − e^(−x/mean), both sides of each step) runs
+    on the reduced table. Mean from exact int64 sums; the float
+    expressions mirror the twin operation-for-operation."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import adjacent_gap_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    inner, edge = adjacent_gap_counts(ds, "user_id", "ts", "event_id")
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+
+    def _to_sec(t: pa.Table) -> pa.Table:
+        gs = pc.divide(t["gap_us"], pa.scalar(1_000_000, pa.int64()))
+        tt = pa.table({"gap_s": gs, "w": t["w"]})
+        g = tt.group_by(["gap_s"], use_threads=False).aggregate(
+            [("w", "sum")])
+        return g.rename_columns(
+            [{"w_sum": "w"}.get(c, c) for c in g.column_names])
+
+    gi, ge = sorted_groupby(
+        vc.map_batches(_to_sec, batch_format="pyarrow", batch_size=131072),
+        ["gap_s"], [("w", "sum", "w")])
+    census = gi.to_pandas()
+    if ge is not None and ge.num_rows:
+        census = pd.concat([census, ge.to_pandas()], ignore_index=True)
+    census = (census.groupby("gap_s", as_index=False)["w"].sum()
+              .sort_values("gap_s").reset_index(drop=True))
+    x = census["gap_s"].to_numpy(np.int64)
+    w = census["w"].to_numpy(np.int64)
+    n = int(w.sum())
+    mean = float((x * w).sum()) / float(n)
+    cum = np.cumsum(w)
+    fexp = 1.0 - np.exp(-(x.astype(np.float64) / mean))
+    hi = np.abs(cum / float(n) - fexp)
+    lo = np.abs((cum - w) / float(n) - fexp)
+    ks = round(float(np.maximum(hi, lo).max()), 6)
+    return pd.DataFrame({"n_gaps": pd.Series([n], dtype="int64"),
+                         "mean_gap_s": [round(mean, 6)],
+                         "ks": [ks]})
+
+
+ORACLE["gap_expfit_ks"] = """
+    WITH g AS (
+        SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+        FROM events
+    ),
+    c AS (SELECT gap_s, COUNT(*)::BIGINT AS w FROM g
+          WHERE gap_s IS NOT NULL GROUP BY 1),
+    m AS (SELECT CAST(SUM(gap_s * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                     AS mean_s,
+                 SUM(w)::BIGINT AS n FROM c),
+    k AS (SELECT gap_s, w, SUM(w) OVER (ORDER BY gap_s) AS cum FROM c)
+    SELECT (SELECT n FROM m) AS n_gaps,
+           ROUND((SELECT mean_s FROM m), 6) AS mean_gap_s,
+           ROUND(MAX(GREATEST(
+               ABS(CAST(cum AS DOUBLE) / CAST((SELECT n FROM m) AS DOUBLE)
+                   - (1 - EXP(-(CAST(gap_s AS DOUBLE)
+                                / (SELECT mean_s FROM m))))),
+               ABS(CAST(cum - w AS DOUBLE)
+                   / CAST((SELECT n FROM m) AS DOUBLE)
+                   - (1 - EXP(-(CAST(gap_s AS DOUBLE)
+                                / (SELECT mean_s FROM m))))))), 6) AS ks
+    FROM k
+"""
+QUERIES["gap_expfit_ks"] = q_gap_expfit_ks
+
+
+def q_knn_label_purity(sf_dir: str) -> pd.DataFrame:
+    """k-NN NEIGHBORHOOD PURITY of the embedding space (k=10): per
+    label, the fraction of each vector's ten nearest cosine neighbors
+    that share its label — the embedding-quality eval that says
+    whether the space actually clusters by label before anyone trusts
+    an ANN dedup or retrieval built on it. Distributed shape: the
+    corpus matrix broadcasts ONCE via ray.put (the referential
+    small-side pattern; at 10^12 scale the corpus side is the IVF
+    index and this exact form is its oracle baseline, the ann_topk
+    precedent) while the query side STREAMS through map_batches —
+    per-batch float64 matmul, self column masked, top-k by
+    argpartition (membership only; the data's min k-th/(k+1)-th gap
+    is >= 3.5e-7 at every SF, orders beyond cross-engine float noise,
+    so the set is stable — the cosine_range_search argument), per-block
+    (label, same, n) partials fold on the driver. The twin casts to
+    DOUBLE[] so DuckDB scores in float64 too."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"]
+                           ).sort_by("vec_id")
+    ids = np.asarray(corpus["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in corpus["embedding"].to_pylist()])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
+    labels = np.asarray(corpus["label"].to_pylist(), dtype=np.int64)
+    ref = ray.put((ids, mat, labels))
+    k = 10
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        c_ids, c_mat, c_lab = ray.get(ref)
+        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                           1e-12)
+        sims = q @ c_mat.T
+        rows = np.arange(len(df))
+        own = np.searchsorted(c_ids, df["vec_id"].to_numpy(np.int64))
+        sims[rows, own] = -np.inf
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        same = (c_lab[top]
+                == df["label"].to_numpy(np.int64)[:, None]).sum(axis=1)
+        out = pd.DataFrame({"label": df["label"].astype("int64"),
+                            "same": same.astype("int64")})
+        g = out.groupby("label", as_index=False).agg(
+            same=("same", "sum"), n_vecs=("same", "size"))
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    out = (parts.groupby("label", as_index=False)[["same", "n_vecs"]]
+           .sum().sort_values("label").reset_index(drop=True))
+    out["label"] = out["label"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["purity"] = np.round(
+        out["same"].to_numpy(np.float64)
+        / (10.0 * out["n_vecs"].to_numpy(np.float64)), 6)
+    return out[["label", "n_vecs", "purity"]]
+
+
+ORACLE["knn_label_purity"] = """
+    WITH p AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    s AS (
+        SELECT qid, qlabel,
+               SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)::BIGINT
+                   AS same
+        FROM p WHERE rn <= 10 GROUP BY 1, 2
+    )
+    SELECT qlabel AS label, COUNT(*)::BIGINT AS n_vecs,
+           ROUND(CAST(SUM(same) AS DOUBLE) / (10.0 * COUNT(*)), 6)
+               AS purity
+    FROM s GROUP BY 1 ORDER BY 1
+"""
+QUERIES["knn_label_purity"] = q_knn_label_purity

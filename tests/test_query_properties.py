@@ -322,3 +322,139 @@ def test_dow_profile_outliers_planted(ray_session, tmp_path):
             in flagged)
     assert got.shape == exp.shape
     assert (got["chi2"].to_numpy() == exp["chi2"].to_numpy()).all()
+
+
+def test_source_ttr_planted_extremes(ray_session, tmp_path):
+    """A source repeating one token has TTR -> 1/N and Herdan C -> 0;
+    a source of all-unique tokens has TTR = 1 and Herdan C = 1 —
+    DuckDB twin in-test on the same planted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    docs = []
+    for i in range(10):
+        docs.append({"doc_id": i, "source": "boiler",
+                     "text": "the " * 50, "lang": "en", "n_chars": 200})
+    # letter-only tokens: the suite tokenizer is [a-z']+, digits split
+    uniq = " ".join(
+        "tok" + "".join(chr(ord("a") + (j // 26 ** p) % 26)
+                        for p in range(3))
+        for j in range(500))
+    docs.append({"doc_id": 100, "source": "varied", "text": uniq,
+                 "lang": "en", "n_chars": len(uniq)})
+    pq.write_table(pa.table(pd.DataFrame(docs)),
+                   tmp_path / "documents.parquet")
+
+    got = QUERIES["source_ttr"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["source_ttr"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    b = got[got["source"] == "boiler"].iloc[0]
+    v = got[got["source"] == "varied"].iloc[0]
+    assert b["n_vocab"] == 1 and b["n_tokens"] == 500
+    assert b["ttr"] == round(1 / 500, 6) and b["herdan_c"] == 0.0
+    assert v["ttr"] == 1.0 and v["herdan_c"] == 1.0
+
+
+def test_gap_expfit_ks_planted(ray_session, tmp_path):
+    """Constant gaps (degenerate distribution) score a large KS against
+    the exponential fit (D = 1 - 1/e at the single step, ~0.632);
+    geometric-spread gaps score much lower — and the engine matches
+    the DuckDB twin exactly on both tables."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    base = np.datetime64("2024-01-01", "us")
+
+    def build(gaps, d):
+        rows = []
+        eid = 0
+        for uid in range(40):
+            t = base
+            rows.append({"event_id": eid, "user_id": uid, "ts": t,
+                         "event_type": "view", "value": 1.0})
+            eid += 1
+            for g in gaps:
+                t = t + np.timedelta64(int(g) * 1_000_000, "us")
+                rows.append({"event_id": eid, "user_id": uid, "ts": t,
+                             "event_type": "view", "value": 1.0})
+                eid += 1
+        d.mkdir()
+        pq.write_table(pa.table(pd.DataFrame(rows)),
+                       d / "events.parquet")
+
+    build([60] * 20, tmp_path / "const")
+    # quantiles of Exp(mean 60): -60*ln(1-p) at p = (i+0.5)/20
+    ps = (np.arange(20) + 0.5) / 20
+    build(np.maximum(1, np.round(-60 * np.log(1 - ps))).astype(int),
+          tmp_path / "expish")
+
+    got_c = QUERIES["gap_expfit_ks"](str(tmp_path / "const"))
+    got_e = QUERIES["gap_expfit_ks"](str(tmp_path / "expish"))
+    for sub, got in [("const", got_c), ("expish", got_e)]:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{sub}/events.parquet')")
+        exp = con.execute(ORACLE["gap_expfit_ks"]).fetchdf()
+        con.close()
+        assert (got.values == exp[got.columns].values).all(), sub
+    assert got_c["ks"].iloc[0] > 0.6          # 1 - 1/e ≈ 0.632
+    assert got_e["ks"].iloc[0] < 0.15
+    assert int(got_c["n_gaps"].iloc[0]) == 40 * 20
+
+
+def test_knn_label_purity_planted_clusters(ray_session, tmp_path):
+    """Well-separated planted clusters score purity 1.0 per label;
+    randomly relabeled vectors collapse toward 1/n_labels — engine
+    matches the DuckDB twin exactly on both tables."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(0, 1, (4, 16)) * 10
+    vecs, labs = [], []
+    for lab in range(4):
+        for _ in range(30):
+            vecs.append(centers[lab] + rng.normal(0, 0.05, 16))
+            labs.append(lab)
+    vecs = np.asarray(vecs, np.float32)
+
+    def build(labels, d):
+        d.mkdir()
+        t = pa.table({
+            "vec_id": pa.array(range(len(labels)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32())})
+        pq.write_table(t, d / "embeddings.parquet")
+
+    build(labs, tmp_path / "clean")
+    build(list(rng.permutation(labs)), tmp_path / "shuffled")
+
+    for sub, bound in [("clean", None), ("shuffled", 0.6)]:
+        got = QUERIES["knn_label_purity"](str(tmp_path / sub))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{sub}/embeddings.parquet')")
+        exp = con.execute(ORACLE["knn_label_purity"]).fetchdf()
+        con.close()
+        assert (got.values == exp[got.columns].values).all(), sub
+        if bound is None:
+            assert (got["purity"] == 1.0).all()
+        else:
+            assert got["purity"].mean() < bound
