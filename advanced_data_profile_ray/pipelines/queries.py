@@ -13236,3 +13236,172 @@ ORACLE["knn_label_purity"] = """
     FROM s GROUP BY 1 ORDER BY 1
 """
 QUERIES["knn_label_purity"] = q_knn_label_purity
+
+
+def q_part_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PAGERANK over the part co-purchase graph (damping 0.85, 10
+    power iterations) — the iterative-graph centrality op beside the
+    suite's label propagation: which parts sit at the hubs of the
+    basket graph. Distributed shape: distinct (order, part) through
+    one grouped exchange; pair_cooccurrence builds the undirected
+    distinct-edge set (one sort exchange); the bounded node/degree
+    arrays broadcast ONCE via ray.put and each iteration is a SINGLE
+    zero-exchange map_batches pass over the materialized edge blocks —
+    per-block bincount of r[src]/deg[src] into dst, nonzero-compressed
+    partials folded on the driver (the bounded-domain census pattern;
+    at 10^9 nodes the rank vector graduates to a partitioned layout
+    like label_propagation_ds's documented upgrade). The twin is the
+    same fixed-iteration recursion as a recursive CTE with
+    aggregation; both sides round to 6dp after iteration 10."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    pairs = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        pairs = pairs.union(
+            rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    ci, ce = pair_cooccurrence(pairs, "l_orderkey", "l_partkey")
+    edges = ci.select_columns(["item_a", "item_b"])
+    if ce is not None and ce.num_rows:
+        edges = edges.union(rd.from_arrow(ce.select(["item_a", "item_b"])))
+    edges = edges.materialize()  # consumed 11x: degree pass + 10 iters
+
+    def _deg(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    degp = edges.map_batches(_deg, batch_format="pyarrow",
+                             batch_size=131072).to_pandas()
+    fold = degp.groupby("node")["d"].sum()
+    nodes = fold.index.to_numpy(np.int64)  # sorted
+    dvec = fold.to_numpy(np.int64)
+    nn = float(len(nodes))
+    if not len(nodes):
+        return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                             "pagerank": pd.Series([], dtype="float64")})
+    topo = ray.put((nodes, dvec))
+    r = np.full(len(nodes), 1.0 / nn)
+    for _ in range(10):
+        rref = ray.put(r)
+
+        def _contrib(t: pa.Table, rref=rref) -> pa.Table:
+            t_nodes, t_dvec = ray.get(topo)
+            rv = ray.get(rref)
+            a = t["item_a"].to_numpy(zero_copy_only=False)
+            b = t["item_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(t_nodes, a)
+            ib = np.searchsorted(t_nodes, b)
+            src = np.concatenate([ia, ib])
+            dst = np.concatenate([ib, ia])
+            sums = np.bincount(dst, weights=rv[src] / t_dvec[src],
+                               minlength=len(t_nodes))
+            nz = np.nonzero(sums)[0]
+            return pa.table({"i": pa.array(nz.astype(np.int64)),
+                             "c": pa.array(sums[nz])})
+
+        parts = edges.map_batches(_contrib, batch_format="pyarrow",
+                                  batch_size=131072).to_pandas()
+        contrib = np.zeros(len(nodes), np.float64)
+        agg = parts.groupby("i")["c"].sum()
+        contrib[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.float64)
+        r = 0.15 / nn + 0.85 * contrib
+    return pd.DataFrame({"part": pd.Series(nodes, dtype="int64"),
+                         "pagerank": np.round(r, 6)})
+
+
+ORACLE["part_pagerank"] = """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e2 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e2 GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    pr(iter, node, r) AS (
+        SELECT 0, src, 1.0 / (SELECT nn FROM n) FROM deg
+        UNION ALL
+        SELECT p.iter + 1, e2.dst,
+               0.15 / (SELECT nn FROM n) + 0.85 * SUM(p.r / deg.d)
+        FROM pr p
+        JOIN e2 ON e2.src = p.node
+        JOIN deg ON deg.src = p.node
+        WHERE p.iter < 10
+        GROUP BY 1, 2
+    )
+    SELECT node AS part, ROUND(r, 6) AS pagerank
+    FROM pr WHERE iter = 10 ORDER BY 1
+"""
+QUERIES["part_pagerank"] = q_part_pagerank
+
+
+def q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    top-k), deterministic: the 200 documents drawn with probability
+    proportional to length, via priority −ln(u)/w where u is the
+    per-row Knuth-hash uniform the suite's epoch_mix already twins
+    bit-for-bit in SQL (same salt/multiplier; id domain < 2³¹
+    contract). The reproducible weighted corpus subsample every
+    mixing/eval pipeline needs — reruns and resumed runs pick the
+    SAME sample. Distributed shape: zero exchanges — per-block
+    vectorized priority + per-block top-k partials, driver merge of
+    ≤ blocks×k rows (the brute_topk discipline). Priority is one ln
+    and one division on both sides; the k-th/(k+1)-th priority gap is
+    ~1/n, orders beyond cross-engine libm noise, so membership is
+    stable (the cosine_range_search argument)."""
+    from .mix import MIX_MOD, MIX_MULT, MIX_SALT
+
+    k = 200
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _pri(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["n_chars"], 0)
+        sub = t.filter(keep)
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids ^ np.uint64(MIX_SALT)) * np.uint64(MIX_MULT)) \
+            % np.uint64(MIX_MOD)
+        u = (h.astype(np.float64) + 0.5) / float(MIX_MOD)
+        w = sub["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pri = -np.log(u) / w
+        kk = min(k, len(pri))
+        if not kk:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "pri": pa.array([], pa.float64())})
+        part = np.argpartition(pri, kk - 1)[:kk]
+        return pa.table({
+            "doc_id": pa.array(
+                sub["doc_id"].to_numpy(zero_copy_only=False)[part]),
+            "n_chars": pa.array(
+                sub["n_chars"].to_numpy(zero_copy_only=False)[part]),
+            "pri": pa.array(pri[part])})
+
+    parts = ds.map_batches(_pri, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.sort_values(["pri", "doc_id"]).head(k)
+           .sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "n_chars"]]
+
+
+ORACLE["weighted_sample_docs"] = """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               ((xor(doc_id, 1482184749) * 2654435761) % 4294967296
+                + 0.5) / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0
+    ),
+    p AS (SELECT doc_id, n_chars, -LN(u) / n_chars AS pri FROM h)
+    SELECT doc_id, n_chars FROM (
+        SELECT * FROM p ORDER BY pri, doc_id LIMIT 200
+    ) ORDER BY doc_id
+"""
+QUERIES["weighted_sample_docs"] = q_weighted_sample_docs

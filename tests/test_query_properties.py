@@ -458,3 +458,76 @@ def test_knn_label_purity_planted_clusters(ray_session, tmp_path):
             assert (got["purity"] == 1.0).all()
         else:
             assert got["purity"].mean() < bound
+
+
+def test_part_pagerank_planted_hub(ray_session, tmp_path):
+    """A planted star-plus-chain basket graph must rank the hub part
+    highest, match the in-test DuckDB recursive-CTE twin exactly, and
+    sum to ~1 (PageRank is a distribution over the co-purchase
+    graph)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    # hub part 1 co-ordered with 2..9 (star); chain 10-11-12
+    for i, other in enumerate(range(2, 10)):
+        rows.append({"l_orderkey": 100 + i, "l_partkey": 1})
+        rows.append({"l_orderkey": 100 + i, "l_partkey": other})
+    rows += [{"l_orderkey": 200, "l_partkey": 10},
+             {"l_orderkey": 200, "l_partkey": 11},
+             {"l_orderkey": 201, "l_partkey": 11},
+             {"l_orderkey": 201, "l_partkey": 12}]
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "lineitem.parquet")
+
+    got = QUERIES["part_pagerank"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["part_pagerank"]).fetchdf()
+    con.close()
+    assert got.shape == exp.shape == (12, 2)
+    assert (got["part"].to_numpy() == exp["part"].to_numpy()).all()
+    assert (got["pagerank"].to_numpy() == exp["pagerank"].to_numpy()).all()
+    top = got.loc[got["pagerank"].idxmax(), "part"]
+    assert top == 1
+    assert abs(got["pagerank"].sum() - 1.0) < 1e-3
+
+
+def test_weighted_sample_docs_planted(ray_session, tmp_path):
+    """Deterministic Efraimidis-Spirakis: two runs return the identical
+    sample, the in-test DuckDB twin agrees exactly, and 100x-weighted
+    docs are drawn far above their uniform share."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    n = 5000
+    # doc_ids 0..499 are heavy (n_chars 10000), the rest light (100)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_chars": np.where(np.arange(n) < 500, 10000, 100).astype(
+            np.int64)})
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+
+    got1 = QUERIES["weighted_sample_docs"](str(tmp_path))
+    got2 = QUERIES["weighted_sample_docs"](str(tmp_path))
+    assert got1.equals(got2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["weighted_sample_docs"]).fetchdf()
+    con.close()
+    assert len(got1) == 200
+    assert (got1["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    heavy = int((got1["doc_id"] < 500).sum())
+    # heavy docs hold 500*10000 / (500*10000 + 4500*100) ≈ 92% of the
+    # total weight; uniform would give 10%. Expect a strong majority.
+    assert heavy > 140, heavy
