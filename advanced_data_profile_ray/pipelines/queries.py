@@ -13405,3 +13405,143 @@ ORACLE["weighted_sample_docs"] = """
     ) ORDER BY doc_id
 """
 QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
+
+
+def q_tool_conformance_census(sf_dir: str) -> pd.DataFrame:
+    """TOOL-CALL PROTOCOL CONFORMANCE over the derived transcripts: a
+    `tool` turn is well-formed only if the immediately preceding turn
+    in its conversation is an `assistant` turn (a tool result with no
+    tool call above it is a corrupt transcript) — the transcript-grammar
+    validation check beside role_alternation and conv_boundary_roles.
+    Distributed shape: the (prev_role, role) adjacency census through
+    pair_gap_stats' ONE sort exchange (fixed int64 role codes, the
+    shared _role_code_batch dictionary); conforming = the
+    assistant→tool cell, total tool turns from a zero-exchange count
+    (conversation-OPENING tool turns have no prev and are
+    nonconforming by definition, which the subtraction captures)."""
+    from ..stages.window import pair_gap_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _codes(t: pa.Table) -> pa.Table:
+        r = _role_code_batch(t)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": r["user_id"], "ts_us": us,
+                         "event_id": r["event_id"], "code": r["code"]})
+
+    coded = ds.map_batches(_codes, batch_format="pyarrow",
+                           batch_size=131072)
+    inner, edge = pair_gap_stats(coded, "user_id", ["ts_us", "event_id"],
+                                 "code", "ts_us",
+                                 prev_name="prev_c", cur_name="cur_c")
+    census = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        census = pd.concat([census, edge.to_pandas()], ignore_index=True)
+    census = census.groupby(["prev_c", "cur_c"], as_index=False)["n"].sum()
+    # tool = code 3 (error events), assistant = code 2 (purchase)
+    good = int(census.loc[(census["prev_c"] == 2)
+                          & (census["cur_c"] == 3), "n"].sum())
+
+    def _tools(t: pa.Table) -> pa.Table:
+        n = pc.sum(pc.cast(pc.equal(t["event_type"], pa.scalar("error")),
+                           pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = int(ds.map_batches(_tools, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()["n"].sum())
+    rate = round(good / total, 6) if total else 0.0
+    return pd.DataFrame({
+        "n_tool_turns": pd.Series([total], dtype="int64"),
+        "n_conforming": pd.Series([good], dtype="int64"),
+        "n_nonconforming": pd.Series([total - good], dtype="int64"),
+        "conforming_rate": [rate]})
+
+
+ORACLE["tool_conformance_census"] = f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    x AS (
+        SELECT role,
+               LAG(role) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev
+        FROM t
+    )
+    SELECT COUNT(*)::BIGINT AS n_tool_turns,
+           SUM(CASE WHEN prev = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+               AS n_conforming,
+           SUM(CASE WHEN prev = 'assistant' THEN 0 ELSE 1 END)::BIGINT
+               AS n_nonconforming,
+           ROUND(CAST(SUM(CASE WHEN prev = 'assistant' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conforming_rate
+    FROM x WHERE role = 'tool'
+"""
+QUERIES["tool_conformance_census"] = q_tool_conformance_census
+
+
+def q_user_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED EWMA (α = 0.2, zero-seeded) of each user's value
+    stream under (ts, event_id) order — the LINEAR-RECURRENCE SCAN
+    s_t = 0.8·s_{t−1} + 0.2·x_t, the one window shape LAG/SUM frames
+    cannot express but a streaming validation engine needs (per-entity
+    smoothed level at end of stream). Distributed shape: the recurrence
+    is an affine map s → a·s + b per segment, and affine maps COMPOSE
+    associatively — each in-block run folds to (a, b) = (0.8^m,
+    Σ 0.2·0.8^{m−i}·x_i) vectorized, and _partition_run_reduce's
+    O(blocks) boundary carry composes fragments in order:
+    (a₁,b₁)∘(a₂,b₂) = (a₁a₂, a₂b₁ + b₂). The float pair rides the
+    scaffold's int64 fields as IEEE bit patterns (exact). Values go
+    through the suite's cent convention on both sides; the twin is the
+    zero-seed closed form Σ 0.2·0.8^{n−i}·x_i."""
+    from ..stages.window import _partition_run_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.round(pc.multiply(sub["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"user_id": sub["user_id"], "ts": sub["ts"],
+                         "event_id": sub["event_id"], "cents": cents})
+
+    fb = lambda f: np.float64(f).view(np.int64).item()   # noqa: E731
+    bf = lambda i: np.int64(i).view(np.float64).item()   # noqa: E731
+
+    def _run(ts_seg, vseg):
+        m = vseg.size
+        x = vseg.astype(np.float64) / 100.0
+        w = 0.2 * np.power(0.8, (m - 1) - np.arange(m, dtype=np.float64))
+        return (fb(0.8 ** m), fb(float((w * x).sum())), m)
+
+    def _merge(c, f, _gap):
+        a1, b1 = bf(c[0]), bf(c[1])
+        a2, b2 = bf(f[0]), bf(f[1])
+        return (fb(a1 * a2), fb(a2 * b1 + b2), c[2] + f[2])
+
+    out = _partition_run_reduce(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", ["a_bits", "b_bits", "n_events"],
+        run_agg=_run, merge=_merge, emit=lambda v: True,
+        val_col="cents").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["ewma"] = np.round(
+        out["b_bits"].to_numpy(np.int64).view(np.float64), 6)
+    return (out[["user_id", "n_events", "ewma"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+ORACLE["user_value_ewma"] = """
+    WITH r AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) / 100.0 AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(0.2 * POWER(0.8, n - rn) * x), 6) AS ewma
+    FROM r GROUP BY user_id ORDER BY user_id
+"""
+QUERIES["user_value_ewma"] = q_user_value_ewma

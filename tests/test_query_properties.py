@@ -531,3 +531,93 @@ def test_weighted_sample_docs_planted(ray_session, tmp_path):
     # heavy docs hold 500*10000 / (500*10000 + 4500*100) ≈ 92% of the
     # total weight; uniform would give 10%. Expect a strong majority.
     assert heavy > 140, heavy
+
+
+def test_tool_conformance_census_planted(ray_session, tmp_path):
+    """Planted protocol violations — a tool turn after a user turn and
+    a conversation OPENING with a tool turn — are both counted
+    nonconforming; the in-test DuckDB LAG twin agrees exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    # role map: click/view->user, signup->system, purchase->assistant,
+    # error->tool
+    rows = []
+    eid = 0
+
+    def add(uid, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": np.datetime64(uid * 10_000_000 + i * 1000,
+                                             "us"),
+                         "event_type": et, "value": 1.0,
+                         "props": "{}"})
+            eid += 1
+
+    add(0, ["view", "purchase", "error"])            # conforming tool
+    add(1, ["view", "error"])                        # tool after user: bad
+    add(2, ["error", "view"])                        # opens with tool: bad
+    add(3, ["view", "purchase", "error", "error"])   # ok + tool-after-tool
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["tool_conformance_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["tool_conformance_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert int(got["n_tool_turns"].iloc[0]) == 5
+    assert int(got["n_conforming"].iloc[0]) == 2
+    assert int(got["n_nonconforming"].iloc[0]) == 3
+
+
+def test_user_value_ewma_cross_block(ray_session, tmp_path):
+    """One user with a 200k-row stream (spans many sorted blocks, so
+    the affine (a, b) carry composes across fragments) must equal the
+    sequential numpy recurrence to 1e-6 and the in-test closed-form
+    DuckDB twin exactly; a planted constant stream converges to the
+    constant."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rng = np.random.RandomState(12)
+    n = 200_000
+    vals = np.round(rng.gamma(2.0, 30.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(np.concatenate(
+            [np.zeros(n - 50, np.int64), np.ones(50, np.int64)])),
+        "ts": pa.array(np.arange(n) * 1_000_000, pa.timestamp("us")),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.concatenate([vals[:n - 50],
+                                          np.full(50, 7.25)]))})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = QUERIES["user_value_ewma"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["user_value_ewma"]).fetchdf()
+    con.close()
+    assert got.shape == exp.shape == (2, 3)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["ewma"].to_numpy() == exp["ewma"].to_numpy()).all()
+
+    s = 0.0
+    for x in vals[:n - 50]:
+        s = 0.8 * s + 0.2 * x
+    assert abs(got.loc[got["user_id"] == 0, "ewma"].iloc[0] - s) < 1e-6
+    # 50 iterations of 0.8-decay from 0 toward 7.25: 7.25*(1-0.8^50)
+    assert abs(got.loc[got["user_id"] == 1, "ewma"].iloc[0]
+               - 7.25 * (1 - 0.8 ** 50)) < 1e-6
