@@ -13545,3 +13545,235 @@ ORACLE["user_value_ewma"] = """
     FROM r GROUP BY user_id ORDER BY user_id
 """
 QUERIES["user_value_ewma"] = q_user_value_ewma
+
+
+def q_segment_price_percentile(sf_dir: str) -> pd.DataFrame:
+    """MARKET-SEGMENT PRICE POSITIONING: the average GLOBAL percentile
+    (RANK-based percent_rank) of order value per customer market
+    segment — does a segment buy from the top or bottom of the price
+    distribution. Distributed shape: rank(v) − 1 = #{values < v}, so
+    Σ(rank−1) per segment needs NO global sort — ONE grouped exchange
+    builds the distinct-price census, its cumulative-lt table
+    broadcasts (bounded by distinct prices; the two-sample-histogram
+    discipline), the customer→segment dim broadcasts via ray.put (true
+    small side), and a zero-exchange pass over orders emits per-block
+    (segment, Σ cnt_lt, n) exact-int partials. One float division at
+    the end, mirrored by the twin."""
+    import ray
+
+    from ..stages.fast_ops import sorted_groupby
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"cents": c,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    ci, ce = sorted_groupby(
+        orders.map_batches(_cents, batch_format="pyarrow",
+                           batch_size=131072),
+        ["cents"], [("one", "sum", "w")])
+    census = ci.to_pandas()
+    if ce is not None and ce.num_rows:
+        census = pd.concat([census, ce.to_pandas()], ignore_index=True)
+    census = (census.groupby("cents", as_index=False)["w"].sum()
+              .sort_values("cents").reset_index(drop=True))
+    vals = census["cents"].to_numpy(np.int64)
+    w = census["w"].to_numpy(np.int64)
+    n_total = int(w.sum())
+    cnt_lt = np.concatenate([[0], np.cumsum(w)[:-1]])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]
+                         ).sort_by("c_custkey")
+    ckeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    ref = ray.put((vals, cnt_lt, ckeys, segs))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        b_vals, b_lt, b_ck, b_seg = ray.get(ref)
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        lt = b_lt[np.searchsorted(b_vals, c)]
+        seg = b_seg[np.searchsorted(
+            b_ck, t["o_custkey"].to_numpy(zero_copy_only=False))]
+        df = pd.DataFrame({"segment": seg, "s_lt": lt})
+        g = df.groupby("segment", as_index=False).agg(
+            s_lt=("s_lt", "sum"), n_orders=("s_lt", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = orders.map_batches(_partial, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+    out = (parts.groupby("segment", as_index=False)[["s_lt", "n_orders"]]
+           .sum().sort_values("segment").reset_index(drop=True))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["avg_pct_rank"] = np.round(
+        out["s_lt"].to_numpy(np.float64)
+        / (float(n_total - 1) * out["n_orders"].to_numpy(np.float64)), 6)
+    return out[["segment", "n_orders", "avg_pct_rank"]]
+
+
+ORACLE["segment_price_percentile"] = """
+    WITH r AS (
+        SELECT o_custkey, RANK() OVER (ORDER BY o_totalprice) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM orders
+    ),
+    j AS (SELECT c.c_mktsegment AS segment, r.rnk, r.n
+          FROM r JOIN customer c ON c.c_custkey = r.o_custkey)
+    SELECT segment, COUNT(*)::BIGINT AS n_orders,
+           ROUND(CAST(SUM(rnk - 1) AS DOUBLE)
+                 / (CAST(MAX(n) - 1 AS DOUBLE) * COUNT(*)), 6)
+               AS avg_pct_rank
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+QUERIES["segment_price_percentile"] = q_segment_price_percentile
+
+
+def q_repeat_order_value_corr(sf_dir: str) -> pd.DataFrame:
+    """SEQUENTIAL DEPENDENCE of order value: Pearson r between each
+    order's total and the SAME customer's previous order total (LAG
+    pairs under (o_orderdate, o_orderkey) order) — does big spend
+    predict big next spend, the repeat-purchase autocorrelation a
+    forecasting validation wants. Distributed shape: lag_values' one
+    sort exchange emits (orderkey, prev_cents); ONE sort-merge join
+    attaches the current value; per-block float64 Gram partials
+    (n, Σp, Σc, Σpc, Σp², Σc²) fold with fsum on the driver — the
+    corr_lineitem Gram discipline applied to a windowed pair stream.
+    The twin is DuckDB's corr() over the same LAG pairs (round-6
+    equality, the corr_lineitem precedent)."""
+    import math
+
+    from ..stages.merge_join import sorted_merge_join
+    from ..stages.window import lag_values
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "d_us": d,
+                         "o_orderkey": t["o_orderkey"], "cents": cents})
+
+    pre = orders.map_batches(_pre, batch_format="pyarrow",
+                             batch_size=131072).materialize()
+    lagged = lag_values(pre, "o_custkey", ["d_us", "o_orderkey"],
+                        "cents", "o_orderkey")
+
+    def _drop_first(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["prev"]))
+
+    pairs = sorted_merge_join(
+        lagged.map_batches(_drop_first, batch_format="pyarrow",
+                           batch_size=131072),
+        pre.select_columns(["o_orderkey", "cents"]),
+        "id", "o_orderkey", ["prev"], ["cents"],
+        rows_hint=int(pre.count()) * 2)
+
+    def _gram(t: pa.Table) -> pa.Table:
+        p = t["prev"].to_numpy(zero_copy_only=False) / 100.0
+        c = t["cents"].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table({
+            "n": pa.array([float(len(p))]),
+            "sp": pa.array([float(p.sum())]),
+            "sc": pa.array([float(c.sum())]),
+            "spc": pa.array([float((p * c).sum())]),
+            "sp2": pa.array([float((p * p).sum())]),
+            "sc2": pa.array([float((c * c).sum())])})
+
+    g = pairs.map_batches(_gram, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    n = math.fsum(g["n"])
+    sp, sc = math.fsum(g["sp"]), math.fsum(g["sc"])
+    spc = math.fsum(g["spc"])
+    sp2, sc2 = math.fsum(g["sp2"]), math.fsum(g["sc2"])
+    num = n * spc - sp * sc
+    den = math.sqrt((n * sp2 - sp * sp) * (n * sc2 - sc * sc))
+    r = round(num / den, 6) if den > 0 else float("nan")
+    return pd.DataFrame({"n_pairs": pd.Series([int(n)], dtype="int64"),
+                         "corr_prev_next": [r]})
+
+
+ORACLE["repeat_order_value_corr"] = """
+    WITH l AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS cur,
+               LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    )
+    SELECT COUNT(*)::BIGINT AS n_pairs,
+           ROUND(corr(prev, cur), 6) AS corr_prev_next
+    FROM l WHERE prev IS NOT NULL
+"""
+QUERIES["repeat_order_value_corr"] = q_repeat_order_value_corr
+
+
+def q_knn_mean_cos_census(sf_dir: str) -> pd.DataFrame:
+    """EMBEDDING ISOLATION SCORES: every vector's MEAN cosine to its 10
+    nearest neighbors — the kNN-distance outlier census (low scores =
+    isolated points a near-dup or retrieval index will mis-serve;
+    knn_label_purity's unsupervised sibling). Same distributed shape:
+    corpus broadcast once via ray.put, query side streams, per-batch
+    float64 matmul with the self column masked; the top-10 SET is
+    membership-stable (min k-gap ≥ 3.5e-7 at every SF) and the mean is
+    a single 10-term sum + one division — selection-free full census,
+    so no top-k boundary rides on float noise at all. Twin casts to
+    DOUBLE[] (float64 on both sides)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]
+                           ).sort_by("vec_id")
+    ids = np.asarray(corpus["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in corpus["embedding"].to_pylist()])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
+    ref = ray.put((ids, mat))
+    k = 10
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        c_ids, c_mat = ray.get(ref)
+        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                           1e-12)
+        sims = q @ c_mat.T
+        rows = np.arange(len(df))
+        own = np.searchsorted(c_ids, df["vec_id"].to_numpy(np.int64))
+        sims[rows, own] = -np.inf
+        top = -np.partition(-sims, k - 1, axis=1)[:, :k]
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "mean_topk_cos": np.round(top.sum(axis=1) / float(k), 6)})
+
+    out = ds.map_batches(_partial, batch_format="pandas",
+                         batch_size=8192).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+ORACLE["knn_mean_cos_census"] = """
+    WITH p AS (
+        SELECT a.vec_id AS qid,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid AS vec_id, ROUND(SUM(cos) / 10.0, 6) AS mean_topk_cos
+    FROM p WHERE rn <= 10 GROUP BY 1 ORDER BY 1
+"""
+QUERIES["knn_mean_cos_census"] = q_knn_mean_cos_census

@@ -621,3 +621,114 @@ def test_user_value_ewma_cross_block(ray_session, tmp_path):
     # 50 iterations of 0.8-decay from 0 toward 7.25: 7.25*(1-0.8^50)
     assert abs(got.loc[got["user_id"] == 1, "ewma"].iloc[0]
                - 7.25 * (1 - 0.8 ** 50)) < 1e-6
+
+
+def test_segment_price_percentile_planted(ray_session, tmp_path):
+    """Planted segments: BUDGET customers hold the globally cheapest
+    orders (avg percentile near 0), LUXURY the most expensive (near 1)
+    — and the census matches the in-test RANK twin exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(20, dtype=np.int64),
+        "c_mktsegment": ["BUDGET"] * 10 + ["LUXURY"] * 10})
+    orders = []
+    ok = 0
+    for ck in range(20):
+        for j in range(5):
+            price = (10.0 + ok * 0.25) if ck < 10 else (1000.0 + ok * 0.25)
+            orders.append({"o_orderkey": ok, "o_custkey": ck,
+                           "o_orderdate": np.datetime64("2024-01-01", "us")
+                           + np.timedelta64(j, "D").astype(
+                               "timedelta64[us]"),
+                           "o_totalprice": price})
+            ok += 1
+    pq.write_table(pa.table(cust), tmp_path / "customer.parquet")
+    pq.write_table(pa.table(pd.DataFrame(orders)),
+                   tmp_path / "orders.parquet")
+
+    got = QUERIES["segment_price_percentile"](str(tmp_path))
+    con = duckdb.connect()
+    for t in ["customer", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    exp = con.execute(ORACLE["segment_price_percentile"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    b = got[got["segment"] == "BUDGET"]["avg_pct_rank"].iloc[0]
+    l = got[got["segment"] == "LUXURY"]["avg_pct_rank"].iloc[0]
+    assert b < 0.3 and l > 0.7
+
+
+def test_repeat_order_value_corr_planted(ray_session, tmp_path):
+    """Customers whose order values step up by a constant each repeat
+    purchase produce near-perfect lag correlation; the engine's Gram
+    fold matches DuckDB's corr() on the same pairs to 6dp."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rng = np.random.RandomState(8)
+    orders = []
+    ok = 0
+    for ck in range(200):
+        base = float(rng.randint(50, 5000))
+        for j in range(6):
+            orders.append({"o_orderkey": ok, "o_custkey": ck,
+                           "o_orderdate": np.datetime64("2024-01-01", "us")
+                           + np.timedelta64(j * 7, "D").astype(
+                               "timedelta64[us]"),
+                           "o_totalprice": round(base + 10.0 * j, 2)})
+            ok += 1
+    pq.write_table(pa.table(pd.DataFrame(orders)),
+                   tmp_path / "orders.parquet")
+
+    got = QUERIES["repeat_order_value_corr"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    exp = con.execute(ORACLE["repeat_order_value_corr"]).fetchdf()
+    con.close()
+    assert int(got["n_pairs"].iloc[0]) == 200 * 5
+    assert got["corr_prev_next"].iloc[0] == exp["corr_prev_next"].iloc[0]
+    assert got["corr_prev_next"].iloc[0] > 0.99
+
+
+def test_knn_mean_cos_census_planted_outlier(ray_session, tmp_path):
+    """A planted isolated vector scores a far lower mean top-10 cosine
+    than cluster members; the census matches the in-test twin exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rng = np.random.RandomState(4)
+    center = rng.normal(0, 1, 16)
+    vecs = [center + rng.normal(0, 0.05, 16) for _ in range(40)]
+    vecs.append(-10.0 * center)  # vec_id 40: isolated antipode
+    t = pa.table({
+        "vec_id": pa.array(range(41), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    got = QUERIES["knn_mean_cos_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    exp = con.execute(ORACLE["knn_mean_cos_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    iso = got.loc[got["vec_id"] == 40, "mean_topk_cos"].iloc[0]
+    rest = got.loc[got["vec_id"] != 40, "mean_topk_cos"]
+    assert iso < -0.9 and rest.min() > 0.9
