@@ -13777,3 +13777,235 @@ ORACLE["knn_mean_cos_census"] = """
     FROM p WHERE rn <= 10 GROUP BY 1 ORDER BY 1
 """
 QUERIES["knn_mean_cos_census"] = q_knn_mean_cos_census
+
+
+def q_open_orders_daily(sf_dir: str) -> pd.DataFrame:
+    """OPEN-ORDER BALANCE over time (interval counting): for every day
+    the step count of orders placed but not yet fully shipped — an
+    order is open on day d iff o_orderdate ≤ d < its max l_shipdate —
+    the inventory/backlog monitor built WITHOUT expanding intervals to
+    days (the classic +1/−1 delta trick). Distributed shape: per-order
+    close date through one grouped exchange (max shipdate); a
+    sort-merge join attaches o_orderdate; per-block (day, ±1) delta
+    censuses fold on the driver (bounded by the calendar) and one
+    prefix sum walks the step function. Orders with no lineitems never
+    open — the INNER join both sides share. All-integer."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.merge_join import sorted_merge_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def _ship(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "ship_us": d})
+
+    si, se = sorted_groupby(
+        li.map_batches(_ship, batch_format="pyarrow", batch_size=131072),
+        ["l_orderkey"], [("ship_us", "max", "close_us")])
+    closes = si
+    if se is not None and se.num_rows:
+        closes = closes.union(rd.from_arrow(se))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _open(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "open_us": d})
+
+    j = sorted_merge_join(
+        closes, orders.map_batches(_open, batch_format="pyarrow",
+                                   batch_size=131072),
+        "l_orderkey", "o_orderkey", ["close_us"], ["open_us"],
+        rows_hint=int(orders.count()) * 2)
+
+    day_us = 86_400_000_000
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        o = t["open_us"].to_numpy(zero_copy_only=False) // day_us
+        c = t["close_us"].to_numpy(zero_copy_only=False) // day_us
+        days = np.concatenate([o, c])
+        deltas = np.concatenate([np.ones(len(o), np.int64),
+                                 np.full(len(c), -1, np.int64)])
+        df = pd.DataFrame({"day": days, "delta": deltas})
+        g = df.groupby("day", as_index=False)["delta"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(_deltas, batch_format="pyarrow",
+                          batch_size=131072).to_pandas()
+    census = (parts.groupby("day", as_index=False)["delta"].sum()
+              .sort_values("day").reset_index(drop=True))
+    census = census[census["delta"] != 0]
+    out = pd.DataFrame({
+        "day": (census["day"].to_numpy(np.int64) * day_us)
+        .astype("datetime64[us]"),
+        "n_open": np.cumsum(census["delta"].to_numpy(np.int64))})
+    out["n_open"] = out["n_open"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ORACLE["open_orders_daily"] = """
+    WITH c AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS close_d
+        FROM lineitem GROUP BY 1
+    ),
+    iv AS (
+        SELECT date_trunc('day', o.o_orderdate) AS open_day,
+               date_trunc('day', c.close_d) AS close_day
+        FROM orders o JOIN c ON c.l_orderkey = o.o_orderkey
+    ),
+    d AS (
+        SELECT open_day AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT close_day AS day, -1 AS delta FROM iv
+    ),
+    g AS (SELECT day, SUM(delta)::BIGINT AS delta FROM d GROUP BY 1
+          HAVING SUM(delta) <> 0)
+    SELECT day, SUM(delta) OVER (ORDER BY day)::BIGINT AS n_open
+    FROM g ORDER BY day
+"""
+QUERIES["open_orders_daily"] = q_open_orders_daily
+
+
+def q_fd_violation_witnesses(sf_dir: str) -> pd.DataFrame:
+    """MATERIALIZED FD-VIOLATION ROWS (the north rule's violation-row
+    mandate applied to the near-FD family): every order whose lines
+    DISAGREE on l_returnflag, with the lexicographic min/max flags as
+    witnesses — fd_census says HOW MANY keys break the dependency,
+    this says WHICH, with evidence a human can act on. Distributed
+    shape: distinct (orderkey, flag) pairs through one grouped
+    exchange; a second skinny exchange on the same key folds
+    (n_flags, min, max); violations = n_flags > 1, filtered in map
+    tasks before any driver materialization."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_returnflag"],
+                            [(None, "count_all", "_n")])
+    pairs = di.select_columns(["l_orderkey", "l_returnflag"])
+    if de is not None and de.num_rows:
+        pairs = pairs.union(
+            rd.from_arrow(de.select(["l_orderkey", "l_returnflag"])))
+    gi, ge = sorted_groupby(
+        pairs, ["l_orderkey"],
+        [(None, "count_all", "n_flags"), ("l_returnflag", "min", "flag_min"),
+         ("l_returnflag", "max", "flag_max")])
+
+    def _viol(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_flags"], 1))
+
+    out = gi.map_batches(_viol, batch_format="pyarrow",
+                         batch_size=131072).to_pandas()
+    if ge is not None and ge.num_rows:
+        out = pd.concat([out, _viol(ge).to_pandas()], ignore_index=True)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["n_flags"] = out["n_flags"].astype("int64")
+    return (out[["l_orderkey", "n_flags", "flag_min", "flag_max"]]
+            .sort_values("l_orderkey").reset_index(drop=True))
+
+
+ORACLE["fd_violation_witnesses"] = """
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_returnflag)::BIGINT AS n_flags,
+           MIN(l_returnflag) AS flag_min,
+           MAX(l_returnflag) AS flag_max
+    FROM lineitem GROUP BY 1
+    HAVING COUNT(DISTINCT l_returnflag) > 1
+    ORDER BY 1
+"""
+QUERIES["fd_violation_witnesses"] = q_fd_violation_witnesses
+
+
+def q_first_response_quantiles(sf_dir: str) -> pd.DataFrame:
+    """TIME-TO-FIRST-RESPONSE SLO over the derived transcripts: per
+    conversation, first assistant turn ts minus first user turn ts
+    (both present, response strictly after), then the exact
+    PERCENTILE_DISC p50/p90 of that latency — the conversational SLA
+    check. Distributed shape: one grouped exchange folds each conv to
+    (min user ts, min assistant ts) via null-skipping conditional
+    mins; the latency value census is a second skinny exchange and the
+    discrete quantile gate (smallest value with cum ≥ ⌈q·n⌉) runs on
+    the bounded census — no per-conv rows ever reach the driver."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        r = _role_code_batch(t)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        is_u = pc.equal(r["code"], pa.scalar(0, pa.int64()))
+        is_a = pc.equal(r["code"], pa.scalar(2, pa.int64()))
+        return pa.table({
+            "user_id": t["user_id"],
+            "u_ts": pc.if_else(is_u, us, pa.scalar(None, pa.int64())),
+            "a_ts": pc.if_else(is_a, us, pa.scalar(None, pa.int64()))})
+
+    gi, ge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("u_ts", "min", "first_u"),
+                      ("a_ts", "min", "first_a")])
+    conv = gi
+
+    def _lat(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t["first_u"]),
+                               pc.is_valid(t["first_a"])),
+                       pc.greater(t["first_a"], t["first_u"]))
+        sub = t.filter(keep)
+        lat = pc.subtract(sub["first_a"], sub["first_u"])
+        tt = pa.table({"lat_us": lat})
+        g = tt.group_by(["lat_us"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "w"}.get(c, c) for c in g.column_names])
+
+    li = conv.map_batches(_lat, batch_format="pyarrow",
+                          batch_size=131072)
+    if ge is not None and ge.num_rows:
+        li = li.union(rd.from_arrow(_lat(ge)))
+    census = (li.to_pandas().groupby("lat_us", as_index=False)["w"].sum()
+              .sort_values("lat_us").reset_index(drop=True))
+    x = census["lat_us"].to_numpy(np.int64)
+    w = census["w"].to_numpy(np.int64)
+    n = int(w.sum())
+    cum = np.cumsum(w)
+
+    def _disc(q: float) -> int:
+        # PERCENTILE_DISC: smallest value with cum >= ceil(q * n)
+        need = -(-int(q * 1000) * n // 1000)  # ceil(q*n) with exact ints
+        return int(x[np.searchsorted(cum, need)])
+
+    return pd.DataFrame({
+        "n_convs": pd.Series([n], dtype="int64"),
+        "p50_us": pd.Series([_disc(0.5)], dtype="int64"),
+        "p90_us": pd.Series([_disc(0.9)], dtype="int64")})
+
+
+ORACLE["first_response_quantiles"] = f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    c AS (
+        SELECT conv_id,
+               MIN(CASE WHEN role = 'user'
+                        THEN epoch_us(ts) END) AS first_u,
+               MIN(CASE WHEN role = 'assistant'
+                        THEN epoch_us(ts) END) AS first_a
+        FROM t GROUP BY 1
+    ),
+    l AS (SELECT first_a - first_u AS lat_us FROM c
+          WHERE first_u IS NOT NULL AND first_a IS NOT NULL
+            AND first_a > first_u)
+    SELECT COUNT(*)::BIGINT AS n_convs,
+           PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY lat_us)::BIGINT
+               AS p50_us,
+           PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY lat_us)::BIGINT
+               AS p90_us
+    FROM l
+"""
+QUERIES["first_response_quantiles"] = q_first_response_quantiles

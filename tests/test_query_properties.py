@@ -732,3 +732,127 @@ def test_knn_mean_cos_census_planted_outlier(ray_session, tmp_path):
     iso = got.loc[got["vec_id"] == 40, "mean_topk_cos"].iloc[0]
     rest = got.loc[got["vec_id"] != 40, "mean_topk_cos"]
     assert iso < -0.9 and rest.min() > 0.9
+
+
+def test_open_orders_daily_planted_steps(ray_session, tmp_path):
+    """Hand-built intervals with overlaps produce the exact known step
+    function (and match the in-test delta/window twin)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    d0 = np.datetime64("2024-01-01", "us")
+    # order k opens day k, closes day k + span
+    spans = {0: 5, 1: 2, 2: 4, 3: 1}
+    orders = [{"o_orderkey": k, "o_orderdate": d0 + k * day}
+              for k in spans]
+    lines = []
+    for k, span in spans.items():
+        # two lines; max shipdate decides the close
+        lines.append({"l_orderkey": k, "l_shipdate": d0 + (k + 1) * day})
+        lines.append({"l_orderkey": k,
+                      "l_shipdate": d0 + (k + span) * day})
+    pq.write_table(pa.table(pd.DataFrame(orders)),
+                   tmp_path / "orders.parquet")
+    pq.write_table(pa.table(pd.DataFrame(lines)),
+                   tmp_path / "lineitem.parquet")
+
+    got = QUERIES["open_orders_daily"](str(tmp_path))
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    exp = con.execute(ORACLE["open_orders_daily"]).fetchdf()
+    con.close()
+    assert (got["n_open"].to_numpy() == exp["n_open"].to_numpy()).all()
+    # day-by-day truth: open on d iff open_day <= d < close_day
+    days = {int((d0 + i * day - d0) / day): 0 for i in range(9)}
+    for k, span in spans.items():
+        for d in range(k, k + span):
+            days[d] += 1
+    step = got.set_index(got["day"].astype("datetime64[us]"))["n_open"]
+    for i in range(9):
+        d = d0 + i * day
+        # step function: value at the latest step point <= d
+        vals = step[step.index <= d]
+        cur = int(vals.iloc[-1]) if len(vals) else 0
+        assert cur == days[i], (i, cur, days[i])
+
+
+def test_fd_violation_witnesses_planted(ray_session, tmp_path):
+    """Planted mixed-flag orders are each materialized with their
+    min/max witnesses; clean orders are absent."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    for ok in range(50):
+        flags = ["A", "R"] if ok % 5 == 0 else ["N", "N"]
+        if ok == 7:
+            flags = ["A", "N", "R"]
+        for i, f in enumerate(flags):
+            rows.append({"l_orderkey": ok, "l_returnflag": f})
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "lineitem.parquet")
+
+    got = QUERIES["fd_violation_witnesses"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["fd_violation_witnesses"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert set(got["l_orderkey"]) == {0, 5, 7, 10, 15, 20, 25, 30, 35,
+                                      40, 45}
+    r7 = got[got["l_orderkey"] == 7].iloc[0]
+    assert (r7["n_flags"], r7["flag_min"], r7["flag_max"]) == (3, "A", "R")
+
+
+def test_first_response_quantiles_planted(ray_session, tmp_path):
+    """Planted conversations with latencies 1..20 s: PERCENTILE_DISC
+    p50 = 10 s, p90 = 18 s; a conv whose assistant precedes the user
+    and a conv with no assistant are both excluded."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+
+    def add(uid, seq):
+        nonlocal eid
+        for off_s, et in seq:
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": np.datetime64(uid * 10**9
+                                             + off_s * 1_000_000, "us"),
+                         "event_type": et, "value": 1.0, "props": "{}"})
+            eid += 1
+
+    for i in range(1, 21):  # latency i seconds
+        add(i, [(0, "view"), (i, "purchase")])
+    add(100, [(0, "purchase"), (5, "view")])   # assistant first: excluded
+    add(101, [(0, "view"), (3, "click")])      # no assistant: excluded
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["first_response_quantiles"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["first_response_quantiles"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert int(got["n_convs"].iloc[0]) == 20
+    assert int(got["p50_us"].iloc[0]) == 10 * 1_000_000
+    assert int(got["p90_us"].iloc[0]) == 18 * 1_000_000
