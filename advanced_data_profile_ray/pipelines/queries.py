@@ -14009,3 +14009,211 @@ ORACLE["first_response_quantiles"] = f"""
     FROM l
 """
 QUERIES["first_response_quantiles"] = q_first_response_quantiles
+
+
+def q_user_first_path_census(sf_dir: str) -> pd.DataFrame:
+    """FIRST-PATH DISCOVERY census: the top-20 opening event-type paths
+    (each user's first up-to-3 events in (ts, event_id) order, joined
+    with '>') — the onboarding-funnel discovery companion to
+    funnel_subsequence's fixed pattern. Distributed shape: grouped
+    top-k at k=3 via grouped_topk's ONE sort exchange (ascending order
+    smuggled as DESC of the negated int64 timestamp); the surviving
+    ≤3·|users| rows assemble paths and census on the driver (the
+    conv-census bound); top-20 under the deterministic (n DESC, path)
+    tie-break both sides share."""
+    from ..stages.fast_ops import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _neg(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "neg_us": pc.negate(us),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    top = grouped_topk(
+        ds.map_batches(_neg, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], "neg_us", 3, payload_cols=["event_type"],
+        tie_cols=["event_id"]).to_pandas()
+    top = top.sort_values(["user_id", "neg_us", "event_id"],
+                          ascending=[True, False, True])
+    paths = (top.groupby("user_id")["event_type"]
+             .agg(lambda s: ">".join(s)).rename("path").reset_index())
+    census = (paths.groupby("path", as_index=False).size()
+              .rename(columns={"size": "n_users"}))
+    census["n_users"] = census["n_users"].astype("int64")
+    return (census.sort_values(["n_users", "path"],
+                               ascending=[False, True]).head(20)
+            .reset_index(drop=True)[["path", "n_users"]])
+
+
+ORACLE["user_first_path_census"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        FROM e WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT path, COUNT(*)::BIGINT AS n_users
+    FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20
+"""
+QUERIES["user_first_path_census"] = q_user_first_path_census
+
+
+def q_cohort_ltv_curve(sf_dir: str) -> pd.DataFrame:
+    """COHORT LTV CURVES: cumulative purchase revenue per (first-seen
+    week cohort, weeks-since-first-seen offset) — the retention
+    triangle's revenue twin, the curve a data-mixing decision reads
+    before upweighting a cohort. Distributed shape: ONE
+    first_value_within exchange stamps every event with its user's
+    first timestamp (no user-dim join, the user_retention pattern);
+    purchases fold to per-block (cohort_week, offset, cents) partials;
+    the bounded weeks×offsets census prefixes on the driver. Exact
+    cents throughout; one division at display."""
+    from ..stages.window import first_value_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us,
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    stamped = first_value_within(
+        ds.map_batches(_us, batch_format="pyarrow", batch_size=131072),
+        "user_id", ["us", "event_id"], "us", out_col="first_us")
+
+    day_us = 86_400_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["event_type"], pa.scalar("purchase")),
+                       pc.is_valid(t["value"]))
+        sub = t.filter(keep)
+        if sub.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        first_day = (sub["first_us"].to_numpy(zero_copy_only=False)
+                     // day_us)
+        ev_day = sub["us"].to_numpy(zero_copy_only=False) // day_us
+        # cohort = Monday of the first-seen week (epoch day 0 = Thu;
+        # +3 aligns Monday to multiples of 7, matching date_trunc week)
+        cohort = (first_day + 3) // 7 * 7 - 3
+        off = (ev_day - cohort) // 7
+        cents = pc.cast(pc.round(pc.multiply(sub["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"cohort_day": cohort, "week_offset": off,
+                           "cents": cents})
+        g = df.groupby(["cohort_day", "week_offset"],
+                       as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = stamped.map_batches(_partial, batch_format="pyarrow",
+                                batch_size=131072).to_pandas()
+    census = (parts.groupby(["cohort_day", "week_offset"],
+                            as_index=False)["cents"].sum()
+              .sort_values(["cohort_day", "week_offset"])
+              .reset_index(drop=True))
+    census["cum_cents"] = census.groupby("cohort_day")["cents"].cumsum()
+    out = pd.DataFrame({
+        "cohort_week": (census["cohort_day"].to_numpy(np.int64) * day_us)
+        .astype("datetime64[us]"),
+        "week_offset": census["week_offset"].astype("int64"),
+        "revenue": (census["cents"].to_numpy(np.int64) / 100.0).round(2),
+        "cum_revenue": (census["cum_cents"].to_numpy(np.int64)
+                        / 100.0).round(2)})
+    return out.reset_index(drop=True)
+
+
+ORACLE["cohort_ltv_curve"] = """
+    WITH f AS (
+        SELECT user_id, ts, event_type, value,
+               FIRST_VALUE(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS first_ts
+        FROM events
+    ),
+    p AS (
+        SELECT date_trunc('week', first_ts) AS cohort_week,
+               (datediff('day', date_trunc('week', first_ts),
+                         date_trunc('day', ts))) // 7 AS week_offset,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM f WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    g AS (SELECT cohort_week, week_offset, SUM(cents)::BIGINT AS cents
+          FROM p GROUP BY 1, 2)
+    SELECT cohort_week, week_offset,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(SUM(cents) OVER (PARTITION BY cohort_week
+                                  ORDER BY week_offset) / 100.0, 2)
+               AS cum_revenue
+    FROM g ORDER BY 1, 2
+"""
+QUERIES["cohort_ltv_curve"] = q_cohort_ltv_curve
+
+
+def q_conv_role_ratio_hist(sf_dir: str) -> pd.DataFrame:
+    """CONVERSATION BALANCE census: histogram of the per-conversation
+    assistant-to-user turn ratio in exact integer decile buckets
+    (⌊10·n_assistant/n_user⌋, capped at 10) — the corpus-shape check
+    that catches assistant-dominated or user-spam conversations before
+    training. Distributed shape: per-conv conditional role counts
+    through ONE grouped exchange; the bucket census folds per-block
+    partials (≤12 buckets). All-integer — no float ratio anywhere."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        r = _role_code_batch(t)
+        u = pc.cast(pc.equal(r["code"], pa.scalar(0, pa.int64())),
+                    pa.int64())
+        a = pc.cast(pc.equal(r["code"], pa.scalar(2, pa.int64())),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "u": u, "a": a})
+
+    gi, ge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("u", "sum", "n_user"), ("a", "sum", "n_asst")])
+    conv = gi.to_pandas()
+    if ge is not None and ge.num_rows:
+        conv = pd.concat([conv, ge.to_pandas()], ignore_index=True)
+    conv = conv[conv["n_user"] > 0]
+    bucket = np.minimum(10 * conv["n_asst"].to_numpy(np.int64)
+                        // conv["n_user"].to_numpy(np.int64), 10)
+    out = (pd.DataFrame({"ratio_decile": bucket})
+           .groupby("ratio_decile", as_index=False).size()
+           .rename(columns={"size": "n_convs"}))
+    out["ratio_decile"] = out["ratio_decile"].astype("int64")
+    out["n_convs"] = out["n_convs"].astype("int64")
+    return out.sort_values("ratio_decile").reset_index(drop=True)
+
+
+ORACLE["conv_role_ratio_hist"] = f"""
+    WITH t AS ({_TRANSCRIPTS_SQL}),
+    c AS (
+        SELECT conv_id,
+               SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+               SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   AS n_asst
+        FROM t GROUP BY 1
+    )
+    SELECT LEAST(10 * n_asst // n_user, 10)::BIGINT AS ratio_decile,
+           COUNT(*)::BIGINT AS n_convs
+    FROM c WHERE n_user > 0
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["conv_role_ratio_hist"] = q_conv_role_ratio_hist

@@ -856,3 +856,141 @@ def test_first_response_quantiles_planted(ray_session, tmp_path):
     assert int(got["n_convs"].iloc[0]) == 20
     assert int(got["p50_us"].iloc[0]) == 10 * 1_000_000
     assert int(got["p90_us"].iloc[0]) == 18 * 1_000_000
+
+
+def test_user_first_path_census_planted(ray_session, tmp_path):
+    """Planted opening paths (30 users view>click>purchase, 20
+    view>view, 5 single-event) are censused exactly, later events
+    ignored; matches the in-test STRING_AGG twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+
+    def add(uid, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": np.datetime64(uid * 10**7 + i * 1000,
+                                             "us"),
+                         "event_type": et})
+            eid += 1
+
+    uid = 0
+    for _ in range(30):
+        add(uid, ["view", "click", "purchase", "refund", "error"])
+        uid += 1
+    for _ in range(20):
+        add(uid, ["view", "view"]); uid += 1
+    for _ in range(5):
+        add(uid, ["signup"]); uid += 1
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["user_first_path_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["user_first_path_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    d = dict(zip(got["path"], got["n_users"]))
+    assert d == {"view>click>purchase": 30, "view>view": 20, "signup": 5}
+
+
+def test_cohort_ltv_curve_planted(ray_session, tmp_path):
+    """Two planted cohorts with known weekly purchase amounts produce
+    the exact cumulative curves (and match the in-test window twin)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    # 2024-01-01 is a Monday; cohort A first seen that week,
+    # cohort B the following week
+    d0 = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    rows = []
+    eid = 0
+
+    def add(uid, off_days, et, val):
+        nonlocal eid
+        rows.append({"event_id": eid, "user_id": uid,
+                     "ts": d0 + off_days * day, "event_type": et,
+                     "value": val})
+        eid += 1
+
+    for uid in (1, 2):         # cohort A: first seen Mon/Tue wk0
+        add(uid, uid - 1, "view", 0.0)
+        add(uid, 2, "purchase", 10.0)      # wk offset 0
+        add(uid, 9, "purchase", 5.0)       # wk offset 1
+    add(3, 7, "view", 0.0)     # cohort B: first seen Mon wk1
+    add(3, 8, "purchase", 100.0)           # wk offset 0
+    add(3, 21, "purchase", 1.0)            # wk offset 2
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["cohort_ltv_curve"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["cohort_ltv_curve"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    a = got[got["cohort_week"] == pd.Timestamp("2024-01-01")]
+    assert a["revenue"].tolist() == [20.0, 10.0]
+    assert a["cum_revenue"].tolist() == [20.0, 30.0]
+    b = got[got["cohort_week"] == pd.Timestamp("2024-01-08")]
+    assert b["week_offset"].tolist() == [0, 2]
+    assert b["cum_revenue"].tolist() == [100.0, 101.0]
+
+
+def test_conv_role_ratio_hist_planted(ray_session, tmp_path):
+    """Planted conversations with known assistant:user ratios land in
+    the exact integer buckets (0.5 -> 5, 2.0 -> cap 10, 0 -> 0);
+    conversations with no user turns are excluded."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+
+    def add(uid, seq):
+        nonlocal eid
+        for i, et in enumerate(seq):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": np.datetime64(uid * 10**7 + i * 1000,
+                                             "us"),
+                         "event_type": et, "value": 1.0, "props": "{}"})
+            eid += 1
+
+    for uid in range(10):       # ratio 1/2 -> bucket 5
+        add(uid, ["view", "view", "purchase"])
+    for uid in range(10, 14):   # ratio 2 -> bucket 10 (cap)
+        add(uid, ["view", "purchase", "purchase"])
+    for uid in range(14, 17):   # no assistant -> bucket 0
+        add(uid, ["view", "click"])
+    add(17, ["purchase", "error"])  # no user turns: excluded
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["conv_role_ratio_hist"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["conv_role_ratio_hist"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    d = dict(zip(got["ratio_decile"], got["n_convs"]))
+    assert d == {0: 3, 5: 10, 10: 4}
