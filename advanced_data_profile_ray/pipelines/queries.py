@@ -14217,3 +14217,199 @@ ORACLE["conv_role_ratio_hist"] = f"""
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["conv_role_ratio_hist"] = q_conv_role_ratio_hist
+
+
+def q_linenumber_gap_census(sf_dir: str) -> pd.DataFrame:
+    """LINE-NUMBERING INTEGRITY: orders whose lineitem count disagrees
+    with their max l_linenumber (deleted/duplicated lines leave gaps or
+    overlaps in the 1..n numbering) — the intra-table sibling of
+    order_reconciliation's cross-table check, with materialized
+    violation rows. Distributed shape: ONE grouped exchange folds each
+    order to (count, max_linenumber, distinct via min); the violation
+    filter runs in map tasks; a one-row census summarizes. All-integer."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    gi, ge = sorted_groupby(
+        ds, ["l_orderkey"],
+        [(None, "count_all", "n_lines"),
+         ("l_linenumber", "max", "max_ln"),
+         ("l_linenumber", "min", "min_ln")])
+
+    def _viol(t: pa.Table) -> pa.Table:
+        bad = pc.or_(pc.not_equal(t["n_lines"], t["max_ln"]),
+                     pc.not_equal(t["min_ln"], pa.scalar(1, pa.int64())))
+        return t.filter(bad)
+
+    out = gi.map_batches(_viol, batch_format="pyarrow",
+                         batch_size=131072).to_pandas()
+    if ge is not None and ge.num_rows:
+        out = pd.concat([out, _viol(ge).to_pandas()], ignore_index=True)
+    for c in ["l_orderkey", "n_lines", "max_ln", "min_ln"]:
+        out[c] = out[c].astype("int64")
+    return (out[["l_orderkey", "n_lines", "min_ln", "max_ln"]]
+            .sort_values("l_orderkey").reset_index(drop=True))
+
+
+ORACLE["linenumber_gap_census"] = """
+    SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines,
+           MIN(l_linenumber)::BIGINT AS min_ln,
+           MAX(l_linenumber)::BIGINT AS max_ln
+    FROM lineitem GROUP BY 1
+    HAVING COUNT(*) <> MAX(l_linenumber) OR MIN(l_linenumber) <> 1
+    ORDER BY 1
+"""
+QUERIES["linenumber_gap_census"] = q_linenumber_gap_census
+
+
+def q_part_degree_distribution(sf_dir: str) -> pd.DataFrame:
+    """DEGREE DISTRIBUTION of the part co-purchase graph with a log-log
+    OLS slope — the scale-free-ness diagnostic that says whether
+    part_pagerank's graph has hubs (slope steepness) before anyone
+    trusts centrality on it. Distributed shape: the pagerank edge
+    pipeline (distinct (order, part) exchange → pair_cooccurrence sort
+    exchange) feeds per-block node-degree partials; the (degree,
+    n_nodes) census and the word_zipf_slope-style OLS fold run on the
+    reduced table. Slope floats are single expressions over exact int
+    census cells, mirrored by the twin."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    pairs = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        pairs = pairs.union(
+            rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    ci, ce = pair_cooccurrence(pairs, "l_orderkey", "l_partkey")
+    edges = ci.select_columns(["item_a", "item_b"])
+    if ce is not None and ce.num_rows:
+        edges = edges.union(rd.from_arrow(ce.select(["item_a", "item_b"])))
+
+    def _deg(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    degp = edges.map_batches(_deg, batch_format="pyarrow",
+                             batch_size=131072).to_pandas()
+    deg = degp.groupby("node")["d"].sum()
+    census = (deg.rename("degree").reset_index()
+              .groupby("degree", as_index=False).size()
+              .rename(columns={"size": "n_nodes"})
+              .sort_values("degree").reset_index(drop=True))
+    lx = np.log(census["degree"].to_numpy(np.float64))
+    ly = np.log(census["n_nodes"].to_numpy(np.float64))
+    k = float(len(census))
+    sx, sy = float(lx.sum()), float(ly.sum())
+    sxx, sxy = float((lx * lx).sum()), float((lx * ly).sum())
+    slope = ((k * sxy - sx * sy) / (k * sxx - sx * sx)
+             if k > 1 and (k * sxx - sx * sx) != 0 else 0.0)
+    census["degree"] = census["degree"].astype("int64")
+    census["n_nodes"] = census["n_nodes"].astype("int64")
+    census["loglog_slope"] = round(slope, 6)
+    return census[["degree", "n_nodes", "loglog_slope"]]
+
+
+ORACLE["part_degree_distribution"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e2 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e2 GROUP BY 1),
+    c AS (SELECT d AS degree, COUNT(*)::BIGINT AS n_nodes
+          FROM deg GROUP BY 1),
+    f AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(LN(degree)) AS sx,
+               SUM(LN(n_nodes)) AS sy,
+               SUM(LN(degree) * LN(degree)) AS sxx,
+               SUM(LN(degree) * LN(n_nodes)) AS sxy
+        FROM c
+    )
+    SELECT degree, n_nodes,
+           ROUND(CASE WHEN k > 1 AND (k * sxx - sx * sx) <> 0
+                      THEN (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                      ELSE 0.0 END, 6) AS loglog_slope
+    FROM c, f ORDER BY degree
+"""
+QUERIES["part_degree_distribution"] = q_part_degree_distribution
+
+
+def q_p90_gap_by_user(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-user P90 inter-event gap (PERCENTILE_DISC 0.9, lower
+    discrete) — median_gap_by_user's tail sibling, the per-entity SLO
+    tail a latency validation reads. Same grouped-selection shape: the
+    gap multiset extracts through adjacent_gap_counts (one sort,
+    in-block LAG-delta counts, O(blocks) boundary carry), then the
+    weighted-selection machinery (running_sum + broadcast per-group
+    totals) with the integer gate 10·cum ≥ 9·tot replacing the median's
+    2·cum ≥ tot, and a grouped min picks the witness value. All-integer;
+    no interpolation ambiguity on either side."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import adjacent_gap_counts, running_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    inner, edge = adjacent_gap_counts(ds, "user_id", "ts", "event_id")
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+    vc = vc.materialize()  # consumed twice: totals pass + running_sum
+
+    ti, te = sorted_groupby(vc.select_columns(["user_id", "w"]),
+                            ["user_id"], [("w", "sum", "tot")])
+    tot = ti.to_pandas()
+    if te is not None and te.num_rows:
+        tot = pd.concat([tot, te.to_pandas()], ignore_index=True)
+    tot = tot.sort_values("user_id")
+    keys = tot["user_id"].to_numpy(dtype=np.int64)
+    tots = tot["tot"].to_numpy(dtype=np.int64)
+
+    cum = running_sum(vc, "user_id", ["gap_us"], "w", out_col="cum")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        tot_row = tots[np.searchsorted(keys, k)]
+        keep = 10 * t["cum"].to_numpy(zero_copy_only=False) >= 9 * tot_row
+        return t.filter(pa.array(keep)).select(["user_id", "gap_us"])
+
+    gi, ge = sorted_groupby(
+        cum.map_batches(_gate, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("gap_us", "min", "p90_gap_us")])
+    out = gi.to_pandas()
+    if ge is not None and ge.num_rows:
+        out = pd.concat([out, ge.to_pandas()], ignore_index=True)
+    out = out.merge(pd.DataFrame({"user_id": keys, "n_gaps": tots}),
+                    on="user_id", how="left")
+    out["p90_gap_us"] = out["p90_gap_us"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return (out[["user_id", "p90_gap_us", "n_gaps"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+ORACLE["p90_gap_by_user"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    v AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL)
+    SELECT user_id,
+           PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY gap_us)::BIGINT
+               AS p90_gap_us,
+           COUNT(*)::BIGINT AS n_gaps
+    FROM v GROUP BY 1 ORDER BY 1
+"""
+QUERIES["p90_gap_by_user"] = q_p90_gap_by_user

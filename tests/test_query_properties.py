@@ -994,3 +994,96 @@ def test_conv_role_ratio_hist_planted(ray_session, tmp_path):
     assert (got.values == exp[got.columns].values).all()
     d = dict(zip(got["ratio_decile"], got["n_convs"]))
     assert d == {0: 3, 5: 10, 10: 4}
+
+
+def test_linenumber_gap_census_planted(ray_session, tmp_path):
+    """Planted numbering defects — a gap (1,2,4), a duplicate (1,1,2),
+    a zero start (0,1) — are each materialized; clean 1..n orders are
+    absent."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    for ok, lns in [(1, [1, 2, 3]), (2, [1, 2, 4]), (3, [1, 1, 2]),
+                    (4, [0, 1]), (5, [1])]:
+        for ln in lns:
+            rows.append({"l_orderkey": ok, "l_linenumber": ln})
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "lineitem.parquet")
+
+    got = QUERIES["linenumber_gap_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["linenumber_gap_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert set(got["l_orderkey"]) == {2, 3, 4}
+
+
+def test_p90_gap_by_user_planted(ray_session, tmp_path):
+    """A user with gaps 1..10 s: PERCENTILE_DISC(0.9) = 9 s (the
+    smallest value with cumulative share >= 0.9); matches the in-test
+    twin exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    eid = 0
+    t = 0
+    rows.append({"event_id": eid, "user_id": 1,
+                 "ts": np.datetime64(0, "us")})
+    eid += 1
+    for g in range(1, 11):
+        t += g * 1_000_000
+        rows.append({"event_id": eid, "user_id": 1,
+                     "ts": np.datetime64(t, "us")})
+        eid += 1
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+
+    got = QUERIES["p90_gap_by_user"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["p90_gap_by_user"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert int(got["p90_gap_us"].iloc[0]) == 9 * 1_000_000
+    assert int(got["n_gaps"].iloc[0]) == 10
+
+
+def test_part_degree_distribution_planted(ray_session, tmp_path):
+    """A planted star graph (hub degree 8, leaves degree 1) produces
+    the exact two-cell census; twin agrees including the slope."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    for i, leaf in enumerate(range(2, 10)):
+        rows.append({"l_orderkey": 100 + i, "l_partkey": 1})
+        rows.append({"l_orderkey": 100 + i, "l_partkey": leaf})
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "lineitem.parquet")
+
+    got = QUERIES["part_degree_distribution"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["part_degree_distribution"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    d = dict(zip(got["degree"], got["n_nodes"]))
+    assert d == {1: 8, 8: 1}
