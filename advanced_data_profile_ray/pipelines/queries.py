@@ -14413,3 +14413,213 @@ ORACLE["p90_gap_by_user"] = """
     FROM v GROUP BY 1 ORDER BY 1
 """
 QUERIES["p90_gap_by_user"] = q_p90_gap_by_user
+
+
+def q_emd_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT 1-WASSERSTEIN (earth-mover) DISTANCE between each event
+    type's value distribution and the global value distribution — the
+    drift metric that, unlike KS's sup-statistic, weights HOW FAR mass
+    moved, and unlike PSI needs no binning choice. Distributed shape:
+    per-block (event_type, cents) count partials fold in-block, then ONE
+    skinny grouped exchange to the bounded (type x distinct-cents)
+    census; the EMD fold runs on the driver over the reduced table. The
+    arithmetic is exact to the last step: EMD = sum_i |F_t(v_i) -
+    F_g(v_i)| * dv_i is evaluated as integer sum_i |cum_t*N - cum_g*n_t|
+    * (v_{i+1}-v_i) (bounded by N*n_t*range < 2^53 at every SF), with
+    ONE float division by n_t*N*100 at the end — the SQL twin carries
+    the identical integer expression through HUGEINT sums, so the 6dp
+    rounding can never disagree."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64())
+        g = pa.table({"t": t["event_type"], "v": v}).group_by(
+            ["t", "v"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_census, batch_format="pyarrow", batch_size=131072),
+        ["t", "v"], [("cnt", "sum", "cnt")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    if c.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "emd": pd.Series([], dtype="float64")})
+    c = c.sort_values(["t", "v"]).reset_index(drop=True)
+    g = c.groupby("v")["cnt"].sum().sort_index()
+    support = g.index.to_numpy(dtype=np.int64)
+    cum_g = g.to_numpy(dtype=np.int64).cumsum()
+    big_n = int(cum_g[-1])
+    dv = np.diff(support)  # contribution span of each support point i<m
+    rows = []
+    for t, sub in c.groupby("t", sort=True):
+        cnt_t = np.zeros(len(support), dtype=np.int64)
+        cnt_t[np.searchsorted(support, sub["v"].to_numpy(np.int64))] = (
+            sub["cnt"].to_numpy(np.int64))
+        cum_t = cnt_t.cumsum()
+        n_t = int(cum_t[-1])
+        num = int((np.abs(cum_t[:-1] * big_n - cum_g[:-1] * n_t)
+                   * dv).sum()) if len(support) > 1 else 0
+        emd = round(float(num) / float(n_t * big_n * 100), 6)
+        rows.append({"event_type": t, "n": n_t, "emd": emd})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+ORACLE["emd_value_by_type"] = """
+    WITH c AS (
+        SELECT event_type AS t, CAST(ROUND(value * 100) AS BIGINT) AS v,
+               COUNT(*)::BIGINT AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (SELECT v, SUM(cnt)::BIGINT AS gcnt FROM c GROUP BY 1),
+    tot AS (SELECT SUM(gcnt)::BIGINT AS n FROM g),
+    gc AS (
+        SELECT v, SUM(gcnt) OVER (ORDER BY v)::BIGINT AS cum_g,
+               LEAD(v) OVER (ORDER BY v) AS nxt
+        FROM g
+    ),
+    ty AS (SELECT t, SUM(cnt)::BIGINT AS n_t FROM c GROUP BY 1),
+    p AS (
+        SELECT grid.t, grid.n_t, grid.v, grid.cum_g, grid.nxt,
+               SUM(COALESCE(c.cnt, 0)) OVER (
+                   PARTITION BY grid.t ORDER BY grid.v)::BIGINT AS cum_t
+        FROM (SELECT ty.t, ty.n_t, gc.v, gc.cum_g, gc.nxt
+              FROM ty CROSS JOIN gc) grid
+        LEFT JOIN c ON c.t = grid.t AND c.v = grid.v
+    ),
+    num AS (
+        SELECT t, SUM(ABS(cum_t * (SELECT n FROM tot)
+                          - cum_g * n_t) * (nxt - v)) AS s
+        FROM p WHERE nxt IS NOT NULL GROUP BY 1
+    )
+    SELECT ty.t AS event_type, ty.n_t AS n,
+           ROUND(CAST(COALESCE(num.s, 0) AS DOUBLE)
+                 / CAST(ty.n_t * (SELECT n FROM tot) * 100 AS DOUBLE), 6)
+               AS emd
+    FROM ty LEFT JOIN num ON ty.t = num.t ORDER BY 1
+"""
+QUERIES["emd_value_by_type"] = q_emd_value_by_type
+
+
+def q_t_closeness_census(sf_dir: str) -> pd.DataFrame:
+    """T-CLOSENESS CENSUS — the third rung of the privacy-validation
+    ladder after k_anonymity_census and l_diversity_census (same QI
+    classes: order status x order year; sensitive attribute: order
+    priority, ordinal under its '1-URGENT'..'5-LOW' prefix order). A
+    class can be large AND diverse yet still leak if its sensitive
+    distribution sits far from the table's: t-closeness bounds the
+    ordered-EMD between the class and global distributions, normalized
+    by (m-1) adjacent steps. Distributed shape: the SAME one-exchange
+    (status, year, priority) census as l_diversity; the per-class EMD
+    fold runs on the bounded grid at the driver. Exact to the last
+    step: the 0.2 threshold gate is the INTEGER comparison 5*num >
+    (m-1)*n_c*N (no float ever decides membership), and max_t is a
+    max over single-division floats mirrored verbatim by the twin."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderdate", "o_orderpriority"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))),
+                     pa.int64())
+        g = pa.table({"st": t["o_orderstatus"], "yr": yr,
+                      "sv": t["o_orderpriority"]}).group_by(
+            ["st", "yr", "sv"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["st", "yr", "sv"], [("cnt", "sum", "cnt")])
+    d = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        d = pd.concat([d, edge.to_pandas()], ignore_index=True)
+    if d.empty:
+        return pd.DataFrame({"n_groups": pd.Series([0], dtype="int64"),
+                             "max_t": pd.Series([None], dtype="float64"),
+                             "groups_above_t": pd.Series([0], dtype="int64"),
+                             "rows_at_risk": pd.Series([0], dtype="int64")})
+    d["cnt"] = d["cnt"].astype("int64")
+    gl = d.groupby("sv")["cnt"].sum().sort_index()
+    svs = list(gl.index)
+    m = len(svs)
+    cum_g = gl.to_numpy(dtype=np.int64).cumsum()
+    big_n = int(cum_g[-1])
+    max_t, n_groups, above, at_risk = 0.0, 0, 0, 0
+    for (st, yr), sub in d.groupby(["st", "yr"], sort=True):
+        cnt_c = np.zeros(m, dtype=np.int64)
+        idx = pd.Index(svs).get_indexer(sub["sv"])
+        cnt_c[idx] = sub["cnt"].to_numpy(np.int64)
+        cum_c = cnt_c.cumsum()
+        n_c = int(cum_c[-1])
+        num = int(np.abs(cum_c[:-1] * big_n - cum_g[:-1] * n_c).sum())
+        n_groups += 1
+        if m > 1:
+            t_val = float(num) / float((m - 1) * n_c * big_n)
+            max_t = max(max_t, t_val)
+            if 5 * num > (m - 1) * n_c * big_n:
+                above += 1
+                at_risk += n_c
+    return pd.DataFrame({
+        "n_groups": pd.Series([n_groups], dtype="int64"),
+        "max_t": pd.Series([round(max_t, 6)], dtype="float64"),
+        "groups_above_t": pd.Series([above], dtype="int64"),
+        "rows_at_risk": pd.Series([at_risk], dtype="int64")})
+
+
+ORACLE["t_closeness_census"] = """
+    WITH d AS (
+        SELECT o_orderstatus AS st, year(o_orderdate) AS yr,
+               o_orderpriority AS sv, COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT sv, SUM(cnt)::BIGINT AS gcnt FROM d GROUP BY 1),
+    mm AS (SELECT COUNT(*)::BIGINT AS m FROM g),
+    tot AS (SELECT SUM(gcnt)::BIGINT AS n FROM g),
+    gc AS (SELECT sv, SUM(gcnt) OVER (ORDER BY sv)::BIGINT AS cum_g,
+                  ROW_NUMBER() OVER (ORDER BY sv) AS rn
+           FROM g),
+    cls AS (SELECT st, yr, SUM(cnt)::BIGINT AS n_c FROM d GROUP BY 1, 2),
+    p AS (
+        SELECT grid.st, grid.yr, grid.n_c, grid.cum_g, grid.rn,
+               SUM(COALESCE(d.cnt, 0)) OVER (
+                   PARTITION BY grid.st, grid.yr
+                   ORDER BY grid.sv)::BIGINT AS cum_c
+        FROM (SELECT cls.st, cls.yr, cls.n_c, gc.sv, gc.cum_g, gc.rn
+              FROM cls CROSS JOIN gc) grid
+        LEFT JOIN d ON d.st = grid.st AND d.yr = grid.yr
+                   AND d.sv = grid.sv
+    ),
+    num AS (
+        SELECT st, yr, n_c,
+               COALESCE(SUM(CASE WHEN rn < (SELECT m FROM mm)
+                   THEN ABS(cum_c * (SELECT n FROM tot) - cum_g * n_c)
+                   ELSE 0 END), 0) AS num
+        FROM p GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           ROUND(COALESCE(MAX(CASE WHEN (SELECT m FROM mm) > 1 THEN
+               CAST(num AS DOUBLE)
+               / CAST(((SELECT m FROM mm) - 1) * n_c
+                      * (SELECT n FROM tot) AS DOUBLE) END), 0.0), 6)
+               AS max_t,
+           SUM(CASE WHEN (SELECT m FROM mm) > 1 AND 5 * num >
+               ((SELECT m FROM mm) - 1) * n_c * (SELECT n FROM tot)
+               THEN 1 ELSE 0 END)::BIGINT AS groups_above_t,
+           SUM(CASE WHEN (SELECT m FROM mm) > 1 AND 5 * num >
+               ((SELECT m FROM mm) - 1) * n_c * (SELECT n FROM tot)
+               THEN n_c ELSE 0 END)::BIGINT AS rows_at_risk
+    FROM num
+"""
+QUERIES["t_closeness_census"] = q_t_closeness_census

@@ -1087,3 +1087,65 @@ def test_part_degree_distribution_planted(ray_session, tmp_path):
     assert (got.values == exp[got.columns].values).all()
     d = dict(zip(got["degree"], got["n_nodes"]))
     assert d == {1: 8, 8: 1}
+
+
+def test_emd_value_by_type_planted(ray_session, tmp_path):
+    """Two types at value 1.0 and 3.0 (two rows each): the global mix is
+    half-half, so each type's distribution is 0.5 mass moved distance
+    2.0 => EMD exactly 1.0 for both; matches the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "event_type": ["A", "A", "B", "B"],
+        "value": [1.0, 1.0, 3.0, 3.0],
+    })
+    pq.write_table(pa.table(df), tmp_path / "events.parquet")
+
+    got = QUERIES["emd_value_by_type"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["emd_value_by_type"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert got.set_index("event_type")["emd"].to_dict() == {
+        "A": 1.0, "B": 1.0}
+
+
+def test_t_closeness_census_planted(ray_session, tmp_path):
+    """Two single-year classes, each concentrated on ONE of two global
+    priorities (global is half-half, m=2): per-class ordered EMD is 0.5
+    — above the 0.2 gate, so both classes and all 4 rows are at risk;
+    matches the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderstatus": ["O", "O", "O", "O"],
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-01", "2024-06-01", "2025-01-01", "2025-06-01"]),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW", "5-LOW"],
+    })
+    pq.write_table(pa.table(df), tmp_path / "orders.parquet")
+
+    got = QUERIES["t_closeness_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    exp = con.execute(ORACLE["t_closeness_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert float(got["max_t"].iloc[0]) == 0.5
+    assert int(got["groups_above_t"].iloc[0]) == 2
+    assert int(got["rows_at_risk"].iloc[0]) == 4
