@@ -14623,3 +14623,142 @@ ORACLE["t_closeness_census"] = """
     FROM num
 """
 QUERIES["t_closeness_census"] = q_t_closeness_census
+
+
+def q_kendall_tau_qty_disc_by_flag(sf_dir: str) -> pd.DataFrame:
+    """KENDALL TAU-B of quantity vs discount per returnflag — the
+    concordance-based rank correlation beside Spearman (same census,
+    different statistic: tau counts pairwise order agreements, so it is
+    the one reported for small ordinal domains and is robust to the
+    midrank convention entirely). Distributed shape: the IDENTICAL
+    zero-exchange (flag, qty, disc_cents) contingency scan as
+    spearman_qty_disc_by_flag (<=1650 census rows); concordant /
+    discordant / tie counts then fold on the driver via an O(cells^2)
+    broadcast over the bounded census — pairs are NEVER enumerated
+    row-wise (n^2 of the census side, not of the data). Exact int64
+    throughout (C, D, and the tie corrections are integer); ONE final
+    division mirrored verbatim by the twin's expression tree."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def _census(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                         pa.scalar(100.0))), pa.int64())
+        t = pa.table({"f": batch["l_returnflag"], "q": q, "d": d})
+        g = t.group_by(["f", "q", "d"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    census = parts.groupby(["f", "q", "d"], as_index=False)["cnt"].sum()
+    rows = []
+    for f, sub in census.groupby("f", sort=True):
+        q = sub["q"].to_numpy(np.int64)
+        d = sub["d"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        # pairwise cell comparison over the bounded census grid
+        qa, qb = q[:, None], q[None, :]
+        da, db = d[:, None], d[None, :]
+        w = c[:, None] * c[None, :]
+        conc = int(w[(qa < qb) & (da < db)].sum())
+        disc = int(w[(qa < qb) & (da > db)].sum())
+        n0 = n * (n - 1) // 2
+        tq = sub.groupby("q")["cnt"].sum().to_numpy(np.int64)
+        td = sub.groupby("d")["cnt"].sum().to_numpy(np.int64)
+        n1 = int((tq * (tq - 1) // 2).sum())
+        n2 = int((td * (td - 1) // 2).sum())
+        den = float(n0 - n1) * float(n0 - n2)
+        tau = (round(float(conc - disc) / np.sqrt(den), 6)
+               if n0 > n1 and n0 > n2 else None)
+        rows.append({"l_returnflag": f, "n": n, "tau_b": tau})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+ORACLE["kendall_tau_qty_disc_by_flag"] = """
+    WITH c AS (
+        SELECT l_returnflag AS f, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+               COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    cd AS (
+        SELECT a.f,
+               SUM(CASE WHEN a.q < b.q AND a.d < b.d
+                   THEN a.cnt * b.cnt ELSE 0 END) AS conc,
+               SUM(CASE WHEN a.q < b.q AND a.d > b.d
+                   THEN a.cnt * b.cnt ELSE 0 END) AS disc
+        FROM c a JOIN c b ON a.f = b.f GROUP BY 1
+    ),
+    nn AS (SELECT f, SUM(cnt)::BIGINT AS n FROM c GROUP BY 1),
+    t1 AS (
+        SELECT f, SUM(c2 * (c2 - 1) // 2) AS n1
+        FROM (SELECT f, q, SUM(cnt)::BIGINT AS c2 FROM c GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    t2 AS (
+        SELECT f, SUM(c2 * (c2 - 1) // 2) AS n2
+        FROM (SELECT f, d, SUM(cnt)::BIGINT AS c2 FROM c GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT nn.f AS l_returnflag, nn.n,
+           ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+                 / SQRT(CAST(nn.n * (nn.n - 1) // 2 - t1.n1 AS DOUBLE)
+                        * CAST(nn.n * (nn.n - 1) // 2 - t2.n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM nn JOIN cd USING (f) JOIN t1 USING (f) JOIN t2 USING (f)
+    ORDER BY 1
+"""
+QUERIES["kendall_tau_qty_disc_by_flag"] = q_kendall_tau_qty_disc_by_flag
+
+
+def q_cliffs_delta_sources(sf_dir: str) -> pd.DataFrame:
+    """CLIFF'S DELTA effect size between src0's and src1's document
+    lengths — the nonparametric companion the two-sample suite was
+    missing: KS answers "are they different", Mann-Whitney gives the
+    test statistic, delta = (#(a>b) - #(a<b)) / (na*nb) says HOW LARGE
+    the stochastic dominance is on [-1, 1]. Shares the ONE-exchange
+    per-length (ca, cb) histogram with ks_two_sample_sources
+    (_two_sample_length_hist); the dominance fold is exact int64 over
+    cumulative counts on the bounded census (never pairwise over rows).
+    ONE final division, mirrored by the twin."""
+    hist, na, nb = _two_sample_length_hist(sf_dir)
+    ca = hist["ca"].to_numpy(np.int64)
+    cb = hist["cb"].to_numpy(np.int64)
+    cumb = cb.cumsum()
+    below = np.concatenate([[0], cumb[:-1]])  # b strictly below each x
+    gt = int((ca * below).sum())              # pairs with a > b
+    lt = int((ca * (nb - cumb)).sum())        # pairs with a < b
+    delta = (round(float(gt - lt) / float(na * nb), 6)
+             if na > 0 and nb > 0 else None)
+    return pd.DataFrame({"delta": pd.Series([delta], dtype="float64"),
+                         "n_a": pd.Series([na], dtype="int64"),
+                         "n_b": pd.Series([nb], dtype="int64")})
+
+
+ORACLE["cliffs_delta_sources"] = """
+    WITH h AS (
+        SELECT n_chars AS x,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT
+                   AS ca,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT
+                   AS cb
+        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    cd AS (
+        SELECT SUM(CASE WHEN a.x > b.x THEN a.ca * b.cb ELSE 0 END) AS gt,
+               SUM(CASE WHEN a.x < b.x THEN a.ca * b.cb ELSE 0 END) AS lt
+        FROM h a CROSS JOIN h b
+    ),
+    nn AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM h)
+    SELECT ROUND(CAST(cd.gt - cd.lt AS DOUBLE)
+                 / CAST(nn.na * nn.nb AS DOUBLE), 6) AS delta,
+           nn.na AS n_a, nn.nb AS n_b
+    FROM cd, nn
+"""
+QUERIES["cliffs_delta_sources"] = q_cliffs_delta_sources

@@ -1149,3 +1149,65 @@ def test_t_closeness_census_planted(ray_session, tmp_path):
     assert float(got["max_t"].iloc[0]) == 0.5
     assert int(got["groups_above_t"].iloc[0]) == 2
     assert int(got["rows_at_risk"].iloc[0]) == 4
+
+
+def test_kendall_tau_planted_monotone(ray_session, tmp_path):
+    """A perfectly concordant staircase gives tau_b = 1; a perfectly
+    discordant one gives -1 (no ties anywhere, so tau_b = tau_a); both
+    match the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "l_returnflag": ["A"] * 5 + ["B"] * 5,
+        "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0] * 2,
+        "l_discount": [0.01, 0.02, 0.03, 0.04, 0.05,
+                       0.05, 0.04, 0.03, 0.02, 0.01],
+    })
+    pq.write_table(pa.table(df), tmp_path / "lineitem.parquet")
+
+    got = QUERIES["kendall_tau_qty_disc_by_flag"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["kendall_tau_qty_disc_by_flag"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert got.set_index("l_returnflag")["tau_b"].to_dict() == {
+        "A": 1.0, "B": -1.0}
+
+
+def test_cliffs_delta_planted_dominance(ray_session, tmp_path):
+    """src0 lengths all strictly above src1's => delta = +1; with one
+    shared value the tied pair contributes 0 and delta = 7/9; both
+    checked against the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["src0"] * 3 + ["src1"] * 3,
+        "n_chars": [10, 11, 12, 5, 6, 7],
+    })
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["cliffs_delta_sources"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["cliffs_delta_sources"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert float(got["delta"].iloc[0]) == 1.0
+
+    df.loc[3, "n_chars"] = 10  # one tie: 8 gt, 0 lt, 1 tie -> 8/9
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["cliffs_delta_sources"](str(tmp_path))
+    assert float(got["delta"].iloc[0]) == round(8 / 9, 6)
