@@ -14762,3 +14762,174 @@ ORACLE["cliffs_delta_sources"] = """
     FROM cd, nn
 """
 QUERIES["cliffs_delta_sources"] = q_cliffs_delta_sources
+
+
+_BM25_TERMS = ["hash", "join", "merge"]  # fixed 3-term query, term order
+
+
+def q_bm25_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 RELEVANCE SCORING of every document against a fixed 3-term
+    query — the search-shaped text operator (Lucene-form idf, k1=1.2,
+    b=0.75) a retrieval/quality pipeline runs to mine topical subsets
+    from a corpus. Distributed shape: pass 1 is a ZERO-exchange
+    map_batches folding 5-number partials (doc count, token count, and
+    per-query-term distinct-doc frequencies) on the driver; pass 2
+    re-streams documents with the broadcast (N, avgdl, idf) constants
+    and computes per-doc scores vectorized (explode + groupby inside
+    the block, never a Python row loop). No top-k cut — every matching
+    doc is scored, so there is no rank-boundary float instability; the
+    twin mirrors the per-term expression tree verbatim and sums the
+    three pivoted contributions in the same fixed term order."""
+    import math
+
+    tok_re = r"[a-z']+"  # the word_freqs / source_ttr tokenizer convention
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    terms = _BM25_TERMS
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(tok_re)
+        out = {"n_docs": [len(df)],
+               "n_tokens": [int(toks.str.len().sum())]}
+        for t in terms:
+            out[f"df_{t}"] = [int(toks.apply(lambda l: t in l).sum())]
+        return pd.DataFrame(out)
+
+    st = (ds.map_batches(_stats, batch_format="pandas",
+                         batch_size=65536).to_pandas().sum())
+    big_n = int(st["n_docs"])
+    avgdl = float(st["n_tokens"]) / float(big_n)
+    idf = {t: math.log(1.0 + (big_n - int(st[f"df_{t}"]) + 0.5)
+                       / (int(st[f"df_{t}"]) + 0.5)) for t in terms}
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(tok_re)
+        dl = toks.str.len().to_numpy(np.int64)
+        ex = pd.DataFrame({
+            "i": np.arange(len(df)).repeat(dl),
+            "tok": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            if len(toks) else np.array([], dtype=object)})
+        ex = ex[ex["tok"].isin(terms)]
+        tf = ex.groupby(["i", "tok"]).size().unstack(fill_value=0)
+        score = np.zeros(len(df), np.float64)
+        nt = np.zeros(len(df), np.int64)
+        for t in terms:  # fixed term order = the twin's + order
+            if t not in tf.columns:
+                continue
+            tfv = np.zeros(len(df), np.int64)
+            tfv[tf.index.to_numpy()] = tf[t].to_numpy(np.int64)
+            norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+            with np.errstate(invalid="ignore"):
+                contrib = idf[t] * (tfv * 2.2) / (tfv + norm)
+            score = score + np.where(tfv > 0, contrib, 0.0)
+            nt += (tfv > 0).astype(np.int64)
+        keep = nt > 0
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
+                             "source": df["source"].to_numpy()[keep],
+                             "n_terms": nt[keep],
+                             "score": np.round(score[keep], 6)})
+
+    out = (ds.map_batches(_score, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out[["doc_id", "source", "n_terms", "score"]]
+
+
+ORACLE["bm25_docs"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+    st AS (
+        SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n,
+               (SELECT COUNT(*) FROM tok)::BIGINT AS tt
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM tok
+        WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok
+        WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1
+    ),
+    co AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dl.dl,
+               LN(1.0 + ((SELECT n FROM st) - df.df + 0.5)
+                  / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                   / (CAST((SELECT tt FROM st) AS DOUBLE)
+                      / CAST((SELECT n FROM st) AS DOUBLE)))))
+                   AS contrib
+        FROM tf JOIN dl USING (doc_id) JOIN df ON tf.tok = df.tok
+    ),
+    piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN tok = 'hash' THEN contrib END) AS c1,
+               MAX(CASE WHEN tok = 'join' THEN contrib END) AS c2,
+               MAX(CASE WHEN tok = 'merge' THEN contrib END) AS c3,
+               COUNT(*)::BIGINT AS n_terms
+        FROM co GROUP BY 1
+    )
+    SELECT p.doc_id, d.source, p.n_terms,
+           ROUND(COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0), 6)
+               AS score
+    FROM piv p JOIN documents d USING (doc_id) ORDER BY p.doc_id
+"""
+QUERIES["bm25_docs"] = q_bm25_docs
+
+
+def q_docs_all_terms_search(sf_dir: str) -> pd.DataFrame:
+    """MULTI-TERM AND SEARCH census: per source, how many documents
+    contain ALL THREE query terms ('join', 'hash', 'scan') — the
+    inverted-index conjunctive query shape, evaluated streaming: each
+    block tokenizes its docs once, tests membership of the 3-term set
+    vectorized, and folds a (source, n_docs, n_matched) census; ONE
+    driver fold over <=|sources| x blocks partials, zero exchanges.
+    Integer-exact; zero-match sources still report their doc counts."""
+    tok_re = r"[a-z']+"
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    terms = ("join", "hash", "scan")
+
+    def _census(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(tok_re)
+        sets = toks.apply(set)
+        hit = sets.apply(lambda s: all(t in s for t in terms))
+        g = pd.DataFrame({"source": df["source"],
+                          "m": hit.astype(np.int64)})
+        out = g.groupby("source").agg(n_docs=("m", "size"),
+                                      n_matched=("m", "sum"))
+        return out.reset_index()
+
+    parts = ds.map_batches(_census, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = (parts.groupby("source", as_index=False)[["n_docs", "n_matched"]]
+           .sum().sort_values("source").reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_matched"] = out["n_matched"].astype("int64")
+    return out
+
+
+ORACLE["docs_all_terms_search"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+        FROM documents
+    ),
+    hit AS (
+        SELECT doc_id FROM tok WHERE tok IN ('join', 'hash', 'scan')
+        GROUP BY 1 HAVING COUNT(DISTINCT tok) = 3
+    )
+    SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_matched
+    FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["docs_all_terms_search"] = q_docs_all_terms_search

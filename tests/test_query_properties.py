@@ -1211,3 +1211,66 @@ def test_cliffs_delta_planted_dominance(ray_session, tmp_path):
     pq.write_table(pa.table(df), tmp_path / "documents.parquet")
     got = QUERIES["cliffs_delta_sources"](str(tmp_path))
     assert float(got["delta"].iloc[0]) == round(8 / 9, 6)
+
+
+def test_bm25_docs_planted(ray_session, tmp_path):
+    """Two tiny docs with hand-checkable tf/dl: scores match both the
+    in-test twin and a from-scratch BM25 computation (k1=1.2, b=0.75,
+    Lucene idf); a doc with no query term is absent from the output."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["s0", "s0", "s1"],
+        "text": ["hash join hash", "merge sort", "plain words only"],
+    })
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["bm25_docs"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["bm25_docs"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert list(got["doc_id"]) == [0, 1]
+    # doc 0: tf(hash)=2 tf(join)=1, dl=3; N=3, tt=8, avgdl=8/3
+    avgdl = 8 / 3
+    idf = lambda dfreq: math.log(1.0 + (3 - dfreq + 0.5) / (dfreq + 0.5))
+    norm = 1.2 * (0.25 + 0.75 * (3 / avgdl))
+    s0 = idf(1) * (2 * 2.2) / (2 + norm) + idf(1) * (1 * 2.2) / (1 + norm)
+    assert float(got.loc[0, "score"]) == round(s0, 6)
+    assert int(got.loc[0, "n_terms"]) == 2
+
+
+def test_docs_all_terms_search_planted(ray_session, tmp_path):
+    """Only the doc containing ALL of join/hash/scan counts as matched;
+    sources with zero matches still report their doc totals."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["s0", "s0", "s1"],
+        "text": ["scan then hash then join", "hash join only", "scan"],
+    })
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["docs_all_terms_search"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["docs_all_terms_search"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert got.set_index("source")["n_matched"].to_dict() == {
+        "s0": 1, "s1": 0}
