@@ -14933,3 +14933,116 @@ ORACLE["docs_all_terms_search"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["docs_all_terms_search"] = q_docs_all_terms_search
+
+
+def _dup_span_gram_counts(sf_dir: str):
+    """Shared exchange of the duplicate-span family: per-document
+    DISTINCT strided 32-char grams (stride 8 — the winnowing-style
+    subsample that keeps any >=39-char repeated span detectable while
+    cutting exchange rows 8x vs every-position suffix grams), counted
+    per gram through ONE grouped exchange. Because a document is one
+    row (never split across blocks), per-doc set-dedup inside the block
+    makes (gram, doc) pairs globally distinct, so a plain count per
+    gram IS the distinct-document frequency — no second exchange.
+    Returns the (g, n_docs) Dataset plus its edge table."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        gs = []
+        for txt in df["text"].fillna("").to_numpy():
+            if len(txt) >= 32:
+                gs.extend({txt[i:i + 32]
+                           for i in range(0, len(txt) - 31, 8)})
+        return pd.DataFrame({"g": np.array(gs, dtype=object),
+                             "one": np.ones(len(gs), np.int64)})
+
+    return sorted_groupby(
+        ds.map_batches(_grams, batch_format="pandas", batch_size=65536),
+        ["g"], [("one", "sum", "n_docs")])
+
+
+_DUP_SPAN_GRAM_SQL = """
+        SELECT DISTINCT doc_id, substring(text, i, 32) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 31, 8)) AS i
+              FROM documents WHERE length(text) >= 32)
+"""
+
+
+def q_duplicate_spans_census(sf_dir: str) -> pd.DataFrame:
+    """DUPLICATE-SPAN CENSUS — the exact-substring contamination
+    profile (the Lee et al. "Deduplicating Training Data" shape): how
+    many distinct 32-char strided grams occur in exactly k documents,
+    for every k. A corpus with heavy boilerplate shows a fat k>=2 tail;
+    dedup acceptance tests read this table before and after. One gram
+    exchange (shared _dup_span_gram_counts), then a per-block
+    (n_docs -> n_grams) census partial folds on the driver — the wide
+    gram table never lands anywhere. All-integer."""
+    import ray.data as rd
+
+    inner, edge = _dup_span_gram_counts(sf_dir)
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+
+    def _hist(t: pa.Table) -> pa.Table:
+        g = t.select(["n_docs"]).group_by(
+            ["n_docs"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n_grams"}.get(c, c) for c in g.column_names])
+
+    parts = vc.map_batches(_hist, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    out = (parts.groupby("n_docs", as_index=False)["n_grams"].sum()
+           .sort_values("n_docs").reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    return out
+
+
+ORACLE["duplicate_spans_census"] = f"""
+    WITH gr AS ({_DUP_SPAN_GRAM_SQL}),
+    c AS (SELECT g, COUNT(*)::BIGINT AS n_docs FROM gr GROUP BY 1)
+    SELECT n_docs, COUNT(*)::BIGINT AS n_grams
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+QUERIES["duplicate_spans_census"] = q_duplicate_spans_census
+
+
+def q_top_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    """TOP DUPLICATE SPANS: the 10 strided 32-char grams shared by the
+    most documents — the actionable witness list next to
+    duplicate_spans_census (these are the boilerplate strings a dedup
+    pass would strip). Same shared gram exchange; per-block top-10 by
+    (n_docs DESC, gram ASC) partials, driver merges <=10 x blocks rows.
+    Deterministic lexicographic tie-break on the gram string."""
+    import ray.data as rd
+
+    inner, edge = _dup_span_gram_counts(sf_dir)
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+
+    def _topk(t: pa.Table) -> pa.Table:
+        df = t.select(["g", "n_docs"]).to_pandas()
+        df = df.sort_values(["n_docs", "g"],
+                            ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = vc.map_batches(_topk, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    out = (parts.sort_values(["n_docs", "g"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.rename(columns={"g": "gram"})[["gram", "n_docs"]]
+
+
+ORACLE["top_duplicate_spans"] = f"""
+    WITH gr AS ({_DUP_SPAN_GRAM_SQL}),
+    c AS (SELECT g, COUNT(*)::BIGINT AS n_docs FROM gr GROUP BY 1)
+    SELECT g AS gram, n_docs FROM c
+    ORDER BY n_docs DESC, g LIMIT 10
+"""
+QUERIES["top_duplicate_spans"] = q_top_duplicate_spans

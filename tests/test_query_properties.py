@@ -1274,3 +1274,38 @@ def test_docs_all_terms_search_planted(ray_session, tmp_path):
     assert (got.values == exp[got.columns].values).all()
     assert got.set_index("source")["n_matched"].to_dict() == {
         "s0": 1, "s1": 0}
+
+
+def test_duplicate_spans_planted(ray_session, tmp_path):
+    """Two documents sharing one exact 40-char boilerplate prefix (so
+    its strided 32-grams at offsets 0 and 8 both repeat) and otherwise
+    distinct text: the census shows exactly two grams at n_docs=2, and
+    those grams lead top_duplicate_spans; both match the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    boiler = "<<<standard legal disclaimer v1>>>####"  # 38 chars
+    boiler = boiler + "XY"  # 40 chars
+    a = boiler + "unique tail one " + "a" * 20
+    b = boiler + "another ending entirely " + "b" * 20
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [a, b]})
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for name in ("duplicate_spans_census", "top_duplicate_spans"):
+        got = QUERIES[name](str(tmp_path))
+        exp = con.execute(ORACLE[name]).fetchdf()
+        assert (got.values == exp[got.columns].values).all(), name
+    con.close()
+
+    census = QUERIES["duplicate_spans_census"](str(tmp_path))
+    assert int(census.set_index("n_docs").loc[2, "n_grams"]) == 2
+    top = QUERIES["top_duplicate_spans"](str(tmp_path))
+    assert list(top["n_docs"].head(2)) == [2, 2]
+    assert set(top["gram"].head(2)) == {a[0:32], a[8:40]}
