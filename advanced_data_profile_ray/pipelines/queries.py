@@ -15046,3 +15046,218 @@ ORACLE["top_duplicate_spans"] = f"""
     ORDER BY n_docs DESC, g LIMIT 10
 """
 QUERIES["top_duplicate_spans"] = q_top_duplicate_spans
+
+
+def q_quantile_normalized_lengths(sf_dir: str) -> pd.DataFrame:
+    """QUANTILE NORMALIZATION of document lengths across sources — the
+    cross-source calibration step (map each source's value to the
+    GLOBAL value at the same within-source quantile) that makes
+    per-source features comparable before mixing; the ML-preprocessing
+    classic, here with PERCENTILE_DISC (lower-discrete) semantics so
+    every output is an integer from the global support. Distributed
+    shape: ONE (source, n_chars) census exchange (bounded by sources x
+    distinct lengths, never rows); the global census is its margin; the
+    mapping fold is a vectorized searchsorted over the INTEGER gate
+    cum_g(u) * n_s >= r_s(v) * N on the driver — no float ever decides
+    a mapping. The twin evaluates the same gate as a correlated MIN."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        g = t.select(["source", "n_chars"]).group_by(
+            ["source", "n_chars"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["source", "n_chars"], [("cnt", "sum", "cnt")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    if c.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "norm_chars": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    c = c.sort_values(["source", "n_chars"]).reset_index(drop=True)
+    c["cnt"] = c["cnt"].astype("int64")
+    g = c.groupby("n_chars")["cnt"].sum().sort_index()
+    support = g.index.to_numpy(np.int64)
+    cum_g = g.to_numpy(np.int64).cumsum()
+    big_n = int(cum_g[-1])
+    outs = []
+    for s, sub in c.groupby("source", sort=True):
+        r = sub["cnt"].to_numpy(np.int64).cumsum()
+        n_s = int(r[-1])
+        # first global support index with cum_g * n_s >= r * N
+        idx = np.searchsorted(cum_g * n_s, r * big_n, side="left")
+        outs.append(pd.DataFrame({
+            "source": s, "n_chars": sub["n_chars"].to_numpy(np.int64),
+            "norm_chars": support[idx],
+            "n": sub["cnt"].to_numpy(np.int64)}))
+    out = pd.concat(outs, ignore_index=True)
+    for col in ("n_chars", "norm_chars", "n"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+ORACLE["quantile_normalized_lengths"] = """
+    WITH c AS (
+        SELECT source AS s, n_chars AS v, COUNT(*)::BIGINT AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT s, v, cnt,
+               SUM(cnt) OVER (PARTITION BY s ORDER BY v)::BIGINT AS r
+        FROM c
+    ),
+    ns AS (SELECT s, SUM(cnt)::BIGINT AS n_s FROM c GROUP BY 1),
+    g AS (SELECT v, SUM(cnt)::BIGINT AS gcnt FROM c GROUP BY 1),
+    gc AS (SELECT v, SUM(gcnt) OVER (ORDER BY v)::BIGINT AS cum FROM g),
+    tot AS (SELECT SUM(gcnt)::BIGINT AS n FROM g)
+    SELECT sc.s AS source, sc.v AS n_chars,
+           (SELECT MIN(gc.v) FROM gc
+            WHERE gc.cum * ns.n_s >= sc.r * (SELECT n FROM tot))
+               AS norm_chars,
+           sc.cnt AS n
+    FROM sc JOIN ns USING (s) ORDER BY 1, 2
+"""
+QUERIES["quantile_normalized_lengths"] = q_quantile_normalized_lengths
+
+
+def q_hapax_by_source(sf_dir: str) -> pd.DataFrame:
+    """HAPAX LEGOMENA census per source: how much of each source's
+    vocabulary occurs exactly once WITHIN the source — the
+    lexical-tail diagnostic beside source_ttr (a template-generated
+    source has almost no hapax; OCR noise inflates it). Same ONE
+    (source, token) exchange as source_ttr (shared tokenizer
+    convention); the hapax fold runs on the reduced census. One float
+    division per source, mirrored by the twin."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z']+")
+        ex = pd.DataFrame({
+            "source": df["source"].to_numpy().repeat(
+                toks.str.len().to_numpy()),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            if len(toks) else np.array([], dtype=object)})
+        g = ex.groupby(["source", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_tok, batch_format="pandas", batch_size=65536),
+        ["source", "token"], [("n", "sum", "n")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    if c.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_vocab": pd.Series([], dtype="int64"),
+                             "n_hapax": pd.Series([], dtype="int64"),
+                             "hapax_ratio": pd.Series([], dtype="float64")})
+    c["hap"] = (c["n"] == 1).astype(np.int64)
+    g = (c.groupby("source")
+         .agg(n_vocab=("n", "size"), n_hapax=("hap", "sum"))
+         .reset_index().sort_values("source").reset_index(drop=True))
+    g["n_vocab"] = g["n_vocab"].astype("int64")
+    g["n_hapax"] = g["n_hapax"].astype("int64")
+    g["hapax_ratio"] = np.round(
+        g["n_hapax"].to_numpy(np.float64) / g["n_vocab"].to_numpy(np.float64),
+        6)
+    return g[["source", "n_vocab", "n_hapax", "hapax_ratio"]]
+
+
+ORACLE["hapax_by_source"] = """
+    WITH w AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+    g AS (
+        SELECT source, COUNT(*)::BIGINT AS n_vocab,
+               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        FROM c GROUP BY 1
+    )
+    SELECT source, n_vocab, n_hapax,
+           ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE), 6)
+               AS hapax_ratio
+    FROM g ORDER BY 1
+"""
+QUERIES["hapax_by_source"] = q_hapax_by_source
+
+
+def q_bigram_pmi_census(sf_dir: str) -> pd.DataFrame:
+    """POINTWISE MUTUAL INFORMATION of adjacent event-type bigrams
+    within each user's stream — which follow-pairs are over- or
+    under-represented vs independence (the sequence-association
+    diagnostic next to role_transition_entropy's disorder measure).
+    Distributed shape: stages.window.transition_counts' ONE sort
+    exchange reduces to the <=|types|^2 bigram census with O(blocks)
+    boundary stitch; margins and PMI fold on the bounded census at the
+    driver. PMI = ln(n_xy * T / (n_x * n_y)) evaluated float-exactly in
+    the twin's operation order (every operand < 2^53)."""
+    import math
+
+    from ..stages.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    inner, edge = transition_counts(
+        ds.map_batches(_pre, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "event_type",
+        prev_name="prev_type", cur_name="event_type")
+    out = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        out = pd.concat([out, edge.to_pandas()], ignore_index=True)
+    out = (out.groupby(["prev_type", "event_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    total = int(out["n"].sum())
+    nx = out.groupby("prev_type")["n"].sum()
+    ny = out.groupby("event_type")["n"].sum()
+    pmi = [round(math.log(float(n) * float(total)
+                          / (float(nx[p]) * float(ny[c]))), 6)
+           for p, c, n in out[["prev_type", "event_type", "n"]]
+           .itertuples(index=False)]
+    out["pmi"] = pd.Series(pmi, dtype="float64")
+    return (out.sort_values(["prev_type", "event_type"])
+            .reset_index(drop=True))
+
+
+ORACLE["bigram_pmi_census"] = """
+    WITH lagged AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               event_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type, COUNT(*)::BIGINT AS n
+        FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n)::BIGINT AS t FROM c),
+    mx AS (SELECT prev_type, SUM(n)::BIGINT AS nx FROM c GROUP BY 1),
+    my AS (SELECT event_type, SUM(n)::BIGINT AS ny FROM c GROUP BY 1)
+    SELECT c.prev_type, c.event_type, c.n,
+           ROUND(LN(CAST(c.n AS DOUBLE) * CAST((SELECT t FROM tot) AS DOUBLE)
+                    / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE))), 6)
+               AS pmi
+    FROM c JOIN mx USING (prev_type) JOIN my USING (event_type)
+    ORDER BY 1, 2
+"""
+QUERIES["bigram_pmi_census"] = q_bigram_pmi_census

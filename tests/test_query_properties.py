@@ -1309,3 +1309,94 @@ def test_duplicate_spans_planted(ray_session, tmp_path):
     top = QUERIES["top_duplicate_spans"](str(tmp_path))
     assert list(top["n_docs"].head(2)) == [2, 2]
     assert set(top["gram"].head(2)) == {a[0:32], a[8:40]}
+
+
+def test_quantile_normalized_lengths_planted(ray_session, tmp_path):
+    """Two sources with identical shape on shifted supports: src0's
+    k-th smallest maps to the GLOBAL discrete quantile at the same
+    within-source rank. With src0={10,20,30} and src1={100,200,300},
+    global support is {10,20,30,100,200,300}: src0's ranks 1/3, 2/3,
+    3/3 map to 20, 100, 300 (first global value whose cumulative share
+    reaches the rank); matches the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["src0"] * 3 + ["src1"] * 3,
+        "n_chars": [10, 20, 30, 100, 200, 300],
+    })
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["quantile_normalized_lengths"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["quantile_normalized_lengths"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    m = got[got["source"] == "src0"].set_index("n_chars")["norm_chars"]
+    assert m.to_dict() == {10: 20, 20: 100, 30: 300}
+
+
+def test_hapax_by_source_planted(ray_session, tmp_path):
+    """One source all-repeats (zero hapax), one all-unique words
+    (ratio 1.0); matches the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "source": ["s0", "s1"],
+        "text": ["spam spam spam eggs eggs", "one two three four"],
+    })
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+    got = QUERIES["hapax_by_source"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(ORACLE["hapax_by_source"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert got.set_index("source")["hapax_ratio"].to_dict() == {
+        "s0": 0.0, "s1": 1.0}
+
+
+def test_bigram_pmi_census_planted(ray_session, tmp_path):
+    """A deterministic A->B alternation: observed bigrams are only
+    A->B and B->A, so both get positive PMI = ln(T * n / (nx * ny));
+    cross-checked against the in-test twin and a hand computation."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    n = 9
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "user_id": [1] * n,
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "event_type": ["A", "B"] * 4 + ["A"],
+    })
+    pq.write_table(pa.table(df), tmp_path / "events.parquet")
+    got = QUERIES["bigram_pmi_census"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["bigram_pmi_census"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    # 8 bigrams: A->B x4, B->A x4; nx = {A:4, B:4}, ny = {B:4, A:4}
+    want = round(math.log(4.0 * 8.0 / (4.0 * 4.0)), 6)
+    assert set(np.round(got["pmi"], 6)) == {want}
