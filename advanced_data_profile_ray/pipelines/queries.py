@@ -15261,3 +15261,169 @@ ORACLE["bigram_pmi_census"] = """
     ORDER BY 1, 2
 """
 QUERIES["bigram_pmi_census"] = q_bigram_pmi_census
+
+
+def q_anova_lengths_by_source(sf_dir: str) -> pd.DataFrame:
+    """ONE-WAY ANOVA F-statistic of document length across ALL sources
+    — the k-group generalization of welch_t_sources (that one compares
+    two sources; a drift monitor over twenty needs the omnibus test).
+    Distributed shape: per-block (source, n, sum, sum_sq) int64 partials
+    fold through ONE skinny grouped exchange (lengths are integers, so
+    every moment is exact); SSB/SSW derive from the merged per-group
+    moments on the driver in the twin's exact expression order:
+    F = (SSB / (k-1)) / (SSW / (N-k)) with SSB = sum(s_i^2/n_i) - S^2/N
+    evaluated in DOUBLE — every integer operand < 2^53 at any SF here,
+    and the division sequence is mirrored verbatim."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        g = pa.table({"source": t["source"], "n": pa.array(
+            np.ones(t.num_rows, np.int64)), "s": x,
+            "ss": pc.multiply(x, x)}).group_by(
+            ["source"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(
+            [{"n_sum": "n", "s_sum": "s", "ss_sum": "ss"}.get(c, c)
+             for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["source"], [("n", "sum", "n"), ("s", "sum", "s"),
+                     ("ss", "sum", "ss")])
+    g = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        g = pd.concat([g, edge.to_pandas()], ignore_index=True)
+    g = g.groupby("source", as_index=False)[["n", "s", "ss"]].sum()
+    k = len(g)
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    ss_tot = int(g["ss"].sum())
+    sb = float(sum(float(si * si) / float(ni)
+                   for si, ni in zip(g["s"].astype(int), g["n"].astype(int))))
+    ssb = sb - float(s_tot * s_tot) / float(n_tot)
+    ssw = float(ss_tot) - sb
+    f = (round((ssb / float(k - 1)) / (ssw / float(n_tot - k)), 6)
+         if k > 1 and n_tot > k and ssw > 0 else None)
+    return pd.DataFrame({"f_stat": pd.Series([f], dtype="float64"),
+                         "k": pd.Series([k], dtype="int64"),
+                         "n": pd.Series([n_tot], dtype="int64")})
+
+
+ORACLE["anova_lengths_by_source"] = """
+    WITH g AS (
+        SELECT source, COUNT(*)::BIGINT AS n,
+               SUM(n_chars)::BIGINT AS s,
+               SUM(n_chars * n_chars)::BIGINT AS ss
+        FROM documents GROUP BY 1
+    ),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS n_tot,
+               SUM(s)::BIGINT AS s_tot, SUM(ss)::BIGINT AS ss_tot,
+               SUM(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb
+        FROM g
+    )
+    SELECT ROUND((sb - CAST(s_tot * s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((CAST(ss_tot AS DOUBLE) - sb)
+                    / CAST(n_tot - k AS DOUBLE)), 6) AS f_stat,
+           k, n_tot AS n
+    FROM agg
+"""
+QUERIES["anova_lengths_by_source"] = q_anova_lengths_by_source
+
+
+def q_kruskal_wallis_lengths(sf_dir: str) -> pd.DataFrame:
+    """KRUSKAL–WALLIS H across ALL sources' document lengths — the
+    rank-based omnibus companion to anova_lengths_by_source (robust to
+    the heavy right tail real corpora have), with the tie-corrected
+    statistic. Distributed shape: ONE (source, length) census exchange
+    (bounded by sources x distinct lengths); the rank fold uses DOUBLED
+    midranks so every per-group rank sum R2_i = sum cnt*(2*base+c+1) is
+    EXACT int64 (the mannwhitney_sources discipline, k groups instead
+    of 2), and the tie term sum(t^3-t) is exact too. H and its
+    correction are evaluated in the twin's expression order with every
+    integer operand < 2^53."""
+    from ..stages.fast_ops import sorted_groupby
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        g = t.select(["source", "n_chars"]).group_by(
+            ["source", "n_chars"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["source", "n_chars"], [("cnt", "sum", "cnt")])
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    c = c.groupby(["source", "n_chars"], as_index=False)["cnt"].sum()
+    c["cnt"] = c["cnt"].astype("int64")
+    g = c.groupby("n_chars")["cnt"].sum().sort_index()
+    support = g.index.to_numpy(np.int64)
+    c2 = g.to_numpy(np.int64)
+    base = np.concatenate([[0], c2.cumsum()[:-1]])
+    r2v = 2 * base + c2 + 1  # doubled midrank of each distinct length
+    big_n = int(c2.sum())
+    k = c["source"].nunique()
+    pos = np.searchsorted(support, c["n_chars"].to_numpy(np.int64))
+    c["r2c"] = c["cnt"].to_numpy(np.int64) * r2v[pos]
+    per = c.groupby("source").agg(ni=("cnt", "sum"),
+                                  r2=("r2c", "sum")).reset_index()
+    sum_term = float(sum(float(r2 * r2) / float(ni)
+                         for r2, ni in zip(per["r2"].astype(int),
+                                           per["ni"].astype(int))))
+    tsum = int((c2.astype(object) ** 3 - c2.astype(object)).sum())
+    h = None
+    if k > 1 and big_n > 2:
+        h = (12.0 / float(big_n * (big_n + 1)) * (sum_term / 4.0)
+             - 3.0 * float(big_n + 1))
+        denom = 1.0 - float(tsum) / float(big_n ** 3 - big_n)
+        h = round(h / denom, 6) if denom > 0 else None
+    return pd.DataFrame({"h_stat": pd.Series([h], dtype="float64"),
+                         "k": pd.Series([k], dtype="int64"),
+                         "n": pd.Series([big_n], dtype="int64")})
+
+
+ORACLE["kruskal_wallis_lengths"] = """
+    WITH c AS (
+        SELECT source, n_chars AS v, COUNT(*)::BIGINT AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    g AS (SELECT v, SUM(cnt)::BIGINT AS c2 FROM c GROUP BY 1),
+    gr AS (
+        SELECT v, 2 * (SUM(c2) OVER (ORDER BY v) - c2) + c2 + 1 AS r2v
+        FROM g
+    ),
+    per AS (
+        SELECT c.source, SUM(c.cnt)::BIGINT AS ni,
+               SUM(c.cnt * gr.r2v)::BIGINT AS r2
+        FROM c JOIN gr ON c.v = gr.v GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(c2)::BIGINT AS n,
+               SUM(c2 * c2 * c2 - c2)::BIGINT AS tsum
+        FROM g
+    ),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               SUM(CAST(r2 * r2 AS DOUBLE) / CAST(ni AS DOUBLE))
+                   AS sum_term
+        FROM per
+    )
+    SELECT ROUND((12.0 / CAST(tot.n * (tot.n + 1) AS DOUBLE)
+                  * (agg.sum_term / 4.0)
+                  - 3.0 * CAST(tot.n + 1 AS DOUBLE))
+                 / (1.0 - CAST(tot.tsum AS DOUBLE)
+                    / CAST(tot.n * tot.n * tot.n - tot.n AS DOUBLE)), 6)
+               AS h_stat,
+           agg.k, tot.n AS n
+    FROM tot, agg
+"""
+QUERIES["kruskal_wallis_lengths"] = q_kruskal_wallis_lengths

@@ -1400,3 +1400,49 @@ def test_bigram_pmi_census_planted(ray_session, tmp_path):
     # 8 bigrams: A->B x4, B->A x4; nx = {A:4, B:4}, ny = {B:4, A:4}
     want = round(math.log(4.0 * 8.0 / (4.0 * 4.0)), 6)
     assert set(np.round(got["pmi"], 6)) == {want}
+
+
+def test_anova_kruskal_planted(ray_session, tmp_path):
+    """Three groups with zero within-group variance and distinct means:
+    ANOVA's SSW = 0 (engine reports None rather than dividing by zero)
+    — so shift one value; with groups {1,1,2} {5,5,6} {9,9,10} both
+    statistics are large and both match their in-test twins; identical
+    groups give F ~ 0 and H ~ 0."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    def write(vals):
+        rows = [(i, s, v) for i, (s, v) in enumerate(vals)]
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+        pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+
+    sep = [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", 5), ("b", 6),
+           ("c", 9), ("c", 9), ("c", 10)]
+    write(sep)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    for name in ("anova_lengths_by_source", "kruskal_wallis_lengths"):
+        got = QUERIES[name](str(tmp_path))
+        exp = con.execute(ORACLE[name]).fetchdf()
+        assert (got.values == exp[got.columns].values).all(), name
+    con.close()
+    f = float(QUERIES["anova_lengths_by_source"](str(tmp_path))
+              ["f_stat"].iloc[0])
+    h = float(QUERIES["kruskal_wallis_lengths"](str(tmp_path))
+              ["h_stat"].iloc[0])
+    assert f > 50.0   # clearly separated means
+    assert h > 6.0    # above the chi2(2) 5% critical value
+
+    mixed = [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)] \
+        + [("c", v) for v in (1, 5, 9)]
+    write(mixed)
+    f2 = float(QUERIES["anova_lengths_by_source"](str(tmp_path))
+               ["f_stat"].iloc[0])
+    h2 = float(QUERIES["kruskal_wallis_lengths"](str(tmp_path))
+               ["h_stat"].iloc[0])
+    assert abs(f2) < 1e-6 and abs(h2) < 1e-6
