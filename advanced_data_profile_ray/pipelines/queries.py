@@ -15427,3 +15427,101 @@ ORACLE["kruskal_wallis_lengths"] = """
     FROM tot, agg
 """
 QUERIES["kruskal_wallis_lengths"] = q_kruskal_wallis_lengths
+
+
+def q_part_bfs_layers(sf_dir: str) -> pd.DataFrame:
+    """BFS HOP-DISTANCE CENSUS from the smallest part key over the part
+    co-purchase graph: how many parts sit at each shortest-path
+    distance from the seed — the reachability/diameter diagnostic
+    beside part_pagerank's centrality and part_graph_triangles' local
+    density. Distributed shape: the SAME distinct->pair_cooccurrence
+    edge build (two exchanges), edges materialized once; each BFS round
+    is a ZERO-exchange map_batches pass over the edge blocks with the
+    broadcast frontier bitmap (ray.put once per round), per-block
+    newly-reached index sets folded on the driver. Rounds = graph
+    diameter (bounded 30, matching the twin's recursion guard).
+    All-integer output; unreachable parts are absent on both sides."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import pair_cooccurrence
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    di, de = sorted_groupby(ds, ["l_orderkey", "l_partkey"],
+                            [(None, "count_all", "_n")])
+    pairs = di.select_columns(["l_orderkey", "l_partkey"])
+    if de is not None and de.num_rows:
+        pairs = pairs.union(
+            rd.from_arrow(de.select(["l_orderkey", "l_partkey"])))
+    ci, ce = pair_cooccurrence(pairs, "l_orderkey", "l_partkey")
+    edges = ci.select_columns(["item_a", "item_b"])
+    if ce is not None and ce.num_rows:
+        edges = edges.union(rd.from_arrow(ce.select(["item_a", "item_b"])))
+    edges = edges.materialize()  # consumed once per BFS round
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(np.concatenate([a, b])), pa.int64())})
+
+    np_parts = edges.map_batches(_nodes, batch_format="pyarrow",
+                                 batch_size=131072).to_pandas()
+    if np_parts.empty:
+        return pd.DataFrame({"hop": pd.Series([], dtype="int64"),
+                             "n_nodes": pd.Series([], dtype="int64")})
+    nodes = np.unique(np_parts["node"].to_numpy(np.int64))
+    node_ref = ray.put(nodes)
+    dist = np.full(len(nodes), -1, np.int64)
+    dist[0] = 0  # seed = smallest part key in the edge set
+    frontier = np.zeros(len(nodes), bool)
+    frontier[0] = True
+    hop = 0
+    while frontier.any() and hop < 30:
+        fref = ray.put(frontier)
+
+        def _expand(t: pa.Table, fref=fref) -> pa.Table:
+            nv = ray.get(node_ref)
+            fv = ray.get(fref)
+            a = np.searchsorted(nv, t["item_a"].to_numpy(
+                zero_copy_only=False))
+            b = np.searchsorted(nv, t["item_b"].to_numpy(
+                zero_copy_only=False))
+            reached = np.unique(np.concatenate([b[fv[a]], a[fv[b]]]))
+            return pa.table({"i": pa.array(reached, pa.int64())})
+
+        parts = edges.map_batches(_expand, batch_format="pyarrow",
+                                  batch_size=131072).to_pandas()
+        reached = np.unique(parts["i"].to_numpy(np.int64)) if len(parts) \
+            else np.array([], np.int64)
+        new = reached[dist[reached] < 0] if len(reached) else reached
+        frontier = np.zeros(len(nodes), bool)
+        if len(new) == 0:
+            break
+        hop += 1
+        dist[new] = hop
+        frontier[new] = True
+    seen = dist >= 0
+    hops, cnts = np.unique(dist[seen], return_counts=True)
+    return pd.DataFrame({"hop": pd.Series(hops, dtype="int64"),
+                         "n_nodes": pd.Series(cnts, dtype="int64")})
+
+
+ORACLE["part_bfs_layers"] = """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e2 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+    seed AS (SELECT MIN(src) AS s FROM e2),
+    bfs(node, hop) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e2.dst, b.hop + 1
+        FROM bfs b JOIN e2 ON e2.src = b.node WHERE b.hop < 30
+    ),
+    mh AS (SELECT node, MIN(hop)::BIGINT AS hop FROM bfs GROUP BY 1)
+    SELECT hop, COUNT(*)::BIGINT AS n_nodes
+    FROM mh GROUP BY 1 ORDER BY 1
+"""
+QUERIES["part_bfs_layers"] = q_part_bfs_layers

@@ -1446,3 +1446,32 @@ def test_anova_kruskal_planted(ray_session, tmp_path):
     h2 = float(QUERIES["kruskal_wallis_lengths"](str(tmp_path))
                ["h_stat"].iloc[0])
     assert abs(f2) < 1e-6 and abs(h2) < 1e-6
+
+
+def test_part_bfs_layers_planted_chain(ray_session, tmp_path):
+    """A pure chain 1-2-3-...-8 (each order pairs adjacent parts):
+    exactly one node per hop 0..7 from the seed (the smallest part);
+    matches the in-test twin — the deep-graph case that exercises one
+    frontier broadcast per round."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    for i in range(1, 8):  # order i contains parts i and i+1
+        rows.append({"l_orderkey": i, "l_partkey": i})
+        rows.append({"l_orderkey": i, "l_partkey": i + 1})
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "lineitem.parquet")
+    got = QUERIES["part_bfs_layers"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["part_bfs_layers"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert list(got["hop"]) == list(range(8))
+    assert list(got["n_nodes"]) == [1] * 8
