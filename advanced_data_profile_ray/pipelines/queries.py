@@ -15525,3 +15525,279 @@ ORACLE["part_bfs_layers"] = """
     FROM mh GROUP BY 1 ORDER BY 1
 """
 QUERIES["part_bfs_layers"] = q_part_bfs_layers
+
+
+def q_event_type_stationary(sf_dir: str) -> pd.DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — where
+    a user's session settles in the long run, the model-based summary
+    on top of bigram counts (role_transitions gives the raw matrix;
+    this gives its fixed point, damped like part_pagerank so reducible
+    chains still converge). Distributed shape: transition_counts' ONE
+    sort exchange reduces the stream to the <=|types|^2 bigram census;
+    the 10 damped power iterations run on that bounded matrix at the
+    driver — no further exchange. The twin runs the identical
+    fixed-iteration recursion as a recursive CTE; both sides start
+    uniform and round to 6dp after iteration 10."""
+    from ..stages.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": us,
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    inner, edge = transition_counts(
+        ds.map_batches(_pre, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "event_type",
+        prev_name="src", cur_name="dst")
+    c = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        c = pd.concat([c, edge.to_pandas()], ignore_index=True)
+    c = c.groupby(["src", "dst"], as_index=False)["n"].sum()
+    if c.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "stationary": pd.Series([], dtype="float64")})
+    types = sorted(set(c["src"]) | set(c["dst"]))
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    row_tot = c.groupby("src")["n"].sum()
+    p = np.zeros((k, k), np.float64)
+    for s, d, n in c.itertuples(index=False):
+        p[idx[s], idx[d]] = float(n) / float(int(row_tot[s]))
+    r = np.full(k, 1.0 / k)
+    for _ in range(10):
+        r = 0.15 / k + 0.85 * (r @ p)
+    return pd.DataFrame({"event_type": types,
+                         "stationary": np.round(r, 6)})
+
+
+ORACLE["event_type_stationary"] = """
+    WITH RECURSIVE
+    lagged AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    c AS (SELECT src, dst, COUNT(*)::BIGINT AS n FROM lagged
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+    ty AS (SELECT DISTINCT t FROM (SELECT src AS t FROM c
+                                   UNION ALL SELECT dst FROM c)),
+    kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM ty),
+    rt AS (SELECT src, SUM(n)::BIGINT AS tot FROM c GROUP BY 1),
+    pr(iter, t, r) AS (
+        SELECT 0, t, 1.0 / (SELECT k FROM kk) FROM ty
+        UNION ALL
+        SELECT p.iter + 1, ty.t,
+               0.15 / (SELECT k FROM kk)
+               + 0.85 * COALESCE(SUM(p.r * (CAST(c.n AS DOUBLE)
+                                            / CAST(rt.tot AS DOUBLE))), 0)
+        FROM pr p
+        CROSS JOIN ty
+        LEFT JOIN c ON c.src = p.t AND c.dst = ty.t
+        LEFT JOIN rt ON rt.src = p.t
+        WHERE p.iter < 10
+        GROUP BY p.iter, ty.t
+    )
+    SELECT t AS event_type, ROUND(r, 6) AS stationary
+    FROM pr WHERE iter = 10 ORDER BY 1
+"""
+QUERIES["event_type_stationary"] = q_event_type_stationary
+
+
+def q_burstiness_by_user(sf_dir: str) -> pd.DataFrame:
+    """BURSTINESS INDEX (Goh–Barabási B = (sigma-mu)/(sigma+mu)) of
+    each user's inter-event gaps at second granularity — the
+    arrival-process shape diagnostic between gap_expfit_ks's global
+    goodness-of-fit and user_gap_stats' raw moments: B ~ -1 for
+    clockwork bots, ~0 for Poisson users, -> +1 for bursty humans.
+    Distributed shape: adjacent_gap_counts' ONE sort exchange to the
+    per-(user, gap) census, a second skinny exchange folds exact int64
+    (n, sum, sum_sq) per user; B is evaluated from the EXACT integer
+    variance numerator as (sqrt(n*ss - s*s) - s) / (sqrt(n*ss - s*s)
+    + s) — algebraically (sigma-mu)/(sigma+mu) with every pre-sqrt
+    operand an exact integer on both sides."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import adjacent_gap_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    inner, edge = adjacent_gap_counts(ds, "user_id", "ts", "event_id")
+    vc = inner
+    if edge is not None and edge.num_rows:
+        vc = vc.union(rd.from_arrow(edge))
+
+    def _mom(t: pa.Table) -> pa.Table:
+        g = pc.cast(pc.divide(t["gap_us"], pa.scalar(1_000_000,
+                                                     pa.int64())),
+                    pa.int64())
+        w = t["w"]
+        return pa.table({"user_id": t["user_id"], "n": w,
+                         "s": pc.multiply(w, g),
+                         "ss": pc.multiply(pc.multiply(w, g), g)})
+
+    gi, ge = sorted_groupby(
+        vc.map_batches(_mom, batch_format="pyarrow", batch_size=131072),
+        ["user_id"], [("n", "sum", "n"), ("s", "sum", "s"),
+                      ("ss", "sum", "ss")])
+    m = gi.to_pandas()
+    if ge is not None and ge.num_rows:
+        m = pd.concat([m, ge.to_pandas()], ignore_index=True)
+    m = m.groupby("user_id", as_index=False)[["n", "s", "ss"]].sum()
+    m = m[(m["n"] >= 2) & (m["s"] > 0)].reset_index(drop=True)
+    b = []
+    for n, s, ss in m[["n", "s", "ss"]].astype(int).itertuples(index=False):
+        root = np.sqrt(float(n * ss - s * s))
+        b.append(round((root - float(s)) / (root + float(s)), 6))
+    out = pd.DataFrame({"user_id": m["user_id"].astype("int64"),
+                        "n_gaps": m["n"].astype("int64"),
+                        "burstiness": pd.Series(b, dtype="float64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE["burstiness_by_user"] = """
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n, SUM(gap_s)::BIGINT AS s,
+               SUM(gap_s * gap_s)::BIGINT AS ss
+        FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n AS n_gaps,
+           ROUND((SQRT(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+                 / (SQRT(CAST(n * ss - s * s AS DOUBLE))
+                    + CAST(s AS DOUBLE)), 6) AS burstiness
+    FROM m WHERE n >= 2 AND s > 0 ORDER BY 1
+"""
+QUERIES["burstiness_by_user"] = q_burstiness_by_user
+
+
+def q_trimmed_mean_qty_by_flag(sf_dir: str) -> pd.DataFrame:
+    """5%-TRIMMED MEAN of quantity per returnflag — the robust location
+    estimate that DROPS the k = floor(n/20) smallest and largest values
+    (winsorized_price_mean's sibling, which clamps instead). The
+    discrete domain makes it census-shaped: ONE zero-exchange
+    contingency scan to the <=|flags| x 50 quantity census, then an
+    exact integer fold — per-cell trim overlap is LEAST(cnt,
+    GREATEST(0, k - below)) on each side, the trimmed sum stays int64,
+    and ONE division finishes. Twin mirrors with window cumulative
+    counts."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        g = pa.table({"f": t["l_returnflag"], "q": q}).group_by(
+            ["f", "q"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    census = parts.groupby(["f", "q"], as_index=False)["cnt"].sum()
+    rows = []
+    for f, sub in census.groupby("f", sort=True):
+        sub = sub.sort_values("q")
+        q = sub["q"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = n // 20
+        cum = c.cumsum()
+        below = cum - c
+        above = n - cum
+        lo = np.minimum(c, np.maximum(0, k - below))
+        hi = np.minimum(c, np.maximum(0, k - above))
+        keep = c - lo - hi
+        denom = n - 2 * k
+        tm = (round(float(int((q * keep).sum())) / float(denom), 6)
+              if denom > 0 else None)
+        rows.append({"l_returnflag": f, "n": n, "trimmed_mean": tm})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+ORACLE["trimmed_mean_qty_by_flag"] = """
+    WITH c AS (
+        SELECT l_returnflag AS f, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT f, q, cnt,
+               SUM(cnt) OVER (PARTITION BY f ORDER BY q)::BIGINT AS cum,
+               SUM(cnt) OVER (PARTITION BY f)::BIGINT AS n
+        FROM c
+    ),
+    t AS (
+        SELECT f, n, q,
+               cnt - LEAST(cnt, GREATEST(0, n // 20 - (cum - cnt)))
+                   - LEAST(cnt, GREATEST(0, n // 20 - (n - cum))) AS keep
+        FROM w
+    )
+    SELECT f AS l_returnflag, n,
+           ROUND(CAST(SUM(q * keep) AS DOUBLE)
+                 / CAST(n - 2 * (n // 20) AS DOUBLE), 6) AS trimmed_mean
+    FROM t GROUP BY 1, 2 ORDER BY 1
+"""
+QUERIES["trimmed_mean_qty_by_flag"] = q_trimmed_mean_qty_by_flag
+
+
+def q_systematic_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """SYSTEMATIC SAMPLING: every 500th order by o_orderkey rank (rows
+    where row_number % 500 == 1) — the deterministic eval-split carve
+    that, unlike hash sampling (stratified_sample / epoch_mix), gives
+    exactly-even coverage of the key space and a reproducible row
+    count. Distributed shape: ONE global sort exchange assigns row
+    numbers (row_number_within on a constant partition — the
+    value_decile_lift composition); the modulo filter is map-side.
+    All-integer output."""
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": pc.cast(pc.round(pc.multiply(
+                             t["o_totalprice"], pa.scalar(100.0))),
+                             pa.int64()),
+                         "g": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    numbered = row_number_within(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "g", ["o_orderkey"], out_col="rn", start=1)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.subtract(t["rn"], pc.multiply(pc.divide(
+            pc.subtract(t["rn"], 1), pa.scalar(500, pa.int64())),
+            pa.scalar(500, pa.int64()))), pa.scalar(1, pa.int64()))
+        sub = t.filter(keep)
+        return sub.select(["rn", "o_orderkey", "cents"])
+
+    out = (numbered.map_batches(_pick, batch_format="pyarrow",
+                                batch_size=131072).to_pandas()
+           .sort_values("rn").reset_index(drop=True))
+    out = out.rename(columns={"cents": "total_cents"})
+    for col in ("rn", "o_orderkey", "total_cents"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+ORACLE["systematic_sample_orders"] = """
+    WITH r AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT rn, o_orderkey, total_cents
+    FROM r WHERE (rn - 1) % 500 = 0 ORDER BY rn
+"""
+QUERIES["systematic_sample_orders"] = q_systematic_sample_orders

@@ -1475,3 +1475,112 @@ def test_part_bfs_layers_planted_chain(ray_session, tmp_path):
     assert (got.values == exp[got.columns].values).all()
     assert list(got["hop"]) == list(range(8))
     assert list(got["n_nodes"]) == [1] * 8
+
+
+def test_event_type_stationary_planted(ray_session, tmp_path):
+    """An absorbing-ish chain A->B->B->...: with damping, B's
+    stationary mass dominates A's; matches the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    n = 12
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "user_id": [1] * n,
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "event_type": ["A"] + ["B"] * (n - 1),
+    })
+    pq.write_table(pa.table(df), tmp_path / "events.parquet")
+    got = QUERIES["event_type_stationary"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["event_type_stationary"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    s = got.set_index("event_type")["stationary"]
+    assert s["B"] > 0.8 and s["A"] < 0.2
+
+
+def test_burstiness_by_user_planted(ray_session, tmp_path):
+    """A clockwork user (constant 10s gaps) has sigma=0 => B=-1; a
+    two-valued bursty user (1s and 99s gaps) has B>0 ... (sigma=49 vs
+    mu=50 gives (49-50)/(49+50) slightly negative; use 0s/100s: sigma
+    = mu = 50 => B=0; instead plant gaps {0,0,0,1000} where sigma>mu
+    => B>0). Both match the in-test twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    rows = []
+    t = 0
+    for i, g in enumerate([10, 10, 10, 10]):  # user 1: clockwork
+        rows.append({"event_id": len(rows), "user_id": 1,
+                     "ts": np.datetime64(t, "us")})
+        t += g * 1_000_000
+    rows.append({"event_id": len(rows), "user_id": 1,
+                 "ts": np.datetime64(t, "us")})
+    t = 0
+    for g in [0, 0, 0, 1000]:  # user 2: one huge burst gap
+        rows.append({"event_id": len(rows), "user_id": 2,
+                     "ts": np.datetime64(t, "us")})
+        t += g * 1_000_000
+    rows.append({"event_id": len(rows), "user_id": 2,
+                 "ts": np.datetime64(t, "us")})
+    pq.write_table(pa.table(pd.DataFrame(rows)),
+                   tmp_path / "events.parquet")
+    got = QUERIES["burstiness_by_user"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(ORACLE["burstiness_by_user"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    b = got.set_index("user_id")["burstiness"]
+    assert b[1] == -1.0
+    # gaps {0,0,0,1000}: B = (sqrt(3e6)-1000)/(sqrt(3e6)+1000) ~ 0.268
+    assert b[2] == round((np.sqrt(3e6) - 1000) / (np.sqrt(3e6) + 1000), 6)
+
+
+def test_trimmed_and_systematic_planted(ray_session, tmp_path):
+    """Trimmed mean with n=20, k=1: drops exactly the min and max
+    (1 and 100 from [1, 2..19 pattern, 100]); systematic sampling
+    picks ranks 1, 501, ... — both match their in-test twins."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import (ORACLE,
+                                                             QUERIES)
+
+    qty = [1.0] + [float(v) for v in range(2, 20)] + [100.0]
+    li = pd.DataFrame({"l_returnflag": ["A"] * 20, "l_quantity": qty})
+    pq.write_table(pa.table(li), tmp_path / "lineitem.parquet")
+    got = QUERIES["trimmed_mean_qty_by_flag"](str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.execute(ORACLE["trimmed_mean_qty_by_flag"]).fetchdf()
+    assert (got.values == exp[got.columns].values).all()
+    assert float(got["trimmed_mean"].iloc[0]) == round(
+        sum(range(2, 20)) / 18, 6)
+
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, 1202, dtype=np.int64) * 7,
+        "o_totalprice": np.arange(1, 1202, dtype=np.float64)})
+    pq.write_table(pa.table(orders), tmp_path / "orders.parquet")
+    got = QUERIES["systematic_sample_orders"](str(tmp_path))
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    exp = con.execute(ORACLE["systematic_sample_orders"]).fetchdf()
+    con.close()
+    assert (got.values == exp[got.columns].values).all()
+    assert list(got["rn"]) == [1, 501, 1001]
+    assert list(got["o_orderkey"]) == [7, 501 * 7, 1001 * 7]
