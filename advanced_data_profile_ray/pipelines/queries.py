@@ -15801,3 +15801,228 @@ ORACLE["systematic_sample_orders"] = """
     FROM r WHERE (rn - 1) % 500 = 0 ORDER BY rn
 """
 QUERIES["systematic_sample_orders"] = q_systematic_sample_orders
+
+
+def q_max_drawdown_by_user(sf_dir: str) -> pd.DataFrame:
+    """MAX DRAWDOWN of each user's cumulative event value — the
+    peak-to-trough risk statistic (MAX over positions of running-max −
+    running-sum), SQL's double-window ``MAX(MAX(cum) OVER w − cum)``.
+    The fold is exactly mergeable despite being order-sensitive: a
+    segment reduces to (n, S=Σv, maxCum, minCum, D) and two segments
+    combine as D' = max(D_a, D_b, maxCum_a − (S_a + minCum_b)), so the
+    shared ``stages.window.max_drawdown_within`` scaffold applies
+    unchanged — ONE (user, ts, order) sort exchange, interior runs
+    finalized in-block, O(blocks) driver boundary carry. All arithmetic
+    is EXACT int64 cents (NULL value ⇒ zero mass, matching
+    SUM-skips-NULL cum semantics)."""
+    from ..stages.window import max_drawdown_within
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(t["value"], 0.0), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "vc": vc})
+
+    out = max_drawdown_within(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "user_id", "ts", "event_id", "vc")
+    res = (out.to_pandas()
+           .rename(columns={"drawdown": "drawdown_cents"})
+           .sort_values("user_id").reset_index(drop=True))
+    for c in ("user_id", "n_events", "drawdown_cents"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+ORACLE["max_drawdown_by_user"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, ts, event_id,
+               SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS runmax
+        FROM c
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           MAX(runmax - cum)::BIGINT AS drawdown_cents
+    FROM m GROUP BY 1 ORDER BY 1
+"""
+QUERIES["max_drawdown_by_user"] = q_max_drawdown_by_user
+
+
+def q_part_rank_fusion(sf_dir: str) -> pd.DataFrame:
+    """RECIPROCAL RANK FUSION (RRF, k=60) of two part rankings — by
+    exact-cent revenue and by line count — the standard multi-signal
+    ranking combiner (search/recsys result fusion). Three skinny
+    exchanges after the fact-table pass: ONE (partkey) sorted_groupby
+    folds both measures, then two tie-aware global RANK() exchanges
+    (rank_within on a constant partition, descending over exact int64
+    measures so tie groups are bit-identical to the twin), and the rank
+    columns re-merge through one more skinny sorted_groupby (each side
+    contributes its rank, zero for the other — SUM restores the pair).
+    The fused score 1/(60+r₁)+1/(60+r₂) is two float divisions of exact
+    ints added once on both engines, so even the sort-by-score is
+    bit-identical; top-20 ties break on partkey."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import rank_within
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "rc": cents,
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    inner, edge = sorted_groupby(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        ["l_partkey"], [("rc", "sum", "rc"), ("n", "sum", "n")])
+    agg = inner
+    if edge is not None and edge.num_rows:
+        agg = agg.union(rd.from_arrow(edge))
+
+    def _const(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(t.num_rows,
+                                                      np.int64)))
+
+    packed = agg.map_batches(_const, batch_format="pyarrow",
+                             batch_size=131072).materialize()
+    r_rev = rank_within(packed, "g", "rc", "l_partkey", descending=True)
+    r_cnt = rank_within(packed, "g", "n", "l_partkey", descending=True)
+
+    def _tag(which: str):
+        def _f(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({"partkey": t["id"],
+                             "r_rev": t["rank"] if which == "rev" else z,
+                             "r_cnt": t["rank"] if which == "cnt" else z})
+        return _f
+
+    both = r_rev.map_batches(_tag("rev"), batch_format="pyarrow").union(
+        r_cnt.map_batches(_tag("cnt"), batch_format="pyarrow"))
+    minner, medge = sorted_groupby(
+        both, ["partkey"],
+        [("r_rev", "sum", "r_rev"), ("r_cnt", "sum", "r_cnt")])
+    merged = minner
+    if medge is not None and medge.num_rows:
+        merged = merged.union(rd.from_arrow(medge))
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = pc.add(
+            pc.divide(pa.scalar(1.0),
+                      pc.cast(pc.add(t["r_rev"], 60), pa.float64())),
+            pc.divide(pa.scalar(1.0),
+                      pc.cast(pc.add(t["r_cnt"], 60), pa.float64())))
+        return t.append_column("score", s)
+
+    top = (merged.map_batches(_score, batch_format="pyarrow")
+           .sort(["score", "partkey"], descending=[True, False])
+           .limit(20).to_pandas())
+    top["rrf"] = top["score"].round(6)
+    out = top[["partkey", "r_rev", "r_cnt", "rrf"]].reset_index(drop=True)
+    for c in ("partkey", "r_rev", "r_cnt"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["part_rank_fusion"] = """
+    WITH m AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT
+                   AS rc,
+               COUNT(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT partkey,
+               RANK() OVER (ORDER BY rc DESC)::BIGINT AS r_rev,
+               RANK() OVER (ORDER BY n DESC)::BIGINT AS r_cnt
+        FROM m
+    )
+    SELECT partkey, r_rev, r_cnt,
+           ROUND(1.0 / (60 + r_rev) + 1.0 / (60 + r_cnt), 6) AS rrf
+    FROM r
+    ORDER BY 1.0 / (60 + r_rev) + 1.0 / (60 + r_cnt) DESC, partkey
+    LIMIT 20
+"""
+QUERIES["part_rank_fusion"] = q_part_rank_fusion
+
+
+def q_repeated_turn_census(sf_dir: str) -> pd.DataFrame:
+    """REPEATED-TURN (stutter) census — how many conversations contain
+    N adjacent turn pairs with IDENTICAL text, the transcript-quality
+    twin of ``LAG(text) OVER (PARTITION BY conv ORDER BY turn) = text``
+    (duplicated assistant/tool turns are a classic agent-loop defect;
+    the reference's whole-row duplicate check, Profiler.py:541, is the
+    single-table ancestor). Runs over events (user_id ↔ conv_id are 1:1
+    and (ts, event_id) IS the turn order, role_transitions' precedent).
+    Shape (``stages.window.adjacent_equal_counts``): ONE (user, ts,
+    order) sort; per block the pair-equality mask is a zero-copy shifted
+    Arrow compare reduced per run, shipping ≤runs skinny (user, n)
+    partials; the B cross-block pairs resolve in an O(blocks) driver
+    boundary scan; one skinny sorted_groupby merges per-user totals and
+    a ≤|distinct n|-cell census finishes. Convs with ZERO repeats are
+    counted from run arithmetic (Σruns − boundary joins), never
+    materialized."""
+    from ..stages.window import adjacent_equal_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    merged, total_convs = adjacent_equal_counts(
+        ds, "user_id", ["ts", "event_id"], "props")
+
+    cens_schema = pa.schema([("n", pa.int64()), ("conv_count", pa.int64())])
+
+    def _census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # typed empty: group_by drops key columns
+            return cens_schema.empty_table()
+        g = t.group_by(["n"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "conv_count"}.get(c, c)
+             for c in g.column_names]).select(cens_schema.names)
+
+    cens = (merged.map_batches(_census, batch_format="pyarrow")
+            .to_pandas().groupby("n", as_index=False)["conv_count"].sum())
+    affected = int(cens["conv_count"].sum())
+    out = pd.concat([pd.DataFrame({"n_repeats": [0],
+                                   "conv_count": [total_convs - affected]}),
+                     cens.rename(columns={"n": "n_repeats"})],
+                    ignore_index=True)
+    out = out[out["conv_count"] > 0].sort_values(
+        "n_repeats").reset_index(drop=True)
+    for c in ("n_repeats", "conv_count"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["repeated_turn_census"] = """
+    WITH l AS (
+        SELECT user_id,
+               CASE WHEN LAG(props) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) = props
+                    THEN 1 ELSE 0 END AS rep
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, SUM(rep)::BIGINT AS n_repeats
+        FROM l GROUP BY 1
+    )
+    SELECT n_repeats, COUNT(*)::BIGINT AS conv_count
+    FROM p GROUP BY 1 ORDER BY 1
+"""
+QUERIES["repeated_turn_census"] = q_repeated_turn_census

@@ -1922,6 +1922,122 @@ def _partition_run_reduce(ds, part_col: str, ts_col: str, order_col: str,
                               + [ray.put(_table(finals))])
 
 
+def max_drawdown_within(ds, part_col: str, ts_col: str, order_col: str,
+                        val_col: str):
+    """Per-partition MAX DRAWDOWN of the running value sum — the
+    peak-to-trough statistic ``MAX(MAX(cum) OVER w − cum)`` where ``cum
+    = SUM(val) OVER (PARTITION BY part ORDER BY ts, order ROWS UNBOUNDED
+    PRECEDING)``. Although order-sensitive, the fold is exactly
+    mergeable: a segment reduces to (n, S=Σv, maxCum, minCum, D) and two
+    ordered segments combine as ``D' = max(D_a, D_b, maxCum_a − (S_a +
+    minCum_b))`` with maxCum/minCum shifted by the left segment's total,
+    so the shared scaffold applies unchanged — ONE sort exchange,
+    interior runs finalized in-block, O(blocks) driver boundary carry.
+    ``val_col`` must be int64 (scale to cents beforehand); all
+    arithmetic is EXACT int64. Returns a Dataset
+    (part_col, n_events, drawdown)."""
+
+    def _dd(seg, vseg):
+        v = vseg.astype(np.int64, copy=False)
+        cum = np.cumsum(v)
+        runmax = np.maximum.accumulate(cum)
+        return (int(seg.size), int(cum[-1]), int(cum.max()),
+                int(cum.min()), int((runmax - cum).max()))
+
+    def _merge(c, f, bg):
+        return (c[0] + f[0], c[1] + f[1],
+                max(c[2], c[1] + f[2]), min(c[3], c[1] + f[3]),
+                max(c[4], f[4], c[2] - (c[1] + f[3])))
+
+    out = _partition_run_reduce(
+        ds, part_col, ts_col, order_col,
+        ["n_events", "s", "maxc", "minc", "drawdown"],
+        run_agg=_dd, merge=_merge, emit=lambda v: True, val_col=val_col)
+    return out.select_columns([part_col, "n_events", "drawdown"])
+
+
+def adjacent_equal_counts(ds, part_col: str, order_keys: list,
+                          val_col: str):
+    """Per-partition count of ADJACENT EQUAL values (``LAG(val) OVER
+    (PARTITION BY part ORDER BY order) = val``, NULL-safe-false) — the
+    stutter/repeated-row detector. Unlike transition_counts the value
+    domain is unbounded (text), so blocks never group by value: the
+    pair-equality mask is a zero-copy shifted Arrow compare reduced per
+    run with ``np.add.reduceat``, shipping ≤runs skinny (part, n>0)
+    partials; the B cross-block pairs and the distinct-partition total
+    resolve in an O(blocks) driver boundary scan. Returns
+    ``(merged_ds, total_parts)`` where merged_ds is (part_col, n) rows
+    for partitions with ≥1 repeat (sorted_groupby-merged) and
+    total_parts counts ALL partitions, so the zero class is
+    ``total_parts − merged rows`` without materializing it."""
+    import ray
+    import ray.data as rd
+
+    from .fast_ops import sorted_groupby
+
+    s = ds.sort([part_col] + order_keys).materialize()
+    refs = s.to_arrow_refs()
+    sch = s.schema() if refs else None
+    part_t = sch.base_schema.field(part_col).type if sch else pa.int64()
+    part_schema = pa.schema([(part_col, part_t), ("n", pa.int64())])
+    if not refs or sch is None:
+        return rd.from_arrow(part_schema.empty_table()), 0
+
+    @ray.remote(num_returns=2)
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return part_schema.empty_table(), None
+        k = block[part_col].to_numpy(zero_copy_only=False)
+        v = block[val_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = block.num_rows
+        starts, _ = _run_bounds(k)
+        info = (k[0].item() if hasattr(k[0], "item") else k[0],
+                v[0].as_py(),
+                k[-1].item() if hasattr(k[-1], "item") else k[-1],
+                v[n - 1].as_py(), int(starts.size))
+        if n == 1:
+            return part_schema.empty_table(), info
+        eq = pc.fill_null(pc.equal(v.slice(0, n - 1), v.slice(1, n)),
+                          False).to_numpy(zero_copy_only=False)
+        # run r's pairs are eq[starts[r] : ends[r]-1] — the cross-run
+        # pair index ends[r]-1 is excluded by construction, and a
+        # width-1 run yields an empty (zero) segment instead of the
+        # reduceat end-of-array pitfall
+        _, widths = _run_bounds(k)
+        ends = starts + widths
+        c = np.concatenate(([0], np.cumsum(eq.astype(np.int64))))
+        reps = c[ends - 1] - c[starts]
+        keep = reps > 0
+        return pa.table({part_col: pa.array(k[starts[keep]], part_t),
+                         "n": pa.array(reps[keep], pa.int64())}), info
+
+    results = [_block.remote(r) for r in refs]
+    infos = ray.get([r[1] for r in results])
+    edge_parts, total_parts = [], 0
+    last_k, last_v = object(), None  # sentinel never equals a real key
+    for info in infos:
+        if info is None:
+            continue
+        fk, fv, lk, lv, nruns = info
+        total_parts += nruns
+        if fk == last_k:
+            total_parts -= 1  # partition continues across the boundary
+            if fv is not None and fv == last_v:
+                edge_parts.append(fk)
+        last_k, last_v = lk, lv
+    edge = pa.table({part_col: pa.array(edge_parts, part_t),
+                     "n": pa.array([1] * len(edge_parts), pa.int64())})
+    partials = rd.from_arrow_refs([r[0] for r in results] + [ray.put(edge)])
+    inner, egroups = sorted_groupby(partials, [part_col],
+                                    [("n", "sum", "n")])
+    merged = inner
+    if egroups is not None and egroups.num_rows:
+        merged = merged.union(rd.from_arrow(egroups))
+    return merged.union(rd.from_arrow(part_schema.empty_table())), total_parts
+
+
 def session_gap_stats(ds, part_col: str, ts_col: str, order_col: str):
     """Per-partition inter-event gap stats — the LAG() window twin: for
     every partition with ≥2 events, (n_events, max_gap_us) where gaps

@@ -1479,3 +1479,98 @@ def test_weighted_pair_dot_cross_block(ray_session):
                         columns=["item_a", "item_b", "dot"])
            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_max_drawdown_within_forced_stitch(ray_session):
+    """Drawdown fold vs DuckDB's double-window definition with
+    partitions forced across 25 sorted blocks — exercises the
+    (S, maxCum, minCum, D) merge algebra on every boundary shape
+    (including all-negative and single-row partitions)."""
+    import duckdb
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import max_drawdown_within
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "user_id": pa.array(np.sort(rng.integers(0, 37, n)), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(rng.permutation(n) * 1000, unit="us"),
+            pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        # signed values so drawdowns are nontrivial; one single-row user
+        "v": pa.array(rng.integers(-500, 400, n), pa.int64()),
+    })
+    single = pa.table({"user_id": pa.array([99], pa.int64()),
+                       "ts": pa.array([pd.Timestamp("2020-01-01")],
+                                      pa.timestamp("us")),
+                       "event_id": pa.array([n], pa.int64()),
+                       "v": pa.array([-7], pa.int64())})
+    full = pa.concat_tables([t, single])
+    ds = rd.from_arrow(full).repartition(25)
+    got = (max_drawdown_within(ds, "user_id", "ts", "event_id", "v")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("e", full)
+    want = con.execute("""
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM e
+        ),
+        m AS (
+            SELECT user_id, cum,
+                   MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS runmax
+            FROM c
+        )
+        SELECT user_id, COUNT(*)::BIGINT AS n_events,
+               MAX(runmax - cum)::BIGINT AS drawdown
+        FROM m GROUP BY 1 ORDER BY 1
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_adjacent_equal_counts_forced_stitch(ray_session):
+    """Planted stutters (adjacent equal text) with partitions forced
+    across 20 sorted blocks: per-partition repeat counts, the
+    cross-block boundary pair, NULL-safe equality, and the distinct-
+    partition total must all match the quadratic definition."""
+    import ray.data as rd
+
+    from advanced_data_profile_ray.stages.window import adjacent_equal_counts
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    users = np.sort(rng.integers(0, 50, n))
+    # small text domain + planted nulls → many adjacent repeats and
+    # null-vs-null adjacencies (which must NOT count)
+    vocab = np.array(["a", "b", "c", None], dtype=object)
+    texts = vocab[rng.integers(0, 4, n)]
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "ts": pa.array(pd.to_datetime(np.arange(n), unit="s"),
+                                 pa.timestamp("us")),
+                  "event_id": pa.array(np.arange(n), pa.int64()),
+                  "txt": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(20)
+    merged, total = adjacent_equal_counts(ds, "user_id",
+                                          ["ts", "event_id"], "txt")
+    got = (merged.to_pandas().groupby("user_id", as_index=False)["n"].sum()
+           .sort_values("user_id").reset_index(drop=True))
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    exp_counts = {}
+    for uid, g in df.groupby("user_id"):
+        v = g["txt"].tolist()
+        c = sum(1 for a, b in zip(v, v[1:])
+                if a is not None and b is not None and a == b)
+        if c:
+            exp_counts[uid] = c
+    exp = (pd.DataFrame({"user_id": list(exp_counts),
+                         "n": list(exp_counts.values())})
+           .sort_values("user_id").reset_index(drop=True))
+    assert total == df["user_id"].nunique()
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
