@@ -16026,3 +16026,77 @@ ORACLE["repeated_turn_census"] = """
     FROM p GROUP BY 1 ORDER BY 1
 """
 QUERIES["repeated_turn_census"] = q_repeated_turn_census
+
+
+def q_hodges_lehmann_qty(sf_dir: str) -> pd.DataFrame:
+    """HODGES–LEHMANN pseudo-median of quantity per returnflag — the
+    rank-based robust location estimate (median of all N(N+1)/2 Walsh
+    averages (xᵢ+xⱼ)/2, i≤j; the estimator dual to the Wilcoxon
+    signed-rank test, completing the robust-location family next to
+    the trimmed/winsorized means). The naive form is O(n²) pairs; the
+    ≤50-value integer domain makes it census-shaped: ONE zero-exchange
+    (flag, q) contingency scan, then the Walsh-sum distribution is the
+    census SELF-CONVOLUTION (|domain|² cells, exact int64 pair weights
+    c_a·c_b and c_a(c_a+1)/2 on the diagonal) and the lower median is
+    the smallest doubled-sum s with cum ≥ ⌈T/2⌉ — all integer until one
+    final halving. Twin mirrors with a census self-join + window
+    cumsum."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        g = pa.table({"f": t["l_returnflag"], "q": q}).group_by(
+            ["f", "q"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "cnt"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    census = parts.groupby(["f", "q"], as_index=False)["cnt"].sum()
+    rows = []
+    for f, sub in census.groupby("f", sort=True):
+        q = sub["q"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        s = q[:, None] + q[None, :]
+        w = c[:, None] * c[None, :]
+        iu = np.triu_indices(len(q), k=1)
+        sums = np.concatenate([s[iu], 2 * q])
+        wts = np.concatenate([w[iu], c * (c + 1) // 2])
+        order = np.argsort(sums, kind="stable")
+        sums, wts = sums[order], wts[order]
+        tot = int(wts.sum())
+        k = (tot + 1) // 2
+        cum = np.cumsum(wts)
+        hl = float(sums[np.searchsorted(cum, k)]) / 2.0
+        rows.append({"l_returnflag": f, "n_pairs": tot, "hl": hl})
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["hl"] = out["hl"].astype("float64")
+    return out
+
+
+ORACLE["hodges_lehmann_qty"] = """
+    WITH c AS (
+        SELECT l_returnflag AS f, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.f, a.q + b.q AS s,
+               CASE WHEN a.q < b.q THEN a.cnt * b.cnt
+                    ELSE a.cnt * (a.cnt + 1) // 2 END AS w
+        FROM c a JOIN c b ON a.f = b.f AND a.q <= b.q
+    ),
+    g AS (SELECT f, s, SUM(w)::BIGINT AS w FROM p GROUP BY 1, 2),
+    cw AS (
+        SELECT f, s,
+               SUM(w) OVER (PARTITION BY f ORDER BY s)::BIGINT AS cum,
+               SUM(w) OVER (PARTITION BY f)::BIGINT AS tot
+        FROM g
+    )
+    SELECT f AS l_returnflag, MAX(tot)::BIGINT AS n_pairs,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN s END)
+                AS DOUBLE) / 2 AS hl
+    FROM cw GROUP BY f ORDER BY f
+"""
+QUERIES["hodges_lehmann_qty"] = q_hodges_lehmann_qty
