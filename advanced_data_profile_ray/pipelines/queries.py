@@ -16100,3 +16100,56 @@ ORACLE["hodges_lehmann_qty"] = """
     FROM cw GROUP BY f ORDER BY f
 """
 QUERIES["hodges_lehmann_qty"] = q_hodges_lehmann_qty
+
+
+def q_theil_by_priority(sf_dir: str) -> pd.DataFrame:
+    """THEIL T inequality index of order value per priority — the
+    entropy-based inequality measure (decomposable counterpart to
+    `gini_by_priority`: T = (1/N)Σ(xᵢ/μ)ln(xᵢ/μ)). Unlike Gini it needs
+    NO ranks, so the whole statistic is a zero-exchange fold: per block
+    an in-block Arrow groupby emits ≤|priorities| (n, Σx, Σx·ln x)
+    partials over exact int64 cents; the driver merges and finalizes
+    T = Σx·ln x / S − ln(S/N). Float ln-sums ride the 6dp rounding
+    margin (entropy-family precedent — per-element libm agrees to
+    ~1 ulp; SUM association differs at ~1e-16 relative)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        x = pc.cast(cents, pa.float64())
+        g = pa.table({
+            "o_orderpriority": t["o_orderpriority"], "s": cents,
+            "xlnx": pc.multiply(x, pc.ln(x)),
+        }).group_by(["o_orderpriority"], use_threads=False).aggregate(
+            [("s", "sum"), ("xlnx", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"s_sum": "s", "xlnx_sum": "xlnx", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           [["s", "xlnx", "n"]].sum()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    s = out["s"].to_numpy(np.float64)
+    out["theil"] = (out["xlnx"].to_numpy() / s
+                    - np.log(s / out["n"].to_numpy())).round(6)
+    return out[["o_orderpriority", "n", "theil"]]
+
+
+ORACLE["theil_by_priority"] = """
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(CAST(cents AS DOUBLE) * LN(CAST(cents AS DOUBLE)))
+                     / CAST(SUM(cents) AS DOUBLE)
+                 - LN(CAST(SUM(cents) AS DOUBLE) / COUNT(*)), 6) AS theil
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+QUERIES["theil_by_priority"] = q_theil_by_priority
