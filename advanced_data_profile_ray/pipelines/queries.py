@@ -16153,3 +16153,115 @@ ORACLE["theil_by_priority"] = """
     FROM c GROUP BY 1 ORDER BY 1
 """
 QUERIES["theil_by_priority"] = q_theil_by_priority
+
+
+def q_order_value_runs_test(sf_dir: str) -> pd.DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST for randomness of the order-value
+    sequence in date order — are above-mean orders clustered in time?
+    (The nonparametric sequence-randomness omnibus, completing the
+    suite's test family next to ANOVA/KW/KS.) Two passes over orders:
+    pass 1 is a zero-exchange exact (Σcents, N) fold; pass 2 derives
+    the above-mean flag by the EXACT integer comparison cents·N vs S
+    (mean ties excluded on both sides; documented bound N·max_cents <
+    2⁶³, ≈1.6·10¹¹ rows at this price domain — beyond that the compare
+    becomes quotient+remainder), then `stages.window.transition_counts`
+    over ONE constant-partition (date, key) sort exchange reduces the
+    sequence to a 2×2 transition census: runs R = 1 + Σ_{prev≠cur},
+    n₁/n₂ fall out of the same 4 cells + the first row. The z-statistic
+    is one float expression over exact ints, 6dp-rounded on both
+    sides."""
+    import ray.data as rd
+
+    from ..stages.window import transition_counts
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def _sums(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"s": pa.array([pc.sum(cents).as_py() or 0],
+                                       pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    tot = ds.map_batches(_sums, batch_format="pyarrow",
+                         batch_size=131072).to_pandas().sum()
+    S, N = int(tot["s"]), int(tot["n"])
+
+    def _flag(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        lhs = pc.multiply(cents, pa.scalar(N, pa.int64()))
+        keep = pc.not_equal(lhs, pa.scalar(S, pa.int64()))
+        sub = pa.table({
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "d": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "k": t["o_orderkey"],
+            "up": pc.cast(pc.greater(lhs, pa.scalar(S, pa.int64())),
+                          pa.int64()),
+        }).filter(keep)
+        return sub
+
+    flagged = ds.map_batches(_flag, batch_format="pyarrow",
+                             batch_size=131072).materialize()
+    # n1/n2 and the first element from a zero-exchange fold
+    def _cnt(t: pa.Table) -> pa.Table:
+        return pa.table({"n1": pa.array([pc.sum(t["up"]).as_py() or 0],
+                                        pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    cnt = flagged.map_batches(_cnt, batch_format="pyarrow").to_pandas().sum()
+    n1, n_kept = int(cnt["n1"]), int(cnt["n"])
+    n2 = n_kept - n1
+    inner, edge = transition_counts(flagged, "g", ["d", "k"], "up")
+    trans = inner.to_pandas()
+    if edge is not None and edge.num_rows:
+        trans = pd.concat([trans, edge.to_pandas()], ignore_index=True)
+    trans = trans.groupby(["prev", "cur"], as_index=False)["n"].sum()
+    switches = int(trans.loc[trans["prev"] != trans["cur"], "n"].sum())
+    runs = switches + 1 if n_kept else 0
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+           / (float(nn) * nn * (nn - 1.0)))
+    z = round((runs - mu) / np.sqrt(var), 6) if var > 0 else None
+    return pd.DataFrame({"n1": pd.Series([n1], dtype="int64"),
+                         "n2": pd.Series([n2], dtype="int64"),
+                         "runs": pd.Series([runs], dtype="int64"),
+                         "z": pd.Series([z], dtype="float64")})
+
+
+ORACLE["order_value_runs_test"] = """
+    WITH c AS (
+        SELECT o_orderdate, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (SELECT SUM(cents)::BIGINT AS S, COUNT(*)::BIGINT AS N FROM c),
+    f AS (
+        SELECT o_orderdate, o_orderkey,
+               (cents * (SELECT N FROM s) > (SELECT S FROM s)) AS up
+        FROM c
+        WHERE cents * (SELECT N FROM s) != (SELECT S FROM s)
+    ),
+    l AS (
+        SELECT up, LAG(up) OVER (ORDER BY o_orderdate, o_orderkey) AS pu
+        FROM f
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN up THEN 1 ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN up THEN 0 ELSE 1 END)::BIGINT AS n2,
+               (1 + SUM(CASE WHEN pu IS NOT NULL AND pu != up
+                             THEN 1 ELSE 0 END))::BIGINT AS runs
+        FROM l
+    )
+    SELECT n1, n2, runs,
+           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1.0))),
+                 6) AS z
+    FROM agg
+"""
+QUERIES["order_value_runs_test"] = q_order_value_runs_test
