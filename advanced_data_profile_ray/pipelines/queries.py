@@ -16223,10 +16223,13 @@ def q_order_value_runs_test(sf_dir: str) -> pd.DataFrame:
     switches = int(trans.loc[trans["prev"] != trans["cur"], "n"].sum())
     runs = switches + 1 if n_kept else 0
     nn = n1 + n2
-    mu = 2.0 * n1 * n2 / nn + 1.0
-    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
-           / (float(nn) * nn * (nn - 1.0)))
-    z = round((runs - mu) / np.sqrt(var), 6) if var > 0 else None
+    z = None
+    if nn >= 2:
+        mu = 2.0 * n1 * n2 / nn + 1.0
+        var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+               / (float(nn) * nn * (nn - 1.0)))
+        if var > 0:
+            z = round((runs - mu) / np.sqrt(var), 6)
     return pd.DataFrame({"n1": pd.Series([n1], dtype="int64"),
                          "n2": pd.Series([n2], dtype="int64"),
                          "runs": pd.Series([runs], dtype="int64"),

@@ -1963,8 +1963,8 @@ def adjacent_equal_counts(ds, part_col: str, order_keys: list,
     stutter/repeated-row detector. Unlike transition_counts the value
     domain is unbounded (text), so blocks never group by value: the
     pair-equality mask is a zero-copy shifted Arrow compare reduced per
-    run with ``np.add.reduceat``, shipping ≤runs skinny (part, n>0)
-    partials; the B cross-block pairs and the distinct-partition total
+    run via cumsum segment differences, shipping ≤runs skinny
+    (part, n>0) partials; the B cross-block pairs and the distinct-partition total
     resolve in an O(blocks) driver boundary scan. Returns
     ``(merged_ds, total_parts)`` where merged_ds is (part_col, n) rows
     for partitions with ≥1 repeat (sorted_groupby-merged) and
@@ -1992,7 +1992,7 @@ def adjacent_equal_counts(ds, part_col: str, order_keys: list,
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         n = block.num_rows
-        starts, _ = _run_bounds(k)
+        starts, widths = _run_bounds(k)
         info = (k[0].item() if hasattr(k[0], "item") else k[0],
                 v[0].as_py(),
                 k[-1].item() if hasattr(k[-1], "item") else k[-1],
@@ -2005,7 +2005,6 @@ def adjacent_equal_counts(ds, part_col: str, order_keys: list,
         # pair index ends[r]-1 is excluded by construction, and a
         # width-1 run yields an empty (zero) segment instead of the
         # reduceat end-of-array pitfall
-        _, widths = _run_bounds(k)
         ends = starts + widths
         c = np.concatenate(([0], np.cumsum(eq.astype(np.int64))))
         reps = c[ends - 1] - c[starts]
