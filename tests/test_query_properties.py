@@ -1584,3 +1584,35 @@ def test_trimmed_and_systematic_planted(ray_session, tmp_path):
     assert (got.values == exp[got.columns].values).all()
     assert list(got["rn"]) == [1, 501, 1001]
     assert list(got["o_orderkey"]) == [7, 501 * 7, 1001 * 7]
+
+
+def test_order_value_runs_test_planted(ray_session, tmp_path):
+    """Planted sequences pin the runs-test semantics: a perfectly
+    ALTERNATING above/below sequence maximizes runs (R = N, z > 0,
+    anti-clustered) and a BLOCK sequence (all lows then all highs)
+    minimizes them (R = 2, z < 0, clustered); both cross 10 blocks'
+    worth of rows so the constant-partition transition stitch is
+    exercised."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from advanced_data_profile_ray.pipelines.queries import QUERIES
+
+    n = 2000
+    dates = pd.date_range("2024-01-01", periods=n, freq="h")
+
+    def run(prices):
+        df = pd.DataFrame({"o_orderkey": np.arange(n, dtype=np.int64),
+                           "o_orderdate": dates,
+                           "o_totalprice": prices})
+        pq.write_table(pa.table(df), tmp_path / "orders.parquet")
+        return QUERIES["order_value_runs_test"](str(tmp_path))
+
+    alt = run(np.where(np.arange(n) % 2 == 0, 10.0, 1000.0))
+    assert alt["n1"].iat[0] == alt["n2"].iat[0] == n // 2
+    assert alt["runs"].iat[0] == n          # every step switches
+    assert alt["z"].iat[0] > 30             # extreme anti-clustering
+
+    blk = run(np.where(np.arange(n) < n // 2, 10.0, 1000.0))
+    assert blk["runs"].iat[0] == 2          # one switch in the middle
+    assert blk["z"].iat[0] < -30            # extreme clustering
