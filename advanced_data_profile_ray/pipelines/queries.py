@@ -16268,3 +16268,90 @@ ORACLE["order_value_runs_test"] = """
     FROM agg
 """
 QUERIES["order_value_runs_test"] = q_order_value_runs_test
+
+
+def q_order_value_autocorr(sf_dir: str) -> pd.DataFrame:
+    """LAG-1 SERIAL CORRELATION of the date-ordered order-value
+    sequence — Pearson r over consecutive pairs (xᵢ, xᵢ₊₁), the raw-
+    sequence companion to `hourly_autocorr` (which correlates the
+    aggregated hourly series) and the runs test (which only signs the
+    sequence). ONE global (date, key) sort; each block reduces its
+    adjacent pairs to six sums (n, Σa, Σb, Σa², Σb², Σab) — cent
+    products ≤ 3·10¹⁵ are EXACTLY representable doubles (< 2⁵³), so
+    per-element math is exact and only the Σ association differs from
+    the twin (≈1e-16 relative, far under the 6dp output rounding);
+    the B cross-block pairs come from an O(blocks) driver boundary
+    scan over (first, last) values. The twin mirrors the same explicit
+    sum formula (not CORR(), whose streaming accumulation rounds
+    differently)."""
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"d": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                         "k": t["o_orderkey"], "v": cents})
+
+    s = (ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072)
+         .sort(["d", "k"]).materialize())
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def _block(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        v = block["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a, b = v[:-1], v[1:]
+        return (int(a.size), float(a.sum()), float(b.sum()),
+                float((a * a).sum()), float((b * b).sum()),
+                float((a * b).sum()), float(v[0]), float(v[-1]))
+
+    parts = [p for p in ray.get([_block.remote(r) for r in refs])
+             if p is not None]
+    n = sa = sb = saa = sbb = sab = 0.0
+    last = None
+    for np_, a_, b_, aa_, bb_, ab_, first_v, last_v in parts:
+        if last is not None:  # the block-straddling pair
+            n += 1; sa += last; sb += first_v
+            saa += last * last; sbb += first_v * first_v
+            sab += last * first_v
+        n += np_; sa += a_; sb += b_; saa += aa_; sbb += bb_; sab += ab_
+        last = last_v
+    r = None
+    if n >= 2:
+        den = np.sqrt(n * saa - sa * sa) * np.sqrt(n * sbb - sb * sb)
+        if den > 0:
+            r = round((n * sab - sa * sb) / den, 6)
+    return pd.DataFrame({"n_pairs": pd.Series([int(n)], dtype="int64"),
+                         "r": pd.Series([r], dtype="float64")})
+
+
+ORACLE["order_value_autocorr"] = """
+    WITH c AS (
+        SELECT o_orderdate, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(v AS DOUBLE) AS a,
+               CAST(LEAD(v) OVER (ORDER BY o_orderdate, o_orderkey)
+                    AS DOUBLE) AS b
+        FROM c
+    ),
+    p AS (SELECT a, b FROM l WHERE b IS NOT NULL),
+    g AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(a) AS sa, SUM(b) AS sb,
+               SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+        FROM p
+    )
+    SELECT n AS n_pairs,
+           ROUND((n * sab - sa * sb)
+                 / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb)),
+                 6) AS r
+    FROM g
+"""
+QUERIES["order_value_autocorr"] = q_order_value_autocorr
