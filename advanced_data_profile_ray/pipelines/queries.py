@@ -16355,3 +16355,62 @@ ORACLE["order_value_autocorr"] = """
     FROM g
 """
 QUERIES["order_value_autocorr"] = q_order_value_autocorr
+
+
+def q_weekday_seasonality_strength(sf_dir: str) -> pd.DataFrame:
+    """WEEKDAY SEASONALITY STRENGTH of event volume — η² (correlation
+    ratio): the share of day-to-day count variance explained by the
+    day-of-week, the one-number answer to "how weekly is this feed?"
+    (the variance-decomposition companion to `dow_profile_outliers`'
+    per-cell χ² and `anova_lengths_by_source`'s F). ONE zero-exchange
+    scan folds per-block (day, n) census partials (calendar-bounded:
+    ≤ span days regardless of row count); the driver groups the tiny
+    census by ISO weekday and finalizes η² = (Σ_g S_g²/c_g − S²/N) /
+    (Σn² − S²/N) — exact int64 sums, three float divisions mirrored
+    verbatim by the twin."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        g = pa.table({"day": day}).group_by(
+            ["day"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    daily = parts.groupby("day", as_index=False)["n"].sum()
+    daily["dow"] = daily["day"].dt.dayofweek.astype("int64") + 1  # ISO
+    g = daily.groupby("dow")["n"].agg(
+        sg="sum", cg="count", s2=lambda x: int((x.astype(object) ** 2).sum()))
+    S = int(g["sg"].sum()); N = int(g["cg"].sum()); snn = int(g["s2"].sum())
+    ssb_part = float((g["sg"].astype(float) ** 2 / g["cg"]).sum())
+    corr = float(S) * S / N
+    eta2 = round((ssb_part - corr) / (snn - corr), 6) if snn > corr else None
+    return pd.DataFrame({"n_days": pd.Series([N], dtype="int64"),
+                         "eta2": pd.Series([eta2], dtype="float64")})
+
+
+ORACLE["weekday_seasonality_strength"] = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT isodow(day)::BIGINT AS dow, SUM(n)::BIGINT AS sg,
+               COUNT(*)::BIGINT AS cg, SUM(n * n)::BIGINT AS s2
+        FROM d GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(sg)::BIGINT AS S, SUM(cg)::BIGINT AS N,
+               SUM(s2)::BIGINT AS snn,
+               SUM(CAST(sg AS DOUBLE) * sg / cg) AS ssb_part
+        FROM g
+    )
+    SELECT N AS n_days,
+           ROUND((ssb_part - CAST(S AS DOUBLE) * S / N)
+                 / (snn - CAST(S AS DOUBLE) * S / N), 6) AS eta2
+    FROM t
+"""
+QUERIES["weekday_seasonality_strength"] = q_weekday_seasonality_strength
