@@ -16414,3 +16414,60 @@ ORACLE["weekday_seasonality_strength"] = """
     FROM t
 """
 QUERIES["weekday_seasonality_strength"] = q_weekday_seasonality_strength
+
+
+def q_fano_by_type(sf_dir: str) -> pd.DataFrame:
+    """FANO FACTOR (variance-to-mean ratio of DAILY counts) per event
+    type — the count-dispersion index: ≈1 for Poisson arrivals, >1 for
+    bursty/clumped feeds (the count-domain dual of the inter-event-gap
+    `burstiness_by_user`; `weekday_seasonality_strength` asks how much
+    of this dispersion the weekday explains). ONE zero-exchange scan
+    folds per-block (type, day, n) census partials (≤ |types|·span
+    cells); the driver finalizes the sample variance over exact int64
+    Σn/Σn² per type and ONE division per type. Days with zero events
+    of a type are absent on both sides (identical census convention)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _census(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                unit="day")
+        g = pa.table({"event_type": t["event_type"], "day": day}).group_by(
+            ["event_type", "day"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            [{"count_all": "n"}.get(c, c) for c in g.column_names])
+
+    parts = ds.map_batches(_census, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    daily = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    rows = []
+    for et, sub in daily.groupby("event_type", sort=True):
+        n = sub["n"].to_numpy(np.int64)
+        k = int(n.size)
+        s = int(n.sum())
+        s2 = int((n.astype(object) ** 2).sum())
+        fano = None
+        if k >= 2 and s > 0:
+            var = (float(s2) - float(s) * s / k) / (k - 1.0)
+            fano = round(var / (float(s) / k), 6)
+        rows.append({"event_type": et, "n_days": k, "fano": fano})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["fano"] = out["fano"].astype("float64")
+    return out
+
+
+ORACLE["fano_by_type"] = """
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_days,
+           ROUND(((SUM(n * n)::BIGINT - CAST(SUM(n) AS DOUBLE)
+                       * SUM(n) / COUNT(*))
+                  / (COUNT(*) - 1.0))
+                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS fano
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+QUERIES["fano_by_type"] = q_fano_by_type
