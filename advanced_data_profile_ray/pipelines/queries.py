@@ -16471,3 +16471,104 @@ ORACLE["fano_by_type"] = """
     FROM d GROUP BY 1 ORDER BY 1
 """
 QUERIES["fano_by_type"] = q_fano_by_type
+
+
+def q_customer_spend_slope(sf_dir: str) -> pd.DataFrame:
+    """PER-CUSTOMER SPEND TREND — OLS slope of order value (cents) over
+    the customer's 1-based order sequence: is each customer spending
+    more or less per successive order? (The grouped sequence-regression
+    member of the trend family: `theil_sen_daily` is a global robust
+    trend, `regr_by_flag` regresses value-on-value.) Two exchanges: ONE
+    (cust, date, key) sort assigns within-customer order indexes
+    (stages.window.row_number_within), then in-block Arrow groupbys
+    fold exact int64 (n, Σi, Σi², Σv, Σiv) partials through ONE skinny
+    sorted_groupby merge; the slope (nΣiv − ΣiΣv)/(nΣi² − (Σi)²) is
+    EXACT-integer up to its single final division, so ties and signs
+    are bit-identical to the twin. Customers with one order are
+    excluded (denominator 0) on both sides."""
+    import ray.data as rd
+
+    from ..stages.fast_ops import sorted_groupby
+    from ..stages.window import row_number_within
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "d": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "k": t["o_orderkey"],
+            "v": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    numbered = row_number_within(
+        ds.map_batches(_pre, batch_format="pyarrow", batch_size=131072),
+        "o_custkey", ["d", "k"], out_col="i", start=1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        i = t["i"]
+        g = pa.table({
+            "o_custkey": t["o_custkey"], "si": i,
+            "sii": pc.multiply(i, i), "sv": t["v"],
+            "siv": pc.multiply(i, t["v"]),
+        }).group_by(["o_custkey"], use_threads=False).aggregate(
+            [("si", "sum"), ("sii", "sum"), ("sv", "sum"),
+             ("siv", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [{"si_sum": "si", "sii_sum": "sii", "sv_sum": "sv",
+              "siv_sum": "siv", "count_all": "n"}.get(c, c)
+             for c in g.column_names])
+
+    inner, edge = sorted_groupby(
+        numbered.map_batches(_partial, batch_format="pyarrow",
+                             batch_size=131072),
+        ["o_custkey"],
+        [("si", "sum", "si"), ("sii", "sum", "sii"), ("sv", "sum", "sv"),
+         ("siv", "sum", "siv"), ("n", "sum", "n")])
+    agg = inner
+    if edge is not None and edge.num_rows:
+        agg = agg.union(rd.from_arrow(edge))
+
+    def _slope(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["n"], 2)
+        sub = t.filter(keep)
+        num = pc.subtract(pc.multiply(sub["n"], sub["siv"]),
+                          pc.multiply(sub["si"], sub["sv"]))
+        den = pc.subtract(pc.multiply(sub["n"], sub["sii"]),
+                          pc.multiply(sub["si"], sub["si"]))
+        slope = pc.round(pc.divide(pc.cast(num, pa.float64()),
+                                   pc.cast(den, pa.float64())), 6)
+        return pa.table({"o_custkey": sub["o_custkey"], "n": sub["n"],
+                         "slope": slope})
+
+    out = (agg.map_batches(_slope, batch_format="pyarrow")
+           .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+    for c in ("o_custkey", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE["customer_spend_slope"] = """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   ::BIGINT AS i
+        FROM orders
+    ),
+    g AS (
+        SELECT o_custkey, COUNT(*)::BIGINT AS n, SUM(i)::BIGINT AS si,
+               SUM(i * i)::BIGINT AS sii, SUM(v)::BIGINT AS sv,
+               SUM(i * v)::BIGINT AS siv
+        FROM r GROUP BY 1
+    )
+    SELECT o_custkey, n,
+           ROUND(CAST(n * siv - si * sv AS DOUBLE)
+                 / CAST(n * sii - si * si AS DOUBLE), 6) AS slope
+    FROM g WHERE n >= 2 ORDER BY 1
+"""
+QUERIES["customer_spend_slope"] = q_customer_spend_slope
